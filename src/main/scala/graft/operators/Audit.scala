@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audit operators (reference src/pipeline/audit/base.py:84-121).
+  *
+  * Run against the staged (valid) rows before publish. Where the reference
+  * generated dialect-specific SQL (5 backends x 2 audits), here both audits
+  * are plain Spark plans: one hash-aggregate shuffle for grain uniqueness and
+  * a `spark.sql` pass-through for user audit queries.
+  */
+object Audit {
+
+  /** A1 grain-uniqueness + A2 top-5 duplicate examples in ONE aggregation:
+    * `groupBy(grain).count HAVING count>1 LIMIT 5` answers both "is the grain
+    * unique" and "show me examples" — a single shuffle instead of the
+    * reference's two queries (COUNT DISTINCT probe at audit/base.py:84-93
+    * plus the example query at db_utils.py:331-351). With AQE the partial
+    * (map-side) aggregation collapses most groups before the exchange, so at
+    * 100 TB this is one well-formed hash-agg, not a sort.
+    */
+  def grainAudit(stage: DataFrame, source: SourceConfig, fileName: String): Unit = {
+    val dups = stage
+      .groupBy(source.grain.map(col): _*)
+      .agg(count(lit(1)).as("duplicate_count"))
+      .filter(col("duplicate_count") > 1)
+      .orderBy(source.grain.map(col): _*)
+      .limit(5)
+      .collect()
+    if (dups.nonEmpty) {
+      val examples = dups.map { r =>
+        source.grain.zipWithIndex
+          .map { case (g, i) => s"$g=${r.get(i)}" }
+          .mkString(", ") + s" (x${r.getLong(source.grain.length)})"
+      }
+      throw GrainValidationError(fileName, source.grain, examples.toSeq)
+    }
+  }
+
+  /** A3 custom audit: arbitrary SQL with a `{table}` placeholder; every
+    * column of its single result row must be non-zero, zero/null columns are
+    * collected as failed audit names (reference audit/base.py:95-121).
+    */
+  def customAudit(spark: SparkSession, stage: DataFrame,
+                  source: SourceConfig, fileName: String): Unit = {
+    source.auditQuery.foreach { q =>
+      val view = FileUtils.sanitizeTableName(
+        s"stage__${source.tableName}_${System.nanoTime()}")
+      stage.createOrReplaceTempView(view)
+      try {
+        val row = spark.sql(q.replace("{table}", view)).head()
+        val failed = (0 until row.length).flatMap { i =>
+          val name = row.schema(i).name
+          val zero = row.isNullAt(i) || (row.get(i) match {
+            case n: Number => n.doubleValue() == 0.0
+            case b: Boolean => !b
+            case _ => false
+          })
+          if (zero) Some(name) else None
+        }
+        if (failed.nonEmpty) throw AuditFailedError(fileName, failed)
+      } finally spark.catalog.dropTempView(view)
+    }
+  }
+}

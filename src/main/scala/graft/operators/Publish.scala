@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.core.SourceConfig
+import graft.store.Schemas
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge-publish: the engine's MERGE upsert (reference
+  * src/pipeline/publish/base.py:28-97 and the five dialect implementations,
+  * e.g. publish/postgresql.py:24-43).
+  *
+  * Semantics preserved exactly:
+  *   WHEN MATCHED AND stage.etl_row_hash != target.etl_row_hash
+  *     THEN UPDATE all model columns + etl_updated_at = now
+  *   WHEN MATCHED AND hashes equal  THEN keep the target row untouched
+  *   WHEN NOT MATCHED               THEN INSERT with etl_created_at = now
+  * Target rows with no stage match are retained.
+  *
+  * Execution: ONE full-outer shuffle join on the grain produces the merged
+  * relation *and* the insert/update counts (an `_action` tag aggregated
+  * before the write), where the reference ran two extra counting queries
+  * before its MERGE (publish/base.py:40-74). The new table version is then
+  * written and the version pointer swaps atomically ([[graft.store.TableStore]]).
+  *
+  * Scale notes: the join shuffles both sides by grain — the same movement a
+  * warehouse MERGE does. AQE handles skewed grains and broadcasts a small
+  * stage side automatically. The `now` timestamp is pinned once on the driver
+  * (reference publish/base.py:84) so every task stamps identical values.
+  */
+object Publish {
+
+  final case class MergeResult(merged: DataFrame, inserts: Long, updates: Long)
+
+  /** Pre-merge insert/update counts, the reference's standalone A4 semantics
+    * (publish/base.py:40-74): inserts = staged - matched;
+    * updates = matched with differing hash. Kept for API parity and tests;
+    * [[merge]] derives the same numbers from its single join.
+    */
+  def counts(stage: DataFrame, target: DataFrame, grain: Seq[String]): (Long, Long) = {
+    val stagedTotal = stage.count()
+    val t = target.select(grain.map(col) :+ col("etl_row_hash").as("_t_hash"): _*)
+    val joined = stage.select(grain.map(col) :+ col("etl_row_hash").as("_s_hash"): _*)
+      .join(t, grain, "inner")
+    val agg = joined.agg(
+      count(lit(1)).as("matched"),
+      count(when(col("_s_hash") =!= col("_t_hash"), 1)).as("updates")).head()
+    val (matched, updates) = (agg.getLong(0), agg.getLong(1))
+    (stagedTotal - matched, updates)
+  }
+
+  def merge(stage: DataFrame, target: DataFrame, source: SourceConfig,
+            now: java.sql.Timestamp): MergeResult = {
+    val grain = source.grain
+    val modelCols = source.columns.map(_.name)
+    val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
+
+    val s = stage
+      .select(dataCols.map(col): _*)
+      .withColumn("_s_present", lit(true)).alias("s")
+    val t = target.withColumn("_t_present", lit(true)).alias("t")
+
+    val cond: Column = grain.map(g => col(s"s.$g") <=> col(s"t.$g")).reduce(_ && _)
+    val joined = s.join(t, cond, "full_outer")
+
+    val sHere = col("s._s_present").isNotNull
+    val tHere = col("t._t_present").isNotNull
+    val changed = col("s.etl_row_hash") =!= col("t.etl_row_hash")
+
+    val action = when(sHere && tHere && changed, lit("update"))
+      .when(sHere && tHere, lit("noop"))
+      .when(sHere, lit("insert"))
+      .otherwise(lit("keep"))
+
+    val takeStage = col("_action").isin("update", "insert")
+    val outCols = dataCols.map { c =>
+      when(takeStage, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    } ++ Seq(
+      when(col("_action") === "insert", lit(now))
+        .otherwise(col("t.etl_created_at")).as("etl_created_at"),
+      when(col("_action") === "update", lit(now))
+        .otherwise(col("t.etl_updated_at")).as("etl_updated_at"))
+
+    val tagged = joined.withColumn("_action", action)
+      .select(outCols :+ col("_action"): _*)
+      .cache()
+
+    val cnt = tagged.agg(
+      count(when(col("_action") === "insert", 1)).as("inserts"),
+      count(when(col("_action") === "update", 1)).as("updates")).head()
+
+    val merged = tagged.drop("_action")
+    MergeResult(merged, cnt.getLong(0), cnt.getLong(1))
+  }
+
+  /** Empty target with the right schema for first-time publishes. */
+  def emptyTarget(spark: org.apache.spark.sql.SparkSession,
+                  source: SourceConfig): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.targetSchema(source))
+}

@@ -1,0 +1,97 @@
+package graft.run
+
+import graft.core._
+import graft.store.TableStore
+
+/** CLI entry point (reference src/cli/main.py:26-129 and the `fileloader`
+  * wrapper): sweep a drop directory through the pipeline against a set of
+  * registered sources.
+  *
+  * Usage:
+  *   graft.run.Main --drop DIR --archive DIR --duplicates DIR --warehouse DIR
+  *                  [--file NAME]
+  *
+  * Sources are registered in code (like the reference's src/sources/systems
+  * package); [[DemoSources.registry]] ships the example `sales` source so
+  * the CLI is usable out of the box — a library user supplies their own
+  * registry through [[Processor]] directly.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"missing required option --$k"))
+
+    val drop = req("drop")
+    val spark = graft.core.GraftSession.getOrCreate()
+    try {
+      val store = new TableStore(spark, req("warehouse"))
+      val files = new FileOps(spark.sparkContext.hadoopConfiguration,
+        req("archive"), req("duplicates"))
+      val notifier = new LoggingNotifier
+      val proc = new Processor(spark, DemoSources.registry, store, files,
+        notifier, drop)
+      opts.get("file") match {
+        case Some(f) =>
+          val r = proc.processFile(s"$drop/$f")
+          println(s"result: ${r.map(x => s"success=${x.success} error=${x.errorName.getOrElse("-")} " +
+            s"read=${x.recordsRead} dlq=${x.recordsFailedValidation} " +
+            s"inserts=${x.publishInserts} updates=${x.publishUpdates}").getOrElse("no matching source")}")
+        case None =>
+          val s = proc.processAll()
+          println(s"summary: processed=${s.processed} succeeded=${s.succeeded} " +
+            s"failed=${s.failed} no_source=${s.noSource}")
+          s.results.foreach(r => println(
+            s"  ${r.fileName}: success=${r.success} error=${r.errorName.getOrElse("-")} " +
+            s"read=${r.recordsRead} dlq=${r.recordsFailedValidation} " +
+            s"inserts=${r.publishInserts} updates=${r.publishUpdates}"))
+      }
+    } finally spark.stop()
+  }
+}
+
+/** Console notifier for CLI runs (reference prints + emails; transport here
+  * is stdout — swap in an SMTP/webhook [[Notifier]] for production).
+  */
+final class LoggingNotifier extends Notifier {
+  override def notifyFileError(recipients: Seq[String], fileName: String,
+                               error: FileError): Unit =
+    println(s"[notify] to=${recipients.mkString(",")} file=$fileName " +
+      s"error=${error.errorName}: ${error.getMessage}")
+  override def notifySummary(summary: String): Unit =
+    println(s"[notify] summary: $summary")
+}
+
+/** Example source registry mirroring the reference's example system
+  * (src/sources/systems/sales/sales.py:7-32): the `sales_*.csv` transactions
+  * feed with a grain on transaction_id and positive-amount audits.
+  */
+object DemoSources {
+  import org.apache.spark.sql.types._
+
+  val Sales: SourceConfig = SourceConfig(
+    name = "sales",
+    filePattern = "sales_*.csv*",
+    sourceType = "csv",
+    columns = Seq(
+      ColumnSpec.string("transaction_id", maxLength = 100, nullable = false),
+      ColumnSpec.string("customer_id", maxLength = 100, nullable = false),
+      ColumnSpec.string("product_sku", maxLength = 100, nullable = false),
+      ColumnSpec.int("quantity", nullable = false),
+      ColumnSpec.double("unit_price", nullable = false),
+      ColumnSpec.double("total_amount", nullable = false),
+      ColumnSpec.date("sale_date", nullable = false),
+      ColumnSpec.string("sales_rep", maxLength = 100, nullable = false)),
+    tableName = "transactions",
+    grain = Seq("transaction_id"),
+    auditQuery = Some(
+      """SELECT
+        |CASE WHEN SUM(CASE WHEN total_amount > 0 THEN 1 ELSE 0 END) = COUNT(*) THEN 1 ELSE 0 END AS total_amount_positive,
+        |CASE WHEN SUM(CASE WHEN unit_price > 0 THEN 1 ELSE 0 END) = COUNT(*) THEN 1 ELSE 0 END AS unit_price_positive
+        |FROM {table}""".stripMargin),
+    formatOptions = CsvOptions())
+
+  val registry = new SourceRegistry(Seq(Sales))
+}

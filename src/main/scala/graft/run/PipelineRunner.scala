@@ -1,0 +1,163 @@
+package graft.run
+
+import graft.core._
+import graft.operators.{Audit, Publish, Validator}
+import graft.sources.{ExcelReader, Reader, ReaderFactory}
+import graft.store.{Schemas, TableStore}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Outcome of processing one file (reference returns `(success, file,
+  * error_name)` tuples, src/pipeline/runner.py:213-272).
+  */
+final case class FileResult(
+    success: Boolean,
+    fileName: String,
+    errorName: Option[String],
+    logId: Long,
+    recordsRead: Long = 0,
+    recordsFailedValidation: Long = 0,
+    publishInserts: Long = 0,
+    publishUpdates: Long = 0)
+
+/** The per-file 7-stage pipeline (reference src/pipeline/runner.py:42-275):
+  *
+  *   dup-file check -> archive -> READ -> VALIDATE -> WRITE(stage+DLQ)
+  *   -> AUDIT -> PUBLISH(merge) -> DLQ-cleanup -> cleanup/drop
+  *
+  * The reference's thread-per-file, single-threaded-within-file model is
+  * inverted (SURVEY §4): each stage here is a distributed Spark job over the
+  * file's partitions, and the whole read->validate->split is ONE cached plan
+  * (the reference's fused generator pipeline becomes whole-stage codegen).
+  *
+  * Error routing preserves the reference's quirk (runner.py:229-268): a
+  * [[FileError]] on a source with configured notification emails sends the
+  * email and the file counts as a SUCCESS result.
+  */
+final class PipelineRunner(
+    spark: SparkSession,
+    store: TableStore,
+    files: FileOps,
+    notifier: Notifier) {
+
+  def run(path: String, source: SourceConfig): FileResult = {
+    val fileName = FileUtils.bareName(path)
+    val logId = store.nextId()
+    log(logId, fileName, Some(source.tableName), "start", success = None)
+    try {
+      val result = runStages(path, fileName, source, logId)
+      log(logId, fileName, Some(source.tableName), "complete", success = Some(true),
+        read = result.recordsRead, failed = result.recordsFailedValidation,
+        inserts = result.publishInserts, updates = result.publishUpdates)
+      result
+    } catch {
+      case e: DuplicateFileError =>
+        // not an error: move to duplicates dir and skip (runner.py:127-140)
+        files.moveToDuplicates(path)
+        log(logId, fileName, Some(source.tableName), "duplicate", success = Some(true))
+        FileResult(success = true, fileName, Some(e.errorName), logId)
+      case e: FileError =>
+        log(logId, fileName, Some(source.tableName), "error", success = Some(false),
+          errorName = Some(e.errorName), errorMessage = Some(e.getMessage))
+        if (source.notificationEmails.nonEmpty) {
+          notifier.notifyFileError(source.notificationEmails, fileName, e)
+          // email-sent => success (reference runner.py:246-251)
+          FileResult(success = true, fileName, Some(e.errorName), logId)
+        } else FileResult(success = false, fileName, Some(e.errorName), logId)
+    } finally {
+      files.deleteFromDrop(path)
+    }
+  }
+
+  private def runStages(path: String, fileName: String, source: SourceConfig,
+                        logId: Long): FileResult = {
+    // P6 duplicate-file predicate: by source_filename in the TARGET table —
+    // content-identical renamed files reload (reference db_utils.py:243-258).
+    store.readIfExists(source.tableName).foreach { target =>
+      if (!target.filter(col("source_filename") === fileName).isEmpty)
+        throw DuplicateFileError(fileName, source.tableName)
+    }
+
+    files.archive(path) // copy-before-processing (runner.py:142-149)
+
+    val reader = ReaderFactory.readerFor(fileName)
+    val raw = reader.read(spark, path, source)
+    log(logId, fileName, Some(source.tableName), "read", success = Some(true))
+
+    val vr = Validator.validate(raw.df, source, fileName, logId,
+      excelDates = reader.isInstanceOf[ExcelReader])
+    try {
+      // WRITE: DLQ rows always persist (even below-threshold successes keep
+      // their DLQ rows, reference test_csv.py:100-131).
+      if (vr.errorCount > 0) {
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
+        val dlqRows = vr.dlq.select(
+          col("source_filename"),
+          col("file_row_number"),
+          col(Validator.RawRecordCol).as("file_record_data"),
+          to_json(col(Validator.ErrorsCol)).as("validation_errors"),
+          col("file_load_log_id"),
+          lit(source.tableName).as("target_table_name"),
+          lit(now).as("failed_at"))
+        store.append(Schemas.DlqTable, dlqRows)
+      }
+      log(logId, fileName, Some(source.tableName), "write", success = Some(true),
+        read = vr.totalCount, failed = vr.errorCount)
+
+      Validator.gate(vr, source, fileName) // threshold gate AFTER the DLQ write
+
+      val stage = vr.valid.drop(Validator.ErrorsCol, Validator.IsValidCol,
+        Validator.RawRecordCol, "file_row_number")
+
+      // AUDIT (A1/A2 grain, A3 custom) on staged rows
+      Audit.grainAudit(stage, source, fileName)
+      Audit.customAudit(spark, stage, source, fileName)
+      log(logId, fileName, Some(source.tableName), "audit", success = Some(true))
+
+      // PUBLISH: merge upsert + atomic swap
+      val target = store.readIfExists(source.tableName)
+        .getOrElse(Publish.emptyTarget(spark, source))
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val mr = Publish.merge(stage, target, source, now)
+      store.overwrite(source.tableName, mr.merged)
+      mr.merged.unpersist()
+      log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
+        inserts = mr.inserts, updates = mr.updates)
+
+      // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
+      // current run's rows survive (reference delete/base.py:36-41).
+      store.readIfExists(Schemas.DlqTable).foreach { dlq =>
+        val cleaned = dlq.filter(
+          !(col("source_filename") === fileName && col("file_load_log_id") < logId))
+        store.overwrite(Schemas.DlqTable, cleaned)
+      }
+
+      FileResult(success = true, fileName, None, logId,
+        recordsRead = vr.totalCount,
+        recordsFailedValidation = vr.errorCount,
+        publishInserts = mr.inserts,
+        publishUpdates = mr.updates)
+    } finally vr.all.unpersist()
+  }
+
+  private def log(logId: Long, fileName: String, table: Option[String],
+                  stage: String, success: Option[Boolean],
+                  read: Long = -1, failed: Long = -1,
+                  inserts: Long = -1, updates: Long = -1,
+                  errorName: Option[String] = None,
+                  errorMessage: Option[String] = None): Unit = {
+    val row = Row(
+      logId, fileName, table.orNull, stage,
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      success.map(Boolean.box).orNull,
+      if (read >= 0) Long.box(read) else null,
+      if (read >= 0) Long.box(read) else null, // records_written_to_stage: counts DLQ rows too (reference write/base.py:84,123)
+      if (failed >= 0) Long.box(failed) else null,
+      if (inserts >= 0) Long.box(inserts) else null,
+      if (updates >= 0) Long.box(updates) else null,
+      errorName.orNull, errorMessage.orNull)
+    import scala.jdk.CollectionConverters._
+    store.append(Schemas.LogTable,
+      spark.createDataFrame(Seq(row).asJava, Schemas.LogSchema))
+  }
+}

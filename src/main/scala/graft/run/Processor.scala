@@ -1,0 +1,98 @@
+package graft.run
+
+import graft.core.{FileUtils, SourceConfig, SourceRegistry}
+import org.apache.spark.sql.SparkSession
+import graft.store.TableStore
+
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+import scala.collection.mutable
+
+/** Whole-run summary (reference src/process/processor.py:113-157). */
+final case class RunSummary(
+    processed: Int,
+    succeeded: Int,
+    failed: Int,
+    noSource: Int,
+    results: Seq[FileResult])
+
+/** Orchestrator (reference src/process/processor.py:23-163): scan the drop
+  * directory, match each file to a source, run the pipeline, summarize.
+  *
+  * Parallelism model INVERTED vs the reference (SURVEY §4): the reference ran
+  * thread-per-file with single-threaded pipelines; here the cluster
+  * parallelizes WITHIN each file (partitions), and a small driver-side pool
+  * (default 2) overlaps scheduling gaps between files. On a 1000-executor
+  * cluster one big file saturates the cluster by itself; file-level fan-out
+  * is a latency optimization for many small files, not the scaling mechanism.
+  */
+final class Processor(
+    spark: SparkSession,
+    registry: SourceRegistry,
+    store: TableStore,
+    files: FileOps,
+    notifier: Notifier,
+    dropDir: String,
+    filePoolSize: Int = 2) {
+
+  private val runner = new PipelineRunner(spark, store, files, notifier)
+
+  /** Single-file entry, the test/library surface (reference
+    * Processor.process_file, processor.py:62-87).
+    */
+  def processFile(path: String): Option[FileResult] = {
+    val name = FileUtils.bareName(path)
+    registry.findSourceForFile(name) match {
+      case Some(source) => Some(runner.run(path, source))
+      case None =>
+        // no matching source: archive + remove, count separately
+        files.archive(path)
+        files.deleteFromDrop(path)
+        None
+    }
+  }
+
+  def processAll(): RunSummary = {
+    val paths = files.scanDirectory(dropDir)
+    val queue = new ConcurrentLinkedQueue[String]()
+    paths.foreach(queue.add)
+    val results = new ConcurrentLinkedQueue[Option[FileResult]]()
+
+    if (filePoolSize <= 1 || paths.size <= 1) {
+      paths.foreach(p => results.add(safeProcess(p)))
+    } else {
+      val pool = Executors.newFixedThreadPool(filePoolSize)
+      (1 to filePoolSize).foreach { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var p = queue.poll()
+            while (p != null) { results.add(safeProcess(p)); p = queue.poll() }
+          }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, TimeUnit.HOURS)
+    }
+
+    import scala.jdk.CollectionConverters._
+    val all = results.asScala.toSeq
+    val done = all.flatten
+    val summary = RunSummary(
+      processed = all.size,
+      succeeded = done.count(_.success),
+      failed = done.count(!_.success),
+      noSource = all.count(_.isEmpty),
+      results = done)
+    notifier.notifySummary(
+      s"processed=${summary.processed} succeeded=${summary.succeeded} " +
+      s"failed=${summary.failed} no_source=${summary.noSource}")
+    summary
+  }
+
+  private def safeProcess(path: String): Option[FileResult] =
+    try processFile(path)
+    catch {
+      case e: Throwable =>
+        Some(FileResult(success = false, FileUtils.bareName(path),
+          Some(e.getClass.getSimpleName), logId = -1))
+    }
+}
