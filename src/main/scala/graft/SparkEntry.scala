@@ -1,13 +1,279 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Relational, TrainingData}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is deterministic (explicit ordering, rounded
+  * floats) and — where ANSI-SQL-expressible — has a DuckDB oracle in
+  * [[oracleSql]] computing the same result over the same parquet tables.
+  * Column names/aliases are kept identical on both sides (the driver's
+  * compare sorts columns by name before hashing values).
+  *
+  * Portable hashing note: oracles reproduce engine hashing via md5 (bit
+  * identical in Spark and DuckDB); xxhash64-based operators (SimHash) and
+  * approximate operators (LSH ANN) are rows-only checks by design.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q11NationRevenue(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline operators (dedup / similarity / text analysis /
+    * multimodal).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (SURVEY §2 operator inventory)
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_grain_audit" -> (Relational.q2GrainAudit _),
+    "q3_dup_grain_examples" -> (Relational.q3DupGrainExamples _),
+    "q4_validation_split" -> (Relational.q4ValidationSplit _),
+    "q5_merge_upsert" -> (Relational.q5MergeUpsert _),
+    "q6_semi_join_counts" -> (Relational.q6SemiJoinCounts _),
+    "q7_custom_audit" -> (Relational.q7CustomAudit _),
+    "q8_dlq_cleanup" -> (Relational.q8DlqCleanup _),
+    "q9_topk_orders" -> (Relational.q9TopkOrders _),
+    "q10_region_revenue" -> (Relational.q10RegionRevenue _),
+    "q11_nation_revenue" -> (Relational.q11NationRevenue _),
+    "q12_last_event_by_user" -> (Relational.q12LastEventByUser _),
+    // training-data pipeline
+    "dedup_exact" -> (TrainingData.dedupExact _),
+    "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
+    "dedup_simhash" -> (TrainingData.dedupSimhash _),
+    "dedup_embedding_cosine" -> (TrainingData.dedupEmbeddingCosine _),
+    "sim_topk_bruteforce" -> (TrainingData.simTopkBruteforce _),
+    "sim_topk_lsh" -> (TrainingData.simTopkLsh _),
+    "text_quality" -> (TrainingData.textQuality _),
+    "text_langid" -> (TrainingData.textLangid _),
+    "text_tokens" -> (TrainingData.textTokens _),
+    "text_fingerprint" -> (TrainingData.textFingerprint _),
+    "multimodal_features" -> (TrainingData.multimodalFeatures _),
+  )
+
+  /** DuckDB oracle SQL per query (omitted for xxhash64-based and
+    * approximate operators -> driver records a rows-only check).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_grain_audit" ->
+      """SELECT count(*) AS total_rows,
+        | count(DISTINCT o_orderkey) AS distinct_keys,
+        | CAST(count(DISTINCT o_orderkey) = count(*) AS BIGINT) AS is_unique
+        |FROM orders""".stripMargin,
+    "q3_dup_grain_examples" ->
+      """SELECT l_orderkey, count(*) AS duplicate_count FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1 LIMIT 5""".stripMargin,
+    "q4_validation_split" ->
+      """SELECT count(*) AS total,
+        | CAST(sum(CASE WHEN event_type NOT IN ('click','view','signup','purchase')
+        |               OR value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        | round(CAST(sum(CASE WHEN event_type NOT IN ('click','view','signup','purchase')
+        |               OR value < 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate
+        |FROM events""".stripMargin,
+    "q5_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey k, o_totalprice p FROM orders WHERE o_orderkey % 3 <> 0),
+        |stage AS (
+        |  SELECT o_orderkey k,
+        |   o_totalprice + CASE WHEN o_orderkey % 4 = 0 THEN 1.0 ELSE 0.0 END p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT COALESCE(s.k, t.k) k,
+        |   CASE WHEN s.k IS NOT NULL AND (t.k IS NULL OR s.p <> t.p) THEN s.p ELSE t.p END p,
+        |   CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL AND s.p <> t.p THEN 'update'
+        |        WHEN s.k IS NOT NULL AND t.k IS NULL THEN 'insert'
+        |        ELSE 'keep' END act
+        |  FROM stage s FULL OUTER JOIN target t ON s.k = t.k)
+        |SELECT count(*) AS final_count,
+        | CAST(sum(CASE WHEN act = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+        | CAST(sum(CASE WHEN act = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+        | round(sum(p), 2) AS total_price
+        |FROM merged""".stripMargin,
+    "q6_semi_join_counts" ->
+      """WITH target AS (
+        |  SELECT c_custkey k, c_acctbal b FROM customer WHERE c_custkey % 3 <> 0),
+        |stage AS (
+        |  SELECT c_custkey k,
+        |   c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 10.0 ELSE 0.0 END b
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT
+        | CAST((SELECT count(*) FROM stage) -
+        |      (SELECT count(*) FROM stage s JOIN target t ON s.k = t.k) AS BIGINT) AS inserts,
+        | CAST((SELECT count(*) FROM stage s JOIN target t ON s.k = t.k AND s.b <> t.b)
+        |      AS BIGINT) AS updates""".stripMargin,
+    "q7_custom_audit" ->
+      """SELECT
+        | CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) = count(*) AS BIGINT)
+        |   AS extendedprice_positive,
+        | CAST(sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) = count(*) AS BIGINT)
+        |   AS quantity_positive,
+        | CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 1 ELSE 0 END) = count(*)
+        |   AS BIGINT) AS discount_in_range
+        |FROM lineitem""".stripMargin,
+    "q8_dlq_cleanup" ->
+      """SELECT event_type, count(*) AS kept FROM events
+        |WHERE NOT (event_type = 'error' AND event_id < 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_count
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_last_event_by_user" ->
+      """SELECT event_type, count(*) AS users FROM (
+        |  SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) t
+        |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_distinct,
+        | count(*) - count(DISTINCT md5(text)) AS dup_rows
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY doc_a""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |   list_transform(range(0, 16), h ->
+        |     list_aggregate(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || ':' || x)), 'min')) sg
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || sg[2*b+1] || '#' || sg[2*b+2])) band
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |verified AS (
+        |  SELECT round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) j
+        |  FROM cand JOIN s sa ON cand.doc_a = sa.doc_id
+        |            JOIN s sb ON cand.doc_b = sb.doc_id)
+        |SELECT count(*) AS candidate_pairs,
+        | CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
+        |FROM verified""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings)
+        |SELECT vec_a, vec_b, sim FROM (
+        |  SELECT a.vec_id vec_a, b.vec_id vec_b,
+        |   round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])) /
+        |     (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i]))) *
+        |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
+        |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
+        |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 25 = 0)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT source, count(*) AS n_docs,
+        | round(avg(length(text)), 2) AS avg_len,
+        | round(avg(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |   OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is' OR x = 'it')) AS DOUBLE)
+        |   / len(toks)), 4) AS avg_stop_ratio,
+        | round(avg(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |   AS DOUBLE) / length(text)), 4) AS avg_punct_ratio
+        |FROM (SELECT source, text, regexp_split_to_array(trim(text), '\s+') toks
+        |      FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_langid" ->
+      """SELECT predicted, count(*) AS n,
+        | CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM (
+        |  SELECT lang,
+        |   CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN len(list_intersect(list_distinct(toks),
+        |      ['der','die','und','nicht','das'])) > 0 THEN 'de'
+        |    WHEN len(list_intersect(list_distinct(toks),
+        |      ['el','los','las','una','pero'])) > 0 THEN 'es'
+        |    WHEN len(list_intersect(list_distinct(toks),
+        |      ['le','les','une','est','dans'])) > 0 THEN 'fr'
+        |    ELSE 'en' END predicted
+        |  FROM (SELECT lang, text, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM documents) x) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+        | round(avg(len(toks)), 2) AS avg_tokens
+        |FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') toks FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | CASE WHEN len(sh) > 0
+        |  THEN list_aggregate(list_transform(sh, s -> md5(s)), 'min')
+        |  ELSE md5(trim(text)) END AS fingerprint
+        |FROM (
+        |  SELECT doc_id, text,
+        |   list_distinct(list_transform(range(1, len(l) - 1),
+        |     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) sh
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x) t
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT media_type, count(*) AS n_records,
+        | CAST(sum(bl) AS BIGINT) AS total_bytes,
+        | CAST(sum((bl + 63) // 64) AS BIGINT) AS total_frames
+        |FROM (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END media_type,
+        |   octet_length(encode(text)) bl
+        |  FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -30,6 +30,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // nanosecond-precision parquet timestamps surface as epoch-nano longs
+      // (Spark cannot represent TIMESTAMP(NANOS); the long preserves full
+      // precision and ordering)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }
 

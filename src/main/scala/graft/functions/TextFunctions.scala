@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-expression building blocks for the training-data-pipeline
+  * operators (dedup, similarity, text analysis). Everything here is pure
+  * `org.apache.spark.sql.functions` composition — codegen'd, no UDFs — so
+  * each operator scales as a narrow map over partitions until its own
+  * shuffle (groupBy / self-join) and survives a 1000-executor fan-out.
+  *
+  * Cross-engine determinism: where an oracle needs to reproduce a hash,
+  * md5 (bit-identical everywhere) is used; engine-internal hashes use
+  * xxhash64 (codegen'd, faster, not portable).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. Spark `split` keeps no leading /
+    * trailing empties after trim, matching DuckDB's regexp_split_to_array.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (distinct), 1-based `element_at` windows:
+    * for n=2 over k tokens -> k-1 shingles joined with single spaces.
+    * Empty array when the doc has fewer than n tokens (guards Spark's
+    * descending-`sequence` pitfall when size-n+1 < 1).
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** |A ∩ B| / |A ∪ B| over two pre-distinct shingle arrays, rounded for
+    * cross-engine float stability.
+    */
+  def jaccard(a: Column, b: Column, scale: Int = 4): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = (size(a) + size(b)).cast(DoubleType) - inter
+    round(when(union > 0, inter / union).otherwise(lit(0.0)), scale)
+  }
+
+  /** MinHash signature as an array of `k` min-md5 values: component i is
+    * min over shingles s of md5("i:" ++ s). Portable (md5) so a SQL oracle
+    * reproduces it bit-for-bit; the min-aggregation is a narrow map.
+    * One pass builds all k components.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shinglesCol, s => md5(concat(lit(s"$i:"), s))))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
+    * consecutive components, each group concatenated into one bucket key
+    * (prefixed with the band index so buckets of different bands never
+    * collide). Docs sharing ANY band key become candidate pairs via a
+    * band-key equi-join — the classic shingle→minhash→band→bucket-join plan.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("#", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** 64-bit SimHash over token xxhash64 values: per bit, +1/-1 vote by
+    * token-hash bit, sign of the vote sum becomes the fingerprint bit.
+    * Returns the fingerprint as LongType. Engine-internal (xxhash64 is not
+    * reproducible outside Spark). Computed per-row over the token array —
+    * no explode, no shuffle.
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Dot product of two equal-length numeric arrays in double precision,
+    * left-to-right accumulation (matches a SQL oracle's list_sum order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded for cross-engine float stability. */
+  def cosine(a: Column, b: Column, scale: Int = 4): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), scale)
+
+  /** Stopword list shared with the SQL oracles (keep in sync!). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+
+  /** Punctuation characters counted for quality scoring (shared with oracles). */
+  val PunctClass = "[.,!?;:]"
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  /** Rolling-hash document fingerprint: the minimum md5 over word 3-gram
+    * shingles — a stable, portable content fingerprint (same idea as the
+    * reference's row hash, db_utils.py:278-289, lifted to document grain).
+    */
+  def fingerprint(text: Column): Column = {
+    val sh = shingles(tokens(text), 3)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
+      .otherwise(md5(trim(text)))
+  }
+
+  /** Language-ID n-gram/marker heuristic. Marker words are checked against
+    * the token set; CJK presence short-circuits to zh. Deterministic and
+    * mirrored in the DuckDB oracle (each side uses its own regex syntax for
+    * the CJK class).
+    */
+  def langId(text: Column, toks: Column): Column = {
+    def hasAny(words: Seq[String]): Column =
+      size(array_intersect(array_distinct(toks),
+        array(words.map(lit): _*))) > 0
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hasAny(Seq("der", "die", "und", "nicht", "das")), "de")
+      .when(hasAny(Seq("el", "los", "las", "una", "pero")), "es")
+      .when(hasAny(Seq("le", "les", "une", "est", "dans")), "fr")
+      .otherwise("en")
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.core.{ColumnSpec, SourceConfig, CsvOptions}
+import graft.operators.{Publish, Validator}
+import graft.sources.Reader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational query suite exercising the engine's operator inventory
+  * (SURVEY §2) over the driver testdata. Every query is deterministic
+  * (explicit ORDER BY, rounded floats) and has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes per query are inline: which joins broadcast, where the one
+  * shuffle lands, and why each plan survives 100 TB.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** q1: pricing summary (TPC-H Q1 shape) — the grain/aggregate audit
+    * pattern (A1/A3). One partial+final hash aggregate over 6 groups;
+    * map-side combine collapses everything before the shuffle, so the
+    * exchange moves O(groups), not O(rows), at any scale.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: grain-uniqueness audit (A1) — COUNT DISTINCT vs COUNT as a single
+    * two-phase aggregate.
+    */
+  def q2GrainAudit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("o_orderkey")).as("distinct_keys"))
+      .withColumn("is_unique",
+        (col("distinct_keys") === col("total_rows")).cast(LongType))
+
+  /** q3: duplicate-grain examples (A2) — GROUP BY HAVING count>1, top-5 by
+    * key. The limit pushes into a TakeOrderedAndProject after the agg: only
+    * 5 rows ever reach the driver.
+    */
+  def q3DupGrainExamples(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("duplicate_count"))
+      .filter(col("duplicate_count") > 1)
+      .orderBy("l_orderkey")
+      .limit(5)
+
+  /** q4: the validation split (V1/V3) through the engine's REAL rule
+    * compiler: events rows flow through [[Validator.compile]] with a rule
+    * set that flags 'error' events and negative values, then the two scalar
+    * aggregates of the threshold gate. No UDFs — the whole check is one
+    * codegen'd projection.
+    */
+  def q4ValidationSplit(spark: SparkSession, dir: String): DataFrame = {
+    val source = SourceConfig(
+      name = "events", filePattern = "events*.parquet", sourceType = "parquet",
+      columns = Seq(
+        ColumnSpec.long("event_id", nullable = false),
+        // ts reads as epoch-nano long (see GraftSession nanosAsLong note)
+        ColumnSpec.long("ts", nullable = false),
+        ColumnSpec.long("user_id", nullable = false),
+        ColumnSpec(name = "event_type", dataType = StringType, nullable = false,
+          check = Some(("unknown event_type",
+            c => c.isin("click", "view", "signup", "purchase")))),
+        ColumnSpec(name = "value", dataType = DoubleType, nullable = false,
+          check = Some(("value must be non-negative", c => c >= 0))),
+        ColumnSpec.string("props")),
+      tableName = "events", grain = Seq("event_id"))
+    val raw = t(spark, dir, "events")
+      .withColumn(Reader.RowNumCol, monotonically_increasing_id())
+    val checked = Validator.compile(raw, source, "events.parquet", 0L)
+    checked.agg(
+      count(lit(1)).as("total"),
+      count(when(!col(Validator.IsValidCol), 1)).as("errors"))
+      .withColumn("error_rate",
+        round(col("errors").cast(DoubleType) / col("total"), 6))
+  }
+
+  /** q5: MERGE upsert (J1) through the engine's real [[Publish.merge]]:
+    * target = orders with key % 3 != 0; stage = orders with key % 2 = 0 and
+    * +1 price when key % 4 = 0. Exercises matched-and-changed (update),
+    * matched-same-hash (no-op), not-matched (insert), and target-only
+    * (keep) in one full-outer shuffle join. AQE broadcasts a small stage
+    * side automatically at real scale.
+    */
+  def q5MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val source = SourceConfig(
+      name = "orders_merge", filePattern = "x.parquet", sourceType = "parquet",
+      columns = Seq(
+        ColumnSpec.long("o_orderkey", nullable = false),
+        ColumnSpec.double("o_totalprice", nullable = false)),
+      tableName = "orders_m", grain = Seq("o_orderkey"))
+    val orders = t(spark, dir, "orders")
+    def withEngineCols(df: DataFrame): DataFrame = df
+      .withColumn("etl_row_hash", xxhash64(concat_ws("|",
+        col("o_orderkey").cast(StringType), col("o_totalprice").cast(StringType))))
+      .withColumn("source_filename", lit("x.parquet"))
+      .withColumn("file_load_log_id", lit(0L))
+    val target = withEngineCols(
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_totalprice"))
+      .withColumn("etl_created_at", lit(null).cast(TimestampType))
+      .withColumn("etl_updated_at", lit(null).cast(TimestampType))
+    val stage = withEngineCols(
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderkey") % 4 === 0, 1.0).otherwise(0.0))
+            .as("o_totalprice")))
+    val mr = Publish.merge(stage, target, source,
+      new java.sql.Timestamp(0L))
+    val out = mr.merged.agg(
+      count(lit(1)).as("final_count"),
+      round(sum("o_totalprice"), 2).as("total_price"))
+      .withColumn("inserts", lit(mr.inserts))
+      .withColumn("updates", lit(mr.updates))
+      .select("final_count", "inserts", "updates", "total_price")
+    mr.merged.unpersist()
+    out
+  }
+
+  /** q6: pre-merge insert/update counts (A4/J2) through the engine's real
+    * [[Publish.counts]] — the EXISTS semi-join pattern.
+    */
+  def q6SemiJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    def hashed(df: DataFrame): DataFrame = df
+      .withColumn("etl_row_hash", xxhash64(concat_ws("|",
+        col("c_custkey").cast(StringType), col("c_acctbal").cast(StringType))))
+    val target = hashed(customer.filter(col("c_custkey") % 3 =!= 0)
+      .select("c_custkey", "c_acctbal"))
+    val stage = hashed(customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + when(col("c_custkey") % 10 === 0, 10.0).otherwise(0.0))
+          .as("c_acctbal")))
+    val (inserts, updates) = Publish.counts(stage, target, Seq("c_custkey"))
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((inserts, updates)).toDF("inserts", "updates")
+  }
+
+  /** q7: custom audit query (A3) — the SUM(CASE...) non-zero-flag contract
+    * (reference audit/base.py:95-121) over lineitem.
+    */
+  def q7CustomAudit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      (sum(when(col("l_extendedprice") > 0, 1).otherwise(0)) === count(lit(1)))
+        .cast(LongType).as("extendedprice_positive"),
+      (sum(when(col("l_quantity") > 0, 1).otherwise(0)) === count(lit(1)))
+        .cast(LongType).as("quantity_positive"),
+      (sum(when(col("l_discount") >= 0 && col("l_discount") <= 1, 1).otherwise(0)) ===
+        count(lit(1))).cast(LongType).as("discount_in_range"))
+
+  /** q8: DLQ-cleanup rewrite (J3) — the filter-not(predicate) pattern that
+    * replaces the reference's batched DELETE loops, as a per-group survivor
+    * count.
+    */
+  def q8DlqCleanup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(!(col("event_type") === "error" && col("event_id") < 5000))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("kept"))
+      .orderBy("event_type")
+
+  /** q9: top-k (T1) — ORDER BY LIMIT compiles to TakeOrderedAndProject:
+    * per-partition heaps of k, no global sort, no full shuffle.
+    */
+  def q9TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+
+  /** q10: star-join rollup — orders x customer x nation x region. The three
+    * dimension tables are explicitly broadcast (they are tiny at every TPC
+    * scale factor), so the only movement of the fact table is the final
+    * 5-group aggregate.
+    */
+  def q10RegionRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy("r_name")
+
+  /** q11: multi-join revenue (TPC-H Q5 shape) — lineitem x orders shuffle
+    * join on orderkey (both huge: sort-merge, AQE-skew-safe), dimensions
+    * broadcast. The flagship plan: one wide join + one aggregate.
+    */
+  def q11NationRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("n_name")
+
+  /** q12: window function — last event per user (ROW_NUMBER over a
+    * user-partitioned, time-descending frame), rolled up by type. One
+    * shuffle on user_id; the window itself is a per-partition sort.
+    */
+  def q12LastEventByUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("event_type")
+  }
+}

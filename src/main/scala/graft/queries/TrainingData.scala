@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.functions.{Multimodal, TextFunctions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force and LSH-bucketed ANN),
+  * and text analysis (quality, language-ID, token stats, fingerprinting),
+  * plus the multimodal binary-column plumbing.
+  *
+  * Scale design: every per-doc computation (shingling, signatures,
+  * fingerprints) is a narrow codegen'd map; candidate generation is an
+  * equi-join on bucket keys (shuffle on the bucket key, never all-pairs);
+  * only the small-sf verification queries do brute-force O(n^2) — the LSH
+  * variants are the 100 TB path.
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on content. At 100 TB this is one shuffle of
+    * 16-byte digests, never of the documents themselves.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_rows", col("n_docs") - col("n_distinct"))
+
+  /** n-gram Jaccard near-dup on consecutive-id pairs: a linear, deterministic
+    * probe of the shingle/Jaccard machinery (the all-pairs version is what
+    * LSH below avoids).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      F.shingles(F.tokens(col("text")), 2).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") + 1 === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        F.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  /** MinHash + LSH near-dup: shingle -> 16-component min-md5 signature ->
+    * 8 bands x 2 rows -> band-key explode -> bucket equi-join -> distinct
+    * candidate pairs -> exact-Jaccard verification. The join is on band
+    * keys, so work scales with collisions, not n^2. md5-based signatures
+    * make the DuckDB oracle bit-identical.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 8; val rows = 2
+    val shingled = docs(spark, dir).select(col("doc_id"),
+      F.shingles(F.tokens(col("text")), 2).as("sh")).cache()
+    val banded = shingled
+      .withColumn("sig", F.minhashSignature(col("sh"), k))
+      .select(col("doc_id"), explode(F.bandKeys(col("sig"), bands, rows)).as("band"))
+    // candidate ids first (distinct on two longs — a tiny shuffle), shingle
+    // arrays joined back only for the surviving pairs
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(F.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .agg(count(lit(1)).as("candidate_pairs"),
+        count(when(col("j") >= 0.2, 1)).as("verified_pairs"))
+  }
+
+  /** SimHash near-dup: 64-bit per-doc fingerprint (narrow map, no explode),
+    * then pair counts within a Hamming radius. xxhash64-based -> engine
+    * internal, rows-only correctness check (no SQL oracle). The brute pair
+    * scan here is the small-sf verifier; at scale, band the 64 bits into
+    * 4x16-bit keys and bucket-join like MinHash.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      F.simhash(F.tokens(col("text"))).as("fp"))
+    val a = d.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(F.hamming(col("fp_a"), col("fp_b")).as("d"))
+      .agg(count(lit(1)).as("pairs"),
+        count(when(col("d") <= 8, 1)).as("within_8"),
+        count(when(col("d") <= 16, 1)).as("within_16"),
+        min(col("d")).cast(LongType).as("min_hamming"))
+  }
+
+  /** Embeddings with a pre-normalized double vector: norms are computed ONCE
+    * per vector (a narrow map), so every pairwise cosine downstream is a
+    * single codegen'd [[graft.functions.VecDot]] — not dot + two norms.
+    */
+  private def normalized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecDot
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    embs(spark, dir).select(col("vec_id"),
+      transform(v, x => x / sqrt(vecDot(v, v))).as("nv"))
+  }
+
+  /** Embedding-cosine near-dup: all pairs with similarity >= 0.4 (the data's
+    * top ~0.05%). Pre-normalized vectors + codegen'd dot, rounded for
+    * cross-engine parity. Small-sf verifier for the LSH-ANN scale path below.
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val e = normalized(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("nv").as("e_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("nv").as("e_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(vecDot(col("e_a"), col("e_b")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k: every query against every vector, ranked per
+    * query with a per-partition top-k (window over the query partition).
+    * The exact baseline the ANN variant is measured against.
+    */
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val e = normalized(spark, dir)
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("q"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("nv").as("v"))
+    val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("q"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: 6 deterministic random hyperplanes -> 6-bit sign
+    * bucket per vector; queries probe only their own bucket. Candidate work
+    * drops from n^2 to n^2/64 (per bucket); at 100 TB the bucket key is the
+    * shuffle key and each bucket is an independent task. Approximate by
+    * construction -> rows-only check.
+    */
+  def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val planes: Seq[Seq[Double]] = {
+      val rnd = new scala.util.Random(42)
+      Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
+    }
+    def bucket(v: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        val plane = array(p.map(lit): _*)
+        when(vecDot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+
+    val e = normalized(spark, dir)
+      .select(col("vec_id"), col("nv"), bucket(col("nv")).as("bkt"))
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"), col("bkt"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("nv").as("nvv"), col("bkt"))
+    val scored = q.join(n, Seq("bkt")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qv"), col("nvv")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  /** Quality scoring per source: length, stopword ratio, punctuation ratio. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), length(col("text")).as("len"),
+        (F.stopwordCount(F.tokens(col("text"))).cast(DoubleType) /
+          size(F.tokens(col("text")))).as("stop_ratio"),
+        (F.punctCount(col("text")).cast(DoubleType) / length(col("text")))
+          .as("punct_ratio"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("len"), 2).as("avg_len"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+        round(avg("punct_ratio"), 4).as("avg_punct_ratio"))
+      .orderBy("source")
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"),
+        F.langId(col("text"), F.tokens(col("text"))).as("predicted"))
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("predicted") === col("lang"), 1)).as("n_correct"))
+      .orderBy("predicted")
+
+  /** Token-count statistics per language. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-document content fingerprint (min-md5 over 3-gram shingles). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), F.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal feature extraction through the real mapPartitions plumbing
+    * ([[Multimodal.extractFeatures]] with the stubbed decoder), rolled up to
+    * SQL-checkable metadata (byte lengths / frame counts are reproducible
+    * from the text payloads).
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(docs(spark, dir)))
+    feats.toDF()
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_records"),
+        sum("byte_len").as("total_bytes"),
+        sum("n_frames").as("total_frames"))
+      .orderBy("media_type")
+  }
+
+  private type Column = org.apache.spark.sql.Column
+}
