@@ -34,6 +34,18 @@ object Main {
       val proc = new Processor(spark, DemoSources.registry, store, files,
         notifier, drop)
       opts.get("file") match {
+        case _ if opts.contains("stream") =>
+          // streaming drop-folder mode: process the backlog through the
+          // Structured Streaming pipeline (checkpointed, exactly-once)
+          val wh = req("warehouse")
+          val q = graft.streaming.StreamingPipeline.dropFolderStream(
+            spark, DemoSources.Sales, drop,
+            outDir = s"$wh/stream", checkpointDir = s"$wh/stream_checkpoint")
+          q.awaitTermination()
+          val valid = spark.read.parquet(s"$wh/stream/valid").count()
+          val dlq = try spark.read.parquet(s"$wh/stream/dlq").count()
+                    catch { case _: Throwable => 0L }
+          println(s"stream: valid=$valid dlq=$dlq")
         case Some(f) =>
           val r = proc.processFile(s"$drop/$f")
           println(s"result: ${r.map(x => s"success=${x.success} error=${x.errorName.getOrElse("-")} " +

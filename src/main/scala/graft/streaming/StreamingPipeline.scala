@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.core.SourceConfig
+import graft.operators.Validator
+import graft.sources.Reader
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension of the engine (SURVEY §7.1 step 8): the
+  * drop-folder pipeline as a continuous `readStream` instead of a batch
+  * sweep, plus the event-time primitives (watermarked windows, stateful
+  * per-key aggregation) a streaming ingest needs.
+  *
+  * Batch parity note: the reference is batch-only (SURVEY §2.10) — its
+  * "streaming" is generator pipelining. This module is the Spark-native
+  * north star: the same [[Validator]] rule compiler runs unchanged over a
+  * streaming DataFrame because validation is pure Column expressions; only
+  * the source (`readStream`) and sink (`writeStream` + checkpoint) differ.
+  */
+object StreamingPipeline {
+
+  /** Continuous drop-folder ingest: watch `dropDir` for new files of one
+    * source config, validate every row with the SAME compiled rules as the
+    * batch pipeline, and write valid rows / DLQ rows to parquet sinks.
+    *
+    * `Trigger.AvailableNow` processes the backlog then stops (the streaming
+    * equivalent of one batch sweep, with exactly-once file tracking in the
+    * checkpoint — the duplicate-file guard the batch path does via the
+    * target-table probe comes free from source file tracking).
+    *
+    * Row numbers are not defined for unbounded input; DLQ rows carry -1
+    * (the batch path's per-file numbering needs a bounded file).
+    */
+  def dropFolderStream(
+      spark: SparkSession,
+      source: SourceConfig,
+      dropDir: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val allStrings = StructType(source.columns.map(c =>
+      StructField(c.fileAlias, StringType, nullable = true)))
+    val raw = spark.readStream
+      .option("header", "true")
+      .schema(allStrings)
+      .csv(dropDir)
+      .withColumn(Reader.RowNumCol, lit(-1L))
+    val validated = Validator.compile(raw, source,
+      fileName = "<stream>", logId = -1L)
+      .withColumn("source_filename", input_file_name())
+
+    validated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache()
+        try {
+          cached.filter(col(Validator.IsValidCol))
+            .drop(Validator.ErrorsCol, Validator.IsValidCol, Validator.RawRecordCol)
+            .write.mode("append").parquet(s"$outDir/valid")
+          cached.filter(!col(Validator.IsValidCol))
+            .select(col("source_filename"), col("file_row_number"),
+              col(Validator.RawRecordCol).as("file_record_data"),
+              to_json(col(Validator.ErrorsCol)).as("validation_errors"))
+            .write.mode("append").parquet(s"$outDir/dlq")
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked event-time window aggregation: counts + value sums per
+    * (window, event_type), tolerating `lateness` of out-of-order data.
+    * State is bounded by the watermark — at 100 TB/day the state store only
+    * ever holds open windows.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserSession(
+      user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running aggregate via mapGroupsWithState — the
+    * custom-state primitive. With `idleTimeout` set, a processing-time
+    * timeout evicts idle users so state stays bounded (the production
+    * setting); `None` disables eviction (deterministic for tests — timer
+    * batches otherwise keep re-triggering).
+    */
+  def runningUserTotals(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](timeoutConf) {
+        case (userId, rows, state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            rows.foreach { e => n += 1; tot += e.value }
+            val next = UserSession(userId, n, math.round(tot * 100.0) / 100.0)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.core._
+import graft.functions.{Multimodal, TextFunctions => F, VectorFunctions}
+import graft.operators.Publish
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    VectorFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def one(colExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(colExpr).head()
+
+  test("shingles: distinct word n-grams, empty below n tokens") {
+    val toks = F.tokens(lit("a b c a b"))
+    assert(one(F.shingles(toks, 2)).getSeq[String](0).sorted ==
+      Seq("a b", "b c", "c a"))
+    assert(one(F.shingles(F.tokens(lit("solo")), 2)).getSeq[String](0).isEmpty)
+  }
+
+  test("jaccard: known overlap") {
+    val a = array(lit("x"), lit("y"), lit("z"))
+    val b = array(lit("y"), lit("z"), lit("w"))
+    assert(one(F.jaccard(a, b)).getDouble(0) == 0.5) // 2 / 4
+  }
+
+  test("minhash signature: k portable components, stable") {
+    val sh = F.shingles(F.tokens(lit("the quick brown fox jumps")), 2)
+    val s1 = one(F.minhashSignature(sh, 8)).getSeq[String](0)
+    val s2 = one(F.minhashSignature(sh, 8)).getSeq[String](0)
+    assert(s1.length == 8 && s1 == s2)
+    assert(s1.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("simhash: order-insensitive, near for near docs, 0 distance to self") {
+    val d1 = one(F.simhash(F.tokens(lit("spark scales data pipelines")))).getLong(0)
+    val d2 = one(F.simhash(F.tokens(lit("pipelines data scales spark")))).getLong(0)
+    assert(d1 == d2) // bag-of-words: order must not matter
+    val far = one(F.simhash(F.tokens(lit("entirely different words here")))).getLong(0)
+    assert(one(F.hamming(lit(d1), lit(far))).getInt(0) > 0)
+  }
+
+  test("vec_dot: codegen expression matches composable form") {
+    val a = array((1 to 8).map(i => lit(i.toDouble)): _*)
+    val b = array((1 to 8).map(i => lit((9 - i).toDouble)): _*)
+    val expected = (1 to 8).map(i => i.toDouble * (9 - i)).sum
+    assert(one(VectorFunctions.vecDot(a, b)).getDouble(0) == expected)
+    assert(one(F.dot(a, b)).getDouble(0) == expected)
+    assert(one(F.cosine(a, a)).getDouble(0) == 1.0)
+  }
+
+  test("langId: marker words and default") {
+    def pred(s: String) = one(F.langId(lit(s), F.tokens(lit(s)))).getString(0)
+    assert(pred("der hund und die katze") == "de")
+    assert(pred("hello world table scan") == "en")
+    assert(pred("le chat est dans une table") == "fr")
+  }
+
+  test("fingerprint: stable and content-sensitive") {
+    val f1 = one(F.fingerprint(lit("one two three four five"))).getString(0)
+    val f2 = one(F.fingerprint(lit("one two three four five"))).getString(0)
+    val f3 = one(F.fingerprint(lit("six seven eight nine ten"))).getString(0)
+    assert(f1 == f2 && f1 != f3)
+  }
+
+  test("multimodal decode stub: frame shape from byte length") {
+    val means = Multimodal.decodeStub(Array.fill[Byte](130)(65))
+    assert(means.length == 3) // ceil(130/64)
+    assert(means.take(2).forall(_ == 65.0))
+  }
+
+  test("merge idempotence: re-merging merged state yields no changes") {
+    val sp = spark
+    import sp.implicits._
+    val source = SourceConfig(
+      name = "m", filePattern = "x.parquet", sourceType = "parquet",
+      columns = Seq(ColumnSpec.long("k", nullable = false),
+        ColumnSpec.double("v", nullable = false)),
+      tableName = "t", grain = Seq("k"))
+    def engineCols(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("etl_row_hash", xxhash64(concat_ws("|",
+        col("k").cast(StringType), col("v").cast(StringType))))
+      .withColumn("source_filename", lit("x.parquet"))
+      .withColumn("file_load_log_id", lit(0L))
+    val stage = engineCols(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"))
+    val target = engineCols(Seq((2L, 9.0), (4L, 4.0)).toDF("k", "v"))
+      .withColumn("etl_created_at", lit(null).cast(TimestampType))
+      .withColumn("etl_updated_at", lit(null).cast(TimestampType))
+    val now = new java.sql.Timestamp(0L)
+    val m1 = Publish.merge(stage, target, source, now)
+    assert(m1.inserts == 2 && m1.updates == 1) // 1,3 insert; 2 updated
+    assert(m1.merged.count() == 4)
+    val m2 = Publish.merge(stage, m1.merged, source, now)
+    assert(m2.inserts == 0 && m2.updates == 0) // hash no-op fixpoint
+    assert(m2.merged.count() == 4)
+  }
+}

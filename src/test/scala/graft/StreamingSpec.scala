@@ -1,0 +1,103 @@
+package graft
+
+import graft.core._
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{UserEvent, UserSession}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("drop-folder stream validates files with the batch rule compiler") {
+    val drop = tmp("stream-drop")
+    val out = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_s1.csv"),
+      "transaction_id,quantity\nT1,2\nT2,notanint\nT3,5\n")
+
+    val source = SourceConfig(
+      name = "s", filePattern = "sales_*.csv", sourceType = "csv",
+      columns = Seq(
+        ColumnSpec.string("transaction_id", nullable = false),
+        ColumnSpec.int("quantity", nullable = false)),
+      tableName = "t", grain = Seq("transaction_id"))
+
+    val q = StreamingPipeline.dropFolderStream(spark, source, drop, out, ckpt)
+    q.awaitTermination()
+
+    val valid = spark.read.parquet(s"$out/valid")
+    val dlq = spark.read.parquet(s"$out/dlq")
+    assert(valid.count() == 2)
+    assert(dlq.count() == 1)
+    val err = dlq.select("validation_errors").head().getString(0)
+    assert(err.contains("quantity") && err.contains("type_error"))
+    // second run with no new files: checkpoint file-tracking skips the
+    // already-processed file (exactly-once)
+    val q2 = StreamingPipeline.dropFolderStream(spark, source, drop, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/valid").count() == 2)
+  }
+
+  test("watermarked window aggregation over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingPipeline.windowedEventCounts(df, "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2026-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2026-01-01 11:05:00"), "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select window_start, event_type, n_events, total_value from win order by 1, 2")
+      .collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 3.0) // 10:00 click
+    assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 4.0) // 11:00 view
+  }
+
+  test("stateful running totals per user via mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingPipeline.runningUserTotals(mem.toDS(), idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(UserEvent(1, "click", 1.5), UserEvent(1, "view", 2.5),
+      UserEvent(2, "click", 10.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, "purchase", 6.0))
+    q.processAllAvailable()
+    val last = spark.sql(
+      "select user_id, n_events, total_value from sess " +
+      "where user_id = 1 order by n_events desc limit 1").head()
+    q.stop()
+    assert(last.getLong(1) == 3 && last.getDouble(2) == 10.0)
+  }
+}
