@@ -65,16 +65,23 @@ object Validator {
   private def castExpr(raw: Column, dt: DataType, excelDates: Boolean): Column = {
     val direct = raw.try_cast(dt)
     if (!excelDates) direct
-    else dt match {
-      case DateType =>
-        val serial = raw.try_cast(DoubleType)
-        coalesce(direct, when(serial.isNotNull,
-          date_add(ExcelEpochDays, floor(serial).cast(IntegerType))))
-      case TimestampType =>
-        val serial = raw.try_cast(DoubleType)
-        coalesce(direct, when(serial.isNotNull,
-          timestamp_seconds(lit(ExcelEpochSecs) + (serial * 86400.0).cast(LongType))))
-      case _ => direct
+    else {
+      // Numeric cells MUST take the serial path first: Spark would otherwise
+      // "successfully" parse "45306" as the year 45306.
+      val isSerial = raw.cast(StringType).rlike(NumericRe)
+      dt match {
+        case DateType =>
+          val serial = raw.try_cast(DoubleType)
+          when(isSerial && serial.isNotNull,
+            date_add(ExcelEpochDays, floor(serial).cast(IntegerType)))
+            .otherwise(direct)
+        case TimestampType =>
+          val serial = raw.try_cast(DoubleType)
+          when(isSerial && serial.isNotNull,
+            timestamp_seconds(lit(ExcelEpochSecs) + (serial * 86400.0).cast(LongType)))
+            .otherwise(direct)
+        case _ => direct
+      }
     }
   }
 

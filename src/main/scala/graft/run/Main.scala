@@ -105,5 +105,49 @@ object DemoSources {
         |FROM {table}""".stripMargin),
     formatOptions = CsvOptions())
 
-  val registry = new SourceRegistry(Seq(Sales))
+  /** Ledger JSON feed (reference src/sources/systems/financial/financial.py):
+    * records under the `entries.item` array path, nested account struct
+    * flattened to account_code / account_name aliases.
+    */
+  val LedgerJson: SourceConfig = SourceConfig(
+    name = "ledger_json",
+    filePattern = "ledger_*.json*",
+    sourceType = "json",
+    columns = Seq(
+      ColumnSpec.int("entry_id", nullable = false),
+      ColumnSpec.string("account_code", maxLength = 20),
+      ColumnSpec.string("account_name", maxLength = 100),
+      ColumnSpec.double("debit_amount"),
+      ColumnSpec.double("credit_amount"),
+      ColumnSpec.string("description", maxLength = 200),
+      ColumnSpec.date("transaction_date"),
+      ColumnSpec.string("reference_number", maxLength = 50)),
+    tableName = "ledger_entries",
+    grain = Seq("entry_id"),
+    formatOptions = JsonOptions(arrayPath = Some("entries.item")))
+
+  /** Inventory Excel feed (reference src/sources/systems/inventory/):
+    * aliased human headers, serial-date columns.
+    */
+  val InventoryExcel: SourceConfig = SourceConfig(
+    name = "inventory_excel",
+    filePattern = "inventory_*.xlsx",
+    sourceType = "excel",
+    columns = Seq(
+      ColumnSpec.string("sku", alias = "SKU", nullable = false),
+      ColumnSpec.string("name", alias = "Product Name"),
+      ColumnSpec.string("category", alias = "Category"),
+      ColumnSpec.double("price", alias = "Price"),
+      ColumnSpec.int("stock_quantity", alias = "Stock Qty"),
+      ColumnSpec.string("supplier", alias = "Supplier"),
+      ColumnSpec.date("last_date", alias = "Last Date"),
+      ColumnSpec.timestamp("last_updated", alias = "Last Updated")),
+    tableName = "products",
+    grain = Seq("sku"),
+    auditQuery = Some(
+      """SELECT CASE WHEN SUM(CASE WHEN price >= 0 THEN 1 ELSE 0 END) = COUNT(*)
+        |THEN 1 ELSE 0 END AS price_non_negative FROM {table}""".stripMargin),
+    formatOptions = ExcelOptions())
+
+  val registry = new SourceRegistry(Seq(Sales, LedgerJson, InventoryExcel))
 }

@@ -1,0 +1,176 @@
+package graft
+
+import graft.core._
+import graft.run._
+import graft.store.TableStore
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Per-format e2e matrix for JSON (array_path + nested flatten + gzip),
+  * Parquet, and Excel (serial dates, sheet selection, blank header) —
+  * mirroring the reference's test_json.py / test_parquet.py /
+  * test_excel.py coverage.
+  */
+class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = TestSpark.spark
+
+  private var workDir: Path = _
+  private var dropDir: Path = _
+  private var store: TableStore = _
+  private var files: FileOps = _
+  private var notifier: CollectingNotifier = _
+  private var processor: Processor = _
+
+  override def beforeEach(): Unit = {
+    workDir = Files.createTempDirectory("graft_fmt")
+    dropDir = Files.createDirectories(workDir.resolve("drop"))
+    store = new TableStore(spark, workDir.resolve("tables").toString)
+    files = new FileOps(spark.sparkContext.hadoopConfiguration,
+      workDir.resolve("archive").toString,
+      workDir.resolve("duplicates").toString)
+    notifier = new CollectingNotifier
+    processor = new Processor(spark, TestSources.registry, store, files,
+      notifier, dropDir.toString, filePoolSize = 1)
+  }
+
+  private def ledgerJsonDoc(ids: Seq[Int]): String = {
+    val entries = ids.map { i =>
+      s"""{"Entry_ID": $i, "Account": {"Code": "AC$i", "Name": "acct $i"},
+         | "Debit_Amount": ${i * 10}.5, "Credit_Amount": 0.0,
+         | "Description": "entry $i", "Transaction_Date": "2025-02-0$i",
+         | "Reference_Number": "R$i"}""".stripMargin
+    }.mkString(",")
+    s"""{"metadata": {"source": "test"}, "entries": {"item": [$entries]}}"""
+  }
+
+  test("JSON: array_path navigation + nested-struct flatten to aliases") {
+    // Account.Code flattens to account_code, Account.Name -> account_name
+    val p = dropDir.resolve("ledger_2025.json")
+    Files.writeString(p, ledgerJsonDoc(Seq(1, 2, 3)))
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 3 && r.publishInserts == 3)
+    val t = store.readIfExists("ledger_entries").get
+    assert(t.count() == 3)
+    assert(t.filter(col("entry_id") === 2).head().getAs[String]("account_code") == "AC2")
+    assert(t.schema("transaction_date").dataType.typeName == "date")
+  }
+
+  test("JSON gzip: transparent decompression") {
+    val p = dropDir.resolve("ledger_2025.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    try out.write(ledgerJsonDoc(Seq(4, 5)).getBytes("UTF-8")) finally out.close()
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
+  }
+
+  test("JSON: validation failure routes to DLQ with row numbers from 1") {
+    val bad = ledgerJsonDoc(Seq(1, 2)).replace("\"Entry_ID\": 2", "\"Entry_ID\": \"xx\"")
+    val p = dropDir.resolve("ledger_bad.json")
+    Files.writeString(p, bad)
+    val r = processor.processFile(p.toString).get
+    assert(!r.success && r.errorName.contains("ValidationThresholdExceededError"))
+    val dlq = store.readIfExists(graft.store.Schemas.DlqTable).get
+    assert(dlq.count() == 1)
+    assert(dlq.head().getAs[Long]("file_row_number") == 2L) // second record
+  }
+
+  test("Parquet: native types end-to-end") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (10, "AC10", "acct", 1.5, 0.0, "d", java.sql.Date.valueOf("2025-03-01"), "R10"),
+      (11, "AC11", "acct", 2.5, 0.0, "d", java.sql.Date.valueOf("2025-03-02"), "R11"))
+      .toDF("entry_id", "account_code", "account_name", "debit_amount",
+        "credit_amount", "description", "transaction_date", "reference_number")
+    val tmp = workDir.resolve("pq").toString
+    df.coalesce(1).write.parquet(tmp)
+    val part = Files.list(java.nio.file.Paths.get(tmp)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val p = dropDir.resolve("ledger_2024.parquet")
+    Files.copy(java.nio.file.Paths.get(part), p)
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
+  }
+
+  // ---- Excel fixtures: build a minimal xlsx with the JDK zip writer ----
+
+  private def xlsx(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="$name" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheetTags</sheets></workbook>""")
+    val rels = sheets.zipWithIndex.map { case (_, i) =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    put("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
+    sheets.zipWithIndex.foreach { case ((_, rows), si) =>
+      val rowXml = rows.zipWithIndex.map { case (cells, ri) =>
+        val cellXml = cells.zipWithIndex.map { case (v, ci) =>
+          val ref = s"${('A' + ci).toChar}${ri + 1}"
+          if (v.isEmpty) ""
+          else if (v.matches("-?\\d+(\\.\\d+)?"))
+            s"""<c r="$ref"><v>$v</v></c>"""
+          else
+            s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+        }.mkString
+        s"""<row r="${ri + 1}">$cellXml</row>"""
+      }.mkString
+      put(s"xl/worksheets/sheet${si + 1}.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rowXml</sheetData></worksheet>""")
+    }
+    zos.close()
+  }
+
+  private val productHeader = Seq("SKU", "Product Name", "Category", "Price",
+    "Stock Qty", "Supplier", "Last Date", "Last Updated")
+
+  test("Excel: serial dates convert against the 1899-12-30 epoch") {
+    val p = dropDir.resolve("inventory_2024.xlsx")
+    // serial 45306 = 2024-01-15; 45306.5 = 2024-01-15 12:00:00
+    xlsx(p, Seq("Sheet1" -> Seq(
+      productHeader,
+      Seq("SKU1", "Widget", "Tools", "9.99", "5", "Acme", "45306", "45306.5"),
+      Seq("SKU2", "Gadget", "Tools", "19.99", "2", "Acme", "45307", "45307.25"))))
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
+    val t = store.readIfExists("products").get
+    val row = t.filter(col("sku") === "SKU1").head()
+    assert(row.getAs[java.sql.Date]("last_date").toString == "2024-01-15")
+    assert(row.getAs[java.sql.Timestamp]("last_updated").toString
+      .startsWith("2024-01-15 12:00:00"))
+  }
+
+  test("Excel: sheet selection by name") {
+    val src = TestSources.inventoryExcel.copy(
+      name = "inv2", formatOptions = ExcelOptions(sheetName = Some("Data")))
+    val reg = new SourceRegistry(Seq(src))
+    val proc2 = new Processor(spark, reg, store, files, notifier, dropDir.toString)
+    val p = dropDir.resolve("inventory_sheets.xlsx")
+    xlsx(p, Seq(
+      "Ignore" -> Seq(Seq("junk")),
+      "Data" -> Seq(productHeader,
+        Seq("SKU9", "Thing", "Misc", "1.00", "1", "Acme", "45306", "45306"))))
+    val r = proc2.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 1)
+    assert(store.readIfExists("products").get
+      .filter(col("sku") === "SKU9").count() == 1)
+  }
+
+  test("Excel: blank header raises MissingHeaderError") {
+    val p = dropDir.resolve("inventory_blank.xlsx")
+    xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
+    val r = processor.processFile(p.toString).get
+    assert(!r.success && r.errorName.contains("MissingHeaderError"))
+  }
+}
