@@ -172,23 +172,29 @@ object SparkEntry {
         |  SELECT doc_id,
         |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |   list_transform(range(0, 16), h ->
-        |     list_aggregate(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || ':' || x)), 'min')) sg
+        |u AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
         |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, ids,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
         |bands AS (
         |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
-        |    CAST(b AS VARCHAR) || '#' || sg[2*b+1] || '#' || sg[2*b+2])) band
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
         |  FROM sig),
         |cand AS (
         |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
         |verified AS (
-        |  SELECT round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) j
-        |  FROM cand JOIN s sa ON cand.doc_a = sa.doc_id
-        |            JOIN s sb ON cand.doc_b = sb.doc_id)
+        |  SELECT round(CAST(len(list_intersect(sa.ids, sb.ids)) AS DOUBLE) /
+        |    (len(sa.ids) + len(sb.ids) - len(list_intersect(sa.ids, sb.ids))), 4) j
+        |  FROM cand JOIN u sa ON cand.doc_a = sa.doc_id
+        |            JOIN u sb ON cand.doc_b = sb.doc_id)
         |SELECT count(*) AS candidate_pairs,
         | CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
         |FROM verified""".stripMargin,

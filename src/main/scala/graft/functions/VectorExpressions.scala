@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -68,18 +68,256 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All k MinHash permutation minima in ONE pass over the shingle-id array.
+  *
+  * The composable form (k separate `array_min(transform(ids, ...))`)
+  * traverses the array k times through interpreted higher-order-function
+  * lambdas. This expression keeps k running minima in a local long[] inside
+  * a single codegen'd loop: h_i = ((2i+1)·x + 1000003·i) mod (2^31-1),
+  * matching [[TextFunctions.minhashFromIds]] and the SQL oracles exactly.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  private val P = 2147483647L
+  private val B = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val acc = Array.fill(k)(Long.MaxValue)
+    val n = a.numElements()
+    var j = 0
+    while (j < n) {
+      val x = a.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = (x * (2 * i + 1) + B * i) % P
+        if (h < acc(i)) acc(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $acc = new long[$k];
+         |java.util.Arrays.fill($acc, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $x = $a.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $h = ($x * (2L * $i + 1L) + ${B}L * $i) % ${P}L;
+         |    if ($h < $acc[$i]) $acc[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Fused text -> distinct word-n-gram shingle ids, one JVM pass per row.
+  *
+  * Semantically identical to the composable chain
+  * `array_distinct(shingleIds(shingles(tokens(text), n)))`, but that chain
+  * nests four higher-order functions whose lambdas evaluate interpreted
+  * expression trees per element (a fresh MessageDigest per md5 call, a
+  * BigInt parse per conv call) — profiled at ~1.5 ms per document. Here:
+  * split once, build n-grams, one thread-local MD5, and the 15-hex-digit
+  * prefix is read straight from the first 8 digest bytes
+  * (bigEndianLong >>> 4 == parseInt(hex[0:15], 16)). ~20x faster, same ids,
+  * same DuckDB oracle.
+  *
+  * CodegenFallback is fine: the whole row's work is one opaque JVM call;
+  * there is no per-element expression tree left to fuse.
+  */
+case class ShingleIds(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_ids requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_ids"
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString.trim
+    val toks = text.split("\\s+")
+    val ids = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= n) {
+      val seen = new java.util.HashSet[String]()
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val sh = sb.toString
+        if (seen.add(sh)) {
+          val md = digest.get()
+          md.reset()
+          val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          ids.add((v >>> 4) % 2147483647L)
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](ids.size)
+    val it = ids.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    // sorted output: downstream set ops (JaccardIds) merge-scan instead of
+    // hashing; min/band computations are order-insensitive
+    java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleIds =
+    copy(child = newChild)
+}
+
+/** Jaccard similarity of two SORTED long arrays (as produced by
+  * [[ShingleIds]]): one merge scan, no per-row hash sets — the generic
+  * `size(array_intersect(a,b))` builds two hash sets per pair, which
+  * dominates LSH verification at millions of candidate pairs. Rounded to 4
+  * decimals to match [[TextFunctions.jaccard]] and the SQL oracles.
+  */
+case class JaccardIds(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_ids requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaccard_ids"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    val v = if (union > 0) inter.toDouble / union else 0.0
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter"); val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj"); val union = ctx.freshName("union")
+      val raw = ctx.freshName("raw")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $inter++; $i++; $j++; }
+         |  else if ($xi < $yj) $i++; else $j++;
+         |}
+         |int $union = $nx + $ny - $inter;
+         |double $raw = $union > 0 ? ((double) $inter) / $union : 0.0;
+         |${ev.value} = new java.math.BigDecimal($raw)
+         |  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardIds =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column API for the vector expressions. */
 object VectorFunctions {
 
   /** Idempotent per-session registration (the registry is session-scoped;
     * re-registering overwrites with an identical builder).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_ids"),
+      new ExpressionInfo(classOf[ShingleIds].getName, "shingle_ids"),
+      (exprs: Seq[Expression]) => ShingleIds(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaccard_ids"),
+      new ExpressionInfo(classOf[JaccardIds].getName, "jaccard_ids"),
+      (exprs: Seq[Expression]) => JaccardIds(exprs.head, exprs(1)))
+  }
 
   /** Codegen'd dot product; requires [[register]] on the session. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** One-pass k-component MinHash signature; requires [[register]]. */
+  def minhashSig(ids: Column, k: Int): Column =
+    call_function("minhash_sig", ids, org.apache.spark.sql.functions.lit(k))
+
+  /** Fused distinct word-n-gram shingle ids; requires [[register]]. */
+  def shingleIds(text: Column, n: Int): Column =
+    call_function("shingle_ids", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Merge-scan Jaccard over sorted id arrays; requires [[register]]. */
+  def jaccardIds(a: Column, b: Column): Column = call_function("jaccard_ids", a, b)
 }

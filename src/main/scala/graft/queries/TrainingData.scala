@@ -61,21 +61,30 @@ object TrainingData {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val rows = 2
-    val shingled = docs(spark, dir).select(col("doc_id"),
-      F.shingles(F.tokens(col("text")), 2).as("sh")).cache()
-    val banded = shingled
-      .withColumn("sig", F.minhashSignature(col("sh"), k))
+    // Shingles reduce to distinct numeric ids ONCE (one md5 each); the
+    // signature, the band keys, and the verification Jaccard all run over
+    // compact long arrays — the string shingles never leave the first
+    // projection. (Jaccard over ids == Jaccard over shingles modulo 31-bit
+    // collisions; the oracle computes the identical id-based formula.)
+    graft.functions.VectorFunctions.register(spark)
+    val withIds = docs(spark, dir).select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleIds(col("text"), 2).as("ids"))
+      .withColumn("sig",
+        graft.functions.VectorFunctions.minhashSig(col("ids"), k))
+      .cache()
+    val banded = withIds
       .select(col("doc_id"), explode(F.bandKeys(col("sig"), bands, rows)).as("band"))
-    // candidate ids first (distinct on two longs — a tiny shuffle), shingle
+    // candidate ids first (distinct on two longs — a tiny shuffle), id
     // arrays joined back only for the surviving pairs
     val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(F.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .join(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a")), Seq("doc_a"))
+      .join(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b")), Seq("doc_b"))
+      .select(graft.functions.VectorFunctions
+        .jaccardIds(col("ids_a"), col("ids_b")).as("j"))
       .agg(count(lit(1)).as("candidate_pairs"),
         count(when(col("j") >= 0.2, 1)).as("verified_pairs"))
   }
@@ -115,17 +124,9 @@ object TrainingData {
     * top ~0.05%). Pre-normalized vectors + codegen'd dot, rounded for
     * cross-engine parity. Small-sf verifier for the LSH-ANN scale path below.
     */
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.vecDot
-    val e = normalized(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("nv").as("e_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("nv").as("e_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(vecDot(col("e_a"), col("e_b")), 4).as("sim"))
-      .filter(col("sim") >= 0.4)
-      .orderBy("vec_a", "vec_b")
-  }
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.allPairsAboveThreshold(
+      normalized(spark, dir), threshold = 0.4)
 
   // ----------------------------------------------------- similarity search
 

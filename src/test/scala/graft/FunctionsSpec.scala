@@ -38,12 +38,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(F.jaccard(a, b)).getDouble(0) == 0.5) // 2 / 4
   }
 
-  test("minhash signature: k portable components, stable") {
+  test("minhash signature: k portable components, stable, in [0, p)") {
     val sh = F.shingles(F.tokens(lit("the quick brown fox jumps")), 2)
-    val s1 = one(F.minhashSignature(sh, 8)).getSeq[String](0)
-    val s2 = one(F.minhashSignature(sh, 8)).getSeq[String](0)
+    val s1 = one(F.minhashSignature(sh, 8)).getSeq[Long](0)
+    val s2 = one(F.minhashSignature(sh, 8)).getSeq[Long](0)
     assert(s1.length == 8 && s1 == s2)
-    assert(s1.forall(_.matches("[0-9a-f]{32}")))
+    assert(s1.forall(h => h >= 0 && h < F.MinhashPrime))
   }
 
   test("simhash: order-insensitive, near for near docs, 0 distance to self") {
@@ -61,6 +61,23 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(VectorFunctions.vecDot(a, b)).getDouble(0) == expected)
     assert(one(F.dot(a, b)).getDouble(0) == expected)
     assert(one(F.cosine(a, a)).getDouble(0) == 1.0)
+  }
+
+  test("shingle_ids: fused expression matches the composable chain") {
+    val text = lit("the quick brown fox jumps over the quick brown dog")
+    val fused = one(VectorFunctions.shingleIds(text, 2)).getSeq[Long](0)
+    val chain = one(array_distinct(F.shingleIds(F.shingles(F.tokens(text), 2))))
+      .getSeq[Long](0)
+    assert(fused.sorted == chain.sorted && fused.nonEmpty)
+    assert(one(VectorFunctions.shingleIds(lit("solo"), 2)).getSeq[Long](0).isEmpty)
+  }
+
+  test("jaccard_ids: merge-scan matches generic set jaccard on sorted arrays") {
+    val a = array(lit(1L), lit(3L), lit(5L), lit(9L))
+    val b = array(lit(3L), lit(4L), lit(9L))
+    assert(one(VectorFunctions.jaccardIds(a, b)).getDouble(0) ==
+      one(F.jaccard(a, b)).getDouble(0)) // 2 / 5
+    assert(one(VectorFunctions.jaccardIds(a, b)).getDouble(0) == 0.4)
   }
 
   test("langId: marker words and default") {
