@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Relational, TrainingData}
+import graft.queries.{PipelineBench, Relational, TrainingData}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +52,8 @@ object SparkEntry {
     "text_tokens" -> (TrainingData.textTokens _),
     "text_fingerprint" -> (TrainingData.textFingerprint _),
     "multimodal_features" -> (TrainingData.multimodalFeatures _),
+    // full product pipeline as a benchmarkable query (BASELINE comparison)
+    "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
 
   /** DuckDB oracle SQL per query (omitted for xxhash64-based and
@@ -281,5 +283,15 @@ object SparkEntry {
         |   octet_length(encode(text)) bl
         |  FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_etl" ->
+      """SELECT count(*) AS records_read,
+        | CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_totalprice <= 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS records_failed_validation,
+        | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') AND o_totalprice > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS publish_inserts,
+        | CAST(0 AS BIGINT) AS publish_updates,
+        | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') AND o_totalprice > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS target_rows
+        |FROM orders""".stripMargin,
   )
 }

@@ -43,6 +43,10 @@ final class PipelineRunner(
   def run(path: String, source: SourceConfig): FileResult = {
     val fileName = FileUtils.bareName(path)
     val logId = store.nextId()
+    // Per-stage log events buffer on the driver and flush as ONE segment
+    // append per file — per-event table writes would add a Spark job per
+    // stage (and at scale, a quadratic log-rewrite; see TableStore.append).
+    logBuffer.set(Vector.empty)
     log(logId, fileName, Some(source.tableName), "start", success = None)
     try {
       val result = runStages(path, fileName, source, logId)
@@ -65,6 +69,7 @@ final class PipelineRunner(
           FileResult(success = true, fileName, Some(e.errorName), logId)
         } else FileResult(success = false, fileName, Some(e.errorName), logId)
     } finally {
+      flushLog()
       files.deleteFromDrop(path)
     }
   }
@@ -140,6 +145,11 @@ final class PipelineRunner(
     } finally vr.all.unpersist()
   }
 
+  // buffered per-run log events; ThreadLocal because the Processor's file
+  // pool runs one file per thread on a SHARED runner instance
+  private val logBuffer =
+    ThreadLocal.withInitial[Vector[Row]](() => Vector.empty)
+
   private def log(logId: Long, fileName: String, table: Option[String],
                   stage: String, success: Option[Boolean],
                   read: Long = -1, failed: Long = -1,
@@ -156,8 +166,16 @@ final class PipelineRunner(
       if (inserts >= 0) Long.box(inserts) else null,
       if (updates >= 0) Long.box(updates) else null,
       errorName.orNull, errorMessage.orNull)
-    import scala.jdk.CollectionConverters._
-    store.append(Schemas.LogTable,
-      spark.createDataFrame(Seq(row).asJava, Schemas.LogSchema))
+    logBuffer.set(logBuffer.get() :+ row)
+  }
+
+  private def flushLog(): Unit = {
+    val rows = logBuffer.get()
+    if (rows.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      store.append(Schemas.LogTable,
+        spark.createDataFrame(rows.asJava, Schemas.LogSchema))
+      logBuffer.set(Vector.empty)
+    }
   }
 }

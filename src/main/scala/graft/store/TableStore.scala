@@ -41,7 +41,17 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = {
     val p = pointer(name)
-    fs(p).exists(p)
+    fs(p).exists(p) || segments(name).nonEmpty
+  }
+
+  /** Committed append segments (seg_*) of a table, oldest first. */
+  private def segments(name: String): Seq[Path] = {
+    val dir = tableDir(name)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+      .map(_.getPath).sortBy(_.getName)
   }
 
   private def currentVersion(name: String): Option[String] = {
@@ -55,18 +65,27 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Read the current version; None when the table has never been written. */
-  def readIfExists(name: String): Option[DataFrame] =
-    currentVersion(name).map(v =>
-      spark.read.parquet(new Path(tableDir(name), v).toString))
+  /** Read the current version plus any append segments; None when the table
+    * has never been written.
+    */
+  def readIfExists(name: String): Option[DataFrame] = {
+    val base = currentVersion(name).map(v => new Path(tableDir(name), v))
+    val paths = (base.toSeq ++ segments(name)).map(_.toString)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
 
   /** Read, or an empty frame with the given schema when absent. */
   def readOrEmpty(name: String, schema: StructType): DataFrame =
     readIfExists(name).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
-  /** Write a new version and atomically swap the pointer. */
+  /** Write a new version and atomically swap the pointer. Append segments
+    * present when the write STARTED are folded in by the caller's read plan
+    * (the df passed here was built from readIfExists) — they are deleted
+    * after the swap so the table never double-counts them.
+    */
   def overwrite(name: String, df: DataFrame): Unit = {
+    val priorSegs = segments(name)
     val version = s"v_${counter.incrementAndGet()}"
     val dir = tableDir(name)
     val f = fs(dir)
@@ -80,19 +99,26 @@ final class TableStore(spark: SparkSession, root: String) {
       if (!f.rename(tmp, pointer(name)))
         throw new java.io.IOException(s"pointer swap failed for $name")
     }
+    priorSegs.foreach(s => f.delete(s, true))
   }
 
-  /** Append = union with the current version into a new version. Parquet-dir
-    * appends without the version swap would expose readers to partial data.
-    * For the low-rate log/DLQ tables this read-union-write is cheap; target
-    * tables always go through [[overwrite]] from the merge.
+  /** Append as an O(new-rows) segment write: the new rows land in a temp
+    * dir and become visible via ONE atomic rename to seg_<id> — no
+    * read-union-rewrite of existing data (the previous implementation's
+    * per-event full-table rewrite is quadratic over a table's life; at
+    * 100 TB an append-heavy log table must never re-copy history).
+    * Readers union the current version with all committed segments;
+    * [[overwrite]] compacts segments away.
     */
   def append(name: String, df: DataFrame): Unit = {
-    val combined = readIfExists(name) match {
-      case Some(cur) => cur.unionByName(df, allowMissingColumns = true)
-      case None => df
-    }
-    overwrite(name, combined)
+    val dir = tableDir(name)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val id = counter.incrementAndGet()
+    val tmp = new Path(dir, s".tmp_seg_$id")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(tmp, new Path(dir, s"seg_$id")))
+      throw new java.io.IOException(s"segment commit failed for $name")
   }
 
   def dropTable(name: String): Unit = {

@@ -18,6 +18,19 @@ object Profile {
       val t0 = System.nanoTime(); val r = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    if (args.lift(1).contains("pipeline")) {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      time("plain count")(orders.count())
+      time("zipWithIndex count")(
+        graft.sources.Reader.withRowNumbers(orders, 1).count())
+      time("validate compile count")(
+        graft.operators.Validator.compile(
+          graft.sources.Reader.withRowNumbers(orders, 1),
+          graft.queries.PipelineBench.OrdersSource, "x", 0L).count())
+      time("full pipeline_etl")(
+        graft.queries.PipelineBench.pipelineEtl(spark, dir).head())
+      spark.stop(); return
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val withIds = docs.select(col("doc_id"),
       VectorFunctions.shingleIds(col("text"), 2).as("ids"))

@@ -167,6 +167,51 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
       .filter(col("sku") === "SKU9").count() == 1)
   }
 
+  test("customer model: cleaners run before cast, email validated, maxLength enforced") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{length => slen, _}
+    // reference customer.py:25-41: phone strips [^\d+] (keeping the raw
+    // value when everything strips away); email trims + lowercases
+    val phoneClean: Column => Column = c => {
+      val cleaned = regexp_replace(trim(c), "[^\\d+]", "")
+      when(slen(cleaned) > 0, cleaned).otherwise(c)
+    }
+    val emailClean: Column => Column = c => lower(trim(c))
+    val customers = SourceConfig(
+      name = "customers", filePattern = "customers-*.csv", sourceType = "csv",
+      columns = Seq(
+        ColumnSpec.string("customer_id", alias = "Customer Id", nullable = false,
+          maxLength = 50),
+        ColumnSpec(name = "phone_one", dataType =
+          org.apache.spark.sql.types.StringType, alias = Some("Phone 1"),
+          maxLength = Some(25), cleaners = Seq(phoneClean)),
+        ColumnSpec(name = "email", dataType =
+          org.apache.spark.sql.types.StringType, maxLength = Some(100),
+          email = true, cleaners = Seq(emailClean)),
+        ColumnSpec.date("subscription_date", alias = "Subscription Date")),
+      tableName = "customers", grain = Seq("customer_id"),
+      validationErrorThreshold = 0.5)
+    val reg = new SourceRegistry(Seq(customers))
+    val proc2 = new Processor(spark, reg, store, files, notifier, dropDir.toString)
+    val p = dropDir.resolve("customers-100.csv")
+    Files.writeString(p,
+      "Customer Id,Phone 1,email,Subscription Date\n" +
+      "C1,(555) 123-4567, Foo@BAR.com ,2024-01-01\n" +
+      "C2,+1-555-987-6543,ok@example.com,2024-01-02\n" +
+      "C3,555.111.2222,not-an-email,2024-01-03\n")
+    val r = proc2.processFile(p.toString).get
+    assert(r.success) // 1 bad of 3 < 0.5 threshold
+    assert(r.recordsRead == 3 && r.recordsFailedValidation == 1)
+    val t = store.readIfExists("customers").get
+    assert(t.filter(col("customer_id") === "C1").head()
+      .getAs[String]("phone_one") == "5551234567")
+    assert(t.filter(col("customer_id") === "C2").head()
+      .getAs[String]("phone_one") == "+15559876543")
+    assert(t.filter(col("customer_id") === "C1").head()
+      .getAs[String]("email") == "foo@bar.com")
+    assert(t.filter(col("customer_id") === "C3").isEmpty) // bad email -> DLQ
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
