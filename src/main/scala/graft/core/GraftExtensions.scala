@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions hook: makes the engine's custom Catalyst
+  * expressions available to ANY session — including pure-SQL users — via
+  *
+  *   spark.sql.extensions=graft.core.GraftExtensions
+  *
+  * after which `SELECT vec_dot(a, b)`, `shingle_ids(text, 2)`,
+  * `minhash_sig(ids, 16)`, `jaccard_ids(a, b)` parse natively. Library
+  * users can equivalently call [[graft.functions.VectorFunctions.register]]
+  * on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("shingle_ids"),
+      new ExpressionInfo(classOf[ShingleIds].getName, "shingle_ids"),
+      (exprs: Seq[Expression]) => ShingleIds(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("jaccard_ids"),
+      new ExpressionInfo(classOf[JaccardIds].getName, "jaccard_ids"),
+      (exprs: Seq[Expression]) => JaccardIds(exprs.head, exprs(1))))
+  }
+}

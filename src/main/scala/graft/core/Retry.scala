@@ -1,0 +1,55 @@
+package graft.core
+
+/** Retry with exponential backoff for driver-side FS/IO operations
+  * (reference src/utils.py:19-42: 3 attempts, 0.25 s initial delay, x2
+  * backoff, never retrying user-file errors).
+  *
+  * Executor-side work already has Spark task retries; this wrapper is for
+  * the driver's own filesystem calls (archive copies, directory scans,
+  * pointer swaps) where a transient object-store hiccup shouldn't fail a
+  * whole file run. [[FileError]]s pass through untouched — a malformed user
+  * file never gets retried.
+  */
+object Retry {
+  def withBackoff[T](attempts: Int = 3, initialDelayMs: Long = 250)(f: => T): T = {
+    var delay = initialDelayMs
+    var tries = 0
+    while (true) {
+      tries += 1
+      try return f
+      catch {
+        case e: FileError => throw e // user-file errors are never transient
+        case e: Throwable if tries < attempts =>
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Environment-driven engine configuration (reference src/settings.py:23-143:
+  * ENV_STATE selects a dev/test/prod prefix for every setting). Settings
+  * resolve as `GRAFT_<ENV-STATE>_<KEY>` then `GRAFT_<KEY>` then default.
+  */
+final case class GraftConfig(
+    dropDirectory: String,
+    archiveDirectory: String,
+    duplicatesDirectory: String,
+    warehouseDirectory: String,
+    filePoolSize: Int)
+
+object GraftConfig {
+  def load(env: Map[String, String] = sys.env): GraftConfig = {
+    val state = env.getOrElse("GRAFT_ENV_STATE", "dev").toUpperCase
+    def get(key: String, default: String): String =
+      env.get(s"GRAFT_${state}_$key").orElse(env.get(s"GRAFT_$key"))
+        .getOrElse(default)
+    GraftConfig(
+      dropDirectory = get("DROP_DIRECTORY", "drop"),
+      archiveDirectory = get("ARCHIVE_DIRECTORY", "archive"),
+      duplicatesDirectory = get("DUPLICATES_DIRECTORY", "duplicates"),
+      warehouseDirectory = get("WAREHOUSE_DIRECTORY", "warehouse"),
+      filePoolSize = get("FILE_POOL_SIZE", "2").toInt)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.run
 
-import graft.core.FileError
+import graft.core.{FileError, Retry}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileUtil, Path}
 
@@ -19,7 +19,7 @@ final class FileOps(conf: Configuration, archiveDir: String,
 
   private def fs(p: Path) = p.getFileSystem(conf)
 
-  def archive(path: String): Unit = {
+  def archive(path: String): Unit = Retry.withBackoff() {
     val src = new Path(path)
     val dstDir = new Path(archiveDir)
     val f = fs(src)
@@ -28,7 +28,7 @@ final class FileOps(conf: Configuration, archiveDir: String,
     FileUtil.copy(f, src, fs(dst), dst, false, true, conf)
   }
 
-  def moveToDuplicates(path: String): Unit = {
+  def moveToDuplicates(path: String): Unit = Retry.withBackoff() {
     val src = new Path(path)
     val f = fs(src)
     if (!f.exists(src)) return
@@ -44,7 +44,7 @@ final class FileOps(conf: Configuration, archiveDir: String,
     FileUtil.copy(f, src, fs(dst), dst, true, true, conf)
   }
 
-  def deleteFromDrop(path: String): Unit = {
+  def deleteFromDrop(path: String): Unit = Retry.withBackoff() {
     val p = new Path(path)
     val f = fs(p)
     if (f.exists(p)) f.delete(p, false)
@@ -53,7 +53,7 @@ final class FileOps(conf: Configuration, archiveDir: String,
   /** S7 directory scan: list the drop dir, skip dotfiles
     * (reference file_helper.py:24-35).
     */
-  def scanDirectory(dir: String): Seq[String] = {
+  def scanDirectory(dir: String): Seq[String] = Retry.withBackoff() {
     val p = new Path(dir)
     val f = fs(p)
     if (!f.exists(p)) Seq.empty

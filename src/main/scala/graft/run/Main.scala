@@ -30,7 +30,8 @@ object Main {
       val store = new TableStore(spark, req("warehouse"))
       val files = new FileOps(spark.sparkContext.hadoopConfiguration,
         req("archive"), req("duplicates"))
-      val notifier = new LoggingNotifier
+      val notifier: Notifier = opts.get("webhook")
+        .map(new WebhookNotifier(_)).getOrElse(new LoggingNotifier)
       val proc = new Processor(spark, DemoSources.registry, store, files,
         notifier, drop)
       opts.get("file") match {

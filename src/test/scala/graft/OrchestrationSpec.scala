@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.{GraftConfig, MissingHeaderError, Retry}
+import graft.run.WebhookNotifier
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+class OrchestrationSpec extends AnyFunSuite {
+
+  test("retry: transient errors retried with backoff, then succeed") {
+    val calls = new AtomicInteger(0)
+    val out = Retry.withBackoff(attempts = 3, initialDelayMs = 1) {
+      if (calls.incrementAndGet() < 3) throw new java.io.IOException("flake")
+      "ok"
+    }
+    assert(out == "ok" && calls.get() == 3)
+  }
+
+  test("retry: exhausted attempts rethrow; FileErrors never retried") {
+    val calls = new AtomicInteger(0)
+    intercept[java.io.IOException] {
+      Retry.withBackoff(attempts = 2, initialDelayMs = 1) {
+        calls.incrementAndGet(); throw new java.io.IOException("down")
+      }
+    }
+    assert(calls.get() == 2)
+    val fileCalls = new AtomicInteger(0)
+    intercept[MissingHeaderError] {
+      Retry.withBackoff(attempts = 3, initialDelayMs = 1) {
+        fileCalls.incrementAndGet(); throw MissingHeaderError("f.csv")
+      }
+    }
+    assert(fileCalls.get() == 1) // user-file error: no retry
+  }
+
+  test("config: env-state prefix wins over bare key wins over default") {
+    val cfg = GraftConfig.load(Map(
+      "GRAFT_ENV_STATE" -> "prod",
+      "GRAFT_PROD_DROP_DIRECTORY" -> "/data/drop",
+      "GRAFT_ARCHIVE_DIRECTORY" -> "/data/archive",
+      "GRAFT_FILE_POOL_SIZE" -> "4"))
+    assert(cfg.dropDirectory == "/data/drop")     // prefixed
+    assert(cfg.archiveDirectory == "/data/archive") // bare fallback
+    assert(cfg.duplicatesDirectory == "duplicates") // default
+    assert(cfg.filePoolSize == 4)
+  }
+
+  test("webhook notifier posts JSON; send failure never throws") {
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", exchange => {
+      received.put(new String(exchange.getRequestBody.readAllBytes(), "UTF-8"))
+      exchange.sendResponseHeaders(200, 0)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val n = new WebhookNotifier(s"http://127.0.0.1:$port/hook")
+      n.notifySummary("processed=3 succeeded=3")
+      val body = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null && body.contains("processed=3") &&
+        body.contains("\"level\": \"info\""))
+      n.notifyFileError(Seq("a@b.c"), "f.csv", MissingHeaderError("f.csv"))
+      val err = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(err != null && err.contains("MissingHeaderError"))
+      // dead endpoint: must swallow after retries, not throw
+      val dead = new WebhookNotifier("http://127.0.0.1:1/hook")
+      dead.notifySummary("x") // no exception expected
+    } finally server.stop(0)
+  }
+
+  test("extensions: function builders produce working expressions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.core.GraftExtensions().apply(ext) // registration must not throw
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val arr = Literal.create(Array(1.0, 2.0), ArrayType(DoubleType))
+    assert(VecDot(arr, arr).eval(null) == 5.0)
+    val ids = ShingleIds(Literal("a b c"), 2).eval(null).asInstanceOf[ArrayData]
+    assert(ids.numElements() == 2)
+    val sig = MinHashSignature(Literal.create(Array(7L, 9L),
+      ArrayType(LongType)), 4).eval(null).asInstanceOf[ArrayData]
+    assert(sig.numElements() == 4)
+  }
+}
