@@ -104,7 +104,12 @@ final class PipelineRunner(
           col("file_load_log_id"),
           lit(source.tableName).as("target_table_name"),
           lit(now).as("failed_at"))
-        store.append(Schemas.DlqTable, dlqRows)
+        // locked: a concurrent DLQ-cleanup overwrite snapshots-and-deletes
+        // segments — an unlocked append could land in that window and be
+        // dropped
+        store.withTableLock(Schemas.DlqTable) {
+          store.append(Schemas.DlqTable, dlqRows)
+        }
       }
       log(logId, fileName, Some(source.tableName), "write", success = Some(true),
         read = vr.totalCount, failed = vr.errorCount)
@@ -119,22 +124,32 @@ final class PipelineRunner(
       Audit.customAudit(spark, stage, source, fileName)
       log(logId, fileName, Some(source.tableName), "audit", success = Some(true))
 
-      // PUBLISH: merge upsert + atomic swap
-      val target = store.readIfExists(source.tableName)
-        .getOrElse(Publish.emptyTarget(spark, source))
-      val now = new java.sql.Timestamp(System.currentTimeMillis())
-      val mr = Publish.merge(stage, target, source, now)
-      store.overwrite(source.tableName, mr.merged)
+      // PUBLISH: merge upsert + atomic swap. The read->merge->swap sequence
+      // holds the per-table lock: two files publishing into the same target
+      // concurrently would otherwise both read the old version and the last
+      // swap would drop the other's rows. Different targets publish in
+      // parallel; the reference got this serialization for free from the
+      // database's MERGE.
+      val mr = store.withTableLock(source.tableName) {
+        val target = store.readIfExists(source.tableName)
+          .getOrElse(Publish.emptyTarget(spark, source))
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
+        val m = Publish.merge(stage, target, source, now)
+        store.overwrite(source.tableName, m.merged)
+        m
+      }
       mr.merged.unpersist()
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
         inserts = mr.inserts, updates = mr.updates)
 
       // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
       // current run's rows survive (reference delete/base.py:36-41).
-      store.readIfExists(Schemas.DlqTable).foreach { dlq =>
-        val cleaned = dlq.filter(
-          !(col("source_filename") === fileName && col("file_load_log_id") < logId))
-        store.overwrite(Schemas.DlqTable, cleaned)
+      store.withTableLock(Schemas.DlqTable) {
+        store.readIfExists(Schemas.DlqTable).foreach { dlq =>
+          val cleaned = dlq.filter(
+            !(col("source_filename") === fileName && col("file_load_log_id") < logId))
+          store.overwrite(Schemas.DlqTable, cleaned)
+        }
       }
 
       FileResult(success = true, fileName, None, logId,

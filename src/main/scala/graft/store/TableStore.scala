@@ -39,6 +39,21 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def nextId(): Long = counter.incrementAndGet()
 
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-table mutual exclusion for read-modify-overwrite sequences.
+    *
+    * The copy-on-write store has no transactions: two concurrent
+    * read->merge->pointer-swap sequences on the SAME table would both read
+    * the old version and the last swap would silently drop the other's
+    * rows (a classic lost update — surfaced by the concurrent-sweep test).
+    * Publishes to different tables still run fully in parallel; this lock
+    * is driver-side metadata, never held during executor work longer than
+    * the table job itself.
+    */
+  def withTableLock[T](name: String)(f: => T): T =
+    locks.computeIfAbsent(name, _ => new Object).synchronized(f)
+
   def exists(name: String): Boolean = {
     val p = pointer(name)
     fs(p).exists(p) || segments(name).nonEmpty

@@ -212,6 +212,42 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t.filter(col("customer_id") === "C3").isEmpty) // bad email -> DLQ
   }
 
+  test("CSV skip_rows: first data rows skipped, row numbers still file-accurate") {
+    val src = TestSources.salesCsv.copy(
+      name = "skip_sales", filePattern = "skipsales_*.csv",
+      auditQuery = None,
+      formatOptions = CsvOptions(skipRows = 2))
+    val reg = new SourceRegistry(Seq(src))
+    val proc2 = new Processor(spark, reg, store, files, notifier, dropDir.toString)
+    val p = dropDir.resolve("skipsales_1.csv")
+    Files.writeString(p, Seq(TestSources.SalesHeader,
+      TestSources.salesRow("SKIP1"), TestSources.salesRow("SKIP2"),
+      TestSources.salesRow("KEEP1"), TestSources.salesRow("KEEP2"))
+      .mkString("\n"))
+    val r = proc2.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2) // two skipped
+    val t = store.readIfExists("transactions").get
+    assert(t.count() == 2)
+    assert(t.filter(col("transaction_id").startsWith("SKIP")).isEmpty)
+  }
+
+  test("concurrent sweep: thread pool processes many files; logs/targets consistent") {
+    (1 to 6).foreach { i =>
+      Files.writeString(dropDir.resolve(s"sales_c$i.csv"),
+        Seq(TestSources.SalesHeader, TestSources.salesRow(s"C${i}A"),
+          TestSources.salesRow(s"C${i}B")).mkString("\n"))
+    }
+    val proc2 = new Processor(spark, TestSources.registry, store, files,
+      notifier, dropDir.toString, filePoolSize = 3)
+    val s = proc2.processAll()
+    assert(s.processed == 6 && s.succeeded == 6 && s.failed == 0)
+    assert(store.readIfExists("transactions").get.count() == 12)
+    val log = store.readIfExists(graft.store.Schemas.LogTable).get
+    // every file logged a full start -> complete trail
+    assert(log.filter(col("stage") === "complete").count() == 6)
+    assert(log.filter(col("stage") === "start").count() == 6)
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))

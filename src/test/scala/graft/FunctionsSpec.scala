@@ -11,16 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    VectorFunctions.register(spark)
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // one JVM-shared session for the whole test run — suites must never
+  // stop it (getOrCreate shares the underlying session across suites)
+  private val spark: SparkSession = TestSpark.spark
+  VectorFunctions.register(spark)
 
   private def one(colExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
     spark.range(1).select(colExpr).head()

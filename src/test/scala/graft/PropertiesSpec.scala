@@ -1,0 +1,82 @@
+package graft
+
+import graft.core._
+import graft.operators.Validator
+import graft.sources.Reader
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property-style tests over the validation/hash core (SURVEY §5: hash
+  * stability/sortedness, threshold-gate boundary). Seeded random sampling
+  * keeps runs deterministic without extra test dependencies.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("row hash is invariant to column declaration order (sorted-field hashing)") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(("A1", 5, 2.5), ("B2", 7, 0.0)).toDF("id", "qty", "amt")
+      .withColumn(Reader.RowNumCol, monotonically_increasing_id())
+    def specs(order: Seq[String]): Seq[ColumnSpec] = order.map {
+      case "id" => ColumnSpec.string("id", nullable = false)
+      case "qty" => ColumnSpec.int("qty")
+      case "amt" => ColumnSpec.double("amt")
+    }
+    def hashes(order: Seq[String]): Map[String, Long] = {
+      val src = SourceConfig("s", "x.csv", "csv", specs(order), "t", Seq("id"))
+      Validator.compile(data, src, "f", 0L)
+        .select("id", "etl_row_hash").as[(String, Long)].collect().toMap
+    }
+    val base = hashes(Seq("id", "qty", "amt"))
+    assert(hashes(Seq("amt", "id", "qty")) == base)
+    assert(hashes(Seq("qty", "amt", "id")) == base)
+  }
+
+  test("threshold gate boundary: rate >= threshold fails, below passes") {
+    val rnd = new Random(42)
+    (1 to 500).foreach { _ =>
+      val total = 1L + rnd.nextInt(1000)
+      val errors = rnd.nextLong(total + 1)
+      val thr = rnd.nextInt(3) match {
+        case 0 => 0.0
+        case 1 => errors.toDouble / total // exact boundary
+        case _ => rnd.nextDouble()
+      }
+      val rate = errors.toDouble / total
+      // mirror of Validator.gate's trip condition
+      val fails = rate >= thr && errors > 0
+      if (errors == 0) assert(!fails)
+      else if (thr == 0.0) assert(fails, s"any error must fail at thr=0")
+      else if (rate == thr) assert(fails, s"boundary must fail (>= semantics)")
+      else assert(fails == (rate >= thr))
+    }
+  }
+
+  test("hash stable for equal values, sensitive to any model-value change") {
+    val sp = spark
+    import sp.implicits._
+    val src = SourceConfig("s", "x.csv", "csv",
+      Seq(ColumnSpec.string("id", nullable = false), ColumnSpec.int("qty")),
+      "t", Seq("id"))
+    val rnd = new Random(7)
+    val samples = Seq.fill(12)((rnd.alphanumeric.take(8).mkString, rnd.nextInt(100)))
+    // one Spark job for all samples + their perturbed twins
+    val rows = samples.flatMap { case (id, q) =>
+      Seq((id, q, "orig"), (id, q, "dup"), (id, q + 1, "bumped")) }
+    val df = rows.toDF("id", "qty", "tag")
+      .withColumn(Reader.RowNumCol, monotonically_increasing_id())
+    val hashed = Validator.compile(
+        df.select(col("id"), col("qty"), col(Reader.RowNumCol)), src, "f", 0L)
+      .select(col("id"), col("qty"), col("etl_row_hash"))
+      .as[(String, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    samples.foreach { case (id, q) =>
+      assert(hashed((id, q)).size == 1, "equal values must hash equally")
+      assert(hashed((id, q)) != hashed((id, q + 1)),
+        "changed value must change the hash")
+    }
+  }
+}

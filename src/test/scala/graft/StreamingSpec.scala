@@ -15,15 +15,9 @@ import java.sql.Timestamp
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // one JVM-shared session for the whole test run — suites must never
+  // stop it (getOrCreate shares the underlying session across suites)
+  private val spark: SparkSession = TestSpark.spark
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
