@@ -45,6 +45,10 @@ case object ParquetOptions extends FormatOptions
   * @param notificationEmails recipients for file-level errors; a non-empty
   *                     list flips an emailable failure into a "success" result
   *                     (reference runner.py:232-258)
+  * @param targetPartitionBy optional hive-partition columns for the target
+  *                     table's versions (e.g. a date column) so selective
+  *                     reads prune directories; the reference's equivalent
+  *                     was DB table clustering (db.py:103-104)
   */
 final case class SourceConfig(
     name: String,
@@ -56,7 +60,8 @@ final case class SourceConfig(
     auditQuery: Option[String] = None,
     validationErrorThreshold: Double = 0.0,
     notificationEmails: Seq[String] = Nil,
-    formatOptions: FormatOptions = ParquetOptions) {
+    formatOptions: FormatOptions = ParquetOptions,
+    targetPartitionBy: Seq[String] = Nil) {
 
   require(grain.nonEmpty, s"source $name: grain must be non-empty")
   require(grain.forall(g => columns.exists(_.name == g)),

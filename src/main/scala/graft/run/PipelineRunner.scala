@@ -78,7 +78,17 @@ final class PipelineRunner(
                         logId: Long): FileResult = {
     // P6 duplicate-file predicate: by source_filename in the TARGET table —
     // content-identical renamed files reload (reference db_utils.py:243-258).
-    store.readIfExists(source.tableName).foreach { target =>
+    // The probe reads the tiny __filenames sidecar (appended on every
+    // publish), NOT the target: at 100 TB a per-file full-target scan is
+    // the difference between O(files-loaded) and O(data). Tables created
+    // before the sidecar existed fall back to the target scan.
+    val sidecar = s"${source.tableName}__filenames"
+    if (store.exists(sidecar)) {
+      store.readIfExists(sidecar).foreach { names =>
+        if (!names.filter(col("source_filename") === fileName).isEmpty)
+          throw DuplicateFileError(fileName, source.tableName)
+      }
+    } else store.readIfExists(source.tableName).foreach { target =>
       if (!target.filter(col("source_filename") === fileName).isEmpty)
         throw DuplicateFileError(fileName, source.tableName)
     }
@@ -135,7 +145,12 @@ final class PipelineRunner(
           .getOrElse(Publish.emptyTarget(spark, source))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         val m = Publish.merge(stage, target, source, now)
-        store.overwrite(source.tableName, m.merged)
+        store.overwrite(source.tableName, m.merged, source.targetPartitionBy)
+        // record the filename in the probe sidecar (atomic segment append)
+        val sp = spark
+        import sp.implicits._
+        store.append(sidecar, Seq((fileName, logId, now))
+          .toDF("source_filename", "file_load_log_id", "published_at"))
         m
       }
       mr.merged.unpersist()

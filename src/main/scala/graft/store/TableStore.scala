@@ -98,13 +98,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * present when the write STARTED are folded in by the caller's read plan
     * (the df passed here was built from readIfExists) — they are deleted
     * after the swap so the table never double-counts them.
+    *
+    * `partitionBy` writes the version hive-partitioned on those columns so
+    * partition-pruned reads (date-ranged queries on a date-partitioned
+    * target) skip directories entirely.
     */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  def overwrite(name: String, df: DataFrame,
+                partitionBy: Seq[String] = Nil): Unit = {
     val priorSegs = segments(name)
     val version = s"v_${counter.incrementAndGet()}"
     val dir = tableDir(name)
     val f = fs(dir)
-    df.write.mode("overwrite").parquet(new Path(dir, version).toString)
+    val writer = if (partitionBy.isEmpty) df.write
+                 else df.write.partitionBy(partitionBy: _*)
+    writer.mode("overwrite").parquet(new Path(dir, version).toString)
     val tmp = new Path(dir, s"._VERSION.tmp.${counter.incrementAndGet()}")
     val out = f.create(tmp, true)
     try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()

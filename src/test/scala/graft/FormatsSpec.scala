@@ -248,6 +248,44 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(log.filter(col("stage") === "start").count() == 6)
   }
 
+  test("partitioned target: versions written hive-partitioned, reads prune") {
+    val src = TestSources.salesCsv.copy(
+      name = "part_sales", filePattern = "partsales_*.csv",
+      tableName = "transactions_bydate", auditQuery = None,
+      targetPartitionBy = Seq("sale_date"))
+    val reg = new SourceRegistry(Seq(src))
+    val proc2 = new Processor(spark, reg, store, files, notifier, dropDir.toString)
+    val p = dropDir.resolve("partsales_1.csv")
+    Files.writeString(p, Seq(TestSources.SalesHeader,
+      TestSources.salesRow("P1", date = "2024-03-01"),
+      TestSources.salesRow("P2", date = "2024-03-02")).mkString("\n"))
+    assert(proc2.processFile(p.toString).get.success)
+    val t = store.readIfExists("transactions_bydate").get
+    assert(t.count() == 2)
+    // version dir contains sale_date=... partition directories
+    val tblDir = workDir.resolve("tables/transactions_bydate")
+    val version = Files.readString(tblDir.resolve("_VERSION")).trim
+    val parts = Files.list(tblDir.resolve(version)).toArray.map(_.toString)
+    assert(parts.exists(_.contains("sale_date=2024-03-01")))
+    // partition-pruned read: only one partition's rows scanned
+    assert(t.filter(col("sale_date") === "2024-03-01").count() == 1)
+  }
+
+  test("duplicate probe uses the filename sidecar table") {
+    val p = dropDir.resolve("sales_sc1.csv")
+    Files.writeString(p, Seq(TestSources.SalesHeader,
+      TestSources.salesRow("SC1")).mkString("\n"))
+    assert(processor.processFile(p.toString).get.success)
+    assert(store.exists("transactions__filenames"))
+    val names = store.readIfExists("transactions__filenames").get
+    assert(names.filter(col("source_filename") === "sales_sc1.csv").count() == 1)
+    // same name again -> duplicate via sidecar
+    Files.writeString(p, Seq(TestSources.SalesHeader,
+      TestSources.salesRow("SC9")).mkString("\n"))
+    val r2 = processor.processFile(p.toString).get
+    assert(r2.success && r2.errorName.contains("DuplicateFileError"))
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
