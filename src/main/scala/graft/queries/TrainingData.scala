@@ -81,8 +81,8 @@ object TrainingData {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a")), Seq("doc_a"))
-      .join(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b")), Seq("doc_b"))
+      .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
+      .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
       .select(graft.functions.VectorFunctions
         .jaccardIds(col("ids_a"), col("ids_b")).as("j"))
       .agg(count(lit(1)).as("candidate_pairs"),

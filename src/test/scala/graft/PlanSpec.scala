@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (filter pushdown to the parquet scan, column pruning, dimension
+  * broadcasts, no accidental cartesian products) are asserted against the
+  * executed plan so a refactor can't silently drop them.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    // formatted mode: executedPlan.toString truncates scan metadata
+    // (PushedFilters) on wide scans
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q1: shipdate filter pushes into the parquet scan; columns pruned") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(l_shipdate"))
+    // projection needs 6 columns; the scan schema must not include others
+    assert(!p.contains("l_orderkey"), "scan must prune unused columns")
+  }
+
+  test("q10: all three dimension joins broadcast, no sort-merge join") {
+    val p = plan(Relational.q10RegionRevenue(spark, sf))
+    // formatted explain mentions each node in the tree and detail sections
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q9: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q9TopkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q8: negated-conjunction filter still pushes to the scan") {
+    val p = plan(Relational.q8DlqCleanup(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("Or(Not(EqualTo(event_type"))
+  }
+
+  test("q5 merge: full-outer join present (cannot broadcast), single join") {
+    val p = plan(Relational.q5MergeUpsert(spark, sf))
+    assert(p.contains("FullOuter"))
+  }
+}
