@@ -257,8 +257,11 @@ object SparkEntry {
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
-        | round(avg(len(toks)), 2) AS avg_tokens
-        |FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') toks FROM documents) t
+        | round(avg(len(toks)), 2) AS avg_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+        |   AS BIGINT) AS total_subwords
+        |FROM (SELECT lang, text, regexp_split_to_array(trim(text), '\s+') toks
+        |      FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -120,6 +120,12 @@ object TextFunctions {
   def cosine(a: Column, b: Column, scale: Int = 4): Column =
     round(dot(a, b) / (l2norm(a) * l2norm(b)), scale)
 
+  /** BPE-ish pre-tokenization pattern (shared with the SQL oracles): letter
+    * runs, digit runs, or single non-alphanumeric non-space marks — the
+    * split BPE vocabularies start from before merges.
+    */
+  val SubwordPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   /** Stopword list shared with the SQL oracles (keep in sync!). */
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")

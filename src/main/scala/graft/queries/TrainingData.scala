@@ -212,14 +212,21 @@ object TrainingData {
         count(when(col("predicted") === col("lang"), 1)).as("n_correct"))
       .orderBy("predicted")
 
-  /** Token-count statistics per language. */
+  /** Token-count statistics per language: whitespace words plus a BPE-ish
+    * subword proxy (letter runs / digit runs / single punctuation marks —
+    * the pre-tokenization split BPE vocabularies start from).
+    */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("lang"), size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .select(col("lang"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        regexp_count(col("text"), lit(F.SubwordPattern)).cast(LongType)
+          .as("n_subwords"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        round(avg("n_tokens"), 2).as("avg_tokens"))
+        round(avg("n_tokens"), 2).as("avg_tokens"),
+        sum("n_subwords").as("total_subwords"))
       .orderBy("lang")
 
   /** Per-document content fingerprint (min-md5 over 3-gram shingles). */

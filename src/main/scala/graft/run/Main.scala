@@ -37,16 +37,28 @@ object Main {
       opts.get("file") match {
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the
-          // Structured Streaming pipeline (checkpointed, exactly-once)
+          // Structured Streaming pipeline (checkpointed, exactly-once).
+          // --stream merge upserts each micro-batch into the target table;
+          // any other value splits to valid/dlq parquet sinks.
           val wh = req("warehouse")
-          val q = graft.streaming.StreamingPipeline.dropFolderStream(
-            spark, DemoSources.Sales, drop,
-            outDir = s"$wh/stream", checkpointDir = s"$wh/stream_checkpoint")
-          q.awaitTermination()
-          val valid = spark.read.parquet(s"$wh/stream/valid").count()
-          val dlq = try spark.read.parquet(s"$wh/stream/dlq").count()
-                    catch { case _: Throwable => 0L }
-          println(s"stream: valid=$valid dlq=$dlq")
+          if (opts("stream") == "merge") {
+            graft.streaming.StreamingPipeline.dropFolderMergeStream(
+              spark, DemoSources.Sales, store, drop,
+              checkpointDir = s"$wh/stream_merge_checkpoint")
+              .awaitTermination()
+            val n = store.readIfExists(DemoSources.Sales.tableName)
+              .map(_.count()).getOrElse(0L)
+            println(s"stream-merge: target_rows=$n")
+          } else {
+            graft.streaming.StreamingPipeline.dropFolderStream(
+              spark, DemoSources.Sales, drop,
+              outDir = s"$wh/stream", checkpointDir = s"$wh/stream_checkpoint")
+              .awaitTermination()
+            val valid = spark.read.parquet(s"$wh/stream/valid").count()
+            val dlq = try spark.read.parquet(s"$wh/stream/dlq").count()
+                      catch { case _: Throwable => 0L }
+            println(s"stream: valid=$valid dlq=$dlq")
+          }
         case Some(f) =>
           val r = proc.processFile(s"$drop/$f")
           println(s"result: ${r.map(x => s"success=${x.success} error=${x.errorName.getOrElse("-")} " +

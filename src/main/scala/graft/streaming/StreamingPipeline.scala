@@ -70,6 +70,54 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Continuous drop-folder ingest with MERGE-publish: like
+    * [[dropFolderStream]], but each micro-batch's valid rows merge-upsert
+    * into a [[graft.store.TableStore]] target with the SAME hash-guarded
+    * semantics as the batch publish — matched-and-changed rows update,
+    * identical rows no-op, new grains insert. foreachBatch gives the
+    * exactly-once batchId + the table store's atomic version swap gives
+    * idempotent re-delivery (replaying a batch is a hash no-op).
+    */
+  def dropFolderMergeStream(
+      spark: SparkSession,
+      source: SourceConfig,
+      store: graft.store.TableStore,
+      dropDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val allStrings = StructType(source.columns.map(c =>
+      StructField(c.fileAlias, StringType, nullable = true)))
+    val raw = spark.readStream
+      .option("header", "true")
+      .schema(allStrings)
+      .csv(dropDir)
+      .withColumn(Reader.RowNumCol, lit(-1L))
+    val validated = Validator.compile(raw, source,
+      fileName = "<stream>", logId = -1L)
+      .withColumn("source_filename", input_file_name())
+
+    validated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stage = batch.filter(col(Validator.IsValidCol))
+          .drop(Validator.ErrorsCol, Validator.IsValidCol,
+            Validator.RawRecordCol, "file_row_number")
+        if (!stage.isEmpty) {
+          store.withTableLock(source.tableName) {
+            val target = store.readIfExists(source.tableName)
+              .getOrElse(graft.operators.Publish.emptyTarget(
+                batch.sparkSession, source))
+            val now = new java.sql.Timestamp(System.currentTimeMillis())
+            val mr = graft.operators.Publish.merge(stage, target, source, now)
+            store.overwrite(source.tableName, mr.merged, source.targetPartitionBy)
+            mr.merged.unpersist()
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked event-time window aggregation: counts + value sums per
     * (window, event_type), tolerating `lateness` of out-of-order data.
     * State is bounded by the watermark — at 100 TB/day the state store only

@@ -52,6 +52,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/valid").count() == 2)
   }
 
+  test("streaming merge-publish: upserts per micro-batch, hash no-op on replayed content") {
+    val drop = tmp("sm-drop")
+    val ckpt = tmp("sm-ckpt")
+    val store = new graft.store.TableStore(spark, tmp("sm-wh"))
+    val source = SourceConfig(
+      name = "sm", filePattern = "sales_*.csv", sourceType = "csv",
+      columns = Seq(
+        ColumnSpec.string("transaction_id", nullable = false),
+        ColumnSpec.int("quantity", nullable = false)),
+      tableName = "sm_target", grain = Seq("transaction_id"))
+
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_m1.csv"),
+      "transaction_id,quantity\nT1,1\nT2,2\n")
+    StreamingPipeline.dropFolderMergeStream(spark, source, store, drop, ckpt)
+      .awaitTermination()
+    val t1 = store.readIfExists("sm_target").get.collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Int]("quantity")).toMap
+    assert(t1 == Map("T1" -> 1, "T2" -> 2))
+
+    // second file: updates T2, inserts T3; T1 untouched (created_at kept)
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_m2.csv"),
+      "transaction_id,quantity\nT2,20\nT3,3\n")
+    StreamingPipeline.dropFolderMergeStream(spark, source, store, drop, ckpt)
+      .awaitTermination()
+    val t2 = store.readIfExists("sm_target").get
+    assert(t2.count() == 3)
+    assert(t2.filter(col("transaction_id") === "T2").head()
+      .getAs[Int]("quantity") == 20)
+    assert(t2.filter(col("transaction_id") === "T2").head()
+      .getAs[java.sql.Timestamp]("etl_updated_at") != null)
+    assert(t2.filter(col("transaction_id") === "T1").head()
+      .getAs[java.sql.Timestamp]("etl_updated_at") == null)
+  }
+
   test("watermarked window aggregation over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
