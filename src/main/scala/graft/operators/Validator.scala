@@ -93,10 +93,15 @@ object Validator {
     // P1 alias rename + projection: unmapped file columns drop here
     // (reference model_utils.py:6-13,26-33).
     val present = raw.columns.toSet
+    // file_row_number is optional on input: the happy path validates an
+    // unnumbered frame (no zipWithIndex pass) and only error files get
+    // re-validated with real numbers for DLQ records
+    val rowNum = if (present.contains(Reader.RowNumCol)) col(Reader.RowNumCol)
+                 else lit(-1L)
     val aliased = raw.select(
       specs.map(s => (if (present.contains(s.fileAlias)) col(s.fileAlias)
                       else lit(null).cast(StringType)).as(s.name)) :+
-        col(Reader.RowNumCol).as("file_row_number"): _*)
+        rowNum.as("file_row_number"): _*)
 
     val rawRecord = to_json(struct(specs.map(s => col(s.name)): _*)).as(RawRecordCol)
 

@@ -99,14 +99,27 @@ final class PipelineRunner(
     val raw = reader.read(spark, path, source)
     log(logId, fileName, Some(source.tableName), "read", success = Some(true))
 
+    // Validate the UNNUMBERED frame first — clean files (the common case at
+    // scale) never pay the zipWithIndex numbering pass. Files with errors
+    // re-validate over the numbered frame so DLQ records carry real
+    // file_row_numbers.
     val vr = Validator.validate(raw.df, source, fileName, logId,
       excelDates = reader.isInstanceOf[ExcelReader])
+    var vrNumbered: Option[graft.operators.ValidationResult] = None
     try {
       // WRITE: DLQ rows always persist (even below-threshold successes keep
       // their DLQ rows, reference test_csv.py:100-131).
       if (vr.errorCount > 0) {
+        val vrN =
+          if (raw.df.columns.contains(graft.sources.Reader.RowNumCol)) vr
+          else {
+            val n = Validator.validate(raw.numbered(), source, fileName, logId,
+              excelDates = reader.isInstanceOf[ExcelReader])
+            vrNumbered = Some(n)
+            n
+          }
         val now = new java.sql.Timestamp(System.currentTimeMillis())
-        val dlqRows = vr.dlq.select(
+        val dlqRows = vrN.dlq.select(
           col("source_filename"),
           col("file_row_number"),
           col(Validator.RawRecordCol).as("file_record_data"),
@@ -120,11 +133,13 @@ final class PipelineRunner(
         store.withTableLock(Schemas.DlqTable) {
           store.append(Schemas.DlqTable, dlqRows)
         }
+        log(logId, fileName, Some(source.tableName), "write", success = Some(true),
+          read = vr.totalCount, failed = vr.errorCount)
+        Validator.gate(vrN, source, fileName) // gate AFTER the DLQ write
+      } else {
+        log(logId, fileName, Some(source.tableName), "write", success = Some(true),
+          read = vr.totalCount, failed = vr.errorCount)
       }
-      log(logId, fileName, Some(source.tableName), "write", success = Some(true),
-        read = vr.totalCount, failed = vr.errorCount)
-
-      Validator.gate(vr, source, fileName) // threshold gate AFTER the DLQ write
 
       val stage = vr.valid.drop(Validator.ErrorsCol, Validator.IsValidCol,
         Validator.RawRecordCol, "file_row_number")
@@ -172,7 +187,10 @@ final class PipelineRunner(
         recordsFailedValidation = vr.errorCount,
         publishInserts = mr.inserts,
         publishUpdates = mr.updates)
-    } finally vr.all.unpersist()
+    } finally {
+      vr.all.unpersist()
+      vrNumbered.foreach(_.all.unpersist())
+    }
   }
 
   // buffered per-run log events; ThreadLocal because the Processor's file

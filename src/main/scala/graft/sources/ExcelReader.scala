@@ -72,8 +72,10 @@ final class ExcelReader extends Reader {
     import scala.jdk.CollectionConverters._
     val df: DataFrame = spark.createDataFrame(padded.asJava, schema)
     val checked = checkColumns(df, source, fileName)
-    // Data begins at 2 + skip_rows (reference excel.py:39-42).
-    RawRead(Reader.withRowNumbers(checked, 2 + opts.skipRows), 2 + opts.skipRows)
+    // Data begins at 2 + skip_rows (reference excel.py:39-42). Excel data
+    // is driver-local and tiny; numbering up-front is negligible.
+    val numbered = Reader.withRowNumbers(checked, 2 + opts.skipRows)
+    RawRead(numbered, 2 + opts.skipRows, () => numbered)
   }
 }
 

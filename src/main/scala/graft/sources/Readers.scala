@@ -6,12 +6,19 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** A raw read result: file columns as they appear (lowercased names), plus
-  * `_file_row_number` assigned in file order starting at the format's
-  * starting row (reference: validator.py:124 + per-format starting rows,
-  * csv.py:34-37, excel.py:39-42, json.py:30-33, parquet.py:26-29).
+/** A raw read result: file columns as they appear (lowercased names).
+  *
+  * `df` has NO row numbers — the happy path (no validation errors) never
+  * pays for them. `numbered` assigns `_file_row_number` in file order
+  * starting at the format's starting row (reference: validator.py:124 +
+  * per-format starting rows, csv.py:34-37, excel.py:39-42, json.py:30-33,
+  * parquet.py:26-29) via an extra zipWithIndex pass; the runner only calls
+  * it when DLQ records actually need numbering. Readers whose options
+  * already force numbering (CSV skip_rows) return a pre-numbered `df` and
+  * an identity `numbered`.
   */
-final case class RawRead(df: DataFrame, startingRowNumber: Int)
+final case class RawRead(df: DataFrame, startingRowNumber: Int,
+                         numbered: () => DataFrame)
 
 /** File readers. Each returns the file's rows with *no type inference* —
   * CSV/Excel as all-strings, JSON flattened to scalars, Parquet native — so
@@ -87,14 +94,19 @@ final class CsvReader extends Reader {
       .csv(path)
     df = checkColumns(df, source, fileName)
 
-    // Number every data row starting at 2 (after the header), then drop the
-    // first skip_rows; the first kept row carries number 2 + skip_rows,
-    // matching the reference's starting_row_number (csv.py:34-37).
-    var numbered = Reader.withRowNumbers(df, 2)
-    if (opts.skipRows > 0)
-      numbered = numbered.filter(col(Reader.RowNumCol) >= lit(2 + opts.skipRows))
-    if (numbered.isEmpty) throw NoDataInFileError(fileName)
-    RawRead(numbered, 2 + opts.skipRows)
+    if (opts.skipRows > 0) {
+      // skip_rows needs file order, so this path is always numbered:
+      // data rows number from 2 (after the header) and the first
+      // skip_rows are dropped — the first kept row carries 2 + skip_rows,
+      // matching the reference's starting_row_number (csv.py:34-37).
+      val numbered = Reader.withRowNumbers(df, 2)
+        .filter(col(Reader.RowNumCol) >= lit(2 + opts.skipRows))
+      if (numbered.isEmpty) throw NoDataInFileError(fileName)
+      RawRead(numbered, 2 + opts.skipRows, () => numbered)
+    } else {
+      if (df.isEmpty) throw NoDataInFileError(fileName)
+      RawRead(df, 2, () => Reader.withRowNumbers(df, 2))
+    }
   }
 }
 
@@ -140,7 +152,7 @@ final class JsonReader extends Reader {
     val flattened = JsonFlatten(records)
     if (flattened.isEmpty) throw NoDataInFileError(fileName)
     val checked = checkColumns(flattened, source, fileName)
-    RawRead(Reader.withRowNumbers(checked, 1), 1)
+    RawRead(checked, 1, () => Reader.withRowNumbers(checked, 1))
   }
 }
 
@@ -196,7 +208,7 @@ final class ParquetReader extends Reader {
     if (df.schema.isEmpty) throw MissingHeaderError(fileName)
     if (df.isEmpty) throw NoDataInFileError(fileName)
     val checked = checkColumns(df, source, fileName)
-    RawRead(Reader.withRowNumbers(checked, 1), 1)
+    RawRead(checked, 1, () => Reader.withRowNumbers(checked, 1))
   }
 }
 
