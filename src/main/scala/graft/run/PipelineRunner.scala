@@ -161,6 +161,7 @@ final class PipelineRunner(
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         val m = Publish.merge(stage, target, source, now)
         store.overwrite(source.tableName, m.merged, source.targetPartitionBy)
+        store.vacuum(source.tableName) // bound disk: drop superseded versions
         // record the filename in the probe sidecar (atomic segment append)
         val sp = spark
         import sp.implicits._
@@ -179,6 +180,7 @@ final class PipelineRunner(
           val cleaned = dlq.filter(
             !(col("source_filename") === fileName && col("file_load_log_id") < logId))
           store.overwrite(Schemas.DlqTable, cleaned)
+          store.vacuum(Schemas.DlqTable)
         }
       }
 
