@@ -286,6 +286,44 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(r2.success && r2.errorName.contains("DuplicateFileError"))
   }
 
+  test("multiple sources matching one file fail loudly") {
+    val a = TestSources.salesCsv.copy(name = "a", filePattern = "dup_*.csv")
+    val b = TestSources.salesCsv.copy(name = "b", filePattern = "dup_2024*.csv")
+    val reg = new SourceRegistry(Seq(a, b))
+    intercept[MultipleSourcesMatchError] {
+      reg.findSourceForFile("dup_2024.csv")
+    }
+    // through the processor: counted as a failed result, not a crash
+    val proc2 = new Processor(spark, reg, store, files, notifier, dropDir.toString)
+    Files.writeString(dropDir.resolve("dup_2024.csv"),
+      Seq(TestSources.SalesHeader, TestSources.salesRow("D1")).mkString("\n"))
+    val s = proc2.processAll()
+    assert(s.processed == 1 && s.failed == 1)
+  }
+
+  test("ragged CSV rows: short rows null-fill (missing -> validation), extra cells dropped") {
+    val p = dropDir.resolve("sales_ragged.csv")
+    // row 2 misses the last two fields; row 3 has one extra trailing cell
+    Files.writeString(p, Seq(
+      TestSources.SalesHeader,
+      "R1,CUST1,SKU1,1,1.0,1.0",
+      "R2,CUST1,SKU1,2,2.0,4.0,2024-03-01,Alice,EXTRA").mkString("\n"))
+    val src = TestSources.salesCsv.copy(name = "ragged",
+      filePattern = "sales_ragged.csv", auditQuery = None,
+      validationErrorThreshold = 0.9)
+    val proc2 = new Processor(spark, new SourceRegistry(Seq(src)),
+      store, files, notifier, dropDir.toString)
+    val r = proc2.processFile(p.toString).get
+    // R1 lacks sale_date/sales_rep -> nulls; nullable specs accept them, so
+    // both rows load; the extra cell on R2 is silently dropped
+    assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
+    val t = store.readIfExists("transactions").get
+    assert(t.filter(col("transaction_id") === "R1").head()
+      .getAs[java.sql.Date]("sale_date") == null)
+    assert(t.filter(col("transaction_id") === "R2").head()
+      .getAs[String]("sales_rep") == "Alice")
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
