@@ -52,6 +52,7 @@ object SparkEntry {
     "text_tokens" -> (TrainingData.textTokens _),
     "text_fingerprint" -> (TrainingData.textFingerprint _),
     "multimodal_features" -> (TrainingData.multimodalFeatures _),
+    "curate_corpus" -> (TrainingData.curateCorpus _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -286,6 +287,48 @@ object SparkEntry {
         |   octet_length(encode(text)) bl
         |  FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "curate_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n_tokens
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 30 AND 200),
+        |ek AS (
+        |  SELECT doc_id, text, n_tokens FROM (
+        |    SELECT doc_id, text, n_tokens,
+        |     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |    FROM q) x WHERE rn = 1),
+        |u AS (
+        |  SELECT doc_id, n_tokens, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])),
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, n_tokens, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM ek) y),
+        |sig AS (
+        |  SELECT doc_id, ids, n_tokens,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
+        |bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT cand.doc_b doc_id
+        |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id
+        |            JOIN u ub ON cand.doc_b = ub.doc_id
+        |  WHERE round(CAST(len(list_intersect(ua.ids, ub.ids)) AS DOUBLE) /
+        |    (len(ua.ids) + len(ub.ids) - len(list_intersect(ua.ids, ub.ids))), 4) >= 0.2),
+        |kept AS (
+        |  SELECT * FROM sig WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        |SELECT count(*) AS kept_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_tokens), 2) AS avg_tokens
+        |FROM kept""".stripMargin,
     "pipeline_etl" ->
       """SELECT count(*) AS records_read,
         | CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_totalprice <= 0

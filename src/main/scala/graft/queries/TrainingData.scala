@@ -235,6 +235,57 @@ object TrainingData {
       .select(col("doc_id"), F.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Corpus curation capstone: the composed training-data pipeline —
+    * token-count quality gate -> exact dedup (keep lowest doc_id per
+    * content hash) -> MinHash-LSH near-dedup (drop the higher doc_id of
+    * every verified near-dup pair) -> corpus statistics. Each stage is the
+    * operator verified individually above; this query pins that they
+    * compose. One narrow map + two id-shuffles + a band join: the plan a
+    * 100 TB curation run would use.
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
+    import org.apache.spark.sql.expressions.Window
+
+    // stage 1: quality gate (token-count band)
+    val quality = docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
+
+    // stage 2: exact dedup — keep the lowest doc_id per content hash
+    val exactKept = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+
+    // stage 3: MinHash-LSH near-dedup over the survivors — drop the higher
+    // doc_id of every verified (jaccard >= 0.2) candidate pair
+    val withIds = exactKept
+      .select(col("doc_id"), col("n_tokens"),
+        shingleIds(col("text"), 2).as("ids"))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+      .cache()
+    val banded = withIds.select(col("doc_id"),
+      explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val nearDupLosers = cand
+      .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
+      .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
+      .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = withIds.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    kept.agg(
+      count(lit(1)).as("kept_docs"),
+      sum("n_tokens").as("total_tokens"),
+      round(avg("n_tokens"), 2).as("avg_tokens"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal feature extraction through the real mapPartitions plumbing
