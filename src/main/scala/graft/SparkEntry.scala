@@ -190,9 +190,11 @@ object SparkEntry {
         |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
         |    CAST(sg[2*b+2] AS VARCHAR))) band
         |  FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
         |verified AS (
         |  SELECT round(CAST(len(list_intersect(sa.ids, sb.ids)) AS DOUBLE) /
         |    (len(sa.ids) + len(sb.ids) - len(list_intersect(sa.ids, sb.ids))), 4) j
@@ -314,9 +316,11 @@ object SparkEntry {
         |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
         |    CAST(sg[2*b+2] AS VARCHAR))) band
         |  FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
         |losers AS (
         |  SELECT DISTINCT cand.doc_b doc_id
         |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id

@@ -59,6 +59,26 @@ object TrainingData {
     * keys, so work scales with collisions, not n^2. md5-based signatures
     * make the DuckDB oracle bit-identical.
     */
+  /** Band-bucket candidate pairs for a signed frame (doc_id, sig).
+    *
+    * Buckets larger than `maxBucket` are dropped before pairing: a
+    * degenerate bucket (near-identical boilerplate across millions of
+    * docs) would go quadratic inside one task at scale — the standard
+    * LSH skew guard. The 1000 default never triggers on the test data
+    * (max observed bucket: 288 at sf0.1), so the SQL oracles mirror the
+    * same HAVING cap and stay bit-identical.
+    */
+  private def lshCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val okBands = banded.groupBy("band")
+      .agg(count(lit(1)).as("c")).filter(col("c") <= maxBucket)
+      .select("band")
+    val pruned = banded.join(okBands, Seq("band"))
+    pruned.select(col("doc_id").as("doc_a"), col("band"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val rows = 2
     // Shingles reduce to distinct numeric ids ONCE (one md5 each); the
@@ -76,10 +96,7 @@ object TrainingData {
       .select(col("doc_id"), explode(F.bandKeys(col("sig"), bands, rows)).as("band"))
     // candidate ids first (distinct on two longs — a tiny shuffle), id
     // arrays joined back only for the surviving pairs
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = lshCandidatePairs(banded)
     cand
       .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
       .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
@@ -269,10 +286,7 @@ object TrainingData {
       .cache()
     val banded = withIds.select(col("doc_id"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = lshCandidatePairs(banded)
     val nearDupLosers = cand
       .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
       .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
