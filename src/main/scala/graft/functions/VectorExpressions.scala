@@ -172,7 +172,7 @@ case class ShingleIds(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.toString.trim
-    val toks = text.split("\\s+")
+    val toks = ShingleIds.Whitespace.split(text)
     val ids = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length >= n) {
       val seen = new java.util.HashSet[String]()
@@ -212,6 +212,11 @@ case class ShingleIds(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleIds =
     copy(child = newChild)
+}
+
+object ShingleIds {
+  /** Precompiled: String.split(regex) would recompile the pattern per row. */
+  val Whitespace: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
 }
 
 /** Jaccard similarity of two SORTED long arrays (as produced by
