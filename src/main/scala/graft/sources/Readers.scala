@@ -40,7 +40,10 @@ trait Reader {
     */
   protected def checkColumns(df: DataFrame, source: SourceConfig,
                              fileName: String): DataFrame = {
-    val lowered = df.toDF(df.columns.map(_.toLowerCase.trim): _*)
+    // strip a UTF-8 BOM leaking into the first header cell (Java trim
+    // doesn't remove U+FEFF) so aliases still match
+    val lowered = df.toDF(df.columns.map(
+      _.replace("\uFEFF", "").toLowerCase.trim): _*)
     val actual = lowered.columns.toSet
     val missing = source.requiredAliases.filterNot(actual.contains)
     if (missing.nonEmpty) throw MissingColumnsError(fileName, missing)
@@ -183,8 +186,10 @@ object JsonFlatten {
         df.select(others ++ kids: _*)
       case ArrayType(_: StructType, _) =>
         // index-suffixed flatten of list-of-dicts (reference json.py:55-63);
-        // bounded by the max array length in this file.
-        val maxLen = df.agg(max(size(col(field.name)))).head().getInt(0).max(0)
+        // bounded by the max array length in this file. max() is null when
+        // the column is null in every row — treat as empty, don't NPE.
+        val maxLen = Option(df.agg(max(size(col(field.name)))).head().get(0))
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0).max(0)
         val others = df.columns.filterNot(_ == field.name).map(col)
         val kids = (0 until maxLen).map(i =>
           col(field.name).getItem(i).as(s"${field.name}_$i"))

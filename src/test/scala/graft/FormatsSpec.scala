@@ -324,6 +324,29 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
       .getAs[String]("sales_rep") == "Alice")
   }
 
+  test("CSV with UTF-8 BOM: header aliases still match") {
+    val p = dropDir.resolve("sales_bom.csv")
+    Files.write(p, ("﻿" + Seq(TestSources.SalesHeader,
+      TestSources.salesRow("BOM1")).mkString("\n")).getBytes("UTF-8"))
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 1 && r.publishInserts == 1)
+  }
+
+  test("JSON: array-of-struct field null in every record flattens to nothing, no crash") {
+    val p = dropDir.resolve("ledger_nullarr.json")
+    Files.writeString(p,
+      """{"entries": {"item": [
+        | {"Entry_ID": 1, "Account": {"Code": "A1", "Name": "n"}, "Tags": null,
+        |  "Debit_Amount": 1.0, "Credit_Amount": 0.0, "Description": "d",
+        |  "Transaction_Date": "2025-02-01", "Reference_Number": "R1"},
+        | {"Entry_ID": 2, "Account": {"Code": "A2", "Name": "n"}, "Tags": [{"k": "v"}],
+        |  "Debit_Amount": 2.0, "Credit_Amount": 0.0, "Description": "d",
+        |  "Transaction_Date": "2025-02-02", "Reference_Number": "R2"}
+        |]}}""".stripMargin)
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2)
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
