@@ -21,8 +21,16 @@ object Main {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    def req(k: String): String = opts.getOrElse(k,
-      sys.error(s"missing required option --$k"))
+    // flags override GRAFT_[<ENV_STATE>_]* environment settings (reference
+    // runs entirely off its settings module; the CLI only overrides)
+    val cfg = graft.core.GraftConfig.load()
+    def req(k: String): String = opts.getOrElse(k, k match {
+      case "drop" => cfg.dropDirectory
+      case "archive" => cfg.archiveDirectory
+      case "duplicates" => cfg.duplicatesDirectory
+      case "warehouse" => cfg.warehouseDirectory
+      case other => sys.error(s"missing required option --$other")
+    })
 
     val drop = req("drop")
     val spark = graft.core.GraftSession.getOrCreate()
