@@ -19,7 +19,9 @@ object Retry {
       try return f
       catch {
         case e: FileError => throw e // user-file errors are never transient
-        case e: Throwable if tries < attempts =>
+        // NonFatal: never swallow/retry ControlThrowable (a non-local
+        // `return` inside the by-name block!), OOM, or interrupts
+        case e: Throwable if scala.util.control.NonFatal(e) && tries < attempts =>
           Thread.sleep(delay)
           delay *= 2
       }

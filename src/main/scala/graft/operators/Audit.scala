@@ -50,7 +50,10 @@ object Audit {
         s"stage__${source.tableName}_${System.nanoTime()}")
       stage.createOrReplaceTempView(view)
       try {
-        val row = spark.sql(q.replace("{table}", view)).head()
+        // a query yielding no rows cannot certify anything — fail the audit
+        // cleanly instead of NoSuchElementException
+        val row = spark.sql(q.replace("{table}", view)).collect().headOption
+          .getOrElse(throw AuditFailedError(fileName, Seq("audit_returned_no_rows")))
         val failed = (0 until row.length).flatMap { i =>
           val name = row.schema(i).name
           val zero = row.isNullAt(i) || (row.get(i) match {

@@ -29,7 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Publish {
 
-  final case class MergeResult(merged: DataFrame, inserts: Long, updates: Long)
+  /** `release()` uncaches the merge's internal cached join. Callers must
+    * use it (not `merged.unpersist()`): `merged` is a projection OVER the
+    * cached plan, and Dataset.unpersist only drops a cache entry whose plan
+    * equals the dataset's own — unpersisting the projection is a no-op and
+    * leaks one cached copy of the target per merge.
+    */
+  final case class MergeResult(merged: DataFrame, inserts: Long, updates: Long,
+                               release: () => Unit = () => ())
 
   /** Pre-merge insert/update counts, the reference's standalone A4 semantics
     * (publish/base.py:40-74): inserts = staged - matched;
@@ -89,7 +96,8 @@ object Publish {
       count(when(col("_action") === "update", 1)).as("updates")).head()
 
     val merged = tagged.drop("_action")
-    MergeResult(merged, cnt.getLong(0), cnt.getLong(1))
+    MergeResult(merged, cnt.getLong(0), cnt.getLong(1),
+      release = () => { tagged.unpersist(); () })
   }
 
   /** Empty target with the right schema for first-time publishes. */

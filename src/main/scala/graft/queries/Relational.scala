@@ -131,7 +131,7 @@ object Relational {
       .withColumn("inserts", lit(mr.inserts))
       .withColumn("updates", lit(mr.updates))
       .select("final_count", "inserts", "updates", "total_price")
-    mr.merged.unpersist()
+    mr.release()
     out
   }
 

@@ -97,13 +97,27 @@ object TrainingData {
     // candidate ids first (distinct on two longs — a tiny shuffle), id
     // arrays joined back only for the surviving pairs
     val cand = lshCandidatePairs(banded)
-    cand
+    val result = cand
       .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
       .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
       .select(graft.functions.VectorFunctions
         .jaccardIds(col("ids_a"), col("ids_b")).as("j"))
       .agg(count(lit(1)).as("candidate_pairs"),
         count(when(col("j") >= 0.2, 1)).as("verified_pairs"))
+    materializeAndRelease(result, withIds)
+  }
+
+  /** Collect a SMALL aggregate result eagerly and unpersist its cached
+    * inputs: returning a lazy plan over a cached frame would leak the cache
+    * (the caller has no handle to release it) or recompute on unpersist.
+    */
+  private def materializeAndRelease(small: DataFrame,
+                                    cached: DataFrame*): DataFrame = {
+    val spark = small.sparkSession
+    val rows = small.collect().toSeq
+    cached.foreach(_.unpersist())
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), small.schema)
   }
 
   /** SimHash near-dup: 64-bit per-doc fingerprint (narrow map, no explode),
@@ -294,10 +308,12 @@ object TrainingData {
       .select(col("doc_b").as("doc_id")).distinct()
     val kept = withIds.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
-    kept.agg(
-      count(lit(1)).as("kept_docs"),
-      sum("n_tokens").as("total_tokens"),
-      round(avg("n_tokens"), 2).as("avg_tokens"))
+    materializeAndRelease(
+      kept.agg(
+        count(lit(1)).as("kept_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens")),
+      withIds)
   }
 
   // ------------------------------------------------------------- multimodal

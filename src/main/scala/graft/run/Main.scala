@@ -41,7 +41,7 @@ object Main {
       val notifier: Notifier = opts.get("webhook")
         .map(new WebhookNotifier(_)).getOrElse(new LoggingNotifier)
       val proc = new Processor(spark, DemoSources.registry, store, files,
-        notifier, drop)
+        notifier, drop, filePoolSize = cfg.filePoolSize)
       opts.get("file") match {
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the
@@ -62,9 +62,11 @@ object Main {
               spark, DemoSources.Sales, drop,
               outDir = s"$wh/stream", checkpointDir = s"$wh/stream_checkpoint")
               .awaitTermination()
-            val valid = spark.read.parquet(s"$wh/stream/valid").count()
-            val dlq = try spark.read.parquet(s"$wh/stream/dlq").count()
-                      catch { case _: Throwable => 0L }
+            def countOr0(p: String): Long =
+              try spark.read.parquet(p).count()
+              catch { case _: Throwable => 0L } // sink dir absent: no rows
+            val valid = countOr0(s"$wh/stream/valid")
+            val dlq = countOr0(s"$wh/stream/dlq")
             println(s"stream: valid=$valid dlq=$dlq")
           }
         case Some(f) =>

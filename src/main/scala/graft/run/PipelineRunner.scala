@@ -48,7 +48,15 @@ final class PipelineRunner(
     // stage (and at scale, a quadratic log-rewrite; see TableStore.append).
     logBuffer.set(Vector.empty)
     log(logId, fileName, Some(source.tableName), "start", success = None)
+    // Only delete the drop file once a copy exists elsewhere: an engine /
+    // environment failure BEFORE the archive copy must never destroy the
+    // user's only copy. (Safety improvement over the reference, whose
+    // finally deletes unconditionally, runner.py:270.)
+    var safeToDelete = false
     try {
+      checkDuplicate(fileName, source)
+      files.archive(path) // copy-before-processing (runner.py:142-149)
+      safeToDelete = true
       val result = runStages(path, fileName, source, logId)
       log(logId, fileName, Some(source.tableName), "complete", success = Some(true),
         read = result.recordsRead, failed = result.recordsFailedValidation,
@@ -58,6 +66,7 @@ final class PipelineRunner(
       case e: DuplicateFileError =>
         // not an error: move to duplicates dir and skip (runner.py:127-140)
         files.moveToDuplicates(path)
+        safeToDelete = true // moved (delete is a guarded no-op)
         log(logId, fileName, Some(source.tableName), "duplicate", success = Some(true))
         FileResult(success = true, fileName, Some(e.errorName), logId)
       case e: FileError =>
@@ -70,31 +79,33 @@ final class PipelineRunner(
         } else FileResult(success = false, fileName, Some(e.errorName), logId)
     } finally {
       flushLog()
-      files.deleteFromDrop(path)
+      if (safeToDelete) files.deleteFromDrop(path)
+    }
+  }
+
+  /** P6 duplicate-file predicate: by source_filename in the TARGET table —
+    * content-identical renamed files reload (reference db_utils.py:243-258).
+    * The probe reads the tiny __filenames sidecar (backfilled from the
+    * target on the first post-sidecar publish, then appended on every
+    * publish), NOT the target: at 100 TB a per-file full-target scan is
+    * the difference between O(files-loaded) and O(data).
+    */
+  private def checkDuplicate(fileName: String, source: SourceConfig): Unit = {
+    val sidecar = s"${source.tableName}__filenames"
+    val names =
+      if (store.exists(sidecar)) store.readIfExists(sidecar)
+        .map(_.select("source_filename"))
+      else store.readIfExists(source.tableName)
+        .map(_.select("source_filename").distinct())
+    names.foreach { n =>
+      if (!n.filter(col("source_filename") === fileName).isEmpty)
+        throw DuplicateFileError(fileName, source.tableName)
     }
   }
 
   private def runStages(path: String, fileName: String, source: SourceConfig,
                         logId: Long): FileResult = {
-    // P6 duplicate-file predicate: by source_filename in the TARGET table —
-    // content-identical renamed files reload (reference db_utils.py:243-258).
-    // The probe reads the tiny __filenames sidecar (appended on every
-    // publish), NOT the target: at 100 TB a per-file full-target scan is
-    // the difference between O(files-loaded) and O(data). Tables created
-    // before the sidecar existed fall back to the target scan.
     val sidecar = s"${source.tableName}__filenames"
-    if (store.exists(sidecar)) {
-      store.readIfExists(sidecar).foreach { names =>
-        if (!names.filter(col("source_filename") === fileName).isEmpty)
-          throw DuplicateFileError(fileName, source.tableName)
-      }
-    } else store.readIfExists(source.tableName).foreach { target =>
-      if (!target.filter(col("source_filename") === fileName).isEmpty)
-        throw DuplicateFileError(fileName, source.tableName)
-    }
-
-    files.archive(path) // copy-before-processing (runner.py:142-149)
-
     val reader = ReaderFactory.readerFor(fileName)
     val raw = reader.read(spark, path, source)
     log(logId, fileName, Some(source.tableName), "read", success = Some(true))
@@ -156,9 +167,17 @@ final class PipelineRunner(
       // parallel; the reference got this serialization for free from the
       // database's MERGE.
       val mr = store.withTableLock(source.tableName) {
-        val target = store.readIfExists(source.tableName)
-          .getOrElse(Publish.emptyTarget(spark, source))
+        val existing = store.readIfExists(source.tableName)
+        val target = existing.getOrElse(Publish.emptyTarget(spark, source))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
+        // one-time sidecar backfill for tables populated before the sidecar
+        // existed — otherwise filenames loaded pre-sidecar would stop being
+        // detected as duplicates once the sidecar appears
+        if (!store.exists(sidecar)) existing.foreach { t =>
+          store.append(sidecar, t.select(col("source_filename")).distinct()
+            .withColumn("file_load_log_id", lit(-1L))
+            .withColumn("published_at", lit(now)))
+        }
         val m = Publish.merge(stage, target, source, now)
         store.overwrite(source.tableName, m.merged, source.targetPartitionBy)
         store.vacuum(source.tableName) // bound disk: drop superseded versions
@@ -169,7 +188,7 @@ final class PipelineRunner(
           .toDF("source_filename", "file_load_log_id", "published_at"))
         m
       }
-      mr.merged.unpersist()
+      mr.release()
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
         inserts = mr.inserts, updates = mr.updates)
 

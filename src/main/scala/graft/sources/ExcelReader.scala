@@ -44,6 +44,11 @@ final class ExcelReader extends Reader {
       val in = fs.open(hPath)
       try Xlsx.readSheet(in, opts.sheetName)
       catch {
+        case _: Xlsx.LegacyXlsFormat =>
+          // OLE2 .xls is a different (binary) format this parser does not
+          // read — report it honestly instead of "no data"
+          throw UnsupportedFileTypeError(fileName,
+            ".xls (legacy binary Excel; convert to .xlsx)")
         case _: Xlsx.SheetNotFound =>
           throw NoDataInFileError(fileName)
       } finally in.close()
@@ -86,6 +91,8 @@ object Xlsx {
   final class SheetNotFound(name: String)
       extends RuntimeException(s"sheet not found: $name")
 
+  final class LegacyXlsFormat extends RuntimeException("OLE2 .xls format")
+
   private val xif = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -98,6 +105,10 @@ object Xlsx {
     // Buffer the zip once; entries are read in archive order, which need not
     // put sharedStrings before the sheet.
     val bytes = in.readAllBytes()
+    // OLE2 compound-file magic = legacy binary .xls, not a zip
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+        (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
+      throw new LegacyXlsFormat
     val parts = mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     var e = zin.getNextEntry

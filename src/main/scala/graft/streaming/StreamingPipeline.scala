@@ -32,6 +32,11 @@ object StreamingPipeline {
     *
     * Row numbers are not defined for unbounded input; DLQ rows carry -1
     * (the batch path's per-file numbering needs a bounded file).
+    *
+    * CONTRACT: streaming CSV binds columns to the declared schema BY
+    * POSITION (readStream with a user schema only skips the header line) —
+    * files must carry the source's columns in declaration order. The batch
+    * path matches header names and has no such restriction.
     */
   def dropFolderStream(
       spark: SparkSession,
@@ -110,7 +115,7 @@ object StreamingPipeline {
             val now = new java.sql.Timestamp(System.currentTimeMillis())
             val mr = graft.operators.Publish.merge(stage, target, source, now)
             store.overwrite(source.tableName, mr.merged, source.targetPartitionBy)
-            mr.merged.unpersist()
+            mr.release()
           }
         }
         ()
