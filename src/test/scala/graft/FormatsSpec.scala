@@ -347,6 +347,31 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(r.success && r.recordsRead == 2)
   }
 
+  test("engine failure before archive preserves the drop file") {
+    // corrupt the duplicate-probe sidecar so the pre-archive probe throws a
+    // non-FileError: the drop file must survive (no copy exists yet)
+    val scDir = workDir.resolve("tables/transactions__filenames/seg_1")
+    Files.createDirectories(scDir)
+    Files.writeString(scDir.resolve("junk.parquet"), "not parquet at all")
+    val p = dropDir.resolve("sales_keep.csv")
+    Files.writeString(p, Seq(TestSources.SalesHeader,
+      TestSources.salesRow("K1")).mkString("\n"))
+    intercept[Exception] { processor.processFile(p.toString) }
+    assert(Files.exists(p), "drop file must survive a pre-archive failure")
+    assert(!Files.exists(workDir.resolve("archive/sales_keep.csv")))
+  }
+
+  test("legacy OLE2 .xls reports unsupported format, not 'no data'") {
+    val src = TestSources.inventoryExcel.copy(
+      name = "xls", filePattern = "inventory_*.xls")
+    val proc2 = new Processor(spark, new SourceRegistry(Seq(src)),
+      store, files, notifier, dropDir.toString)
+    val p = dropDir.resolve("inventory_legacy.xls")
+    Files.write(p, Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1).map(_.toByte))
+    val e = intercept[UnsupportedFileTypeError] { proc2.processFile(p.toString) }
+    assert(e.getMessage.contains("legacy binary Excel"))
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
