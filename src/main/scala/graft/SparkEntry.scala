@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (TrainingData.dedupEmbeddingCosine _),
     "sim_topk_bruteforce" -> (TrainingData.simTopkBruteforce _),
     "sim_topk_lsh" -> (TrainingData.simTopkLsh _),
+    "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
     "text_langid" -> (TrainingData.textLangid _),
     "text_tokens" -> (TrainingData.textTokens _),

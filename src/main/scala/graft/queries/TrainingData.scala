@@ -183,10 +183,15 @@ object TrainingData {
   }
 
   /** LSH-bucketed ANN: 6 deterministic random hyperplanes -> 6-bit sign
-    * bucket per vector; queries probe only their own bucket. Candidate work
-    * drops from n^2 to n^2/64 (per bucket); at 100 TB the bucket key is the
-    * shuffle key and each bucket is an independent task. Approximate by
-    * construction -> rows-only check.
+    * bucket per vector; queries MULTI-PROBE every bucket within Hamming
+    * radius 2 of their own (22 of 64 buckets), which lifts recall on this
+    * near-uniform data from 4% (single probe — top-neighbor angles here are
+    * ~60 deg, the adversarial case for hyperplane LSH) while still skipping
+    * two thirds of the candidates; real embedding corpora with tight
+    * neighbor angles get high recall at radius 0-1. At 100 TB the bucket
+    * key is the shuffle key and each bucket is an independent task.
+    * Approximate by construction -> rows-only check; measured against the
+    * exact baseline by [[simLshRecall]].
     */
   def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
@@ -202,8 +207,16 @@ object TrainingData {
 
     val e = normalized(spark, dir)
       .select(col("vec_id"), col("nv"), bucket(col("nv")).as("bkt"))
+    // multi-probe: every bucket within Hamming radius 2 of the query's own
+    // (the query side explodes to 22 probe keys; neighbors stay put)
+    val probeMasks: Seq[Long] =
+      Seq(0L) ++
+      (0 until 6).map(i => 1L << i) ++
+      (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1L << i) | (1L << j))
     val q = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("query_id"), col("nv").as("qv"), col("bkt"))
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+        explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m))): _*))
+          .as("bkt"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("nv").as("nvv"), col("bkt"))
     val scored = q.join(n, Seq("bkt")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -214,6 +227,22 @@ object TrainingData {
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
+  }
+
+  /** Recall of the LSH ANN against the exact brute-force top-5: the
+    * "measure, don't guess" companion to [[simTopkLsh]] — approximate
+    * operators ship with their measured quality. Deterministic (both
+    * operands are); rows-only (the hyperplanes are engine-seeded).
+    */
+  def simLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val approx = simTopkLsh(spark, dir).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val sp = spark
+    import sp.implicits._
+    Seq((total, hits, math.round(hits.toDouble / total * 10000.0) / 10000.0))
+      .toDF("exact_pairs", "lsh_hits", "recall")
   }
 
   // ------------------------------------------------------------ text analysis

@@ -74,6 +74,17 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(VectorFunctions.jaccardIds(a, b)).getDouble(0) == 0.4)
   }
 
+  test("SQL surface: registered functions parse in spark.sql") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       shingle_ids('a b c', 2) AS ids,
+        |       jaccard_ids(array(1L, 2L), array(2L, 3L)) AS j""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[Long](1).length == 2)
+    assert(r.getDouble(2) == 0.3333)
+  }
+
   test("langId: marker words and default") {
     def pred(s: String) = one(F.langId(lit(s), F.tokens(lit(s)))).getString(0)
     assert(pred("der hund und die katze") == "de")
