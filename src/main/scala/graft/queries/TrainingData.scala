@@ -229,6 +229,46 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed ANN: an inverted-file index with deterministic centroids
+    * (every 100th vector), each vector assigned to its nearest centroid,
+    * queries probing their top-2 centroid buckets. The assignment cross
+    * join is n x c with c = n/100 (centroids broadcast); at 100 TB the
+    * bucket is the shuffle key exactly like the LSH variant, but the
+    * centroids are DATA, so a DuckDB oracle reproduces the whole index
+    * bit-for-bit — an oracle-checked approximate index.
+    */
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val e = normalized(spark, dir)
+    val cents = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val sims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val ranked = sims.withColumn("rn", row_number().over(wAssign))
+    val buckets = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+    val data = e.join(buckets, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("nv").as("nvv"), col("bucket"))
+    val qProbe = ranked.filter(col("vec_id") % 25 === 0 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("bucket"))
+    val qv = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+    val scored = qProbe.join(data, Seq("bucket"))
+      .join(qv, Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qv"), col("nvv")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall of the LSH ANN against the exact brute-force top-5: the
     * "measure, don't guess" companion to [[simTopkLsh]] — approximate
     * operators ship with their measured quality. Deterministic (both
