@@ -372,6 +372,38 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(e.getMessage.contains("legacy binary Excel"))
   }
 
+  test("notification matrix: each emailable error type sends and counts as success") {
+    val src = TestSources.salesCsv.copy(
+      name = "notify_all", filePattern = "nsales_*.csv", auditQuery = None,
+      notificationEmails = Seq("team@example.com"))
+    val proc2 = new Processor(spark, new SourceRegistry(Seq(src)),
+      store, files, notifier, dropDir.toString)
+    def run(name: String, content: String): FileResult = {
+      Files.writeString(dropDir.resolve(name), content)
+      proc2.processFile(dropDir.resolve(name).toString).get
+    }
+    val cases = Seq(
+      // blank header
+      ("nsales_h.csv", " , , \nx,y,z", "MissingHeaderError"),
+      // missing required column
+      ("nsales_m.csv", "foo,bar\n1,2", "MissingColumnsError"),
+      // validation failure
+      ("nsales_v.csv", TestSources.SalesHeader + "\n" +
+        "T1,C1,S,notanint,1.0,1.0,2024-01-01,A", "ValidationThresholdExceededError"),
+      // duplicate grain
+      ("nsales_g.csv", TestSources.SalesHeader + "\n" +
+        TestSources.salesRow("G1") + "\n" + TestSources.salesRow("G1"),
+        "GrainValidationError"))
+    cases.foreach { case (name, content, expected) =>
+      val before = notifier.fileErrors.size
+      val r = run(name, content)
+      assert(r.success, s"$expected must count as success when emailed")
+      assert(r.errorName.contains(expected))
+      assert(notifier.fileErrors.size == before + 1 &&
+        notifier.fileErrors.last._3 == expected)
+    }
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
