@@ -82,9 +82,14 @@ final class Processor(
       failed = done.count(!_.success),
       noSource = all.count(_.isEmpty),
       results = done)
+    // per-file error detail, like the reference's results_summary error map
+    // (processor.py:113-157)
+    val failures = done.filter(!_.success)
+      .map(r => s"${r.fileName}=${r.errorName.getOrElse("?")}")
     notifier.notifySummary(
       s"processed=${summary.processed} succeeded=${summary.succeeded} " +
-      s"failed=${summary.failed} no_source=${summary.noSource}")
+      s"failed=${summary.failed} no_source=${summary.noSource}" +
+      (if (failures.nonEmpty) s" failures: ${failures.mkString(", ")}" else ""))
     summary
   }
 
