@@ -149,14 +149,18 @@ final class TableStore(spark: SparkSession, root: String) {
     if (f.exists(dir)) f.delete(dir, true)
   }
 
-  /** Remove version directories other than the current one (vacuum). */
+  /** Remove version directories other than the current one plus any stale
+    * uncommitted temp dirs a crashed writer left behind (vacuum).
+    */
   def vacuum(name: String): Unit = {
     currentVersion(name).foreach { cur =>
       val dir = tableDir(name)
       val f = fs(dir)
       f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v_") && n != cur) f.delete(st.getPath, true)
+        if ((n.startsWith("v_") && n != cur) ||
+            n.startsWith(".tmp_") || n.startsWith("._VERSION.tmp"))
+          f.delete(st.getPath, true)
       }
     }
   }

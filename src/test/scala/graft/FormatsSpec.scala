@@ -404,6 +404,37 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("composite grain: audit and merge key on the column pair") {
+    val src = TestSources.salesCsv.copy(
+      name = "pairgrain", filePattern = "pg_*.csv", auditQuery = None,
+      tableName = "pair_target",
+      grain = Seq("customer_id", "product_sku"))
+    val proc2 = new Processor(spark, new SourceRegistry(Seq(src)),
+      store, files, notifier, dropDir.toString)
+    def row(tx: String, cust: String, sku: String, qty: Int) =
+      s"$tx,$cust,$sku,$qty,1.0,1.0,2024-01-01,A"
+    // same customer with two skus + another customer: pair-unique -> passes
+    Files.writeString(dropDir.resolve("pg_1.csv"), Seq(TestSources.SalesHeader,
+      row("T1", "C1", "S1", 1), row("T2", "C1", "S2", 1),
+      row("T3", "C2", "S1", 1)).mkString("\n"))
+    val r1 = proc2.processFile(dropDir.resolve("pg_1.csv").toString).get
+    assert(r1.success && r1.publishInserts == 3)
+    // update one pair, insert a new pair
+    Files.writeString(dropDir.resolve("pg_2.csv"), Seq(TestSources.SalesHeader,
+      row("T9", "C1", "S2", 7), row("T4", "C2", "S2", 1)).mkString("\n"))
+    val r2 = proc2.processFile(dropDir.resolve("pg_2.csv").toString).get
+    assert(r2.success && r2.publishInserts == 1 && r2.publishUpdates == 1)
+    val t = store.readIfExists("pair_target").get
+    assert(t.count() == 4)
+    assert(t.filter(col("customer_id") === "C1" && col("product_sku") === "S2")
+      .head().getAs[Int]("quantity") == 7)
+    // duplicate PAIR within one file trips the grain audit
+    Files.writeString(dropDir.resolve("pg_3.csv"), Seq(TestSources.SalesHeader,
+      row("T5", "C3", "S1", 1), row("T6", "C3", "S1", 2)).mkString("\n"))
+    val r3 = proc2.processFile(dropDir.resolve("pg_3.csv").toString).get
+    assert(!r3.success && r3.errorName.contains("GrainValidationError"))
+  }
+
   test("Excel: blank header raises MissingHeaderError") {
     val p = dropDir.resolve("inventory_blank.xlsx")
     xlsx(p, Seq("Sheet1" -> Seq(Seq("", "", ""), Seq("SKU1", "x", "y"))))
