@@ -42,7 +42,7 @@ trait Reader {
                              fileName: String): DataFrame = {
     // strip a UTF-8 BOM leaking into the first header cell (Java trim
     // doesn't remove U+FEFF) so aliases still match
-    val lowered = df.toDF(df.columns.map(
+    val lowered = df.toDF(df.columns.toIndexedSeq.map(
       _.replace("\uFEFF", "").toLowerCase.trim): _*)
     val actual = lowered.columns.toSet
     val missing = source.requiredAliases.filterNot(actual.contains)
@@ -174,13 +174,13 @@ object JsonFlatten {
         case Some(f) => out = flattenOne(out, f)
       }
     }
-    out.toDF(out.columns.map(_.toLowerCase): _*)
+    out.toDF(out.columns.toIndexedSeq.map(_.toLowerCase): _*)
   }
 
   private def flattenOne(df: DataFrame, field: StructField): DataFrame =
     field.dataType match {
       case st: StructType =>
-        val others = df.columns.filterNot(_ == field.name).map(col)
+        val others = df.columns.toIndexedSeq.filterNot(_ == field.name).map(col)
         val kids = st.fields.map(k =>
           col(s"`${field.name}`.`${k.name}`").as(s"${field.name}_${k.name}"))
         df.select(others ++ kids: _*)
@@ -190,7 +190,7 @@ object JsonFlatten {
         // the column is null in every row — treat as empty, don't NPE.
         val maxLen = Option(df.agg(max(size(col(field.name)))).head().get(0))
           .map(_.asInstanceOf[Number].intValue).getOrElse(0).max(0)
-        val others = df.columns.filterNot(_ == field.name).map(col)
+        val others = df.columns.toIndexedSeq.filterNot(_ == field.name).map(col)
         val kids = (0 until maxLen).map(i =>
           col(field.name).getItem(i).as(s"${field.name}_$i"))
         df.select(others ++ kids: _*)
