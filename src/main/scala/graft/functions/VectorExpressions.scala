@@ -171,8 +171,19 @@ case class ShingleIds(child: Expression, n: Int)
       java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.toString.trim
-    val toks = ShingleIds.Whitespace.split(text)
+    // Bit-parity with the composable path and the DuckDB oracles requires
+    // the exact semantics of `split(trim(text), "\s+")`: Spark/DuckDB trim
+    // strips U+0020 ONLY (Java String.trim also eats \t\n\r — wrong here),
+    // and Spark's split keeps leading/trailing empty tokens (limit -1), so
+    // text bounded by non-space whitespace tokenizes identically on all
+    // three sides.
+    val raw = input.toString
+    var s = 0
+    var e = raw.length
+    while (s < e && raw.charAt(s) == ' ') s += 1
+    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+    val text = raw.substring(s, e)
+    val toks = ShingleIds.Whitespace.split(text, -1)
     val ids = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length >= n) {
       val seen = new java.util.HashSet[String]()

@@ -54,14 +54,20 @@ final class ExcelReader extends Reader {
       } finally in.close()
     }
 
-    // skip_rows removes leading rows BEFORE the header (reference
-    // excel.py:154-156 consumes skip_rows, then takes the header).
-    val afterSkip = rows.drop(opts.skipRows)
-    if (afterSkip.isEmpty) throw NoDataInFileError(fileName)
-    val header = afterSkip.head
-    if (header.isEmpty || header.forall(_.trim.isEmpty))
+    // Row 1 is always the header (reference excel.py name_columns_by_row=0);
+    // skip_rows then drops the first skip_rows DATA rows (excel.py:154-156
+    // `if index <= self.skip_rows: continue`), same as the CSV reader.
+    if (rows.isEmpty) throw NoDataInFileError(fileName)
+    val header = rows.head
+    // Blank headers, or all-default names (pyexcel numbers headerless
+    // columns: every header blank or integer-like) — excel.py:121-141.
+    val allDefault = header.nonEmpty && header.forall { h =>
+      val t = h.trim
+      t.isEmpty || t.stripPrefix("-").forall(_.isDigit) && t.stripPrefix("-").nonEmpty
+    }
+    if (header.isEmpty || header.forall(_.trim.isEmpty) || allDefault)
       throw MissingHeaderError(fileName)
-    val data = afterSkip.tail
+    val data = rows.tail.drop(opts.skipRows)
     if (data.isEmpty) throw NoDataInFileError(fileName)
 
     val width = header.length

@@ -137,6 +137,12 @@ final class JsonReader extends Reader {
     val records: DataFrame = opts.arrayPath match {
       case Some(p) =>
         val cursor = p.split('.').foldLeft(raw) { (df, seg) =>
+          // A user file missing the configured path is a malformed-file
+          // condition, not an internal error: route it as NoDataInFileError
+          // so email-notification semantics match other bad-file cases
+          // (reference json.py raises NoDataInFileError when the path
+          // yields nothing).
+          if (!df.schema.fieldNames.contains(seg)) throw NoDataInFileError(fileName)
           df.schema(df.schema.fieldIndex(seg)).dataType match {
             case _: ArrayType =>
               df.select(explode(col(seg)).as(seg)).select(col(s"$seg.*"))

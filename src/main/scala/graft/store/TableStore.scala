@@ -115,11 +115,23 @@ final class TableStore(spark: SparkSession, root: String) {
     val tmp = new Path(dir, s"._VERSION.tmp.${counter.incrementAndGet()}")
     val out = f.create(tmp, true)
     try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // rename-over is atomic on HDFS/local; emulate for FS without overwrite
-    if (!f.rename(tmp, pointer(name))) {
-      f.delete(pointer(name), false)
-      if (!f.rename(tmp, pointer(name)))
-        throw new java.io.IOException(s"pointer swap failed for $name")
+    // Atomic rename-with-overwrite via FileContext: FileSystem.rename
+    // refuses to replace an existing destination on local/HDFS, and the
+    // delete-then-rename emulation opens a window where a concurrent reader
+    // sees NO pointer (observing only append segments — a truncated table).
+    // FileContext.rename(OVERWRITE) replaces the pointer in one FS op.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      fc.rename(tmp, pointer(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // last resort for FS without overwrite-rename (e.g. some object
+        // stores): plain rename, then delete+rename with its known window
+        if (!f.rename(tmp, pointer(name))) {
+          f.delete(pointer(name), false)
+          if (!f.rename(tmp, pointer(name)))
+            throw new java.io.IOException(s"pointer swap failed for $name")
+        }
     }
     priorSegs.foreach(s => f.delete(s, true))
   }

@@ -28,7 +28,10 @@ object StreamingPipeline {
     * `Trigger.AvailableNow` processes the backlog then stops (the streaming
     * equivalent of one batch sweep, with exactly-once file tracking in the
     * checkpoint — the duplicate-file guard the batch path does via the
-    * target-table probe comes free from source file tracking).
+    * target-table probe comes free from source file tracking). End-to-end
+    * the sinks are effectively-once: outputs are partitioned by batchId and
+    * written with dynamic partition overwrite, so batch replay rewrites the
+    * same partition rather than duplicating rows.
     *
     * Row numbers are not defined for unbounded input; DLQ rows carry -1
     * (the batch path's per-file numbering needs a bounded file).
@@ -59,16 +62,29 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent re-delivery: each sink is partitioned by the
+        // exactly-once batchId and written with DYNAMIC partition
+        // overwrite, so a batch retried after a partial (or complete)
+        // write replaces its own partition instead of appending
+        // duplicates. Blind appends here would be at-least-once.
         val cached = batch.cache()
         try {
           cached.filter(col(Validator.IsValidCol))
             .drop(Validator.ErrorsCol, Validator.IsValidCol, Validator.RawRecordCol)
-            .write.mode("append").parquet(s"$outDir/valid")
+            .withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(s"$outDir/valid")
           cached.filter(!col(Validator.IsValidCol))
             .select(col("source_filename"), col("file_row_number"),
               col(Validator.RawRecordCol).as("file_record_data"),
               to_json(col(Validator.ErrorsCol)).as("validation_errors"))
-            .write.mode("append").parquet(s"$outDir/dlq")
+            .withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(s"$outDir/dlq")
         } finally cached.unpersist()
         ()
       }

@@ -167,6 +167,29 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
       .filter(col("sku") === "SKU9").count() == 1)
   }
 
+  test("Excel skip_rows: header kept from row 1, first data rows skipped") {
+    // Reference excel.py: name_columns_by_row=0 takes row 1 as the header,
+    // THEN `if index <= skip_rows: continue` drops the first data rows —
+    // same semantics as the CSV reader, never treating a data row as header.
+    val src = TestSources.inventoryExcel.copy(
+      name = "inv_skip", filePattern = "inventory_skip*.xlsx",
+      formatOptions = ExcelOptions(skipRows = 2))
+    val reg = new SourceRegistry(Seq(src))
+    val proc2 = new Processor(spark, reg, store, files, notifier, dropDir.toString)
+    val p = dropDir.resolve("inventory_skip.xlsx")
+    xlsx(p, Seq("Sheet1" -> Seq(
+      productHeader,
+      Seq("SKIPA", "Widget", "Tools", "9.99", "5", "Acme", "45306", "45306"),
+      Seq("SKIPB", "Widget", "Tools", "9.99", "5", "Acme", "45306", "45306"),
+      Seq("KEEP1", "Widget", "Tools", "9.99", "5", "Acme", "45306", "45306"),
+      Seq("KEEP2", "Gadget", "Tools", "19.99", "2", "Acme", "45307", "45307"))))
+    val r = proc2.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2)
+    val t = store.readIfExists("products").get
+    assert(t.filter(col("sku").startsWith("SKIP")).isEmpty)
+    assert(t.filter(col("sku").startsWith("KEEP")).count() == 2)
+  }
+
   test("customer model: cleaners run before cast, email validated, maxLength enforced") {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{length => slen, _}

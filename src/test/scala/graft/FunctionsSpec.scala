@@ -66,6 +66,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(VectorFunctions.shingleIds(lit("solo"), 2)).getSeq[Long](0).isEmpty)
   }
 
+  test("shingle_ids: non-space whitespace at the edges keeps bit-parity") {
+    // Spark/DuckDB trim strips U+0020 only; \t \n \r at the boundaries must
+    // tokenize identically through the fused expression and the composable
+    // chain (ADVICE r1: Java String.trim broke this)
+    for (raw <- Seq("\tthe quick brown fox", "the quick brown fox\n",
+                    " \t mixed edges case \r ", "a  b\t\tc")) {
+      val text = lit(raw)
+      val fused = one(VectorFunctions.shingleIds(text, 2)).getSeq[Long](0)
+      val chain = one(array_distinct(F.shingleIds(F.shingles(F.tokens(text), 2))))
+        .getSeq[Long](0)
+      assert(fused.sorted == chain.sorted, s"parity broke for ${raw.replace("\t", "\\t")}")
+    }
+  }
+
   test("jaccard_ids: merge-scan matches generic set jaccard on sorted arrays") {
     val a = array(lit(1L), lit(3L), lit(5L), lit(9L))
     val b = array(lit(3L), lit(4L), lit(9L))
