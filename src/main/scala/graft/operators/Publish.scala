@@ -4,6 +4,7 @@ import graft.core.SourceConfig
 import graft.store.Schemas
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Merge-publish: the engine's MERGE upsert (reference
   * src/pipeline/publish/base.py:28-97 and the five dialect implementations,
@@ -57,6 +58,21 @@ object Publish {
 
   def merge(stage: DataFrame, target: DataFrame, source: SourceConfig,
             now: java.sql.Timestamp): MergeResult = {
+    val tagged = taggedMerge(stage, target, source, now).cache()
+
+    val cnt = tagged.agg(
+      count(when(col("_action") === "insert", 1)).as("inserts"),
+      count(when(col("_action") === "update", 1)).as("updates")).head()
+
+    val merged = tagged.drop("_action")
+    MergeResult(merged, cnt.getLong(0), cnt.getLong(1),
+      release = () => { tagged.unpersist(); () })
+  }
+
+  /** The merged relation with an `_action` tag column, uncached. */
+  private def taggedMerge(stage: DataFrame, target: DataFrame,
+                          source: SourceConfig,
+                          now: java.sql.Timestamp): DataFrame = {
     val grain = source.grain
     val modelCols = source.columns.map(_.name)
     val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
@@ -87,17 +103,41 @@ object Publish {
       when(col("_action") === "update", lit(now))
         .otherwise(col("t.etl_updated_at")).as("etl_updated_at"))
 
-    val tagged = joined.withColumn("_action", action)
+    joined.withColumn("_action", action)
       .select(outCols :+ col("_action"): _*)
-      .cache()
+  }
 
-    val cnt = tagged.agg(
-      count(when(col("_action") === "insert", 1)).as("inserts"),
-      count(when(col("_action") === "update", 1)).as("updates")).head()
+  /** Merge plan whose insert/update counts materialize as a SIDE EFFECT of
+    * the caller's write action (`Dataset.observe` / CollectMetrics) instead
+    * of a separate cached count job: the write is the only pass over the
+    * join. `counts()` blocks until an action has run the plan.
+    *
+    * `targetKnownEmpty = true` (first publish of a table) skips the
+    * full-outer join entirely — every staged row is an insert, the plan is a
+    * narrow projection, and the publish write involves NO shuffle at all.
+    */
+  final case class MergePlan(merged: DataFrame, counts: () => (Long, Long))
 
-    val merged = tagged.drop("_action")
-    MergeResult(merged, cnt.getLong(0), cnt.getLong(1),
-      release = () => { tagged.unpersist(); () })
+  def mergePlan(stage: DataFrame, target: DataFrame, source: SourceConfig,
+                now: java.sql.Timestamp,
+                targetKnownEmpty: Boolean = false): MergePlan = {
+    val obs = org.apache.spark.sql.Observation()
+    if (targetKnownEmpty) {
+      val modelCols = source.columns.map(_.name)
+      val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
+      val merged = stage.select(dataCols.map(col): _*)
+        .withColumn("etl_created_at", lit(now))
+        .withColumn("etl_updated_at", lit(null).cast(TimestampType))
+        .observe(obs, count(lit(1)).as("inserts"))
+      MergePlan(merged, () => (obs.get("inserts").asInstanceOf[Long], 0L))
+    } else {
+      val observed = taggedMerge(stage, target, source, now).observe(obs,
+        count(when(col("_action") === "insert", 1)).as("inserts"),
+        count(when(col("_action") === "update", 1)).as("updates"))
+      MergePlan(observed.drop("_action"),
+        () => (obs.get("inserts").asInstanceOf[Long],
+               obs.get("updates").asInstanceOf[Long]))
+    }
   }
 
   /** Empty target with the right schema for first-time publishes. */

@@ -85,9 +85,17 @@ object Validator {
     }
   }
 
-  /** Build the full validation projection over a raw read. */
+  /** Build the full validation projection over a raw read.
+    *
+    * `withRawRecord = false` omits the `file_record_data` JSON payload —
+    * a to_json over every pre-cast column that only DLQ records ever read.
+    * The happy-path validation pass (clean files, the common case at scale)
+    * skips it and caches a materially smaller frame; error files take a
+    * second pass with payloads (and row numbers) enabled.
+    */
   def compile(raw: DataFrame, source: SourceConfig, fileName: String,
-              logId: Long, excelDates: Boolean = false): DataFrame = {
+              logId: Long, excelDates: Boolean = false,
+              withRawRecord: Boolean = true): DataFrame = {
     val specs = source.columns
 
     // P1 alias rename + projection: unmapped file columns drop here
@@ -103,7 +111,9 @@ object Validator {
                       else lit(null).cast(StringType)).as(s.name)) :+
         rowNum.as("file_row_number"): _*)
 
-    val rawRecord = to_json(struct(specs.map(s => col(s.name)): _*)).as(RawRecordCol)
+    val rawRecord =
+      if (withRawRecord) Seq(to_json(struct(specs.map(s => col(s.name)): _*)).as(RawRecordCol))
+      else Seq.empty[Column]
 
     // Per-spec: cleaned -> cast, with every violated rule contributing one
     // error struct. array(...) of conditional nulls -> filter = compact.
@@ -136,7 +146,7 @@ object Validator {
     val errorsArr = filter(array(errorExprs: _*), e => e.isNotNull).as(ErrorsCol)
 
     val projected = aliased.select(
-      castCols ++ Seq(col("file_row_number"), rawRecord, errorsArr): _*)
+      castCols ++ Seq(col("file_row_number")) ++ rawRecord ++ Seq(errorsArr): _*)
 
     // V4 row hash over sorted model fields (applied to the CAST values; the
     // reference hashes the validated/coerced record, validator.py:110-112).
@@ -160,8 +170,9 @@ object Validator {
     * (validator.py:131-138).
     */
   def validate(raw: DataFrame, source: SourceConfig, fileName: String,
-               logId: Long, excelDates: Boolean = false): ValidationResult = {
-    val all = compile(raw, source, fileName, logId, excelDates).cache()
+               logId: Long, excelDates: Boolean = false,
+               withRawRecord: Boolean = true): ValidationResult = {
+    val all = compile(raw, source, fileName, logId, excelDates, withRawRecord).cache()
     val counts = all.agg(
       count(lit(1)).as("total"),
       count(when(!col(IsValidCol), 1)).as("errors")).head()

@@ -20,10 +20,23 @@ import org.apache.spark.sql.types._
   */
 object TrainingData {
 
+  /** Fan a scan out to the session's parallelism when the file layout
+    * cannot: the bench corpora are single-row-group parquet files, which
+    * scan as ONE task no matter the split config — and every narrow per-row
+    * stage (shingling, signatures, vector math, the expensive part of these
+    * queries) would run single-threaded behind it. The repartition only
+    * fires when the scan has far fewer partitions than cores; production
+    * multi-row-group data keeps its native (shuffle-free) layout.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= par) df.repartition(par) else df
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    fanOut(spark.read.parquet(s"$dir/documents.parquet"))
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    fanOut(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   // ---------------------------------------------------------------- dedup
 
@@ -69,10 +82,12 @@ object TrainingData {
     * same HAVING cap and stay bit-identical.
     */
   private def lshCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val okBands = banded.groupBy("band")
-      .agg(count(lit(1)).as("c")).filter(col("c") <= maxBucket)
-      .select("band")
-    val pruned = banded.join(okBands, Seq("band"))
+    // bucket-size cap as a window count: ONE exchange on the band key both
+    // prunes oversized buckets and pre-partitions the self-join below (a
+    // groupBy + join-back would shuffle the banded frame twice more)
+    val pruned = banded
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= maxBucket).drop("_bc")
     pruned.select(col("doc_id").as("doc_a"), col("band"))
       .join(pruned.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
@@ -277,12 +292,16 @@ object TrainingData {
   def simLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
     val approx = simTopkLsh(spark, dir).select("query_id", "neighbor_id")
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
-    val total = exact.count()
-    val sp = spark
-    import sp.implicits._
-    Seq((total, hits, math.round(hits.toDouble / total * 10000.0) / 10000.0))
-      .toDF("exact_pairs", "lsh_hits", "recall")
+      .withColumn("_hit", lit(1))
+    // one pass: a left join marks hits, a single aggregate produces total,
+    // hits, and recall — counting hits and total separately would execute
+    // the whole brute-force subplan twice
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        count(col("_hit")).as("lsh_hits"))
+      .select(col("exact_pairs"), col("lsh_hits"),
+        round(col("lsh_hits").cast(DoubleType) / col("exact_pairs"), 4)
+          .as("recall"))
   }
 
   // ------------------------------------------------------------ text analysis
@@ -354,25 +373,43 @@ object TrainingData {
         size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
 
-    // stage 2: exact dedup — keep the lowest doc_id per content hash
+    // stage 2: exact dedup — keep the lowest doc_id per content hash. A
+    // hash AGGREGATION, not a sort window: partial aggregation combines
+    // duplicates map-side before the shuffle (a boilerplate-heavy corpus
+    // shuffles one row per distinct text per partition, not every row), and
+    // no per-partition sort of full documents. text/n_tokens are constant
+    // within a hash group, so first() is deterministic by value.
     val exactKept = quality
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"),
+        first("text").as("text"), first("n_tokens").as("n_tokens"))
+      .drop("h")
 
     // stage 3: MinHash-LSH near-dedup over the survivors — drop the higher
-    // doc_id of every verified (jaccard >= 0.2) candidate pair
+    // doc_id of every verified (jaccard >= 0.2) candidate pair. Shingle id
+    // arrays ride along INTO the band self-join, so verification is a
+    // filter on the join output: no distinct-pairs shuffle and no join-back
+    // to fetch the arrays. A pair colliding in several bands re-checks a
+    // cheap merge-scan Jaccard instead of paying a dedup shuffle; the loser
+    // set is identical. The skew cap (drop bands > 1000 docs — degenerate
+    // boilerplate buckets would go quadratic) is a window count over the
+    // band partitioning, which the self-join then REUSES: one exchange
+    // feeds both.
     val withIds = exactKept
       .select(col("doc_id"), col("n_tokens"),
         shingleIds(col("text"), 2).as("ids"))
       .withColumn("sig", minhashSig(col("ids"), 16))
       .cache()
-    val banded = withIds.select(col("doc_id"),
+    val banded = withIds.select(col("doc_id"), col("ids"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
-    val cand = lshCandidatePairs(banded)
-    val nearDupLosers = cand
-      .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
-      .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
+    val pruned = banded
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= 1000).drop("_bc")
+    val nearDupLosers = pruned
+      .select(col("doc_id").as("doc_a"), col("ids").as("ids_a"), col("band"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"),
+        col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
       .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
       .select(col("doc_b").as("doc_id")).distinct()
     val kept = withIds.join(nearDupLosers, Seq("doc_id"), "left_anti")

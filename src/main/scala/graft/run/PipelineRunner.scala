@@ -110,25 +110,32 @@ final class PipelineRunner(
     val raw = reader.read(spark, path, source)
     log(logId, fileName, Some(source.tableName), "read", success = Some(true))
 
-    // Validate the UNNUMBERED frame first — clean files (the common case at
-    // scale) never pay the zipWithIndex numbering pass. Files with errors
-    // re-validate over the numbered frame so DLQ records carry real
-    // file_row_numbers.
-    val vr = Validator.validate(raw.df, source, fileName, logId,
-      excelDates = reader.isInstanceOf[ExcelReader])
+    // Validate the UNNUMBERED frame first, without the DLQ JSON payload —
+    // clean files (the common case at scale) pay neither the zipWithIndex
+    // numbering pass nor a to_json over every row. Files with errors
+    // re-validate over the numbered frame with payloads enabled so DLQ
+    // records carry real file_row_numbers and file_record_data.
+    // A single-file drop often scans as one task (one parquet row group /
+    // one CSV split): fan the validation out across the cluster when the
+    // scan itself can't. Only fires on under-partitioned reads — large
+    // multi-split files keep their native layout, no gratuitous shuffle.
+    val par = spark.sparkContext.defaultParallelism
+    val validationInput =
+      if (raw.df.rdd.getNumPartitions * 2 <= par) raw.df.repartition(par)
+      else raw.df
+    val vr = Validator.validate(validationInput, source, fileName, logId,
+      excelDates = reader.isInstanceOf[ExcelReader], withRawRecord = false)
     var vrNumbered: Option[graft.operators.ValidationResult] = None
     try {
       // WRITE: DLQ rows always persist (even below-threshold successes keep
       // their DLQ rows, reference test_csv.py:100-131).
       if (vr.errorCount > 0) {
-        val vrN =
-          if (raw.df.columns.contains(graft.sources.Reader.RowNumCol)) vr
-          else {
-            val n = Validator.validate(raw.numbered(), source, fileName, logId,
-              excelDates = reader.isInstanceOf[ExcelReader])
-            vrNumbered = Some(n)
-            n
-          }
+        val vrN = {
+          val n = Validator.validate(raw.numbered(), source, fileName, logId,
+            excelDates = reader.isInstanceOf[ExcelReader])
+          vrNumbered = Some(n)
+          n
+        }
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         val dlqRows = vrN.dlq.select(
           col("source_filename"),
@@ -166,7 +173,7 @@ final class PipelineRunner(
       // swap would drop the other's rows. Different targets publish in
       // parallel; the reference got this serialization for free from the
       // database's MERGE.
-      val mr = store.withTableLock(source.tableName) {
+      val (mInserts, mUpdates) = store.withTableLock(source.tableName) {
         val existing = store.readIfExists(source.tableName)
         val target = existing.getOrElse(Publish.emptyTarget(spark, source))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
@@ -178,7 +185,10 @@ final class PipelineRunner(
             .withColumn("file_load_log_id", lit(-1L))
             .withColumn("published_at", lit(now)))
         }
-        val m = Publish.merge(stage, target, source, now)
+        // counts are observed during the overwrite's write job (no separate
+        // cached count pass); first publishes skip the merge join entirely
+        val m = Publish.mergePlan(stage, target, source, now,
+          targetKnownEmpty = existing.isEmpty)
         store.overwrite(source.tableName, m.merged, source.targetPartitionBy)
         store.vacuum(source.tableName) // bound disk: drop superseded versions
         // record the filename in the probe sidecar (atomic segment append)
@@ -186,11 +196,10 @@ final class PipelineRunner(
         import sp.implicits._
         store.append(sidecar, Seq((fileName, logId, now))
           .toDF("source_filename", "file_load_log_id", "published_at"))
-        m
+        m.counts()
       }
-      mr.release()
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
-        inserts = mr.inserts, updates = mr.updates)
+        inserts = mInserts, updates = mUpdates)
 
       // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
       // current run's rows survive (reference delete/base.py:36-41).
@@ -206,8 +215,8 @@ final class PipelineRunner(
       FileResult(success = true, fileName, None, logId,
         recordsRead = vr.totalCount,
         recordsFailedValidation = vr.errorCount,
-        publishInserts = mr.inserts,
-        publishUpdates = mr.updates)
+        publishInserts = mInserts,
+        publishUpdates = mUpdates)
     } finally {
       vr.all.unpersist()
       vrNumbered.foreach(_.all.unpersist())

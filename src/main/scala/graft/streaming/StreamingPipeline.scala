@@ -125,13 +125,13 @@ object StreamingPipeline {
             Validator.RawRecordCol, "file_row_number")
         if (!stage.isEmpty) {
           store.withTableLock(source.tableName) {
-            val target = store.readIfExists(source.tableName)
-              .getOrElse(graft.operators.Publish.emptyTarget(
-                batch.sparkSession, source))
+            val existing = store.readIfExists(source.tableName)
+            val target = existing.getOrElse(graft.operators.Publish.emptyTarget(
+              batch.sparkSession, source))
             val now = new java.sql.Timestamp(System.currentTimeMillis())
-            val mr = graft.operators.Publish.merge(stage, target, source, now)
+            val mr = graft.operators.Publish.mergePlan(stage, target, source,
+              now, targetKnownEmpty = existing.isEmpty)
             store.overwrite(source.tableName, mr.merged, source.targetPartitionBy)
-            mr.release()
           }
         }
         ()

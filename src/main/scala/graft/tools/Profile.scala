@@ -66,8 +66,72 @@ object Profile {
         graft.operators.Validator.compile(
           graft.sources.Reader.withRowNumbers(orders, 1),
           graft.queries.PipelineBench.OrdersSource, "x", 0L).count())
+      // per-job breakdown of the full pipeline
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description"))
+              .orElse(Option(j.properties.getProperty("callSite.short"))).getOrElse("?")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(j.jobId, (0L, "?"))
+          println(f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       time("full pipeline_etl")(
         graft.queries.PipelineBench.pipelineEtl(spark, dir).head())
+      Thread.sleep(500)
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("queries")) {
+      // repeat-time individual queries (name list after the mode arg)
+      val names = args.drop(2).toSeq match {
+        case Nil => Seq("dedup_minhash_lsh", "curate_corpus")
+        case xs => xs
+      }
+      spark.read.parquet(s"$dir/documents.parquet").count() // warm FS cache
+      for (n <- names; i <- 1 to 2)
+        time(s"$n run$i")(graft.SparkEntry.queries(n)(spark, dir).collect())
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("curate")) {
+      val t0 = System.nanoTime()
+      import org.apache.spark.sql.expressions.Window
+      val quality = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
+      time("1 quality count")(quality.count())
+      val exactKept = quality
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      time("2 exact dedup count")(exactKept.count())
+      val withIds = exactKept
+        .select(col("doc_id"), col("n_tokens"),
+          VectorFunctions.shingleIds(col("text"), 2).as("ids"))
+        .withColumn("sig", VectorFunctions.minhashSig(col("ids"), 16))
+        .cache()
+      time("3 ids+sig cache")(withIds.count())
+      val banded = withIds.select(col("doc_id"),
+        explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+      val okBands = banded.groupBy("band")
+        .agg(count(lit(1)).as("c")).filter(col("c") <= 1000).select("band")
+      val pruned = banded.join(okBands, Seq("band"))
+      val cand = pruned.select(col("doc_id").as("doc_a"), col("band"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      time("4 candidates")(cand.count())
+      val losers = cand
+        .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
+        .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
+        .filter(VectorFunctions.jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept = withIds.join(losers, Seq("doc_id"), "left_anti")
+      time("5 final agg")(kept.agg(count(lit(1)), sum("n_tokens")).head())
+      println(f"total: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.stop(); return
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
