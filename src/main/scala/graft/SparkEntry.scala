@@ -55,9 +55,24 @@ object SparkEntry {
     "text_fingerprint" -> (TrainingData.textFingerprint _),
     "multimodal_features" -> (TrainingData.multimodalFeatures _),
     "curate_corpus" -> (TrainingData.curateCorpus _),
+    // corpus management (splits, sampling, n-gram stats, portable simhash,
+    // duplicate clustering)
+    "split_train_val" -> (TrainingData.splitTrainVal _),
+    "sample_stratified" -> (TrainingData.sampleStratified _),
+    "text_ngrams" -> (TrainingData.textNgrams _),
+    "dedup_simhash_md5" -> (TrainingData.dedupSimhashMd5 _),
+    "dup_clusters" -> (TrainingData.dupClusters _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
+
+  /** DuckDB bit-vote expression mirroring TrainingData.dedupSimhashMd5's 60
+    * per-bit vote aggregates (sign of the +1/-1 vote sum sets each bit).
+    */
+  private val simhashVoteSql: String = (0 until 60).map { b =>
+    s"CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) >= 0" +
+      s" THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
 
   /** DuckDB oracle SQL per query (omitted for xxhash64-based and
     * approximate operators -> driver records a rows-only check).
@@ -367,6 +382,97 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | round(avg(n_tokens), 2) AS avg_tokens
         |FROM kept""".stripMargin,
+    "split_train_val" ->
+      """SELECT split, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_tokens), 2) AS avg_tokens
+        |FROM (
+        |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |              ELSE 'test' END split,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n_tokens
+        |  FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 100 b, text
+        |        FROM documents) x) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_stratified" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | round(CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |   AS sample_rate
+        |FROM (
+        |  SELECT source,
+        |   ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 10 = 7 s
+        |  FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_ngrams" ->
+      """SELECT ngram, count(*) AS df FROM (
+        |  SELECT unnest(list_distinct(list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i+1]))) ngram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x) t
+        |GROUP BY 1 ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "dedup_simhash_md5" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+        |        FROM documents) x),
+        |fp AS (
+        |  SELECT doc_id, CAST($simhashVoteSql AS BIGINT) fp
+        |  FROM tok GROUP BY doc_id),
+        |p AS (
+        |  SELECT CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) d
+        |  FROM fp a JOIN fp b ON a.doc_id + 1 = b.doc_id)
+        |SELECT count(*) AS pairs,
+        | CAST(sum(CASE WHEN d <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS within_8,
+        | CAST(sum(CASE WHEN d <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS within_16,
+        | CAST(min(d) AS BIGINT) AS min_hamming
+        |FROM p""".stripMargin,
+    "dup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
+        |u AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, ids,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
+        |bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
+        |  FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id
+        |            JOIN u ub ON cand.doc_b = ub.doc_id
+        |  WHERE round(CAST(len(list_intersect(ua.ids, ub.ids)) AS DOUBLE) /
+        |    (len(ua.ids) + len(ub.ids) - len(list_intersect(ua.ids, ub.ids))), 4) >= 0.2),
+        |bi AS (
+        |  SELECT doc_a sv, doc_b dv FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |verts AS (SELECT DISTINCT sv v FROM bi),
+        |reach(a, b) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT reach.a, bi.dv FROM reach JOIN bi ON reach.b = bi.sv),
+        |labels AS (SELECT a id, min(b) lbl FROM reach GROUP BY a),
+        |sizes AS (SELECT lbl, count(*) sz FROM labels GROUP BY lbl)
+        |SELECT count(*) AS n_clusters,
+        | CAST(sum(sz) AS BIGINT) AS docs_in_clusters,
+        | CAST(max(sz) AS BIGINT) AS max_cluster_size
+        |FROM sizes""".stripMargin,
     "pipeline_etl" ->
       """SELECT count(*) AS records_read,
         | CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_totalprice <= 0

@@ -422,6 +422,153 @@ object TrainingData {
       withIds)
   }
 
+  // -------------------------------------------- corpus management operators
+
+  /** Portable 60-bit hash of a string column: md5 is bit-identical across
+    * Spark and DuckDB, and 15 hex digits fit a non-negative BIGINT on both
+    * sides — the repo's standard oracle-checkable hashing idiom.
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Deterministic train/val/test split: a content-independent hash of the
+    * document id buckets every row reproducibly (80/10/10) with no shuffle,
+    * no RNG state, and no coordination — the split survives reruns,
+    * repartitioning, and incremental arrivals, which sampled or positional
+    * splits do not. One narrow map + a 3-group aggregate at any scale.
+    */
+  def splitTrainVal(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = h60(col("doc_id").cast(StringType)) % 100
+    docs(spark, dir)
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("split")
+  }
+
+  /** Stratified deterministic sampling: an exact-rate hash sample (1 in 10,
+    * salted so it decorrelates from the split hash) reported per stratum.
+    * Being a pure filter it composes with any downstream pipeline and needs
+    * no per-stratum state; rates converge per-source by hash uniformity.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = h60(concat(lit("sample:"), col("doc_id").cast(StringType))) % 10 === 7
+    docs(spark, dir)
+      .select(col("source"), sampled.as("s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("s"), 1)).as("n_sampled"),
+        round(count(when(col("s"), 1)).cast(DoubleType) / count(lit(1)), 4)
+          .as("sample_rate"))
+      .orderBy("source")
+  }
+
+  /** Corpus-wide top-k n-grams by document frequency (distinct bigrams per
+    * doc -> explode -> count): the n-gram statistics a contamination /
+    * boilerplate scan runs. Partial aggregation collapses counts before the
+    * shuffle; only k rows reach the driver.
+    */
+  def textNgrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(F.shingles(F.tokens(col("text")), 2)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+
+  /** Oracle-checkable SimHash: 60-bit fingerprints from md5 token hashes
+    * (bit-identical in DuckDB, unlike the fused xxhash64 [[dedupSimhash]],
+    * which stays as the fast engine-internal variant). Per-token bit votes
+    * aggregate map-side into 60 counters per doc — one narrow pass + one
+    * small shuffle; the consecutive-id pairing keeps the verification
+    * linear.
+    */
+  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val withH = docs(spark, dir)
+      .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val fpExpr = (0 until 60).map(b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val fps = withH.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
+    val a = fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, col("doc_a") + 1 === col("doc_b"))
+      .select(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("d"))
+      .agg(count(lit(1)).as("pairs"),
+        count(when(col("d") <= 8, 1)).as("within_8"),
+        count(when(col("d") <= 16, 1)).as("within_16"),
+        min("d").as("min_hamming"))
+  }
+
+  /** Duplicate-cluster extraction: connected components over the verified
+    * near-dup pair graph (same md5 MinHash-LSH basis as
+    * [[dedupMinhashLsh]]), via distributed min-label propagation — each
+    * round every vertex takes the min label among itself and its neighbors,
+    * converging to the component's min doc_id in O(diameter) rounds.
+    * Near-dup components are small cliques (diameter 1-2), so this is 2-3
+    * tiny joins; no driver-side union-find, no GraphFrames dependency. A
+    * real dedup keeps one representative per CLUSTER (pairwise drops
+    * over-delete chains) — this is the operator that makes that correct.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
+    import org.apache.spark.sql.expressions.Window
+
+    val withIds = docs(spark, dir).select(col("doc_id"),
+        shingleIds(col("text"), 2).as("ids"))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+    val banded = withIds.select(col("doc_id"), col("ids"),
+      explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    val pruned = banded
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= 1000).drop("_bc")
+    val edges = pruned
+      .select(col("doc_id").as("doc_a"), col("ids").as("ids_a"), col("band"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"),
+        col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
+      .select("doc_a", "doc_b").distinct()
+      .cache()
+
+    val bi = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = bi.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint() // truncate lineage: iterative plans otherwise grow
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.drop("chg")
+      rounds += 1
+    }
+
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+    val result = sizes.agg(
+      count(lit(1)).as("n_clusters"),
+      sum("sz").as("docs_in_clusters"),
+      max("sz").as("max_cluster_size"))
+    materializeAndRelease(result, edges)
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal feature extraction through the real mapPartitions plumbing
