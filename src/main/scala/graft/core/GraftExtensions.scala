@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaccard_ids"),
       new ExpressionInfo(classOf[JaccardIds].getName, "jaccard_ids"),
       (exprs: Seq[Expression]) => JaccardIds(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }

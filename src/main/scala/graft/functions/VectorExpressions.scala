@@ -230,6 +230,65 @@ object ShingleIds {
   val Whitespace: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
 }
 
+/** Fused text -> distinct word-n-gram shingle STRINGS, one JVM pass per row
+  * — the string-output sibling of [[ShingleIds]] for operators that need the
+  * n-gram text itself (corpus n-gram statistics), not its hash. Semantically
+  * identical to `array_distinct(shingles(tokens(text), n))` (first-seen
+  * order), whose interpreted HOF chain costs ~1 ms per document; tokenizer
+  * semantics (U+0020-only trim, `\s+` split keeping empty edge tokens) match
+  * [[ShingleIds]], [[TextFunctions.tokens]], and the SQL oracles exactly.
+  */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.toString
+    var s = 0
+    var e = raw.length
+    while (s < e && raw.charAt(s) == ' ') s += 1
+    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+    val toks = ShingleIds.Whitespace.split(raw.substring(s, e), -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length >= n) {
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var idx = 0
+    while (it.hasNext) {
+      arr(idx) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      idx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two SORTED long arrays (as produced by
   * [[ShingleIds]]): one merge scan, no per-row hash sets — the generic
   * `size(array_intersect(a,b))` builds two hash sets per pair, which
@@ -321,6 +380,11 @@ object VectorFunctions {
       FunctionIdentifier("jaccard_ids"),
       new ExpressionInfo(classOf[JaccardIds].getName, "jaccard_ids"),
       (exprs: Seq[Expression]) => JaccardIds(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]))
   }
 
   /** Codegen'd dot product; requires [[register]] on the session. */
@@ -336,4 +400,8 @@ object VectorFunctions {
 
   /** Merge-scan Jaccard over sorted id arrays; requires [[register]]. */
   def jaccardIds(a: Column, b: Column): Column = call_function("jaccard_ids", a, b)
+
+  /** Fused distinct word-n-gram shingle strings; requires [[register]]. */
+  def shingleStrings(text: Column, n: Int): Column =
+    call_function("shingle_strings", text, org.apache.spark.sql.functions.lit(n))
 }

@@ -473,13 +473,16 @@ object TrainingData {
     * boilerplate scan runs. Partial aggregation collapses counts before the
     * shuffle; only k rows reach the driver.
     */
-  def textNgrams(spark: SparkSession, dir: String): DataFrame =
+  def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     docs(spark, dir)
-      .select(explode(F.shingles(F.tokens(col("text")), 2)).as("ngram"))
+      .select(explode(graft.functions.VectorFunctions
+        .shingleStrings(col("text"), 2)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
+  }
 
   /** Oracle-checkable SimHash: 60-bit fingerprints from md5 token hashes
     * (bit-identical in DuckDB, unlike the fused xxhash64 [[dedupSimhash]],

@@ -80,6 +80,17 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shingle_strings: fused expression matches the composable chain") {
+    for (raw <- Seq("the quick brown fox jumps over the quick brown dog",
+                    "\tthe quick brown fox", " \t mixed edges case \r ",
+                    "a  b\t\tc", "solo", "")) {
+      val text = lit(raw)
+      val fused = one(VectorFunctions.shingleStrings(text, 2)).getSeq[String](0)
+      val chain = one(F.shingles(F.tokens(text), 2)).getSeq[String](0)
+      assert(fused == chain, s"parity broke for ${raw.replace("\t", "\\t")}")
+    }
+  }
+
   test("jaccard_ids: merge-scan matches generic set jaccard on sorted arrays") {
     val a = array(lit(1L), lit(3L), lit(5L), lit(9L))
     val b = array(lit(3L), lit(4L), lit(9L))
