@@ -39,6 +39,11 @@ object SparkEntry {
     "q10_region_revenue" -> (Relational.q10RegionRevenue _),
     "q11_nation_revenue" -> (Relational.q11NationRevenue _),
     "q12_last_event_by_user" -> (Relational.q12LastEventByUser _),
+    "q13_asof_join" -> (Relational.q13AsofJoin _),
+    "q14_sessionize" -> (Relational.q14Sessionize _),
+    "q15_rollup_revenue" -> (Relational.q15RollupRevenue _),
+    "q16_percentiles" -> (Relational.q16Percentiles _),
+    "q17_pivot_dow" -> (Relational.q17PivotDayOfWeek _),
     // training-data pipeline
     "dedup_exact" -> (TrainingData.dedupExact _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
@@ -61,7 +66,9 @@ object SparkEntry {
     "sample_stratified" -> (TrainingData.sampleStratified _),
     "text_ngrams" -> (TrainingData.textNgrams _),
     "dedup_simhash_md5" -> (TrainingData.dedupSimhashMd5 _),
+    "dedup_simhash_banded" -> (TrainingData.dedupSimhashBanded _),
     "dup_clusters" -> (TrainingData.dupClusters _),
+    "emb_centroids" -> (TrainingData.embCentroids _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -172,6 +179,71 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
         |  FROM events) t
         |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) tus, user_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tus,
+        |   last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |     OVER win AS click_id,
+        |   last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+        |     OVER win AS click_tus
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, click_id, tus - click_tus AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q14_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) tus, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, tus, event_id,
+        |   CASE WHEN lag(tus) OVER win IS NULL
+        |         OR tus - lag(tus) OVER win > 1800000000 THEN 1 ELSE 0 END new_s
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) s_idx
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, s_idx, count(*) n_events,
+        |   (max(tus) - min(tus)) // 1000000 dur_sec
+        |  FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        | round(avg(n_events), 4) AS avg_events,
+        | CAST(max(n_events) AS BIGINT) AS max_events,
+        | round(avg(dur_sec), 2) AS avg_dur_sec
+        |FROM sess""".stripMargin,
+    "q15_rollup_revenue" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_pivot_dow" ->
+      """SELECT event_type,
+        | count(CASE WHEN dow = 0 THEN 1 END) AS d0,
+        | count(CASE WHEN dow = 1 THEN 1 END) AS d1,
+        | count(CASE WHEN dow = 2 THEN 1 END) AS d2,
+        | count(CASE WHEN dow = 3 THEN 1 END) AS d3,
+        | count(CASE WHEN dow = 4 THEN 1 END) AS d4,
+        | count(CASE WHEN dow = 5 THEN 1 END) AS d5,
+        | count(CASE WHEN dow = 6 THEN 1 END) AS d6
+        |FROM (SELECT event_type, (epoch_ns(ts) // 86400000000000 + 4) % 7 dow
+        |      FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_distinct,
@@ -428,6 +500,43 @@ object SparkEntry {
         | CAST(sum(CASE WHEN d <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS within_16,
         | CAST(min(d) AS BIGINT) AS min_hamming
         |FROM p""".stripMargin,
+    "dedup_simhash_banded" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+        |        FROM documents) x),
+        |fp AS (
+        |  SELECT doc_id, CAST($simhashVoteSql AS BIGINT) fp
+        |  FROM tok GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, fp,
+        |   unnest(list_transform(range(0, 4),
+        |     b -> b * 32768 + ((fp >> (b * 15)) & 32767))) band
+        |  FROM fp),
+        |ok AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT banded.* FROM banded JOIN ok USING (band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+        |   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) d
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT count(*) AS candidate_pairs,
+        | count(CASE WHEN d <= 15 THEN 1 END) AS near_pairs,
+        | CAST(min(d) AS BIGINT) AS min_hamming
+        |FROM pairs""".stripMargin,
+    "emb_centroids" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, unnest(v) x, unnest(range(0, len(v))) pos FROM e),
+        |c AS (SELECT label, pos, avg(x) c FROM d GROUP BY 1, 2),
+        |n AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) dim,
+        |   round(sqrt(sum(c * c)), 4) centroid_norm
+        |  FROM c GROUP BY 1),
+        |cnt AS (SELECT label, count(*) n_vecs FROM e GROUP BY 1)
+        |SELECT CAST(n.label AS BIGINT) AS label, cnt.n_vecs, n.dim, n.centroid_norm
+        |FROM n JOIN cnt ON n.label = cnt.label ORDER BY 1""".stripMargin,
     "dup_clusters" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id,

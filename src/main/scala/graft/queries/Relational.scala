@@ -237,4 +237,127 @@ object Relational {
       .agg(count(lit(1)).as("users"))
       .orderBy("event_type")
   }
+
+  /** q13: as-of join — for every purchase, the most recent click by the
+    * same user strictly earlier in (ts, event_id) order. ONE window pass
+    * over a union-tagged stream (a single shuffle on user_id), not a range
+    * join: the classic point-in-time-correctness operator (feature lookup
+    * at label time) expressed so each user's timeline is a contiguous
+    * sorted run per task — linear at any scale, no join explosion.
+    * Gaps are reported in MICROseconds: the parquet stores nanos, but
+    * DuckDB's TIMESTAMP truncates to micros on read, so the oracle can only
+    * see micro precision — both sides truncate identically (int64 div).
+    */
+  def q13AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), expr("ts div 1000").as("tus"),
+        col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isClick = col("event_type") === "click"
+    ev
+      .withColumn("click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_tus",
+        last(when(isClick, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("tus") - col("click_tus")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** q14: sessionization — gap-based session assignment (30 min) per user
+    * via lag + running sum of session starts: two window passes over the
+    * SAME (user_id, ts) partitioning/ordering, so Catalyst plans one sort +
+    * one exchange; session stats then aggregate map-side. The standard
+    * event-stream operator batch-side (its streaming twin is the
+    * session-window state op in StreamingPipeline).
+    */
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L // 30 min in micros
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sessions = t(spark, dir, "events")
+      // micro precision (`ts div 1000`): DuckDB's TIMESTAMP truncates the
+      // parquet nanos to micros on read, so gap/duration comparisons must
+      // truncate identically on this side; integer `div` keeps it exact
+      // (epoch longs exceed 2^53, double division is unsafe)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+      .withColumn("new_s",
+        when(col("tus") - lag("tus", 1).over(byUser) > gapUs || lag("tus", 1)
+          .over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("s_idx", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "s_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max("tus") - min("tus")).as("dur_us"))
+      .withColumn("dur_sec", expr("dur_us div 1000000"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      round(avg("n_events"), 4).as("avg_events"),
+      max("n_events").as("max_events"),
+      round(avg("dur_sec"), 2).as("avg_dur_sec"))
+  }
+
+  /** q15: hierarchical rollup — revenue at (region, nation), region, and
+    * grand-total grains in ONE pass (partial aggregation covers all three
+    * levels before the shuffle). COALESCE labels the subtotal rows so the
+    * output is join-key-clean; grouping_id disambiguates and orders levels.
+    */
+  def q15RollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // SQL form: the DataFrame rollup+select trips the ambiguous-self-join
+    // check on the Expand-duplicated grouping attributes; the SQL analyzer
+    // resolves GROUP BY ROLLUP scoping directly (and the plan is identical)
+    Seq("orders", "customer", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+        | coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** q16: exact interpolated percentiles of order value per status — the
+    * distribution-audit operator. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the p·(n-1) linear-interpolation definition, so
+    * the oracle is exact after rounding. (At 100 TB swap in
+    * approx_percentile and compare against this as ground truth at small
+    * sf — the same measured-quality pattern as sim_lsh_recall.)
+    */
+  def q16Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy("o_orderstatus")
+
+  /** q17: pivot — event counts by type across day-of-week columns. The
+    * day index is pure epoch-nano integer arithmetic (1970-01-01 was a
+    * Thursday), identical in both engines with no timezone dependence.
+    * Spark's pivot with explicit values compiles to one aggregate with
+    * conditional counts — same single-shuffle plan as the CASE oracle.
+    */
+  def q17PivotDayOfWeek(spark: SparkSession, dir: String): DataFrame = {
+    // integer `div`: epoch-nano ts > 2^53 makes double division unsafe at
+    // day boundaries; `div` is exact int64 like the oracle's `//`
+    val dow = (expr("ts div 86400000000000") + 4) % 7
+    t(spark, dir, "events")
+      .select(col("event_type"), dow.as("dow"))
+      .groupBy("event_type")
+      .pivot("dow", 0L to 6L)
+      .count()
+      .select(col("event_type") +: (0 to 6).map(d =>
+        coalesce(col(d.toString), lit(0L)).as(s"d$d")): _*)
+      .orderBy("event_type")
+  }
 }

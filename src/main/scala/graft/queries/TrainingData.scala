@@ -491,8 +491,12 @@ object TrainingData {
     * small shuffle; the consecutive-id pairing keeps the verification
     * linear.
     */
-  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {
-    val withH = docs(spark, dir)
+  /** Per-doc 60-bit md5 SimHash fingerprints (doc_id, fp): explode tokens,
+    * hash each with the portable [[h60]], then 60 per-bit +1/-1 vote sums in
+    * one aggregate (map-side partial) — sign of each vote sum sets the bit.
+    */
+  private def simhashMd5Fps(d: DataFrame): DataFrame = {
+    val withH = d
       .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), h60(col("tok")).as("h"))
     val votes = (0 until 60).map(b =>
@@ -500,8 +504,12 @@ object TrainingData {
         .otherwise(-1)).as(s"v$b"))
     val fpExpr = (0 until 60).map(b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val fps = withH.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    withH.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fpExpr.as("fp"))
+  }
+
+  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val fps = simhashMd5Fps(docs(spark, dir))
     val a = fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     a.join(b, col("doc_a") + 1 === col("doc_b"))
@@ -510,6 +518,39 @@ object TrainingData {
         count(when(col("d") <= 8, 1)).as("within_8"),
         count(when(col("d") <= 16, 1)).as("within_16"),
         min("d").as("min_hamming"))
+  }
+
+  /** Banded SimHash near-dup at scale: the 60-bit fingerprint split into
+    * 4 x 15-bit band keys; docs sharing ANY band bucket-join into candidate
+    * pairs, verified by exact Hamming distance <= 15. By pigeonhole every
+    * pair within Hamming 15 of the FULL fingerprint collides in >= 1 of
+    * twice as many bands — with 4 bands the guarantee covers distance <= 3,
+    * and band collisions recall most of the rest; this is the documented
+    * scale path of [[dedupSimhash]] (bucket key = shuffle key, work scales
+    * with collisions, not n^2) made fully oracle-checkable by the md5
+    * basis. Same skew cap as the MinHash LSH band join.
+    */
+  def dedupSimhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = simhashMd5Fps(docs(spark, dir))
+    val bandKeys = array((0 until 4).map(b =>
+      lit(b.toLong * 32768L) + shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
+    val banded = fps.select(col("doc_id"), col("fp"), explode(bandKeys).as("band"))
+    val pruned = banded
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= 1000).drop("_bc")
+    val pairs = pruned
+      .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("band")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("d"))
+      .distinct()
+    pairs.agg(
+      count(lit(1)).as("candidate_pairs"),
+      count(when(col("d") <= 15, 1)).as("near_pairs"),
+      min("d").as("min_hamming"))
   }
 
   /** Duplicate-cluster extraction: connected components over the verified
@@ -570,6 +611,29 @@ object TrainingData {
       sum("sz").as("docs_in_clusters"),
       max("sz").as("max_cluster_size"))
     materializeAndRelease(result, edges)
+  }
+
+  /** Per-label embedding centroids: position-explode -> (label, pos) mean ->
+    * per-label centroid norm. The explode shuffles n·d scalar rows with
+    * map-side partial means — the standard distributed dense-centroid plan
+    * (k-means assignment step, class prototypes); no vector ever needs to
+    * fit per-key in one task. Double math throughout; rounded for
+    * cross-engine float stability.
+    */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("label"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val byDim = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg("x").as("c"))
+    val norms = byDim.groupBy("label")
+      .agg(count(lit(1)).cast(LongType).as("dim"),
+        round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"))
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    norms.join(counts, Seq("label"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        col("dim"), col("centroid_norm"))
+      .orderBy("label")
   }
 
   // ------------------------------------------------------------- multimodal

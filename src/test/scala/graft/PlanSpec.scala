@@ -47,4 +47,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.q5MergeUpsert(spark, sf))
     assert(p.contains("FullOuter"))
   }
+
+  test("q13 as-of join: one window pass, NO join operator in the plan") {
+    // the point-in-time lookup must compile to a window over a single
+    // user_id shuffle — a range/theta join here would explode at scale
+    val p = plan(Relational.q13AsofJoin(spark, sf))
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a join")
+  }
+
+  test("q14 sessionize: lag and running sum share one sort/exchange") {
+    val p = plan(Relational.q14Sessionize(spark, sf))
+    // both window functions AND the (user_id, s_idx) session aggregate ride
+    // the same user_id partitioning: exactly one user_id hashpartitioning
+    // in the whole plan (formatted mode puts it in the Arguments detail)
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+  }
+
+  test("q15 rollup: dimension joins broadcast; Expand covers all grains") {
+    val p = plan(Relational.q15RollupRevenue(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(p.contains("Expand"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
