@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_simhash_banded" -> (TrainingData.dedupSimhashBanded _),
     "dup_clusters" -> (TrainingData.dupClusters _),
     "emb_centroids" -> (TrainingData.embCentroids _),
+    "contamination_check" -> (TrainingData.contaminationCheck _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -523,6 +524,28 @@ object SparkEntry {
         | count(CASE WHEN d <= 15 THEN 1 END) AS near_pairs,
         | CAST(min(d) AS BIGINT) AS min_hamming
         |FROM pairs""".stripMargin,
+    "contamination_check" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x),
+        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
+        |train_ids AS (SELECT DISTINCT id FROM ex WHERE split = 'train'),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM ex
+        |  WHERE split = 'eval' AND id IN (SELECT id FROM train_ids))
+        |SELECT
+        | (SELECT count(*) FROM d WHERE split = 'eval') AS n_eval,
+        | (SELECT count(*) FROM contaminated) AS n_contaminated,
+        | round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE) /
+        |   (SELECT count(*) FROM d WHERE split = 'eval'), 4) AS contamination_rate""".stripMargin,
     "emb_centroids" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -613,6 +613,37 @@ object TrainingData {
     materializeAndRelease(result, edges)
   }
 
+  /** Train/eval contamination scan: an eval document is contaminated when it
+    * shares ANY 5-gram with ANY train document (the n-gram-overlap decontam
+    * check run before every eval). Composition of the deterministic hash
+    * split with [[graft.functions.ShingleIds]]: one explode to (doc, 5-gram
+    * id), a distinct train-side id set, and a LEFT SEMI join on the id —
+    * the shuffle key is the shingle id, so the check scales with corpus
+    * size, never pairwise. md5-based ids keep the DuckDB oracle bit-exact.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+      .otherwise("eval")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split.as("split"),
+        shingleIds(col("text"), 5).as("ids"))
+    val exploded = d.select(col("doc_id"), col("split"),
+      explode(col("ids")).as("id"))
+    val trainIds = exploded.filter(col("split") === "train")
+      .select("id").distinct()
+    val evalDocs = d.filter(col("split") === "eval")
+    val contaminated = exploded.filter(col("split") === "eval")
+      .join(trainIds, Seq("id"), "left_semi")
+      .select("doc_id").distinct()
+    evalDocs.agg(count(lit(1)).as("n_eval"))
+      .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+      .select(col("n_eval"), col("n_contaminated"),
+        round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4)
+          .as("contamination_rate"))
+  }
+
   /** Per-label embedding centroids: position-explode -> (label, pos) mean ->
     * per-label centroid norm. The explode shuffles n·d scalar rows with
     * map-side partial means — the standard distributed dense-centroid plan

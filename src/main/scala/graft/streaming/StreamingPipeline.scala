@@ -156,6 +156,25 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked event-time SESSION windows (gap-based, per user): the
+    * streaming twin of the batch sessionization query — Spark's native
+    * `session_window` merges events closer than `gap` into one growing
+    * window and the watermark closes sessions, so state is bounded by open
+    * sessions only. Output one row per closed/updated session.
+    */
+  def sessionWindowStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserSession(
       user_id: Long, n_events: Long, total_value: Double)

@@ -109,6 +109,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 4.0) // 11:00 view
   }
 
+  test("session windows: gap-merge within a user, separate sessions across gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingPipeline.sessionWindowStats(df, "30 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 1.0), // session A
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 1L, 2.0), // merges into A
+      (Timestamp.valueOf("2026-01-01 11:30:00"), 1L, 4.0), // gap > 30m: session B
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 2L, 8.0)) // other user
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select user_id, n_events, total_value from sesswin order by user_id, n_events desc")
+      .collect()
+    q.stop()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1 && rows(0).getLong(1) == 2
+      && rows(0).getDouble(2) == 3.0) // user 1 session A merged two events
+    assert(rows(1).getLong(0) == 1 && rows(1).getLong(1) == 1
+      && rows(1).getDouble(2) == 4.0) // user 1 session B
+    assert(rows(2).getLong(0) == 2 && rows(2).getLong(1) == 1)
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
