@@ -26,9 +26,15 @@ final case class MissingColumnsError(fileName: String, missing: Seq[String])
       "MissingColumnsError",
       s"File $fileName is missing required columns: ${missing.sorted.mkString(", ")}")
 
-/** File matched a source but contains zero data rows (reference NoDataInFileError). */
-final case class NoDataInFileError(fileName: String)
-    extends FileError("NoDataInFileError", s"No data found in file: $fileName")
+/** File matched a source but contains zero data rows (reference NoDataInFileError).
+  * `detail` carries the WHY when known (e.g. the configured json array_path
+  * the file lacks) so the notification is actionable for persistent
+  * config-vs-content mismatches, not just one bad file.
+  */
+final case class NoDataInFileError(fileName: String, detail: String = "")
+    extends FileError("NoDataInFileError",
+      s"No data found in file: $fileName" +
+        (if (detail.nonEmpty) s" ($detail)" else ""))
 
 /** Validation error rate >= source threshold (reference ValidationThresholdExceededError).
   * Note the gate is `>=`: the default threshold 0.0 fails on any error

@@ -81,18 +81,33 @@ object TrainingData {
     * (max observed bucket: 288 at sf0.1), so the SQL oracles mirror the
     * same HAVING cap and stay bit-identical.
     */
-  private def lshCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    // bucket-size cap as a window count: ONE exchange on the band key both
-    // prunes oversized buckets and pre-partitions the self-join below (a
-    // groupBy + join-back would shuffle the banded frame twice more)
+  /** Skew-capped band self-join shared by every banded operator (MinHash
+    * LSH, banded SimHash, clustering, curation): prune oversized buckets,
+    * then pair docs sharing a band as (doc_a, doc_b) with each `payload`
+    * column riding along as `<col>_a` / `<col>_b`. The bucket-size cap is a
+    * window count, so ONE exchange on the band key both prunes and
+    * pre-partitions the self-join (a groupBy + join-back would shuffle the
+    * banded frame twice more). NOT deduplicated: callers that verify with a
+    * cheap per-pair predicate keep the multi-band duplicates (re-checking
+    * beats a distinct shuffle of the payloads); callers that only need ids
+    * distinct the two-long pairs afterwards.
+    */
+  private def prunedBandPairs(banded: DataFrame, payload: Seq[String],
+                              maxBucket: Int = 1000): DataFrame = {
     val pruned = banded
       .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("_bc") <= maxBucket).drop("_bc")
-    pruned.select(col("doc_id").as("doc_a"), col("band"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+    def side(sfx: String) = pruned.select(
+      (col("doc_id").as(s"doc$sfx") +:
+        payload.map(c => col(c).as(s"$c$sfx"))) :+ col("band"): _*)
+    side("_a").join(side("_b"), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .drop("band")
   }
+
+  private def lshCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame =
+    prunedBandPairs(banded, Seq.empty, maxBucket)
+      .select("doc_a", "doc_b").distinct()
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val rows = 2
@@ -402,14 +417,7 @@ object TrainingData {
       .cache()
     val banded = withIds.select(col("doc_id"), col("ids"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
-    val pruned = banded
-      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
-      .filter(col("_bc") <= 1000).drop("_bc")
-    val nearDupLosers = pruned
-      .select(col("doc_id").as("doc_a"), col("ids").as("ids_a"), col("band"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"),
-        col("band")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
+    val nearDupLosers = prunedBandPairs(banded, Seq("ids"))
       .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
       .select(col("doc_b").as("doc_id")).distinct()
     val kept = withIds.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -536,14 +544,7 @@ object TrainingData {
     val bandKeys = array((0 until 4).map(b =>
       lit(b.toLong * 32768L) + shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
     val banded = fps.select(col("doc_id"), col("fp"), explode(bandKeys).as("band"))
-    val pruned = banded
-      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
-      .filter(col("_bc") <= 1000).drop("_bc")
-    val pairs = pruned
-      .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-        col("band")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs = prunedBandPairs(banded, Seq("fp"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("d"))
       .distinct()
@@ -573,14 +574,7 @@ object TrainingData {
       .withColumn("sig", minhashSig(col("ids"), 16))
     val banded = withIds.select(col("doc_id"), col("ids"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
-    val pruned = banded
-      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
-      .filter(col("_bc") <= 1000).drop("_bc")
-    val edges = pruned
-      .select(col("doc_id").as("doc_a"), col("ids").as("ids_a"), col("band"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"),
-        col("band")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
+    val edges = prunedBandPairs(banded, Seq("ids"))
       .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
       .select("doc_a", "doc_b").distinct()
       .cache()
@@ -592,7 +586,10 @@ object TrainingData {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 64 // propagation needs O(diameter) rounds; near-dup
+    // components are tiny cliques, so 64 is far past any sane graph — but a
+    // pathological chain MUST fail loudly, not return silently-wrong counts
+    while (!converged && rounds < maxRounds) {
       val nbrMin = bi.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
       val next = labels.join(nbrMin, Seq("id"), "left")
@@ -604,6 +601,10 @@ object TrainingData {
       labels = next.drop("chg")
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dup_clusters: label propagation did not converge in $maxRounds " +
+          "rounds (component diameter exceeds the bound)")
 
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
     val result = sizes.agg(

@@ -142,7 +142,9 @@ final class JsonReader extends Reader {
           // so email-notification semantics match other bad-file cases
           // (reference json.py raises NoDataInFileError when the path
           // yields nothing).
-          if (!df.schema.fieldNames.contains(seg)) throw NoDataInFileError(fileName)
+          if (!df.schema.fieldNames.contains(seg))
+            throw NoDataInFileError(fileName,
+              s"configured array_path segment '$seg' (of '$p') not present")
           df.schema(df.schema.fieldIndex(seg)).dataType match {
             case _: ArrayType =>
               df.select(explode(col(seg)).as(seg)).select(col(s"$seg.*"))

@@ -95,45 +95,6 @@ object Profile {
         time(s"$n run$i")(graft.SparkEntry.queries(n)(spark, dir).collect())
       spark.stop(); return
     }
-    if (args.lift(1).contains("curate")) {
-      val t0 = System.nanoTime()
-      import org.apache.spark.sql.expressions.Window
-      val quality = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"),
-          size(F.tokens(col("text"))).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
-      time("1 quality count")(quality.count())
-      val exactKept = quality
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1).drop("rn")
-      time("2 exact dedup count")(exactKept.count())
-      val withIds = exactKept
-        .select(col("doc_id"), col("n_tokens"),
-          VectorFunctions.shingleIds(col("text"), 2).as("ids"))
-        .withColumn("sig", VectorFunctions.minhashSig(col("ids"), 16))
-        .cache()
-      time("3 ids+sig cache")(withIds.count())
-      val banded = withIds.select(col("doc_id"),
-        explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
-      val okBands = banded.groupBy("band")
-        .agg(count(lit(1)).as("c")).filter(col("c") <= 1000).select("band")
-      val pruned = banded.join(okBands, Seq("band"))
-      val cand = pruned.select(col("doc_id").as("doc_a"), col("band"))
-        .join(pruned.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      time("4 candidates")(cand.count())
-      val losers = cand
-        .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
-        .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
-        .filter(VectorFunctions.jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val kept = withIds.join(losers, Seq("doc_id"), "left_anti")
-      time("5 final agg")(kept.agg(count(lit(1)), sum("n_tokens")).head())
-      println(f"total: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.stop(); return
-    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val withIds = docs.select(col("doc_id"),
       VectorFunctions.shingleIds(col("text"), 2).as("ids"))
