@@ -70,6 +70,8 @@ object SparkEntry {
     "dup_clusters" -> (TrainingData.dupClusters _),
     "emb_centroids" -> (TrainingData.embCentroids _),
     "contamination_check" -> (TrainingData.contaminationCheck _),
+    "tfidf_top_terms" -> (TrainingData.tfidfTopTerms _),
+    "quality_gate_dynamic" -> (TrainingData.qualityGateDynamic _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -546,6 +548,36 @@ object SparkEntry {
         | (SELECT count(*) FROM contaminated) AS n_contaminated,
         | round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE) /
         |   (SELECT count(*) FROM d WHERE split = 'eval'), 4) AS contamination_rate""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT lang, term,
+        |   round(CAST(tf AS DOUBLE) * (SELECT n_docs FROM n) / df, 4) AS score,
+        |   row_number() OVER (
+        |     PARTITION BY lang
+        |     ORDER BY round(CAST(tf AS DOUBLE) * (SELECT n_docs FROM n) / df, 4)
+        |              DESC, term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT lang, rank, term, score FROM ranked
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "quality_gate_dynamic" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(n_tokens, 0.1) AS p10,
+        |             quantile_cont(n_tokens, 0.9) AS p90 FROM t)
+        |SELECT count(*) AS n_kept,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_tokens), 4) AS avg_tokens
+        |FROM t, b WHERE n_tokens >= p10 AND n_tokens <= p90""".stripMargin,
     "emb_centroids" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -614,6 +614,56 @@ object TrainingData {
     materializeAndRelease(result, edges)
   }
 
+  /** Per-language salient terms (tf-idf family): term frequency per language
+    * weighted by inverse document frequency, top-3 per language. The idf is
+    * the RAW ratio n_docs/df (no log): IEEE division is identically rounded
+    * in every engine, while libm `ln` differs in final ulps — this keeps the
+    * oracle bit-exact. Two aggregations (tf keyed on (lang, term), df keyed
+    * on term) and a term-keyed join: every shuffle key is fine-grained, so
+    * the plan is skew-safe at corpus scale; top-3 is a bounded per-lang
+    * window.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val nDocs = d.count() // tiny action; at scale pass the known count in
+    val toks = d.select(col("lang"), col("doc_id"),
+      explode(F.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .select(col("lang"), col("term"),
+        round(col("tf").cast(DoubleType) * lit(nDocs.toDouble) / col("df"), 4)
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("lang", "rank", "term", "score")
+      .orderBy("lang", "rank")
+  }
+
+  /** Dynamic quality gate: keep documents whose token count lies between the
+    * corpus's own p10 and p90 — the self-calibrating version of the fixed
+    * band in [[curateCorpus]]. The two scalar quantiles broadcast to every
+    * task (a cross join against a 1-row frame), so the gate itself stays a
+    * narrow filter; Spark's exact `percentile` matches DuckDB's
+    * quantile_cont definition.
+    */
+  def qualityGateDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val withN = docs(spark, dir).select(
+      size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val bounds = withN.agg(
+      expr("percentile(n_tokens, 0.1)").as("p10"),
+      expr("percentile(n_tokens, 0.9)").as("p90"))
+    withN.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("p10") && col("n_tokens") <= col("p90"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+  }
+
   /** Train/eval contamination scan: an eval document is contaminated when it
     * shares ANY 5-gram with ANY train document (the n-gram-overlap decontam
     * check run before every eval). Composition of the deterministic hash
