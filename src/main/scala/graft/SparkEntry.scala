@@ -72,6 +72,12 @@ object SparkEntry {
     "contamination_check" -> (TrainingData.contaminationCheck _),
     "tfidf_top_terms" -> (TrainingData.tfidfTopTerms _),
     "quality_gate_dynamic" -> (TrainingData.qualityGateDynamic _),
+    "quality_repetition" -> (TrainingData.qualityRepetition _),
+    "pack_sequences" -> (TrainingData.packSequences _),
+    "vocab_coverage" -> (TrainingData.vocabCoverage _),
+    "dedup_containment" -> (TrainingData.dedupContainment _),
+    "select_best_per_lang" -> (TrainingData.selectBestPerLang _),
+    "emb_quantize" -> (TrainingData.embQuantize _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -578,6 +584,123 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | round(avg(n_tokens), 4) AS avg_tokens
         |FROM t, b WHERE n_tokens >= p10 AND n_tokens <= p90""".stripMargin,
+    "quality_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents),
+        |base AS (SELECT doc_id, lang, CAST(len(l) AS BIGINT) n_tokens FROM t),
+        |tok AS (SELECT doc_id, unnest(l) w FROM t),
+        |tc AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c) top_token, count(*) n_distinct
+        |       FROM tc GROUP BY 1),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i+1])) g
+        |       FROM t WHERE len(l) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) c FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) top_bigram FROM bc GROUP BY 1),
+        |pd AS (SELECT lang,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens ttr,
+        |  CAST(top_token AS DOUBLE) / n_tokens topf,
+        |  CAST(COALESCE(top_bigram, 0) AS DOUBLE) /
+        |    GREATEST(n_tokens - 1, 1) topbf
+        | FROM base JOIN tt USING (doc_id) LEFT JOIN tb USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        | round(avg(ttr), 4) AS avg_ttr,
+        | round(avg(topf), 4) AS avg_top_token_frac,
+        | round(avg(topbf), 4) AS avg_top_bigram_frac,
+        | CAST(sum(CASE WHEN ttr < 0.35 OR topf > 0.14 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n,
+        |   doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n,
+        |       sum(n) OVER (PARTITION BY shard ORDER BY doc_id) cum FROM t)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS total_tokens,
+        | CAST(floor((max(cum) + 255) / 256) AS BIGINT) AS n_sequences,
+        | CAST(sum(CASE WHEN floor((cum - n) / 256) <> floor((cum - 1) / 256)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+        | round(CAST(sum(n) AS DOUBLE) /
+        |   (CAST(floor((max(cum) + 255) / 256) AS BIGINT) * 256), 4)
+        |   AS fill_ratio
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) w
+        |  FROM documents),
+        |v AS (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) rk
+        |      FROM tok GROUP BY w),
+        |vocab AS (SELECT w FROM v WHERE rk <= 16)
+        |SELECT lang, count(*) AS n_tokens,
+        | round(1.0 - CAST(sum(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
+        |u AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, ids,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
+        |bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
+        |  FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |ct AS (
+        |  SELECT round(CAST(len(list_intersect(sa.ids, sb.ids)) AS DOUBLE) /
+        |    CAST(LEAST(len(sa.ids), len(sb.ids)) AS DOUBLE), 4) containment
+        |  FROM cand JOIN u sa ON cand.doc_a = sa.doc_id
+        |            JOIN u sb ON cand.doc_b = sb.doc_id)
+        |SELECT count(*) AS n_pairs,
+        | round(avg(containment), 4) AS avg_containment,
+        | round(max(containment), 4) AS max_containment
+        |FROM ct WHERE containment >= 0.5""".stripMargin,
+    "select_best_per_lang" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |        round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 4) score
+        |       FROM s),
+        |r AS (SELECT lang, doc_id, score,
+        |       row_number() OVER (PARTITION BY lang
+        |         ORDER BY score DESC, doc_id) rank FROM sc)
+        |SELECT lang, rank, doc_id, score FROM r
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "emb_quantize" ->
+      """WITH comp AS (
+        |  SELECT unnest(range(len(embedding))) pos,
+        |         unnest(embedding)::DOUBLE x
+        |  FROM embeddings),
+        |d AS (SELECT pos, min(x) lo, max(x) hi FROM comp GROUP BY 1),
+        |e AS (SELECT x,
+        |       CASE WHEN (hi - lo) > 0
+        |         THEN lo + round((x - lo) / (hi - lo) * 255, 0) * (hi - lo) / 255
+        |         ELSE lo END dq
+        |      FROM comp JOIN d USING (pos))
+        |SELECT count(*) AS n_components,
+        | round(avg((x - dq) * (x - dq)) * 1e6, 4) AS mse_x1e6,
+        | round(max(abs(x - dq)) * 1e3, 4) AS max_abs_err_x1e3
+        |FROM e""".stripMargin,
     "emb_centroids" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -664,6 +664,191 @@ object TrainingData {
         round(avg("n_tokens"), 4).as("avg_tokens"))
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family, word-level
+    * because this corpus has no line structure): per document the type/token
+    * ratio, the most-frequent-token fraction, and the most-frequent-bigram
+    * fraction, rolled up per language with a flag count for documents
+    * outside the healthy band (ttr < 0.35 or top-token fraction > 0.14 —
+    * boilerplate/keyword-stuffing symptoms).
+    *
+    * Plan shape: token and bigram counts are (doc_id, gram)-keyed
+    * aggregations — fine-grained shuffle keys with map-side partial counts,
+    * the scalable alternative to per-row interpreted HOF mode-finding. The
+    * three per-doc frames re-join on doc_id; at corpus scale each is
+    * hash-partitioned on the same key so AQE coalesces the joins.
+    */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), F.tokens(col("text")).as("toks"))
+    val base = toks.select(col("doc_id"), col("lang"),
+      size(col("toks")).cast(LongType).as("n_tokens"))
+    val topTok = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_token"), count(lit(1)).as("n_distinct"))
+    // non-distinct bigrams (F.shingles dedups — wrong for repetition counts)
+    val grams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).otherwise(array())
+    val topBi = toks.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram"))
+    val perDoc = base.join(topTok, Seq("doc_id"))
+      .join(topBi, Seq("doc_id"), "left")
+      .select(col("lang"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("ttr"),
+        (col("top_token").cast(DoubleType) / col("n_tokens")).as("topf"),
+        (coalesce(col("top_bigram"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_tokens") - 1, lit(1L))).as("topbf"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("ttr"), 4).as("avg_ttr"),
+        round(avg("topf"), 4).as("avg_top_token_frac"),
+        round(avg("topbf"), 4).as("avg_top_bigram_frac"),
+        count(when(col("ttr") < 0.35 || col("topf") > 0.14, 1))
+          .as("n_flagged"))
+      .orderBy("lang")
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated in
+    * doc_id order within a shard and cut into fixed 256-token training
+    * sequences; reports per-shard sequence counts, boundary-crossing
+    * documents, and fill ratio. Sharding IS the scale design: packing is
+    * inherently sequential, so production packers shard the corpus and pack
+    * shards independently — each shard's running sum is one window over its
+    * own partition (a single exchange on shard, no global order).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val L = 256
+    val t = docs(spark, dir)
+      .select(col("doc_id"),
+        size(F.tokens(col("text"))).cast(LongType).as("n"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast(LongType))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val cum = t.withColumn("cum", sum("n").over(w))
+      .withColumn("crosses",
+        (floor((col("cum") - col("n")) / L) =!= floor((col("cum") - 1) / L))
+          .cast(LongType))
+    cum.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        floor((max("cum") + L - 1) / L).cast(LongType).as("n_sequences"),
+        sum("crosses").as("n_boundary_docs"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast(DoubleType) /
+          (col("n_sequences") * L), 4))
+      .orderBy("shard")
+  }
+
+  /** Vocabulary coverage: build the top-16 corpus vocabulary by term
+    * frequency (deterministic count-desc/term tie-break) and report each
+    * language's out-of-vocabulary token rate. The global rank runs AFTER
+    * the term-frequency aggregation — a window over |distinct terms| rows,
+    * not |tokens| (the groupBy's partial aggregation has already collapsed
+    * the corpus), and the vocabulary then broadcasts back so the coverage
+    * pass is shuffle-free on the token side.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val V = 16
+    val toks = docs(spark, dir)
+      .select(col("lang"), explode(F.tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .filter(col("rk") <= V)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .select(col("lang"), col("n_tokens"),
+        round(lit(1.0) - col("n_in_vocab").cast(DoubleType) / col("n_tokens"), 4)
+          .as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** Near-superset detection via shingle containment |A∩B| / min(|A|,|B|):
+    * catches a short document embedded in a longer one, which symmetric
+    * Jaccard under-scores. Candidates come from the SAME banded-MinHash join
+    * as [[dedupMinhashLsh]] (one LSH pass serves every near-dup family);
+    * the containment check is an exact set intersection on the candidate
+    * pairs only. Documented bias: containment pairs with low Jaccard can
+    * miss band collision — the recall/cost trade every LSH screen makes.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{minhashSig, shingleIds}
+    val withIds = docs(spark, dir).select(col("doc_id"),
+        shingleIds(col("text"), 2).as("ids"))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+      .cache()
+    val banded = withIds.select(col("doc_id"), col("ids"),
+      explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    val pairs = prunedBandPairs(banded, Seq("ids"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ids_a"), col("ids_b")))
+            .cast(DoubleType) /
+          least(size(col("ids_a")), size(col("ids_b"))).cast(DoubleType), 4)
+          .as("containment"))
+      .distinct() // containment is pair-determined; multi-band dups collapse
+      .filter(col("containment") >= 0.5)
+    materializeAndRelease(
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        round(avg("containment"), 4).as("avg_containment"),
+        round(max("containment"), 4).as("max_containment")),
+      withIds)
+  }
+
+  /** Quality-ranked selection: the top-3 documents per language by lexical
+    * diversity (distinct-token ratio, doc_id tie-break) — the "keep the
+    * best N per stratum" curation step. Per-doc scoring is one
+    * fine-grained aggregation; the rank window partitions by language, so
+    * no partition ever holds more than one language's docs.
+    */
+  def selectBestPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), F.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        round(size(array_distinct(col("toks"))).cast(DoubleType) /
+          size(col("toks")), 4).as("score"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("lang", "rank", "doc_id", "score")
+      .orderBy("lang", "rank")
+  }
+
+  /** Int8 scalar quantization of the embedding table with reconstruction
+    * error: per-dimension global min/max (a 64-key aggregation over the
+    * position-exploded vectors — map-side partial min/max makes this one
+    * tiny shuffle), quantize each component to 0..255, and report the mean
+    * squared reconstruction error. The per-dim ranges broadcast back to the
+    * quantization pass, so vector rows are touched exactly twice and never
+    * shuffled whole.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val byDim = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val comps = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .join(broadcast(byDim), Seq("pos"))
+    val err = comps.select(col("x"), col("lo"),
+        (col("hi") - col("lo")).as("range"))
+      .select(col("x"),
+        when(col("range") > 0,
+          col("lo") + round((col("x") - col("lo")) / col("range") * 255, 0) *
+            col("range") / 255)
+          .otherwise(col("lo")).as("dq"))
+      .select(((col("x") - col("dq")) * (col("x") - col("dq"))).as("se"),
+        abs(col("x") - col("dq")).as("ae"))
+    err.agg(count(lit(1)).as("n_components"),
+      round(avg("se") * 1e6, 4).as("mse_x1e6"),
+      round(max("ae") * 1e3, 4).as("max_abs_err_x1e3"))
+  }
+
   /** Train/eval contamination scan: an eval document is contaminated when it
     * shares ANY 5-gram with ANY train document (the n-gram-overlap decontam
     * check run before every eval). Composition of the deterministic hash

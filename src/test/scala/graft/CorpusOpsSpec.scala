@@ -54,6 +54,84 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(maxSz >= 2L && maxSz <= docs)
   }
 
+  test("tfidf_top_terms: exactly 3 per lang, scores non-increasing in rank") {
+    val rows = TrainingData.tfidfTopTerms(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.values.forall(_.length === 3))
+    byLang.values.foreach { g =>
+      val scores = g.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(scores === scores.sortBy(-_))
+      assert(g.map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
+    }
+  }
+
+  test("quality_gate_dynamic: p10-p90 band keeps a middle majority") {
+    val Array(r) = TrainingData.qualityGateDynamic(spark, sf).collect()
+    val kept = r.getLong(0)
+    assert(kept > 250 && kept <= 450, s"p10..p90 keeps ~80%, got $kept")
+    assert(r.getLong(1) >= kept, "every kept doc has >= 1 token")
+  }
+
+  test("quality_repetition: per-lang rollup with sane fractions") {
+    val rows = TrainingData.qualityRepetition(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0) // avg_ttr
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // top token frac
+      assert(r.getLong(5) <= r.getLong(1)) // n_flagged <= n_docs
+    }
+  }
+
+  test("pack_sequences: shards partition the corpus, fill consistent") {
+    val rows = TrainingData.packSequences(spark, sf).collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    rows.foreach { r =>
+      val (total, nSeq, bound, fill) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nSeq === (total + 255) / 256)
+      assert(bound <= r.getLong(1))
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
+  test("vocab_coverage: oov rates in [0,1), token totals match corpus") {
+    val rows = TrainingData.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  test("dedup_containment: containment bounds and candidate superset") {
+    val Array(r) = TrainingData.dedupContainment(spark, sf).collect()
+    val n = r.getLong(0)
+    if (n > 0) {
+      assert(r.getDouble(1) <= r.getDouble(2))
+      assert(r.getDouble(2) <= 1.0)
+      assert(r.getDouble(1) >= 0.5, "filtered at containment >= 0.5")
+    }
+  }
+
+  test("select_best_per_lang: 3 per lang, rank follows score") {
+    val rows = TrainingData.selectBestPerLang(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.values.foreach { g =>
+      assert(g.length === 3)
+      val ordered = g.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(ordered === ordered.sortBy(-_))
+    }
+  }
+
+  test("emb_quantize: int8 reconstruction error bounded by half a step") {
+    val Array(r) = TrainingData.embQuantize(spark, sf).collect()
+    assert(r.getLong(0) > 0 && r.getLong(0) % 64 === 0, "64-dim vectors")
+    assert(r.getDouble(1) > 0.0, "lossy quantization has nonzero MSE")
+    // max |err| <= range/(2*255); embedding ranges are a few units
+    assert(r.getDouble(2) < 50.0, "x1e3 scale: half-step bound")
+  }
+
   test("dup_clusters agrees with pairwise LSH counts: clustered docs cover pairs") {
     // verified_pairs from the pairwise operator vs docs-in-clusters from the
     // component view: v pairs over c components of sizes s_i satisfy

@@ -109,6 +109,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 4.0) // 11:00 view
   }
 
+  test("streaming dedup: content re-delivered within the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingPipeline.streamingDedup(df, "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "alpha beta"),
+      (Timestamp.valueOf("2026-01-01 10:01:00"), 2L, "gamma delta"),
+      (Timestamp.valueOf("2026-01-01 10:02:00"), 3L, "alpha beta")) // dup of 1
+    q.processAllAvailable()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:10:00"), 4L, "alpha beta"), // still dup
+      (Timestamp.valueOf("2026-01-01 10:11:00"), 5L, "epsilon"))
+    q.processAllAvailable()
+    val kept = spark.sql("select doc_id from dedupstream order by doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(kept == Seq(1L, 2L, 5L),
+      "first copy of each content survives; re-deliveries within watermark drop")
+  }
+
   test("session windows: gap-merge within a user, separate sessions across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
