@@ -673,19 +673,21 @@ object TrainingData {
     *
     * Plan shape: token and bigram counts are (doc_id, gram)-keyed
     * aggregations — fine-grained shuffle keys with map-side partial counts,
-    * the scalable alternative to per-row interpreted HOF mode-finding. The
-    * three per-doc frames re-join on doc_id; at corpus scale each is
-    * hash-partitioned on the same key so AQE coalesces the joins.
+    * the scalable alternative to per-row interpreted HOF mode-finding. One
+    * token explode yields every unigram stat (total, distinct, top) in a
+    * single aggregation chain; only the bigram frame joins back, on
+    * doc_id — two scans total, not three.
     */
   def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("lang"), F.tokens(col("text")).as("toks"))
-    val base = toks.select(col("doc_id"), col("lang"),
-      size(col("toks")).cast(LongType).as("n_tokens"))
-    val topTok = toks.select(col("doc_id"), explode(col("toks")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("top_token"), count(lit(1)).as("n_distinct"))
+    // one token explode yields ALL unigram stats: n_tokens = sum of counts,
+    // n_distinct = number of count rows, top = max — no separate base scan
+    val uni = toks.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(max("c").as("top_token"), count(lit(1)).as("n_distinct"),
+        sum("c").as("n_tokens"))
     // non-distinct bigrams (F.shingles dedups — wrong for repetition counts)
     val grams = when(size(col("toks")) >= 2,
       transform(sequence(lit(1), size(col("toks")) - 1), i =>
@@ -694,7 +696,7 @@ object TrainingData {
     val topBi = toks.select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram"))
-    val perDoc = base.join(topTok, Seq("doc_id"))
+    val perDoc = uni
       .join(topBi, Seq("doc_id"), "left")
       .select(col("lang"),
         (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("ttr"),
