@@ -44,6 +44,7 @@ object SparkEntry {
     "q15_rollup_revenue" -> (Relational.q15RollupRevenue _),
     "q16_percentiles" -> (Relational.q16Percentiles _),
     "q17_pivot_dow" -> (Relational.q17PivotDayOfWeek _),
+    "q18_json_props" -> (Relational.q18JsonProps _),
     // training-data pipeline
     "dedup_exact" -> (TrainingData.dedupExact _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "dedup_containment" -> (TrainingData.dedupContainment _),
     "select_best_per_lang" -> (TrainingData.selectBestPerLang _),
     "emb_quantize" -> (TrainingData.embQuantize _),
+    "emb_kmeans" -> (TrainingData.embKmeans _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -701,6 +703,48 @@ object SparkEntry {
         | round(avg((x - dq) * (x - dq)) * 1e6, 4) AS mse_x1e6,
         | round(max(abs(x - dq)) * 1e3, 4) AS max_abs_err_x1e3
         |FROM e""".stripMargin,
+    "emb_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id, v,
+        |        list_sum(list_transform(v, y -> y * y)) vv FROM e),
+        |c0 AS (SELECT vec_id cent_id, v cv, vv cvv FROM n2 WHERE vec_id % 50 = 1),
+        |d1 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |   round(a.vv + c.cvv - 2 * list_sum(list_transform(
+        |     range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i])), 4) dist2
+        |  FROM n2 a CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cent_id FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY dist2, cent_id) rn FROM d1) WHERE rn = 1),
+        |comp AS (SELECT vec_id, unnest(range(len(v))) pos, unnest(v) x FROM e),
+        |upd AS (SELECT a1.cent_id, comp.pos, round(avg(comp.x), 6) c
+        |        FROM comp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cent_id, list(c ORDER BY pos) cv FROM upd GROUP BY 1),
+        |c1n AS (SELECT cent_id, cv,
+        |         list_sum(list_transform(cv, y -> y * y)) cvv FROM c1),
+        |d2 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |   round(a.vv + c.cvv - 2 * list_sum(list_transform(
+        |     range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i])), 4) dist2
+        |  FROM n2 a CROSS JOIN c1n c),
+        |a2 AS (SELECT vec_id, cent_id, dist2 FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY dist2, cent_id) rn FROM d2) WHERE rn = 1)
+        |SELECT cent_id AS cluster, count(*) AS n_vecs,
+        | round(sum(dist2), 2) AS inertia
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(k) AS n_with_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | round(avg(k), 4) AS avg_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) k
+        |      FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_centroids" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -360,4 +360,25 @@ object Relational {
         coalesce(col(d.toString), lit(0L)).as(s"d$d")): _*)
       .orderBy("event_type")
   }
+
+  /** q18: semi-structured JSON column — per-event-type stats over the `$.k`
+    * field parsed from the `props` JSON string. `get_json_object` is a
+    * codegen'd per-row path expression, so parsing happens inside the scan
+    * projection and the only shuffle is the final tiny aggregation. At
+    * 100 TB with several fields read, switch to `from_json` with an
+    * explicit schema (parse once, columnar struct access) — the single-path
+    * form here is the right plan for one field.
+    */
+  def q18JsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
 }

@@ -851,6 +851,51 @@ object TrainingData {
       round(max("ae") * 1e3, 4).as("max_abs_err_x1e3"))
   }
 
+  /** One Lloyd iteration of k-means over the embedding table with
+    * deterministic seeding (every 50th vector), then the post-update
+    * assignment and per-cluster inertia. The two assignment passes are
+    * broadcast cross joins against the (tiny) centroid set with distances
+    * via the codegen'd [[graft.functions.VecDot]] in the expanded
+    * |a|²+|c|²-2a·c form; the centroid update is the same position-exploded
+    * fine-grained aggregation as [[embCentroids]]. Rounding pins the
+    * cross-engine float story: distances at 4 before argmin, centroid
+    * components at 6 before reuse, inertia at 2.
+    */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecDot
+    val e = embs(spark, dir).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("vv", vecDot(col("v"), col("v")))
+      .cache()
+    val c0 = e.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("vv").as("cvv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val d = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          round(col("vv") + col("cvv") -
+            lit(2.0) * vecDot(col("v"), col("cv")), 4).as("dist2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cent_id"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cent_id", "dist2")
+    }
+    val a1 = assign(c0)
+    val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val upd = comp.join(a1.select("vec_id", "cent_id"), Seq("vec_id"))
+      .groupBy("cent_id", "pos").agg(round(avg("x"), 6).as("c"))
+    val c1 = upd.groupBy("cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cvv", vecDot(col("cv"), col("cv")))
+    val a2 = assign(c1)
+    materializeAndRelease(
+      a2.groupBy(col("cent_id").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), round(sum("dist2"), 2).as("inertia"))
+        .orderBy("cluster"),
+      e)
+  }
+
   /** Train/eval contamination scan: an eval document is contaminated when it
     * shares ANY 5-gram with ANY train document (the n-gram-overlap decontam
     * check run before every eval). Composition of the deterministic hash

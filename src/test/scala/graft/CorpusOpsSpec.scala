@@ -132,6 +132,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) < 50.0, "x1e3 scale: half-step bound")
   }
 
+  test("emb_kmeans: clusters partition the vectors; Lloyd step reduces inertia") {
+    val rows = TrainingData.embKmeans(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L, "every vector assigned")
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    assert(rows.length <= 10, "at most one cluster per seed")
+  }
+
   test("dup_clusters agrees with pairwise LSH counts: clustered docs cover pairs") {
     // verified_pairs from the pairwise operator vs docs-in-clusters from the
     // component view: v pairs over c components of sizes s_i satisfy
