@@ -11,6 +11,19 @@ package graft.core
   * a human-readable detail. The pipeline's error routing (email-sent implies
   * run-success, reference src/pipeline/runner.py:229-268) keys off this trait.
   */
+/** Error-formatting helpers shared by notification and logging paths. */
+object Errors {
+  /** Deepest in-engine stack frame of a failure, formatted
+    * `File.scala:123 in method` — the Scala equivalent of the reference's
+    * traceback-tail formatting (src/utils.py:45-54), so a logged or emailed
+    * internal error pinpoints its origin without shipping the whole stack.
+    */
+  def location(e: Throwable): String =
+    e.getStackTrace.find(_.getClassName.startsWith("graft."))
+      .map(f => s"${f.getFileName}:${f.getLineNumber} in ${f.getMethodName}")
+      .getOrElse("unknown")
+}
+
 sealed abstract class FileError(val errorName: String, message: String)
     extends RuntimeException(message) {
   def fileName: String

@@ -24,6 +24,9 @@ object Main {
     // flags override GRAFT_[<ENV_STATE>_]* environment settings (reference
     // runs entirely off its settings module; the CLI only overrides)
     val cfg = graft.core.GraftConfig.load()
+    // --trace true: one logfmt line per pipeline span to stderr (O7)
+    if (opts.get("trace").contains("true"))
+      graft.core.Trace.install(l => System.err.println(s"[trace] $l"))
     def req(k: String): String = opts.getOrElse(k, k match {
       case "drop" => cfg.dropDirectory
       case "archive" => cfg.archiveDirectory

@@ -107,7 +107,8 @@ final class PipelineRunner(
                         logId: Long): FileResult = {
     val sidecar = s"${source.tableName}__filenames"
     val reader = ReaderFactory.readerFor(fileName)
-    val raw = reader.read(spark, path, source)
+    val raw = graft.core.Trace.span("read", "file" -> fileName)(
+      reader.read(spark, path, source))
     log(logId, fileName, Some(source.tableName), "read", success = Some(true))
 
     // Validate the UNNUMBERED frame first, without the DLQ JSON payload —
@@ -123,8 +124,9 @@ final class PipelineRunner(
     val validationInput =
       if (raw.df.rdd.getNumPartitions * 2 <= par) raw.df.repartition(par)
       else raw.df
-    val vr = Validator.validate(validationInput, source, fileName, logId,
-      excelDates = reader.isInstanceOf[ExcelReader], withRawRecord = false)
+    val vr = graft.core.Trace.span("validate", "file" -> fileName)(
+      Validator.validate(validationInput, source, fileName, logId,
+        excelDates = reader.isInstanceOf[ExcelReader], withRawRecord = false))
     var vrNumbered: Option[graft.operators.ValidationResult] = None
     try {
       // WRITE: DLQ rows always persist (even below-threshold successes keep
@@ -163,8 +165,10 @@ final class PipelineRunner(
         Validator.RawRecordCol, "file_row_number")
 
       // AUDIT (A1/A2 grain, A3 custom) on staged rows
-      Audit.grainAudit(stage, source, fileName)
-      Audit.customAudit(spark, stage, source, fileName)
+      graft.core.Trace.span("audit", "file" -> fileName) {
+        Audit.grainAudit(stage, source, fileName)
+        Audit.customAudit(spark, stage, source, fileName)
+      }
       log(logId, fileName, Some(source.tableName), "audit", success = Some(true))
 
       // PUBLISH: merge upsert + atomic swap. The read->merge->swap sequence
@@ -173,7 +177,10 @@ final class PipelineRunner(
       // swap would drop the other's rows. Different targets publish in
       // parallel; the reference got this serialization for free from the
       // database's MERGE.
-      val (mInserts, mUpdates) = store.withTableLock(source.tableName) {
+      val (mInserts, mUpdates) =
+          graft.core.Trace.span("publish", "file" -> fileName,
+            "table" -> source.tableName) {
+        store.withTableLock(source.tableName) {
         val existing = store.readIfExists(source.tableName)
         val target = existing.getOrElse(Publish.emptyTarget(spark, source))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
@@ -197,7 +204,7 @@ final class PipelineRunner(
         store.append(sidecar, Seq((fileName, logId, now))
           .toDF("source_filename", "file_load_log_id", "published_at"))
         m.counts()
-      }
+      } }
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
         inserts = mInserts, updates = mUpdates)
 

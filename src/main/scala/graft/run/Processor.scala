@@ -97,7 +97,10 @@ final class Processor(
     try processFile(path)
     catch {
       case e: Throwable =>
+        // internal (non-FileError) failure: record the origin frame like the
+        // reference's error_location traceback formatting (utils.py:45-54)
         Some(FileResult(success = false, FileUtils.bareName(path),
-          Some(e.getClass.getSimpleName), logId = -1))
+          Some(s"${e.getClass.getSimpleName} at ${graft.core.Errors.location(e)}"),
+          logId = -1))
     }
 }

@@ -46,6 +46,48 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     s"""{"metadata": {"source": "test"}, "entries": {"item": [$entries]}}"""
   }
 
+  test("Decimal columns: exact precision preserved, bad decimals -> DLQ") {
+    val p = dropDir.resolve("balances_q1.csv")
+    Files.writeString(p,
+      "account_id,balance,rate\n" +
+        "A1,123456789012345.678901234567890123,0.000001\n" +
+        "A2,-0.000000000000000001,1.5\n" +
+        "A3,notanumber,2.0\n")
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 3 && r.recordsFailedValidation == 1)
+    val t = store.readIfExists("balances").get
+    assert(t.schema("balance").dataType.typeName.startsWith("decimal(38,18)"))
+    val a1 = t.filter(col("account_id") === "A1").head()
+    assert(a1.getDecimal(t.columns.indexOf("balance")).toPlainString
+      == "123456789012345.678901234567890123")
+    val a2 = t.filter(col("account_id") === "A2").head()
+    assert(a2.getDecimal(t.columns.indexOf("balance")).toPlainString
+      == "-0.000000000000000001")
+    // bad decimal routed to DLQ, not silently nulled
+    val dlq = store.readIfExists(graft.store.Schemas.DlqTable).get
+    assert(dlq.filter(col("source_filename") === "balances_q1.csv").count() == 1)
+  }
+
+  test("trace spans: one logfmt line per pipeline stage when installed") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Trace.install(lines.add(_))
+    try {
+      val p = dropDir.resolve("sales_trace.csv")
+      Files.writeString(p,
+        "transaction_id,customer_id,product_sku,quantity,unit_price,total_amount,sale_date,sales_rep\n" +
+          "T1,C1,S1,1,2.0,2.0,2024-01-01,Ann\n")
+      assert(processor.processFile(p.toString).get.success)
+    } finally Trace.uninstall()
+    import scala.jdk.CollectionConverters._
+    val spans = lines.asScala.toSeq
+    for (stage <- Seq("read", "validate", "audit", "publish")) {
+      val l = spans.find(_.startsWith(s"span=$stage "))
+      assert(l.isDefined, s"missing span for $stage in $spans")
+      assert(l.get.contains("ok=true") && l.get.contains("ms="))
+      assert(l.get.contains("file=sales_trace.csv"))
+    }
+  }
+
   test("JSON: array_path navigation + nested-struct flatten to aliases") {
     // Account.Code flattens to account_code, Account.Name -> account_name
     val p = dropDir.resolve("ledger_2025.json")

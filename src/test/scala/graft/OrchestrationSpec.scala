@@ -35,6 +35,35 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(fileCalls.get() == 1) // user-file error: no retry
   }
 
+  test("error location: deepest in-engine frame formatted file:line in method") {
+    val loc = graft.core.Errors.location(new RuntimeException("boom"))
+    assert(loc.matches("OrchestrationSpec\\.scala:\\d+ in .+"), s"got $loc")
+    // no graft frame at all -> explicit unknown, never an exception
+    val alien = new RuntimeException("x")
+    alien.setStackTrace(Array(
+      new StackTraceElement("java.lang.Foo", "bar", "Foo.java", 1)))
+    assert(graft.core.Errors.location(alien) == "unknown")
+  }
+
+  test("trace: spans emit logfmt with quoting, errors marked ok=false") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    graft.core.Trace.install(l => lines.synchronized { lines += l })
+    try {
+      graft.core.Trace.span("stage one", "k" -> "a value")(42)
+      intercept[RuntimeException] {
+        graft.core.Trace.span("failing")(throw new RuntimeException("x"))
+      }
+    } finally graft.core.Trace.uninstall()
+    assert(lines.exists(l => l.startsWith("span=\"stage one\"")
+      && l.contains("k=\"a value\"") && l.contains("ok=true")))
+    assert(lines.exists(l => l.startsWith("span=failing")
+      && l.contains("ok=false") && l.contains("error=RuntimeException")))
+    // uninstalled: span body still runs, nothing emitted
+    val before = lines.size
+    assert(graft.core.Trace.span("off")(7) == 7)
+    assert(lines.size == before)
+  }
+
   test("config: env-state prefix wins over bare key wins over default") {
     val cfg = GraftConfig.load(Map(
       "GRAFT_ENV_STATE" -> "prod",

@@ -90,9 +90,24 @@ object TestSources {
     grain = Seq("sku"),
     formatOptions = ExcelOptions())
 
+  /** F7: Decimal columns — DecimalType(38,18) with exact-precision casts
+    * (the reference maps pydantic Decimal to SQL Numeric, db_utils.py:53-62).
+    */
+  val balances: SourceConfig = SourceConfig(
+    name = "balances_csv",
+    filePattern = "balances_*.csv",
+    sourceType = "csv",
+    columns = Seq(
+      ColumnSpec.string("account_id", nullable = false),
+      ColumnSpec.decimal("balance", nullable = false),
+      ColumnSpec.decimal("rate", precision = 10, scale = 6)),
+    tableName = "balances",
+    grain = Seq("account_id"),
+    validationErrorThreshold = 0.5)
+
   def registry: SourceRegistry = new SourceRegistry(Seq(
     salesCsv, thresholdSales, notifySales, ledgerJson, ledgerParquet,
-    inventoryExcel))
+    inventoryExcel, balances))
 
   // ---- file builders (reference conftest.py:69-209 synthesizes per format) --
 
