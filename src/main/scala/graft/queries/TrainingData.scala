@@ -871,15 +871,20 @@ object TrainingData {
     val c0 = e.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("vv").as("cvv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val d = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
+    // argmin as min(struct(dist2, cent_id)): lexicographic struct ordering
+    // IS the (distance, id-tie-break) argmin, and the aggregation combines
+    // map-side — n rows shuffle, not n·k, and no per-vector sort (a window
+    // row_number would sort every vector's k candidates)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
           round(col("vv") + col("cvv") -
-            lit(2.0) * vecDot(col("v"), col("cv")), 4).as("dist2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cent_id"))
-      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "cent_id", "dist2")
-    }
+            lit(2.0) * vecDot(col("v"), col("cv")), 4).as("dist2"),
+          col("cent_id"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+          col("m.dist2").as("dist2"))
     val a1 = assign(c0)
     val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val upd = comp.join(a1.select("vec_id", "cent_id"), Seq("vec_id"))
