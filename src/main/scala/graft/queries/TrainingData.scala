@@ -871,20 +871,7 @@ object TrainingData {
     val c0 = e.filter(col("vec_id") % 50 === 1)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("vv").as("cvv"))
-    // argmin as min(struct(dist2, cent_id)): lexicographic struct ordering
-    // IS the (distance, id-tie-break) argmin, and the aggregation combines
-    // map-side — n rows shuffle, not n·k, and no per-vector sort (a window
-    // row_number would sort every vector's k candidates)
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          round(col("vv") + col("cvv") -
-            lit(2.0) * vecDot(col("v"), col("cv")), 4).as("dist2"),
-          col("cent_id"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
-          col("m.dist2").as("dist2"))
+    def assign(cents: DataFrame): DataFrame = kmeansAssign(e, cents)
     val a1 = assign(c0)
     val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val upd = comp.join(a1.select("vec_id", "cent_id"), Seq("vec_id"))
@@ -899,6 +886,34 @@ object TrainingData {
         .agg(count(lit(1)).as("n_vecs"), round(sum("dist2"), 2).as("inertia"))
         .orderBy("cluster"),
       e)
+  }
+
+  /** k-means assignment pass: nearest centroid per vector. Argmin as
+    * min(struct(dist2, cent_id)): lexicographic struct ordering IS the
+    * (distance, id-tie-break) argmin, and the aggregation combines
+    * map-side — n rows shuffle, not n·k, and no per-vector sort (a window
+    * row_number would sort every vector's k candidates). Exposed for the
+    * plan regression test; inputs carry (vec_id, v, vv) / (cent_id, cv, cvv).
+    */
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(col("vv") + col("cvv") -
+          lit(2.0) * vecDot(col("v"), col("cv")), 4).as("dist2"),
+        col("cent_id"))
+      // pack (dist2, cent_id) into ONE long so the argmin stays a primitive
+      // codegen HashAggregate min — a struct-typed min falls back to
+      // SortAggregate, sorting every partition by vec_id. dist2 is already
+      // quantized at 1e-4 so 32.32 fixed-point packing is lossless (and
+      // non-negative); centroid ids are seed vec_ids and fit 32 bits.
+      .select(col("vec_id"),
+        shiftleft(round(col("dist2") * 10000, 0).cast(LongType), 32)
+          .bitwiseOR(col("cent_id")).as("packed"))
+      .groupBy("vec_id").agg(min("packed").as("m"))
+      .select(col("vec_id"),
+        col("m").bitwiseAND(lit(0xFFFFFFFFL)).as("cent_id"),
+        (shiftright(col("m"), 32).cast(DoubleType) / 10000.0).as("dist2"))
   }
 
   /** Train/eval contamination scan: an eval document is contaminated when it

@@ -71,4 +71,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q18 json: single scan, only the tiny aggregation shuffles") {
+    val p = plan(Relational.q18JsonProps(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+    // props/event_type only — the wide event row must prune
+    assert(!p.contains("user_id"), "scan must prune unused columns")
+  }
+
+  test("vocab_coverage: vocabulary broadcasts; token side never sorts") {
+    val p = plan(graft.queries.TrainingData.vocabCoverage(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("pack_sequences: exactly one shard exchange feeds window + aggregate") {
+    val p = plan(graft.queries.TrainingData.packSequences(spark, sf))
+    val exchanges = "hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shard exchange, got $exchanges")
+    assert(p.contains("Window"))
+  }
+
+  test("emb_kmeans assignment: broadcast cross join, no per-vector sort") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecDot
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("vv", vecDot(col("v"), col("v")))
+    val cents = e.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vv").as("cvv"))
+    val p = plan(graft.queries.TrainingData.kmeansAssign(e, cents))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "argmin is an aggregation, not a window sort")
+    assert(!"\\(\\d+\\) Sort".r.findAllIn(p).hasNext, "no sort anywhere")
+  }
 }
