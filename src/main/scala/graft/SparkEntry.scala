@@ -45,6 +45,7 @@ object SparkEntry {
     "q16_percentiles" -> (Relational.q16Percentiles _),
     "q17_pivot_dow" -> (Relational.q17PivotDayOfWeek _),
     "q18_json_props" -> (Relational.q18JsonProps _),
+    "q19_approx_distinct" -> (Relational.q19ApproxDistinct _),
     // training-data pipeline
     "dedup_exact" -> (TrainingData.dedupExact _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),

@@ -149,6 +149,33 @@ object TextFunctions {
       .otherwise(md5(trim(text)))
   }
 
+  /** C4/CCNet-style text cleaning, as pure codegen'd regexp chains (one
+    * narrow map per row at any scale). Masking replaces spans with stable
+    * placeholder tokens so downstream tokenization/dedup see a canonical
+    * form instead of high-entropy noise; URL masking runs BEFORE email
+    * masking (URLs may embed `@`).
+    */
+  def maskUrls(text: Column): Column =
+    regexp_replace(text, "(?i)\\bhttps?://\\S+", "<URL>")
+
+  def maskEmails(text: Column): Column =
+    regexp_replace(text, "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b",
+      "<EMAIL>")
+
+  /** Strip C0/C1 control characters (keep \t\n which normalize next). */
+  def stripControl(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** Collapse every whitespace run to one space and trim the edges. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Full cleaning chain: control-strip -> URL mask -> email mask ->
+    * whitespace normalize.
+    */
+  def cleanText(text: Column): Column =
+    normalizeWhitespace(maskEmails(maskUrls(stripControl(text))))
+
   /** Language-ID n-gram/marker heuristic. Marker words are checked against
     * the token set; CJK presence short-circuits to zh. Deterministic and
     * mirrored in the DuckDB oracle (each side uses its own regex syntax for

@@ -361,6 +361,23 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q19: sketch-based distinct counting — approx_count_distinct (HLL++)
+    * beside the exact count, with the measured relative error (the
+    * "approximate operators ship with their measured quality" rule). At
+    * 100 TB the sketch IS the plan: fixed-size HLL buffers merge map-side
+    * and shuffle a few KB per partition, where an exact countDistinct
+    * shuffles every distinct key before it can count. Rows-only check: HLL
+    * register contents are engine-specific.
+    */
+  def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("n_events"), col("exact_users"), col("approx_users"),
+        round(abs(col("approx_users") - col("exact_users"))
+          .cast(DoubleType) / col("exact_users"), 4).as("rel_err"))
+
   /** q18: semi-structured JSON column — per-event-type stats over the `$.k`
     * field parsed from the `props` JSON string. `get_json_object` is a
     * codegen'd per-row path expression, so parsing happens inside the scan

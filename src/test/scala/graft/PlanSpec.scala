@@ -93,6 +93,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("q19 approx distinct: measured error within the configured rsd band") {
+    val r = Relational.q19ApproxDistinct(spark, sf).head()
+    assert(r.getLong(1) > 0)
+    assert(r.getDouble(3) < 0.1,
+      s"HLL rsd=0.02 must land well under 10%, got ${r.getDouble(3)}")
+  }
+
   test("emb_kmeans assignment: broadcast cross join, no per-vector sort") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
