@@ -24,8 +24,19 @@ object Trace {
 
   private def fmt(v: Any): String = {
     val s = String.valueOf(v)
-    if (s.exists(c => c == ' ' || c == '"' || c == '=')) {
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // one span must stay ONE line: escape every control char (a filename
+    // with \n would otherwise split the record for line-oriented consumers)
+    if (s.exists(c => c <= ' ' || c == '"' || c == '=' || c == 0x7f)) {
+      val escaped = s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' || c == 0x7f => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      "\"" + escaped + "\""
     } else s
   }
 
@@ -46,7 +57,10 @@ object Trace {
       val err = error.map(e => s" error=${fmt(e.getClass.getSimpleName)}")
         .getOrElse("")
       val rest = attrs.map { case (k, v) => s" ${fmt(k)}=${fmt(v)}" }.mkString
-      enabled.foreach(_(base + err + rest))
+      // a throwing sink must never replace the body's result/exception —
+      // tracing is observability, not control flow
+      try enabled.foreach(_(base + err + rest))
+      catch { case _: Throwable => () }
     }
   }
 }

@@ -21,17 +21,22 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles (distinct), 1-based `element_at` windows:
-    * for n=2 over k tokens -> k-1 shingles joined with single spaces.
-    * Empty array when the doc has fewer than n tokens (guards Spark's
-    * descending-`sequence` pitfall when size-n+1 < 1).
+  /** Word n-gram windows WITHOUT dedup (repetition statistics need every
+    * occurrence), 1-based `element_at` windows: for n=2 over k tokens ->
+    * k-1 shingles joined with single spaces. Empty array when the doc has
+    * fewer than n tokens (guards Spark's descending-`sequence` pitfall when
+    * size-n+1 < 1).
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def shinglesAll(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(toks) - (n - 1))
     val grams = transform(idx, i =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+    when(size(toks) >= n, grams).otherwise(array())
   }
+
+  /** Distinct word n-gram shingles (the dedup/similarity basis). */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(shinglesAll(toks, n))
 
   /** |A ∩ B| / |A ∪ B| over two pre-distinct shingle arrays, rounded for
     * cross-engine float stability.
@@ -162,9 +167,9 @@ object TextFunctions {
     regexp_replace(text, "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b",
       "<EMAIL>")
 
-  /** Strip C0/C1 control characters (keep \t\n which normalize next). */
+  /** Strip C0/C1 control characters (keep \t\n\r which normalize next). */
   def stripControl(text: Column): Column =
-    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
 
   /** Collapse every whitespace run to one space and trim the edges. */
   def normalizeWhitespace(text: Column): Column =

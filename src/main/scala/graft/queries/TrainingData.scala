@@ -689,11 +689,8 @@ object TrainingData {
       .agg(max("c").as("top_token"), count(lit(1)).as("n_distinct"),
         sum("c").as("n_tokens"))
     // non-distinct bigrams (F.shingles dedups — wrong for repetition counts)
-    val grams = when(size(col("toks")) >= 2,
-      transform(sequence(lit(1), size(col("toks")) - 1), i =>
-        concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1)))).otherwise(array())
-    val topBi = toks.select(col("doc_id"), explode(grams).as("g"))
+    val topBi = toks
+      .select(col("doc_id"), explode(F.shinglesAll(col("toks"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram"))
     val perDoc = uni
@@ -905,11 +902,19 @@ object TrainingData {
       // pack (dist2, cent_id) into ONE long so the argmin stays a primitive
       // codegen HashAggregate min — a struct-typed min falls back to
       // SortAggregate, sorting every partition by vec_id. dist2 is already
-      // quantized at 1e-4 so 32.32 fixed-point packing is lossless (and
-      // non-negative); centroid ids are seed vec_ids and fit 32 bits.
+      // quantized at 1e-4 so 30-bit fixed-point packing is lossless for
+      // dist2 < ~107k (the clamp makes larger distances compare equal-far,
+      // which cannot change an argMIN); float jitter below 0 clamps to 0.
+      // Centroid ids MUST fit 32 bits — out-of-range ids fail loudly
+      // instead of silently bleeding into the distance bits.
       .select(col("vec_id"),
-        shiftleft(round(col("dist2") * 10000, 0).cast(LongType), 32)
-          .bitwiseOR(col("cent_id")).as("packed"))
+        shiftleft(
+          greatest(least(round(col("dist2") * 10000, 0).cast(LongType),
+            lit((1L << 30) - 1)), lit(0L)), 32)
+          .bitwiseOR(when(col("cent_id").between(0L, 0xFFFFFFFFL), col("cent_id"))
+            .otherwise(raise_error(concat(
+              lit("kmeansAssign: cent_id outside 32-bit pack range: "),
+              col("cent_id").cast(StringType))))).as("packed"))
       .groupBy("vec_id").agg(min("packed").as("m"))
       .select(col("vec_id"),
         col("m").bitwiseAND(lit(0xFFFFFFFFL)).as("cent_id"),

@@ -133,10 +133,27 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("emb_kmeans: clusters partition the vectors; Lloyd step reduces inertia") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val rows = TrainingData.embKmeans(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === 500L, "every vector assigned")
     assert(rows.forall(_.getDouble(2) >= 0.0))
     assert(rows.length <= 10, "at most one cluster per seed")
+    // the update step must actually move centroids: total inertia after the
+    // Lloyd iteration is strictly below the seed-centroid assignment's
+    // (equality would mean the update silently became a no-op)
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecDot
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("vv", vecDot(col("v"), col("v")))
+    val c0 = e.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vv").as("cvv"))
+    val seedInertia = TrainingData.kmeansAssign(e, c0)
+      .agg(sum("dist2")).head().getDouble(0)
+    val finalInertia = rows.map(_.getDouble(2)).sum
+    assert(finalInertia < seedInertia,
+      s"Lloyd step must reduce inertia: $finalInertia vs seed $seedInertia")
   }
 
   test("dup_clusters agrees with pairwise LSH counts: clustered docs cover pairs") {
