@@ -81,6 +81,8 @@ object SparkEntry {
     "select_best_per_lang" -> (TrainingData.selectBestPerLang _),
     "emb_quantize" -> (TrainingData.embQuantize _),
     "emb_kmeans" -> (TrainingData.embKmeans _),
+    "sample_fixed_n" -> (TrainingData.sampleFixedN _),
+    "dedup_incremental" -> (TrainingData.dedupIncremental _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -736,6 +738,41 @@ object SparkEntry {
         |SELECT cent_id AS cluster, count(*) AS n_vecs,
         | round(sum(dist2), 2) AS inertia
         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_fixed_n" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |   ('0x' || substr(md5('fixed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT hv
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |       row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) rk
+        |      FROM h)
+        |SELECT lang, count(*) AS n_sampled,
+        | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM r WHERE rk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) h,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, source, text,
+        |         regexp_split_to_array(trim(text), '\s+') l FROM documents) t),
+        |ex AS (SELECT * FROM d WHERE source = 'src0'),
+        |b AS (SELECT * FROM d WHERE source <> 'src0'),
+        |ext AS (SELECT doc_id FROM b WHERE h IN (SELECT h FROM ex)),
+        |exids AS (SELECT DISTINCT unnest(ids) id FROM ex),
+        |near AS (SELECT DISTINCT doc_id FROM
+        |          (SELECT doc_id, unnest(ids) id FROM b) t
+        |         WHERE id IN (SELECT id FROM exids)),
+        |dropped AS (SELECT doc_id FROM ext UNION SELECT doc_id FROM near)
+        |SELECT (SELECT count(*) FROM b) AS n_batch,
+        | (SELECT count(*) FROM ex) AS n_existing,
+        | (SELECT count(*) FROM dropped) AS n_dropped,
+        | round(CAST((SELECT count(*) FROM dropped) AS DOUBLE) /
+        |   (SELECT count(*) FROM b), 4) AS drop_rate""".stripMargin,
     "q18_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         | count(k) AS n_with_k,

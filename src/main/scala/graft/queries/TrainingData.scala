@@ -476,6 +476,61 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Fixed-size deterministic sample: exactly 10 documents per language,
+    * chosen by hash rank (salted md5 order, doc_id tie-break) — the
+    * reproducible replacement for reservoir sampling when the sample must
+    * be re-derivable from the data alone. The rank window partitions by
+    * language over a uniformly-hashed order, so no stratum concentrates;
+    * at corpus scale the window input can be pre-pruned by an approximate
+    * per-stratum hash-threshold filter before the exact rank.
+    */
+  def sampleFixedN(spark: SparkSession, dir: String): DataFrame = {
+    val hv = h60(concat(lit("fixed:"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), hv.as("hv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        sum("doc_id").as("sum_doc_ids"))
+      .orderBy("lang")
+  }
+
+  /** Incremental ingest dedup: treat `src0` documents as the EXISTING corpus
+    * and every other source as the newly crawled batch; a new document is
+    * dropped when its exact content hash OR any 5-gram fingerprint matches
+    * the existing corpus (the hash probe catches exact re-crawls, the
+    * n-gram semi-join catches near-copies). Both probes are semi-joins on
+    * fine-grained keys — the continuous-pipeline pattern where each
+    * incoming batch checks against an ever-growing corpus without ever
+    * joining documents pairwise.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"), shingleIds(col("text"), 5).as("ids"))
+    val existing = d.filter(col("source") === "src0")
+    val batch = d.filter(col("source") =!= "src0")
+    val exactDups = batch.join(
+      existing.select("h").distinct(), Seq("h"), "left_semi")
+      .select("doc_id")
+    val nearDups = batch.select(col("doc_id"), explode(col("ids")).as("id"))
+      .join(existing.select(explode(col("ids")).as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select("doc_id").distinct()
+    val dropped = exactDups.union(nearDups).distinct()
+    batch.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(existing.agg(count(lit(1)).as("n_existing")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .select(col("n_batch"), col("n_existing"), col("n_dropped"),
+        round(col("n_dropped").cast(DoubleType) / col("n_batch"), 4)
+          .as("drop_rate"))
+  }
+
   /** Corpus-wide top-k n-grams by document frequency (distinct bigrams per
     * doc -> explode -> count): the n-gram statistics a contamination /
     * boilerplate scan runs. Partial aggregation collapses counts before the

@@ -156,6 +156,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"Lloyd step must reduce inertia: $finalInertia vs seed $seedInertia")
   }
 
+  test("sample_fixed_n: exactly 10 per language, rerun-identical") {
+    val rows = TrainingData.sampleFixedN(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) === 10L))
+    assert(TrainingData.sampleFixedN(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("dedup_incremental: counts consistent, drop rate in [0,1]") {
+    val Array(r) = TrainingData.dedupIncremental(spark, sf).collect()
+    val (batch, existing, dropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(batch + existing === 500L, "sources partition the corpus")
+    assert(dropped <= batch)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("dup_clusters agrees with pairwise LSH counts: clustered docs cover pairs") {
     // verified_pairs from the pairwise operator vs docs-in-clusters from the
     // component view: v pairs over c components of sizes s_i satisfy
