@@ -190,6 +190,32 @@ object StreamingPipeline {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream inner join with bounded state: attribute each purchase
+    * to the same user's click at most `attribution` earlier. BOTH sides are
+    * watermarked and the join condition carries the time bound, so Spark
+    * can expire join state — clicks older than watermark+attribution and
+    * purchases older than watermark drop from the state store. Without the
+    * time bound the state grows forever; with it, state is (rate ×
+    * horizon), the only formulation that survives an unbounded feed.
+    */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      attribution: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+        col("click_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $attribution"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserSession(
       user_id: Long, n_events: Long, total_value: Double)

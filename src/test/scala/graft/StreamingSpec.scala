@@ -109,6 +109,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 4.0) // 11:00 view
   }
 
+  test("stream-stream join: purchases attribute to clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = StreamingPipeline.clickAttribution(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"),
+      attribution = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 2L))
+    purchases.addData(
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 1L, 9.0),  // within 30m
+      (Timestamp.valueOf("2026-01-01 11:20:00"), 2L, 5.0),  // outside 30m
+      (Timestamp.valueOf("2026-01-01 10:10:00"), 3L, 7.0))  // no click
+    q.processAllAvailable()
+    val rows = spark.sql("select user_id, purchase_value from attr").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 9.0)
+  }
+
   test("streaming dedup: content re-delivered within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
