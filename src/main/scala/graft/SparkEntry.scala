@@ -46,6 +46,10 @@ object SparkEntry {
     "q17_pivot_dow" -> (Relational.q17PivotDayOfWeek _),
     "q18_json_props" -> (Relational.q18JsonProps _),
     "q19_approx_distinct" -> (Relational.q19ApproxDistinct _),
+    "q20_anti_join" -> (Relational.q20AntiJoin _),
+    "q21_set_ops" -> (Relational.q21SetOps _),
+    "q22_moving_avg" -> (Relational.q22MovingAvg _),
+    "q23_ntile" -> (Relational.q23Ntile _),
     // training-data pipeline
     "dedup_exact" -> (TrainingData.dedupExact _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
@@ -773,6 +777,44 @@ object SparkEntry {
         | (SELECT count(*) FROM dropped) AS n_dropped,
         | round(CAST((SELECT count(*) FROM dropped) AS DOUBLE) /
         |   (SELECT count(*) FROM b), 4) AS drop_rate""".stripMargin,
+    "q20_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers_no_orders
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_set_ops" ->
+      """WITH y95 AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |             WHERE year(l_shipdate) = 1995),
+        |y96 AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |        WHERE year(l_shipdate) = 1996)
+        |SELECT
+        | (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96))
+        |   AS both_years,
+        | (SELECT count(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96))
+        |   AS only_1995,
+        | (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95))
+        |   AS only_1996""".stripMargin,
+    "q22_moving_avg" ->
+      """WITH m AS (
+        |  SELECT round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) mov
+        |  FROM events)
+        |SELECT count(*) AS n_windows,
+        | round(max(mov), 4) AS max_moving_avg,
+        | round(avg(mov), 4) AS avg_moving_avg
+        |FROM m""".stripMargin,
+    "q23_ntile" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) q
+        |  FROM orders)
+        |SELECT CAST(q AS BIGINT) AS q, count(*) AS n_orders,
+        | round(min(o_totalprice), 2) AS min_total,
+        | round(max(o_totalprice), 2) AS max_total,
+        | round(sum(o_totalprice), 2) AS sum_total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         | count(k) AS n_with_k,

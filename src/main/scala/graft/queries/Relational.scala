@@ -361,6 +361,70 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q20: anti join — customers with no URGENT orders, per market segment.
+    * The orders side filters (pushed to the scan) then reduces to distinct
+    * custkeys BEFORE the join — a fine-grained aggregation — and LeftAnti
+    * streams the customer side against it; at warehouse scale the
+    * distinct-key side is a fraction of the fact table and typically
+    * broadcastable.
+    */
+  def q20AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy("c_mktsegment")
+
+  /** q21: set operators — order keys with 1995 shipments INTERSECT 1996
+    * shipments (orders spanning both years) and EXCEPT (1995-only). Both
+    * compile to aggregations/joins on the order key — fine-grained shuffle
+    * keys, no row ever compared pairwise.
+    */
+  def q21SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def keysIn(y: Int) = li.filter(year(col("l_shipdate")) === y)
+      .select("l_orderkey").distinct()
+    val y95 = keysIn(1995); val y96 = keysIn(1996)
+    y95.intersect(y96).agg(count(lit(1)).as("both_years"))
+      .crossJoin(y95.except(y96).agg(count(lit(1)).as("only_1995")))
+      .crossJoin(y96.except(y95).agg(count(lit(1)).as("only_1996")))
+  }
+
+  /** q22: window FRAME — 3-event moving average of value per user in
+    * (ts, event_id) order, rolled up globally. The frame is ROWS-based so
+    * both engines accumulate the identical operand sequence; one shuffle on
+    * user_id, per-partition sorted scan.
+    */
+  def q22MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+    t(spark, dir, "events")
+      .withColumn("mov", round(avg("value").over(w), 4))
+      .agg(count(lit(1)).as("n_windows"),
+        round(max("mov"), 4).as("max_moving_avg"),
+        round(avg("mov"), 4).as("avg_moving_avg"))
+  }
+
+  /** q23: NTILE quartiles of order totals (totalprice, orderkey tie-break)
+    * with per-quartile stats. An exact global ntile needs the total order —
+    * at warehouse scale swap the cut points for approx percentiles and keep
+    * this exact form for the verifier, same shape both ways.
+    */
+  def q23Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("q", ntile(4).over(w).cast(LongType))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_total"),
+        round(max("o_totalprice"), 2).as("max_total"),
+        round(sum("o_totalprice"), 2).as("sum_total"))
+      .orderBy("q")
+  }
+
   /** q19: sketch-based distinct counting — approx_count_distinct (HLL++)
     * beside the exact count, with the measured relative error (the
     * "approximate operators ship with their measured quality" rule). At
