@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout/stderr in forked runs: sbt's default logger prefixes every
+// line with "[info] ", which breaks the driver's parse of Bench's one-line
+// JSON result (BENCH_r{1,2}.json both recorded parsed:null).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,7 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: Spark's "function X replaced a previously registered function"
+    // WARNs (and executor chatter) must not interleave with the one-line
+    // JSON result the driver parses from stdout.
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: JVM/Janino-codegen/broadcast/window/shuffle machinery and
     // parquet footers all initialize here, not inside the first measured
     // query (queries run in sorted order, so whichever sorts first would
@@ -51,7 +54,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Print the result LAST, after spark.stop()'s shutdown logging, so the
+    // JSON line is the final stdout line and trivially machine-parseable.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
