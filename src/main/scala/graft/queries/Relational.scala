@@ -396,11 +396,14 @@ object Relational {
   /** q22: window FRAME — 3-event moving average of value per user in
     * (ts, event_id) order, rolled up globally. The frame is ROWS-based so
     * both engines accumulate the identical operand sequence; one shuffle on
-    * user_id, per-partition sorted scan.
+    * user_id, per-partition sorted scan. Order by the MICRO-truncated ts
+    * (`ts div 1000`, like q13/q14): the oracle sees microsecond timestamps,
+    * so ordering raw nanos would tie-break sub-microsecond collisions by
+    * nanos where DuckDB falls through to event_id.
     */
   def q22MovingAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-2, 0)
     t(spark, dir, "events")
       .withColumn("mov", round(avg("value").over(w), 4))
       .agg(count(lit(1)).as("n_windows"),

@@ -958,10 +958,14 @@ object TrainingData {
       // codegen HashAggregate min — a struct-typed min falls back to
       // SortAggregate, sorting every partition by vec_id. dist2 is already
       // quantized at 1e-4 so 30-bit fixed-point packing is lossless for
-      // dist2 < ~107k (the clamp makes larger distances compare equal-far,
-      // which cannot change an argMIN); float jitter below 0 clamps to 0.
-      // Centroid ids MUST fit 32 bits — out-of-range ids fail loudly
-      // instead of silently bleeding into the distance bits.
+      // dist2 < ~107374; distances past that clamp and compare equal-far,
+      // so when the WINNING distance equals the clamp the argmin is no
+      // longer the true nearest centroid (all candidates tied at the
+      // ceiling, min falls to the lowest cent_id) — that case fails loudly
+      // below instead of silently diverging from the oracle's row_number.
+      // Float jitter below 0 clamps to 0. Centroid ids MUST fit 32 bits —
+      // out-of-range ids fail loudly instead of bleeding into the distance
+      // bits.
       .select(col("vec_id"),
         shiftleft(
           greatest(least(round(col("dist2") * 10000, 0).cast(LongType),
@@ -973,7 +977,14 @@ object TrainingData {
       .groupBy("vec_id").agg(min("packed").as("m"))
       .select(col("vec_id"),
         col("m").bitwiseAND(lit(0xFFFFFFFFL)).as("cent_id"),
-        (shiftright(col("m"), 32).cast(DoubleType) / 10000.0).as("dist2"))
+        when(shiftright(col("m"), 32) === lit((1L << 30) - 1),
+          raise_error(concat(
+            lit("kmeansAssign: all centroid distances hit the fixed-point " +
+              "clamp (dist2 >= ~107374) for vec_id "),
+            col("vec_id").cast(StringType),
+            lit("; argmin undefined — widen the packing scale"))))
+          .otherwise(shiftright(col("m"), 32).cast(DoubleType) / 10000.0)
+          .as("dist2"))
   }
 
   /** Train/eval contamination scan: an eval document is contaminated when it

@@ -62,8 +62,10 @@ final class ExcelReader extends Reader {
     // Blank headers, or all-default names (pyexcel numbers headerless
     // columns: every header blank or integer-like) — excel.py:121-141.
     val allDefault = header.nonEmpty && header.forall { h =>
-      val t = h.trim
-      t.isEmpty || t.stripPrefix("-").forall(_.isDigit) && t.stripPrefix("-").nonEmpty
+      // dropWhile mirrors Python lstrip("-"): ALL leading dashes strip, so
+      // "--12" counts as an integer-like default header (excel.py:133).
+      val t = h.trim.dropWhile(_ == '-')
+      h.trim.isEmpty || (t.nonEmpty && t.forall(_.isDigit))
     }
     if (header.isEmpty || header.forall(_.trim.isEmpty) || allDefault)
       throw MissingHeaderError(fileName)

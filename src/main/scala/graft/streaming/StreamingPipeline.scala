@@ -58,37 +58,79 @@ object StreamingPipeline {
       fileName = "<stream>", logId = -1L)
       .withColumn("source_filename", input_file_name())
 
+    // The replay key is (runId, batchId), not batchId alone: batchId restarts
+    // at 0 whenever the checkpoint is recreated, so a batchId-keyed overwrite
+    // over a pre-existing outDir would silently clobber an earlier run's
+    // batches. The runId lives IN the checkpoint dir — same checkpoint ⇒
+    // same runId ⇒ a retried batch rewrites exactly its own partition; fresh
+    // checkpoint ⇒ new runId ⇒ prior runs' output is never touched (the
+    // cross-run duplicate is then visible and auditable, not silent loss).
+    val runId = runIdFor(spark, checkpointDir)
     validated.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Idempotent re-delivery: each sink is partitioned by the
-        // exactly-once batchId and written with DYNAMIC partition
-        // overwrite, so a batch retried after a partial (or complete)
-        // write replaces its own partition instead of appending
-        // duplicates. Blind appends here would be at-least-once.
+        // Idempotent re-delivery: delete this batch's own partition, then
+        // append. Replay after a partial write rewrites the partition from
+        // scratch; a replay whose subset became empty leaves the partition
+        // deleted (dynamic partition overwrite would have left the stale
+        // partial in place, since it only rewrites partitions present in
+        // the new data). Blind appends here would be at-least-once.
         val cached = batch.cache()
         try {
+          Seq("valid", "dlq").foreach { sub =>
+            deletePath(batch.sparkSession,
+              s"$outDir/$sub/_run_id=$runId/_batch_id=$batchId")
+          }
           cached.filter(col(Validator.IsValidCol))
             .drop(Validator.ErrorsCol, Validator.IsValidCol, Validator.RawRecordCol)
+            .withColumn("_run_id", lit(runId))
             .withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
+            .write.mode("append")
+            .partitionBy("_run_id", "_batch_id")
             .parquet(s"$outDir/valid")
           cached.filter(!col(Validator.IsValidCol))
             .select(col("source_filename"), col("file_row_number"),
               col(Validator.RawRecordCol).as("file_record_data"),
               to_json(col(Validator.ErrorsCol)).as("validation_errors"))
+            .withColumn("_run_id", lit(runId))
             .withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
+            .write.mode("append")
+            .partitionBy("_run_id", "_batch_id")
             .parquet(s"$outDir/dlq")
         } finally cached.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Stable per-checkpoint run id: read `<checkpointDir>/_graft_run_id`, or
+    * mint + persist one if absent. Ties the sink's partition-key salt to the
+    * checkpoint lifecycle so "same checkpoint" and "same replay key" are the
+    * same statement.
+    */
+  private[streaming] def runIdFor(
+      spark: SparkSession, checkpointDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val out = fs.create(p, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** Continuous drop-folder ingest with MERGE-publish: like
@@ -197,6 +239,13 @@ object StreamingPipeline {
     * purchases older than watermark drop from the state store. Without the
     * time bound the state grows forever; with it, state is (rate ×
     * horizon), the only formulation that survives an unbounded feed.
+    *
+    * SEMANTICS: ALL-touch fan-out — a purchase preceded by N in-window
+    * clicks emits N rows (one per touch), so summing `purchase_value`
+    * downstream multiply-counts multi-click purchases. That is the right
+    * shape for touch-weighted attribution models; for the batch twin
+    * q13AsofJoin's LAST-touch semantics (one row per purchase, most recent
+    * click) use [[clickAttributionLastTouch]].
     */
   def clickAttribution(
       clicks: DataFrame,
@@ -215,6 +264,27 @@ object StreamingPipeline {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"),
         col("purchase_value"))
   }
+
+  /** LAST-touch click attribution — the streaming twin of q13AsofJoin: one
+    * row per purchase carrying only its MOST RECENT in-window click. The
+    * fan-out join above feeds a watermarked per-purchase max(click_ts)
+    * aggregation; append mode emits each purchase exactly once, after the
+    * watermark passes its event time (Spark's multiple-stateful-operator
+    * support propagates the join's watermark into the aggregation). Both
+    * stateful stages hold only (rate × horizon) state. Purchases identical
+    * in (user_id, purchase_ts, purchase_value) collapse to one row — give
+    * purchases a real id column upstream if that grain matters.
+    */
+  def clickAttributionLastTouch(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      attribution: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    clickAttribution(clicks, purchases, attribution, lateness)
+      .groupBy(col("user_id"), col("purchase_ts"), col("purchase_value"))
+      .agg(max(col("click_ts")).as("click_ts"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserSession(

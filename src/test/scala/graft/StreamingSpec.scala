@@ -135,6 +135,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 9.0)
   }
 
+  test("last-touch attribution: one row per purchase, most recent click wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = StreamingPipeline.clickAttributionLastTouch(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"),
+      attribution = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("lasttouch")
+      .outputMode(OutputMode.Append()).start()
+    // two in-window clicks for user 1, ONE purchase — all-touch would fan
+    // out to 2 rows; last-touch must emit exactly one, with the 10:15 click
+    clicks.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2026-01-01 10:15:00"), 1L))
+    purchases.addData(
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 1L, 9.0))
+    q.processAllAvailable()
+    // advance the watermark past purchase_ts+lateness on BOTH streams so
+    // append mode finalizes the group (two flush batches: watermark used in
+    // batch N comes from data seen through batch N-1)
+    clicks.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 50L))
+    purchases.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 51L, 1.0))
+    q.processAllAvailable()
+    clicks.addData((Timestamp.valueOf("2026-01-01 13:00:00"), 50L))
+    purchases.addData((Timestamp.valueOf("2026-01-01 13:00:00"), 51L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select click_ts, purchase_value from lasttouch where user_id = 1").collect()
+    q.stop()
+    assert(rows.length == 1, "exactly one row per purchase")
+    assert(rows(0).getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:15:00"),
+      "most recent in-window click wins")
+    assert(rows(0).getDouble(1) == 9.0)
+  }
+
+  test("fresh checkpoint over an existing outDir never clobbers earlier runs") {
+    val drop = tmp("rid-drop")
+    val out = tmp("rid-out")
+    val source = SourceConfig(
+      name = "rid", filePattern = "sales_*.csv", sourceType = "csv",
+      columns = Seq(
+        ColumnSpec.string("transaction_id", nullable = false),
+        ColumnSpec.int("quantity", nullable = false)),
+      tableName = "t", grain = Seq("transaction_id"))
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_r1.csv"),
+      "transaction_id,quantity\nT1,1\nT2,2\n")
+    StreamingPipeline.dropFolderStream(spark, source, drop, out, tmp("rid-ck1"))
+      .awaitTermination()
+    assert(spark.read.parquet(s"$out/valid").count() == 2)
+    // run 2: NEW checkpoint (batchId restarts at 0) over the same outDir —
+    // the runId salt keeps run 1's batch-0 partition intact
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_r2.csv"),
+      "transaction_id,quantity\nT3,3\n")
+    StreamingPipeline.dropFolderStream(spark, source, drop, out, tmp("rid-ck2"))
+      .awaitTermination()
+    val valid = spark.read.parquet(s"$out/valid")
+    assert(valid.count() == 5, "run 1 rows survive + run 2 re-reads both files")
+    assert(valid.select("_run_id").distinct().count() == 2)
+  }
+
   test("streaming dedup: content re-delivered within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
