@@ -13,6 +13,35 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
+  /** Shared pool for concurrent audit submission: the grain and custom
+    * audits are independent Spark jobs over the same cached stage, so
+    * running them from separate threads lets the scheduler overlap them
+    * (daemon threads — never blocks JVM exit).
+    */
+  val auditEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-audit")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Run the grain audit and (if configured) the custom audit CONCURRENTLY;
+    * rethrows the grain failure first, then the custom one.
+    */
+  def runAll(spark: SparkSession, stage: DataFrame,
+             source: SourceConfig, fileName: String): Unit =
+    if (source.auditQuery.isEmpty) grainAudit(stage, source, fileName)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = auditEc
+      val g = Future(grainAudit(stage, source, fileName))
+      val c = Future(customAudit(spark, stage, source, fileName))
+      Await.result(g, Duration.Inf)
+      Await.result(c, Duration.Inf)
+    }
+
   /** A1 grain-uniqueness + A2 top-5 duplicate examples in ONE aggregation:
     * `groupBy(grain).count HAVING count>1 LIMIT 5` answers both "is the grain
     * unique" and "show me examples" — a single shuffle instead of the

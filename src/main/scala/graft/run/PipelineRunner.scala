@@ -164,10 +164,10 @@ final class PipelineRunner(
       val stage = vr.valid.drop(Validator.ErrorsCol, Validator.IsValidCol,
         Validator.RawRecordCol, "file_row_number")
 
-      // AUDIT (A1/A2 grain, A3 custom) on staged rows
+      // AUDIT (A1/A2 grain, A3 custom) on staged rows — independent jobs,
+      // submitted concurrently so the scheduler overlaps them
       graft.core.Trace.span("audit", "file" -> fileName) {
-        Audit.grainAudit(stage, source, fileName)
-        Audit.customAudit(spark, stage, source, fileName)
+        Audit.runAll(spark, stage, source, fileName)
       }
       log(logId, fileName, Some(source.tableName), "audit", success = Some(true))
 
