@@ -87,6 +87,12 @@ object SparkEntry {
     "emb_kmeans" -> (TrainingData.embKmeans _),
     "sample_fixed_n" -> (TrainingData.sampleFixedN _),
     "dedup_incremental" -> (TrainingData.dedupIncremental _),
+    // mixture / sharding / chunking / embedding-quality ops
+    "mixture_weights" -> (TrainingData.mixtureWeights _),
+    "shard_assign" -> (TrainingData.shardAssign _),
+    "bytes_per_token" -> (TrainingData.bytesPerToken _),
+    "window_chunking" -> (TrainingData.windowChunking _),
+    "knn_label_agreement" -> (TrainingData.knnLabelAgreement _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -894,5 +900,69 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') AND o_totalprice > 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS target_rows
         |FROM orders""".stripMargin,
+    "mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) n_docs, sqrt(count(*)) w_raw
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) n_total, sum(w_raw) w_total FROM s)
+        |SELECT source, n_docs,
+        | round(n_docs / n_total, 4) AS raw_share,
+        | round(w_raw / w_total, 4) AS mix_weight,
+        | round(w_raw / w_total * n_total, 1) AS expected_docs
+        |FROM s, t ORDER BY source""".stripMargin,
+    "shard_assign" ->
+      """SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(n_tokens), 2) AS avg_tokens
+        |FROM (
+        |  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 8 AS shard,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n_tokens
+        |  FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bytes_per_token" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | round(sum(strlen(text)) /
+        |   sum(len(regexp_split_to_array(trim(text), '\s+'))), 4)
+        |   AS bytes_per_token,
+        | round(sum(strlen(text)) /
+        |   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+        |   AS bytes_per_subword
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_chunking" ->
+      """WITH n AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n
+        |  FROM documents),
+        |c AS (
+        |  SELECT n, unnest(generate_series(0, CAST(floor((n - 1) / 48.0) AS BIGINT))) i
+        |  FROM n),
+        |l AS (SELECT least(64, n - i * 48) chunk_len FROM c)
+        |SELECT count(*) AS total_chunks,
+        | count(*) FILTER (chunk_len = 64) AS full_chunks,
+        | round(avg(chunk_len / 64.0), 4) AS avg_fill
+        |FROM l""".stripMargin,
+    "knn_label_agreement" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |scored AS (
+        |  SELECT q.vec_id, q.label, b.label nb_label, b.vec_id nb_id,
+        |   round(list_sum(list_transform(range(1, len(q.nv)+1),
+        |     i -> q.nv[i] * b.nv[i])), 4) sim
+        |  FROM norm q JOIN norm b ON b.vec_id <> q.vec_id),
+        |nn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, nb_id) rn
+        |  FROM scored)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        | count(*) FILTER (label = nb_label) AS n_agree,
+        | round(count(*) FILTER (label = nb_label) / count(*), 4) AS agreement
+        |FROM nn WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

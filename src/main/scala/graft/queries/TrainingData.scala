@@ -1063,5 +1063,122 @@ object TrainingData {
       .orderBy("media_type")
   }
 
+  // ------------------------------------- mixture / sharding / chunking ops
+
+  /** Temperature-scaled source mixture (the GPT-3/LLaMA-style data-mixture
+    * computation): per-source weight n^alpha / sum(n^alpha) with alpha=0.5,
+    * and the expected per-source document count when resampling the corpus
+    * to its original size under those weights. Upweights small high-quality
+    * sources, downweights bulk crawl. One tiny aggregation + a broadcast of
+    * the 1-row totals — O(sources) state at any corpus size.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt(col("n_docs").cast(DoubleType)))
+    val totals = perSource.agg(sum("n_docs").as("n_total"),
+      sum("w_raw").as("w_total"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast(DoubleType) / col("n_total"), 4)
+          .as("raw_share"),
+        round(col("w_raw") / col("w_total"), 4).as("mix_weight"),
+        round(col("w_raw") / col("w_total") * col("n_total"), 1)
+          .as("expected_docs"))
+      .orderBy("source")
+  }
+
+  /** Deterministic output sharding: every document lands in one of 8 shards
+    * by a content-independent hash of its id — the final "write the corpus
+    * as N balanced shards" step of a training-data pipeline. The report
+    * checks the balance (doc and token counts per shard). At scale this is
+    * `repartition(n, shard)` + one partitioned write; the hash assignment
+    * shuffles nothing here.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        (h60(concat(lit("shard:"), col("doc_id").cast(StringType))) % 8)
+          .as("shard"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("shard")
+
+  /** Tokenizer fertility per language: bytes per whitespace token and per
+    * BPE-ish subword — the metric that decides tokenizer budget allocation
+    * across languages. Pure per-row arithmetic into a per-language
+    * aggregation.
+    */
+  def bytesPerToken(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        regexp_count(col("text"), lit(F.SubwordPattern)).cast(LongType)
+          .as("n_subwords"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bytes").as("total_bytes"),
+        round(sum("n_bytes").cast(DoubleType) / sum("n_tokens"), 4)
+          .as("bytes_per_token"),
+        round(sum("n_bytes").cast(DoubleType) / sum("n_subwords"), 4)
+          .as("bytes_per_subword"))
+      .orderBy("lang")
+
+  /** Sliding context-window chunking (size 64 tokens, stride 48): the
+    * training-example windowing step. Chunk starts step by the stride while
+    * inside the document; each chunk holds min(64, n - start) tokens. The
+    * explode is over chunk INDICES (arithmetic, not token arrays), so the
+    * shuffle payload is two longs per chunk — the token slices themselves
+    * would only materialize in the final write at scale.
+    */
+  def windowChunking(spark: SparkSession, dir: String): DataFrame = {
+    val size64 = lit(64L); val stride = lit(48L)
+    val chunks = docs(spark, dir)
+      .select(org.apache.spark.sql.functions.size(F.tokens(col("text")))
+        .cast(LongType).as("n"))
+      .select(col("n"), explode(sequence(lit(0L),
+        floor((col("n") - 1L) / stride).cast(LongType))).as("i"))
+      .select(least(size64, col("n") - col("i") * stride).as("chunk_len"))
+    chunks.agg(
+      count(lit(1)).as("total_chunks"),
+      count(when(col("chunk_len") === size64, 1)).as("full_chunks"),
+      round(avg(col("chunk_len").cast(DoubleType) / size64.cast(DoubleType)), 4)
+        .as("avg_fill"))
+  }
+
+  /** 1-NN label agreement over the embedding space — the classic
+    * mislabeled-data / embedding-quality probe: for every vector, does its
+    * nearest neighbor (cosine) carry the same label? Exact all-pairs here
+    * (the verifiable form); at 100 TB the candidate set comes from the IVF /
+    * LSH ANN operators above and the agreement aggregation is unchanged.
+    */
+  def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    graft.functions.VectorFunctions.register(spark)
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val e = embs(spark, dir).select(col("vec_id"), col("label"),
+      transform(v, x => x / sqrt(vecDot(v, v))).as("nv"))
+    val q = e.select(col("vec_id"), col("label"), col("nv"))
+    val n = e.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
+      col("nv").as("nb_nv"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nb_id"))
+    val nn = q.join(n, col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("label"), col("nb_label"), col("nb_id"),
+        round(vecDot(col("nv"), col("nb_nv")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    nn.groupBy(col("label").cast(LongType).as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("label") === col("nb_label"), 1)).as("n_agree"),
+        round(count(when(col("label") === col("nb_label"), 1))
+          .cast(DoubleType) / count(lit(1)), 4).as("agreement"))
+      .orderBy("label")
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -178,4 +178,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     val Array(cc) = TrainingData.dupClusters(spark, sf).collect()
     assert(cc.getLong(1) <= 2 * lsh.getLong(1))
   }
+
+  test("mixture_weights: weights sum to 1, temperature flattens the mixture") {
+    val rows = TrainingData.mixtureWeights(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    val weights = rows.map(_.getDouble(3))
+    assert(math.abs(weights.sum - 1.0) < 0.01)
+    // alpha=0.5 pulls every source's share toward uniform: the largest
+    // source's mix weight is below its raw share, the smallest's above
+    val byShare = rows.sortBy(_.getDouble(2))
+    assert(byShare.last.getDouble(3) <= byShare.last.getDouble(2) + 1e-9)
+    assert(byShare.head.getDouble(3) >= byShare.head.getDouble(2) - 1e-9)
+  }
+
+  test("shard_assign: 8 shards partition the corpus, roughly balanced") {
+    val rows = TrainingData.shardAssign(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L to 7L).toSet)
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.min > 20 && counts.max < 140, s"badly skewed: ${counts.toSeq}")
+    // deterministic
+    assert(TrainingData.shardAssign(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("bytes_per_token: fertility bounded below by 1 byte and consistent") {
+    val rows = TrainingData.bytesPerToken(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    rows.foreach { r =>
+      // a whitespace token is >= 1 byte + separator, and subwords split
+      // tokens further, so bytes/subword <= bytes/token
+      assert(r.getDouble(3) > 1.0)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9)
+    }
+  }
+
+  test("window_chunking: every doc chunks, fills within (0,1]") {
+    val Array(r) = TrainingData.windowChunking(spark, sf).collect()
+    val (total, full) = (r.getLong(0), r.getLong(1))
+    assert(total >= 500L, "at least one chunk per document")
+    assert(full <= total)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("knn_label_agreement: all labels reported, agreement is a rate") {
+    val rows = TrainingData.knnLabelAgreement(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L, "one row per vector at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
