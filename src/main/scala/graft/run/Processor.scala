@@ -73,6 +73,14 @@ final class Processor(
       pool.awaitTermination(24, TimeUnit.HOURS)
     }
 
+    // post-sweep maintenance: fold append segments of the run-metadata
+    // tables (one segment lands per file processed — without compaction a
+    // long-lived deployment's log reads degrade linearly in files-ever-
+    // loaded). Concurrent-append safe; see TableStore.compact.
+    store.compact(graft.store.Schemas.LogTable)
+    store.compact(graft.store.Schemas.DlqTable)
+    registry.all.foreach(s => store.compact(s"${s.tableName}__filenames"))
+
     import scala.jdk.CollectionConverters._
     val all = results.asScala.toSeq
     val done = all.flatten

@@ -104,8 +104,19 @@ final class TableStore(spark: SparkSession, root: String) {
     * target) skip directories entirely.
     */
   def overwrite(name: String, df: DataFrame,
-                partitionBy: Seq[String] = Nil): Unit = {
-    val priorSegs = segments(name)
+                partitionBy: Seq[String] = Nil): Unit =
+    overwriteFolding(name, df, partitionBy, segments(name))
+
+  /** [[overwrite]] with an EXPLICIT list of segments to fold away: the
+    * caller names exactly the segments its `df` was built from, so an
+    * append that lands concurrently (appends are lock-free atomic renames)
+    * is never deleted unfolded — it simply survives as a segment on top of
+    * the new version.
+    */
+  private def overwriteFolding(name: String, df: DataFrame,
+                               partitionBy: Seq[String],
+                               foldedSegs: Seq[Path]): Unit = {
+    val priorSegs = foldedSegs
     val version = s"v_${counter.incrementAndGet()}"
     val dir = tableDir(name)
     val f = fs(dir)
@@ -154,6 +165,33 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!f.rename(tmp, new Path(dir, s"seg_$id")))
       throw new java.io.IOException(s"segment commit failed for $name")
   }
+
+  /** Small-file compaction: fold the append segments into a fresh base
+    * version once more than `maxSegments` have accumulated. An append-heavy
+    * table (run log, filename sidecars) otherwise grows one directory per
+    * append and every reader pays per-segment listing + footer costs — at
+    * warehouse scale unbounded segment counts are how a metadata layer
+    * falls over. The fold is the same read → version-write → atomic
+    * pointer-swap path a publish uses; the folded segment list is captured
+    * EXPLICITLY, so lock-free concurrent appends are never deleted unfolded
+    * (they land after the capture and survive on top of the new version).
+    * The table lock only serializes concurrent compact/overwrite of the
+    * same table. The fold writes unpartitioned — compact is for the
+    * append-heavy metadata tables; partitioned targets compact through the
+    * publish path, which preserves their layout. Returns true when a fold
+    * happened.
+    */
+  def compact(name: String, maxSegments: Int = 16): Boolean =
+    withTableLock(name) {
+      val segs = segments(name)
+      if (segs.size <= maxSegments) false
+      else {
+        val base = currentVersion(name).map(v => new Path(tableDir(name), v))
+        val df = spark.read.parquet((base.toSeq ++ segs).map(_.toString): _*)
+        overwriteFolding(name, df, Nil, segs)
+        true
+      }
+    }
 
   def dropTable(name: String): Unit = {
     val dir = tableDir(name)

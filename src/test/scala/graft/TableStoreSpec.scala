@@ -77,4 +77,22 @@ class TableStoreSpec extends AnyFunSuite {
     // each cycle added exactly one row: no lost updates
     assert(store.readIfExists("c").get.count() == 9)
   }
+
+  test("compact folds segments past the threshold, no-ops below it") {
+    val (store, root) = mkStore()
+    def segCount() = Files.list(root.resolve("log")).toArray.map(_.toString)
+      .count(_.contains("/seg_"))
+    (1 to 4).foreach(i => store.append("log", df(i.toLong)))
+    assert(!store.compact("log", maxSegments = 8), "below threshold: no-op")
+    assert(segCount() == 4)
+    assert(store.compact("log", maxSegments = 3), "past threshold: folds")
+    assert(segCount() == 0)
+    assert(store.readIfExists("log").get.count() == 4)
+    // appends after the fold land on top of the new base version
+    store.append("log", df(9))
+    assert(store.readIfExists("log").get.count() == 5)
+    assert(store.compact("log", maxSegments = 0))
+    assert(store.readIfExists("log").get.collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 9L)))
+  }
 }
