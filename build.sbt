@@ -15,6 +15,11 @@ run / fork := true
 // line with "[info] ", which breaks the driver's parse of Bench's one-line
 // JSON result (BENCH_r{1,2}.json both recorded parsed:null).
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ... and sbt's final "[success] Total time: ..." line prints AFTER the forked
+// run's output, so it—not Bench's JSON—was the last stdout line every round
+// (BENCH_r{1..4}.json all recorded parsed:null). Suppress it globally.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
