@@ -355,6 +355,68 @@ case class JaccardIds(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact intersection size of two SORTED `array<bigint>` columns (the
+  * shingle-id arrays every near-dup operator carries) as one merge scan.
+  *
+  * Why a custom Expression: `size(array_intersect(a, b))` builds a hash set
+  * per row-pair — allocation plus hashing per element — where sorted inputs
+  * admit a branch-predictable two-pointer scan with zero allocation, the
+  * same access pattern as [[JaccardIds]]. Containment / overlap metrics
+  * derive from this count with plain column arithmetic.
+  */
+case class IntersectSizeIds(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_size_ids requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intersect_size_ids"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1L; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { ${ev.value}++; $i++; $j++; }
+         |  else if ($xi < $yj) $i++; else $j++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSizeIds =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column API for the vector expressions. */
 object VectorFunctions {
 
@@ -385,6 +447,10 @@ object VectorFunctions {
       new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
         exprs(1).eval().asInstanceOf[Int]))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("intersect_size_ids"),
+      new ExpressionInfo(classOf[IntersectSizeIds].getName, "intersect_size_ids"),
+      (exprs: Seq[Expression]) => IntersectSizeIds(exprs.head, exprs(1)))
   }
 
   /** Codegen'd dot product; requires [[register]] on the session. */
@@ -404,4 +470,8 @@ object VectorFunctions {
   /** Fused distinct word-n-gram shingle strings; requires [[register]]. */
   def shingleStrings(text: Column, n: Int): Column =
     call_function("shingle_strings", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Merge-scan intersection size over sorted id arrays; requires [[register]]. */
+  def intersectIds(a: Column, b: Column): Column =
+    call_function("intersect_size_ids", a, b)
 }

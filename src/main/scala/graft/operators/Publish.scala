@@ -69,8 +69,12 @@ object Publish {
       release = () => { tagged.unpersist(); () })
   }
 
-  /** The merged relation with an `_action` tag column, uncached. */
-  private def taggedMerge(stage: DataFrame, target: DataFrame,
+  /** The merged relation with an `_action` tag column, uncached. Exposed
+    * within the engine so callers that only AGGREGATE the merge result
+    * (bench/verify queries) can fold the insert/update counts into their
+    * own single pass instead of paying [[merge]]'s eager count action.
+    */
+  private[graft] def taggedMerge(stage: DataFrame, target: DataFrame,
                           source: SourceConfig,
                           now: java.sql.Timestamp): DataFrame = {
     val grain = source.grain

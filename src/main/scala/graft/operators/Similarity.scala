@@ -55,6 +55,14 @@ object Similarity {
       .mapPartitions { it =>
         val idArr = bcIds.value
         val m = bcFlat.value
+        // HALF_UP at `scale` can raise a value by at most half an ulp of the
+        // scale — pairs below (threshold - guard) can never round up past the
+        // threshold, so the exact BigDecimal rounding (allocation per call)
+        // only runs for the vanishing fraction of near/above-threshold pairs
+        // instead of every one of the O(n^2)/2.
+        // (the 1e-12 slack absorbs the double representation error of the
+        // boundary itself — skipping must err on the side of rounding)
+        val guard = threshold - 0.5 * math.pow(10.0, -scale) - 1e-12
         it.flatMap { iL =>
           val i = iL.toInt
           val off = i * dim
@@ -63,8 +71,11 @@ object Similarity {
             var d = 0
             val joff = j * dim
             while (d < dim) { s += m(off + d) * m(joff + d); d += 1 }
-            val r = roundHalfUp(s, scale)
-            if (r >= threshold) Some(Pair(idArr(i), idArr(j), r)) else None
+            if (s < guard) None
+            else {
+              val r = roundHalfUp(s, scale)
+              if (r >= threshold) Some(Pair(idArr(i), idArr(j), r)) else None
+            }
           }
         }
       }

@@ -123,16 +123,18 @@ object Relational {
         .select(col("o_orderkey"),
           (col("o_totalprice") + when(col("o_orderkey") % 4 === 0, 1.0).otherwise(0.0))
             .as("o_totalprice")))
-    val mr = Publish.merge(stage, target, source,
-      new java.sql.Timestamp(0L))
-    val out = mr.merged.agg(
-      count(lit(1)).as("final_count"),
-      round(sum("o_totalprice"), 2).as("total_price"))
-      .withColumn("inserts", lit(mr.inserts))
-      .withColumn("updates", lit(mr.updates))
+    // ONE pass over the engine's tagged merge relation (the same frame
+    // Publish.mergePlan writes): final count, action counts, and the price
+    // sum fold into a single aggregation over a single full-outer join.
+    // Publish.merge would run the join twice — an eager count action plus
+    // the caller's aggregation — and hold a cache between them.
+    Publish.taggedMerge(stage, target, source, new java.sql.Timestamp(0L))
+      .agg(
+        count(lit(1)).as("final_count"),
+        count(when(col("_action") === "insert", 1)).as("inserts"),
+        count(when(col("_action") === "update", 1)).as("updates"),
+        round(sum("o_totalprice"), 2).as("total_price"))
       .select("final_count", "inserts", "updates", "total_price")
-    mr.release()
-    out
   }
 
   /** q6: pre-merge insert/update counts (A4/J2) through the engine's real
@@ -372,26 +374,36 @@ object Relational {
     t(spark, dir, "customer")
       .join(t(spark, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT")
-          .select(col("o_custkey").as("c_custkey")).distinct(),
+          // no distinct: left_anti already has at-most-once semantics, and
+          // the extra shuffle would only shrink an already-broadcastable side
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers_no_orders"))
       .orderBy("c_mktsegment")
 
   /** q21: set operators — order keys with 1995 shipments INTERSECT 1996
-    * shipments (orders spanning both years) and EXCEPT (1995-only). Both
-    * compile to aggregations/joins on the order key — fine-grained shuffle
-    * keys, no row ever compared pairwise.
+    * shipments (orders spanning both years) and both EXCEPT directions.
+    * The three set results come out of ONE scan: per-key year flags via
+    * map-side partial `max`, then a single flag aggregation. Chained
+    * `intersect`/`except` operators would scan lineitem six times and
+    * shuffle each distinct key set separately; this plan reads the table
+    * once and shuffles one row per order key — the 100 TB shape. The date
+    * range filter stays a bare-column parquet predicate (row-group
+    * pruning), with `year()` only applied post-scan to build the flags.
     */
-  def q21SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    def keysIn(y: Int) = li.filter(year(col("l_shipdate")) === y)
-      .select("l_orderkey").distinct()
-    val y95 = keysIn(1995); val y96 = keysIn(1996)
-    y95.intersect(y96).agg(count(lit(1)).as("both_years"))
-      .crossJoin(y95.except(y96).agg(count(lit(1)).as("only_1995")))
-      .crossJoin(y96.except(y95).agg(count(lit(1)).as("only_1996")))
-  }
+  def q21SetOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .groupBy("l_orderkey")
+      .agg(
+        max(when(year(col("l_shipdate")) === 1995, 1).otherwise(0)).as("in95"),
+        max(when(year(col("l_shipdate")) === 1996, 1).otherwise(0)).as("in96"))
+      .agg(
+        count(when(col("in95") === 1 && col("in96") === 1, 1)).as("both_years"),
+        count(when(col("in95") === 1 && col("in96") === 0, 1)).as("only_1995"),
+        count(when(col("in95") === 0 && col("in96") === 1, 1)).as("only_1996"))
 
   /** q22: window FRAME — 3-event moving average of value per user in
     * (ts, event_id) order, rolled up globally. The frame is ROWS-based so

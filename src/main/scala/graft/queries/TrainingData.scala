@@ -511,8 +511,12 @@ object TrainingData {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.shingleIds
+    // cached: the hash + 5-gram projection feeds FIVE subplans (both sides
+    // of both semi-joins plus the size counts) — uncached, the shingle
+    // extraction would re-run over the full corpus for each
     val d = docs(spark, dir).select(col("doc_id"), col("source"),
       md5(col("text")).as("h"), shingleIds(col("text"), 5).as("ids"))
+      .cache()
     val existing = d.filter(col("source") === "src0")
     val batch = d.filter(col("source") =!= "src0")
     val exactDups = batch.join(
@@ -523,12 +527,14 @@ object TrainingData {
         Seq("id"), "left_semi")
       .select("doc_id").distinct()
     val dropped = exactDups.union(nearDups).distinct()
-    batch.agg(count(lit(1)).as("n_batch"))
-      .crossJoin(existing.agg(count(lit(1)).as("n_existing")))
-      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-      .select(col("n_batch"), col("n_existing"), col("n_dropped"),
-        round(col("n_dropped").cast(DoubleType) / col("n_batch"), 4)
-          .as("drop_rate"))
+    materializeAndRelease(
+      batch.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(existing.agg(count(lit(1)).as("n_existing")))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .select(col("n_batch"), col("n_existing"), col("n_dropped"),
+          round(col("n_dropped").cast(DoubleType) / col("n_batch"), 4)
+            .as("drop_rate")),
+      d)
   }
 
   /** Corpus-wide top-k n-grams by document frequency (distinct bigrams per
@@ -836,17 +842,18 @@ object TrainingData {
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    import graft.functions.VectorFunctions.{minhashSig, shingleIds}
+    import graft.functions.VectorFunctions.{intersectIds, minhashSig, shingleIds}
     val withIds = docs(spark, dir).select(col("doc_id"),
         shingleIds(col("text"), 2).as("ids"))
       .withColumn("sig", minhashSig(col("ids"), 16))
       .cache()
     val banded = withIds.select(col("doc_id"), col("ids"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    // intersect_size_ids: merge scan over the sorted id arrays —
+    // array_intersect would build a hash set per candidate pair
     val pairs = prunedBandPairs(banded, Seq("ids"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("ids_a"), col("ids_b")))
-            .cast(DoubleType) /
+        round(intersectIds(col("ids_a"), col("ids_b")).cast(DoubleType) /
           least(size(col("ids_a")), size(col("ids_b"))).cast(DoubleType), 4)
           .as("containment"))
       .distinct() // containment is pair-determined; multi-band dups collapse
@@ -929,8 +936,12 @@ object TrainingData {
         col("vv").as("cvv"))
     def assign(cents: DataFrame): DataFrame = kmeansAssign(e, cents)
     val a1 = assign(c0)
-    val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-    val upd = comp.join(a1.select("vec_id", "cent_id"), Seq("vec_id"))
+    // join the n-row assignment to the cached vectors FIRST, then
+    // posexplode: the shuffle moves n rows, not the n*dim exploded
+    // components (explode-then-join would shuffle every scalar)
+    val upd = a1.select("vec_id", "cent_id")
+      .join(e.select("vec_id", "v"), Seq("vec_id"))
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cent_id", "pos").agg(round(avg("x"), 6).as("c"))
     val c1 = upd.groupBy("cent_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
@@ -1004,9 +1015,13 @@ object TrainingData {
     import graft.functions.VectorFunctions.shingleIds
     val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
       .otherwise("eval")
+    // cached: the 5-gram projection feeds the train-id set, the eval
+    // explode, and the eval count — three subplans that would each re-run
+    // the shingle extraction over the whole corpus
     val d = docs(spark, dir)
       .select(col("doc_id"), split.as("split"),
         shingleIds(col("text"), 5).as("ids"))
+      .cache()
     val exploded = d.select(col("doc_id"), col("split"),
       explode(col("ids")).as("id"))
     val trainIds = exploded.filter(col("split") === "train")
@@ -1015,11 +1030,13 @@ object TrainingData {
     val contaminated = exploded.filter(col("split") === "eval")
       .join(trainIds, Seq("id"), "left_semi")
       .select("doc_id").distinct()
-    evalDocs.agg(count(lit(1)).as("n_eval"))
-      .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
-      .select(col("n_eval"), col("n_contaminated"),
-        round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4)
-          .as("contamination_rate"))
+    materializeAndRelease(
+      evalDocs.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+        .select(col("n_eval"), col("n_contaminated"),
+          round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4)
+            .as("contamination_rate")),
+      d)
   }
 
   /** Per-label embedding centroids: position-explode -> (label, pos) mean ->

@@ -99,6 +99,19 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(VectorFunctions.jaccardIds(a, b)).getDouble(0) == 0.4)
   }
 
+  test("intersect_size_ids: merge-scan matches array_intersect size") {
+    val a = array(lit(1L), lit(3L), lit(5L), lit(9L))
+    val b = array(lit(3L), lit(4L), lit(9L))
+    assert(one(VectorFunctions.intersectIds(a, b)).getLong(0) == 2L)
+    assert(one(VectorFunctions.intersectIds(a, b)).getLong(0) ==
+      one(size(array_intersect(a, b)).cast("long")).getLong(0))
+    // disjoint, empty, and identical inputs
+    assert(one(VectorFunctions.intersectIds(a, array(lit(2L)))).getLong(0) == 0L)
+    assert(one(VectorFunctions.intersectIds(a, array().cast("array<bigint>")))
+      .getLong(0) == 0L)
+    assert(one(VectorFunctions.intersectIds(a, a)).getLong(0) == 4L)
+  }
+
   test("SQL surface: registered functions parse in spark.sql") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
