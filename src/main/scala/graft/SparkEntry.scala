@@ -93,6 +93,11 @@ object SparkEntry {
     "bytes_per_token" -> (TrainingData.bytesPerToken _),
     "window_chunking" -> (TrainingData.windowChunking _),
     "knn_label_agreement" -> (TrainingData.knnLabelAgreement _),
+    // collocations / weighted sampling / range join / spectral
+    "text_pmi" -> (TrainingData.textPmi _),
+    "sample_weighted" -> (TrainingData.sampleWeighted _),
+    "q24_range_join" -> (Relational.q24RangeJoin _),
+    "emb_pca" -> (TrainingData.embPca _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -964,5 +969,85 @@ object SparkEntry {
         | count(*) FILTER (label = nb_label) AS n_agree,
         | round(count(*) FILTER (label = nb_label) / count(*), 4) AS agreement
         |FROM nn WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_pmi" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') l FROM documents),
+        |tot AS (SELECT CAST(sum(len(l)) AS BIGINT) n_uni,
+        |         CAST(sum(greatest(len(l) - 1, 0)) AS BIGINT) n_bi FROM t),
+        |uc AS (SELECT w, count(*) c FROM (SELECT unnest(l) w FROM t) GROUP BY 1),
+        |bc AS (SELECT g, count(*) cab FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) g
+        |    FROM t) GROUP BY 1 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT g bigram, cab,
+        |   round(CAST(cab AS DOUBLE) * n_uni / (CAST(c1.c AS DOUBLE) * c2.c)
+        |     * (CAST(n_uni AS DOUBLE) / n_bi), 4) pmi_ratio
+        |  FROM bc CROSS JOIN tot
+        |  JOIN uc c1 ON split_part(g, ' ', 1) = c1.w
+        |  JOIN uc c2 ON split_part(g, ' ', 2) = c2.w),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY pmi_ratio DESC, bigram)
+        |        AS BIGINT) rank, bigram, cab, pmi_ratio FROM scored)
+        |SELECT rank, bigram, cab, pmi_ratio FROM r
+        |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |   round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 4) weight,
+        |   (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     + 1) / 1152921504606846976.0 u
+        |  FROM d),
+        |p AS (SELECT doc_id, source, weight, weight / u pri FROM s),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id)
+        |        AS BIGINT) rank, doc_id, source, weight,
+        |        round(pri, 4) priority FROM p)
+        |SELECT rank, doc_id, source, weight, priority FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q24_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) tus FROM events),
+        |p AS (SELECT event_id, user_id, tus FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.event_id FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.tus >= p.tus - 60000000 AND c.tus < p.tus),
+        |pp AS (SELECT event_id, count(*) n FROM pairs GROUP BY 1)
+        |SELECT (SELECT count(*) FROM p) AS n_purchases,
+        | (SELECT count(*) FROM pp) AS n_with_clicks,
+        | (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) FROM pp) AS total_pairs,
+        | (SELECT COALESCE(CAST(max(n) AS BIGINT), 0) FROM pp) AS max_clicks""".stripMargin,
+    "emb_pca" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, unnest(v) x, unnest(range(0, len(v))) pos FROM e),
+        |s1 AS (SELECT vec_id, sum(x * 0.125) s FROM d GROUP BY 1),
+        |y1 AS (SELECT pos, round(sum(d.x * s1.s), 6) y
+        |       FROM d JOIN s1 USING (vec_id) GROUP BY pos),
+        |v1r AS (SELECT pos, round(y / (SELECT sqrt(sum(y * y)) FROM y1), 6) c
+        |        FROM y1),
+        |sg1 AS (SELECT CASE WHEN c > 0 THEN 1.0 ELSE -1.0 END sg
+        |        FROM v1r WHERE c <> 0 ORDER BY pos LIMIT 1),
+        |v1 AS (SELECT pos, c * (SELECT sg FROM sg1) c FROM v1r),
+        |s2 AS (SELECT d.vec_id, sum(d.x * v1.c) s
+        |       FROM d JOIN v1 USING (pos) GROUP BY 1),
+        |y2 AS (SELECT pos, round(sum(d.x * s2.s), 6) y
+        |       FROM d JOIN s2 USING (vec_id) GROUP BY pos),
+        |v2r AS (SELECT pos, round(y / (SELECT sqrt(sum(y * y)) FROM y2), 6) c
+        |        FROM y2),
+        |sg2 AS (SELECT CASE WHEN c > 0 THEN 1.0 ELSE -1.0 END sg
+        |        FROM v2r WHERE c <> 0 ORDER BY pos LIMIT 1),
+        |v2 AS (SELECT pos, c * (SELECT sg FROM sg2) c FROM v2r),
+        |r AS (SELECT d.vec_id, sum(d.x * v2.c) s, sum(d.x * d.x) vv
+        |      FROM d JOIN v2 USING (pos) GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_vecs,
+        | CAST(64 AS BIGINT) AS dim,
+        | round(sum(s * s), 2) AS eigenvalue,
+        | round(sum(s * s) / sum(vv), 4) AS explained_ratio,
+        | (SELECT c FROM v2 WHERE pos = 0) AS comp0,
+        | (SELECT c FROM v2 WHERE pos = 1) AS comp1,
+        | (SELECT c FROM v2 WHERE pos = 2) AS comp2,
+        | (SELECT c FROM v2 WHERE pos = 3) AS comp3
+        |FROM r""".stripMargin,
   )
 }

@@ -440,6 +440,44 @@ object Relational {
       .orderBy("q")
   }
 
+  /** q24: time-RANGE join — for every purchase, the same user's clicks in
+    * the preceding 60 s. Spark has no native range-join operator, so the
+    * inequality is re-expressed as a BANDED equi-join: both sides bucket
+    * time by the window width, the probe side expands to its own and the
+    * previous bucket (any in-range pair shares one of the two), and the
+    * exact bound becomes a post-join filter. The shuffle key is
+    * (user, bucket) — fine-grained and skew-safe — and candidate fan-in per
+    * probe row is bounded by two buckets, where the naive `user_id` equi
+    * join + filter would pair every purchase with EVERY click of that user
+    * (unbounded per-user blowup at scale). Micro-precision timestamps
+    * (`ts div 1000`) for the same oracle-parity reason as q13/q14.
+    */
+  def q24RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 60L * 1000000L // 60 s in micros
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("ctus"),
+        floor(col("tus") / winUs).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus").as("ptus"),
+        explode(array(floor(col("tus") / winUs),
+          floor(col("tus") / winUs) - 1)).as("bucket"))
+    val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("ctus") >= col("ptus") - winUs && col("ctus") < col("ptus"))
+    val perPurchase = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"))
+    ev.filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(perPurchase.agg(
+        count(lit(1)).as("n_with_clicks"),
+        coalesce(sum("n_clicks"), lit(0L)).as("total_pairs"),
+        coalesce(max("n_clicks"), lit(0L)).as("max_clicks")))
+      .select(col("n_purchases"), col("n_with_clicks"),
+        col("total_pairs"), col("max_clicks"))
+  }
+
   /** q19: sketch-based distinct counting — approx_count_distinct (HLL++)
     * beside the exact count, with the measured relative error (the
     * "approximate operators ship with their measured quality" rule). At

@@ -1167,6 +1167,125 @@ object TrainingData {
         .as("avg_fill"))
   }
 
+  /** Bigram collocation mining via pointwise mutual information (log-free):
+    * score = p(w1 w2) / (p(w1) p(w2)) — the association measure behind BPE
+    * merge ranking and phrase detection. Unigram and bigram counts are
+    * (gram)-keyed aggregations with map-side partials; corpus totals come
+    * from one narrow per-doc arithmetic aggregate (bigrams per doc =
+    * tokens - 1 — no second explode). The ratio stays un-logged and every
+    * operand is cast to double in a FIXED operation order, so the oracle's
+    * IEEE division sequence is bit-identical (libm log would differ in
+    * final ulps). Min-count 5 suppresses noise pairs exactly like phrase
+    * miners do.
+    */
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), F.tokens(col("text")).as("toks"))
+    val totals = toks.agg(
+      sum(size(col("toks"))).cast(LongType).as("n_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast(LongType).as("n_bi"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(F.shinglesAll(col("toks"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      // fixed double op order, mirrored verbatim in the oracle:
+      // ((cab * n_uni) / (c1 * c2)) * (n_uni / n_bi)
+      .select(col("g").as("bigram"), col("cab"),
+        round(
+          col("cab").cast(DoubleType) * col("n_uni") /
+            (col("c1").cast(DoubleType) * col("c2")) *
+            (col("n_uni").cast(DoubleType) / col("n_bi")), 4).as("pmi_ratio"))
+    val w = Window.orderBy(col("pmi_ratio").desc, col("bigram"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 15)
+      .select("rank", "bigram", "cab", "pmi_ratio")
+      .orderBy("rank")
+  }
+
+  /** Weight-proportional sampling without replacement via PRIORITY sampling
+    * (Duffield-Lund-Thorup): priority = weight / u with u a deterministic
+    * hash-uniform in (0, 1]; the top-k priorities ARE the weighted sample.
+    * Chosen over Efraimidis-Spirakis (u^(1/w)) deliberately: priorities use
+    * only division — exactly-rounded IEEE, bit-identical across engines —
+    * where pow/ln differ in final ulps and would poison the oracle. Weight
+    * here is the lexical-diversity quality score, so the sample skews
+    * toward high-quality docs reproducibly. One narrow map + a top-k; at
+    * corpus scale the global top-k is TakeOrdered (no full sort), or
+    * hash-threshold pre-pruned exactly like [[sampleFixedN]].
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val toks = F.tokens(col("text"))
+    val u = (h60(concat(lit("wsample:"), col("doc_id").cast(StringType))) + 1L)
+      .cast(DoubleType) / lit(1152921504606846976.0) // 2^60: u in (0, 1]
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(size(array_distinct(toks)).cast(DoubleType) / size(toks), 4)
+          .as("weight"),
+        u.as("u"))
+      .select(col("doc_id"), col("source"), col("weight"),
+        (col("weight") / col("u")).as("pri"))
+    val w = Window.orderBy(col("pri").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"), col("source"), col("weight"),
+        round(col("pri"), 4).as("priority"))
+      .orderBy("rank")
+  }
+
+  /** Top principal direction of the (uncentered) embedding second-moment
+    * matrix via distributed POWER ITERATION: two matvec rounds
+    * y = Σᵢ xᵢ (xᵢ·v) — each a codegen'd [[graft.functions.VecDot]] per row
+    * plus one (pos)-keyed scalar aggregation — then the Rayleigh quotient
+    * λ = Σᵢ (xᵢ·v)² and the explained-variance share λ / tr(A). Iteration
+    * state is ONE d-vector on the driver (collected 64 doubles, re-broadcast
+    * as a literal — O(d), never O(n)), the classic scale shape for dominant
+    * eigenvectors. Components round at 6 between iterations to pin parallel
+    * float-sum ulps cross-engine; the sign is normalized (first nonzero
+    * component positive) since eigenvectors are sign-ambiguous.
+    */
+  def embPca(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecDot
+    val e = embs(spark, dir).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .cache()
+    val dim = 64
+    def matvec(v: Array[Double]): Array[Double] = {
+      val litV = array(v.map(lit): _*)
+      val y = e.select(vecDot(col("v"), litV).as("s"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(round(sum(col("x") * col("s")), 6).as("y"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      (0 until dim).map(y(_)).toArray
+    }
+    def normalize(y: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(y.map(x => x * x).sum)
+      val vn = y.map(x =>
+        BigDecimal(x / nm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val sign = vn.find(_ != 0.0).map(math.signum).getOrElse(1.0)
+      vn.map(_ * sign)
+    }
+    val v0 = Array.fill(dim)(0.125) // 1/sqrt(64), exactly representable
+    val v2 = normalize(matvec(normalize(matvec(v0))))
+    val litV2 = array(v2.map(lit): _*)
+    val result = e.select(vecDot(col("v"), litV2).as("s"),
+        vecDot(col("v"), col("v")).as("vv"))
+      .agg(count(lit(1)).cast(LongType).as("n_vecs"),
+        round(sum(col("s") * col("s")), 2).as("eigenvalue"),
+        round(sum(col("s") * col("s")) / sum(col("vv")), 4).as("explained_ratio"))
+      .select(col("n_vecs"), lit(dim.toLong).as("dim"), col("eigenvalue"),
+        col("explained_ratio"),
+        lit(v2(0)).as("comp0"), lit(v2(1)).as("comp1"),
+        lit(v2(2)).as("comp2"), lit(v2(3)).as("comp3"))
+    materializeAndRelease(result, e)
+  }
+
   /** 1-NN label agreement over the embedding space — the classic
     * mislabeled-data / embedding-quality probe: for every vector, does its
     * nearest neighbor (cosine) carry the same label? Exact all-pairs here

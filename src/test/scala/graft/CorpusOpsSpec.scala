@@ -228,4 +228,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("text_pmi: top-15 ranked by ratio, min-count respected, words exist") {
+    val rows = TrainingData.textPmi(spark, sf).collect()
+    assert(rows.length === 15)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 15L))
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sortBy(-_), "non-increasing in rank")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5L, "min bigram count")
+      assert(r.getString(1).split(" ").length === 2)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("sample_weighted: 20 ranked rows, priorities non-increasing, deterministic") {
+    val rows = TrainingData.sampleWeighted(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 20L))
+    val pris = rows.map(_.getDouble(4)).toSeq
+    assert(pris === pris.sortBy(-_))
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    assert(TrainingData.sampleWeighted(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("emb_pca: unit-norm direction, positive leading sign, sane ratio") {
+    val Array(r) = TrainingData.embPca(spark, sf).collect()
+    assert(r.getLong(0) === 500L)
+    assert(r.getLong(1) === 64L)
+    assert(r.getDouble(2) > 0.0, "dominant eigenvalue of a Gram matrix")
+    // uncentered top direction of near-uniform data explains a lot of energy
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    val comps = Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(comps.forall(c => math.abs(c) <= 1.0))
+    val firstNonzero = comps.find(_ != 0.0)
+    assert(firstNonzero.forall(_ > 0.0) || comps.take(1).contains(0.0),
+      "sign normalization pins the first reported nonzero component positive " +
+        "only when it is the vector's first nonzero overall")
+  }
 }

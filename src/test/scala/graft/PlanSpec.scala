@@ -48,6 +48,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"))
   }
 
+  test("q21 set ops: ONE lineitem scan, shipdate range pushed down") {
+    val p = plan(Relational.q21SetOps(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
+      "intersect/except-as-flags must read lineitem exactly once")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q24 range join: banded equi-join on (user, bucket), no theta join") {
+    val p = plan(Relational.q24RangeJoin(spark, sf))
+    // the pairs join must be a hash/merge EQUI join keyed on the band
+    // bucket (the 1-row summary crossJoins legitimately plan as BNLJ)
+    assert(p.contains("bucket"), "bucketed band keys present")
+    val equiJoins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(equiJoins >= 1, "purchase-click pairing must be an equi join")
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded per-user pairing anywhere in the plan")
+  }
+
   test("q13 as-of join: one window pass, NO join operator in the plan") {
     // the point-in-time lookup must compile to a window over a single
     // user_id shuffle — a range/theta join here would explode at scale
