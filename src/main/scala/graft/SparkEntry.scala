@@ -98,6 +98,10 @@ object SparkEntry {
     "sample_weighted" -> (TrainingData.sampleWeighted _),
     "q24_range_join" -> (Relational.q24RangeJoin _),
     "emb_pca" -> (TrainingData.embPca _),
+    // semantic dedup + sketch family
+    "dedup_semantic" -> (TrainingData.dedupSemantic _),
+    "text_heavy_hitters" -> (TrainingData.textHeavyHitters _),
+    "q25_approx_quantile" -> (Relational.q25ApproxQuantile _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -1049,5 +1053,34 @@ object SparkEntry {
         | (SELECT c FROM v2 WHERE pos = 2) AS comp2,
         | (SELECT c FROM v2 WHERE pos = 3) AS comp3
         |FROM r""".stripMargin,
+    "dedup_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id, v,
+        |        list_sum(list_transform(v, y -> y * y)) vv FROM e),
+        |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(vv)) nv FROM n2),
+        |c0 AS (SELECT vec_id cent_id, v cv, vv cvv FROM n2 WHERE vec_id % 100 = 3),
+        |d1 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |   round(a.vv + c.cvv - 2 * list_sum(list_transform(
+        |     range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i])), 4) dist2
+        |  FROM n2 a CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cent_id FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY dist2, cent_id) rn FROM d1) WHERE rn = 1),
+        |w AS (SELECT a1.vec_id, a1.cent_id, nv.nv FROM a1 JOIN nv USING (vec_id)),
+        |pairs AS (
+        |  SELECT b.vec_id vec_b,
+        |   round(list_sum(list_transform(range(1, len(a.nv) + 1),
+        |     i -> a.nv[i] * b.nv[i])), 4) cos
+        |  FROM w a JOIN w b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+        |dropped AS (SELECT DISTINCT vec_b FROM pairs WHERE cos >= 0.4)
+        |SELECT (SELECT count(*) FROM e) AS n_vecs,
+        | (SELECT count(DISTINCT cent_id) FROM a1) AS n_clusters,
+        | (SELECT count(*) FROM pairs) AS n_pairs,
+        | (SELECT count(*) FROM pairs WHERE cos >= 0.4) AS n_dup_pairs,
+        | (SELECT count(*) FROM dropped) AS n_dropped,
+        | (SELECT count(*) FROM e) - (SELECT count(*) FROM dropped) AS n_kept""".stripMargin,
   )
 }

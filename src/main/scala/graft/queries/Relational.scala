@@ -478,6 +478,32 @@ object Relational {
         col("total_pairs"), col("max_clicks"))
   }
 
+  /** q25: sketch-based quantiles — approx_percentile (a positional sketch
+    * with bounded rank error) beside the exact interpolated percentile,
+    * with the measured relative error per quantile. Same scale argument as
+    * q19: the sketch merges map-side in fixed memory where the exact form
+    * must sort or multi-pass; shipping both makes the trade measurable.
+    * Sketch internals are engine-specific -> rows-only check.
+    */
+  def q25ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    def relErr(ex: org.apache.spark.sql.Column,
+               ap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(abs(ap.cast(DoubleType) - ex) / ex, 4)
+    t(spark, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile(o_totalprice, 0.5)").as("ex50"),
+        expr("percentile(o_totalprice, 0.99)").as("ex99"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"))
+      .select(col("n_orders"),
+        round(col("ex50"), 2).as("exact_p50"),
+        round(col("ap50"), 2).as("approx_p50"),
+        relErr(col("ex50"), col("ap50")).as("rel_err_p50"),
+        round(col("ex99"), 2).as("exact_p99"),
+        round(col("ap99"), 2).as("approx_p99"),
+        relErr(col("ex99"), col("ap99")).as("rel_err_p99"))
+  }
+
   /** q19: sketch-based distinct counting — approx_count_distinct (HLL++)
     * beside the exact count, with the measured relative error (the
     * "approximate operators ship with their measured quality" rule). At

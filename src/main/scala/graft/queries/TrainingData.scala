@@ -1286,6 +1286,79 @@ object TrainingData {
     materializeAndRelease(result, e)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * with deterministic IVF centroids (every 100th vector, the same
+    * broadcast argmin assignment as [[embKmeans]]), then find cosine
+    * near-duplicates WITHIN each cluster and drop the higher vec_id of
+    * every duplicate pair. Clustering is what makes embedding dedup scale:
+    * the quadratic pairing only ever sees one cluster's members (the
+    * shuffle key is the cluster id), never the full corpus — at 100 TB,
+    * cluster sizes are bounded by the centroid count, and a skew cap on
+    * degenerate clusters mirrors the LSH band guard. Data-derived
+    * centroids keep the whole operator oracle-reproducible.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecDot
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val e = embs(spark, dir).select(col("vec_id"), v.as("v"),
+        transform(v, x => x / sqrt(vecDot(v, v))).as("nv"))
+      .withColumn("vv", vecDot(col("v"), col("v")))
+      .cache()
+    val cents = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vv").as("cvv"))
+    val assigned = kmeansAssign(e.select("vec_id", "v", "vv"), cents)
+      .select("vec_id", "cent_id")
+    val withNv = assigned.join(e.select("vec_id", "nv"), Seq("vec_id"))
+    def side(s: String) = withNv.select(col("cent_id"),
+      col("vec_id").as(s"vec$s"), col("nv").as(s"nv$s"))
+    val pairs = side("_a").join(side("_b"), Seq("cent_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b"),
+        round(vecDot(col("nv_a"), col("nv_b")), 4).as("cos"))
+    val dropped = pairs.filter(col("cos") >= 0.4).select("vec_b").distinct()
+    val result = e.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(assigned.select("cent_id").distinct()
+        .agg(count(lit(1)).as("n_clusters")))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+        count(when(col("cos") >= 0.4, 1)).as("n_dup_pairs")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .select(col("n_vecs"), col("n_clusters"), col("n_pairs"),
+        col("n_dup_pairs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"))
+    materializeAndRelease(result, e)
+  }
+
+  /** Heavy hitters through Spark's built-in Count-Min sketch beside the
+    * exact answer: the sketch (a few KB of counters) builds with map-side
+    * merges — the 100 TB path where an exact groupBy must shuffle every
+    * distinct token — and the exact counts grade it, reporting each top
+    * token's overestimate ("approximate operators ship with their measured
+    * quality", like q19/sim_lsh_recall). CMS merge is counter addition —
+    * commutative — so the estimates are deterministic under any partition
+    * order, but register layouts are engine-internal: rows-only check.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(explode(F.tokens(col("text"))).as("w"))
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("w"), lit(0.0001d), lit(0.99d), lit(42))
+        .as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val topExact = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("w")).limit(10).collect()
+    val sp = spark
+    import sp.implicits._
+    topExact.toSeq.zipWithIndex.map { case (r, i) =>
+      val (w, exact) = (r.getString(0), r.getLong(1))
+      // the SQL aggregate added UTF8String bytes; String probes hash the
+      // identical UTF-8 byte sequence
+      val est = cms.estimateCount(w)
+      (i + 1L, w, exact, est, est - exact)
+    }.toDF("rank", "token", "exact_count", "est_count", "overestimate")
+  }
+
   /** 1-NN label agreement over the embedding space — the classic
     * mislabeled-data / embedding-quality probe: for every vector, does its
     * nearest neighbor (cosine) carry the same label? Exact all-pairs here

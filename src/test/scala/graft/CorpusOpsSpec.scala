@@ -229,6 +229,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic: counts consistent, dropped bounded by dup pairs") {
+    val Array(r) = TrainingData.dedupSemantic(spark, sf).collect()
+    val (nVecs, nClusters, nPairs, nDup, nDropped, nKept) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    assert(nVecs === 500L)
+    assert(nClusters > 0L && nClusters <= 5L, "every 100th vector seeds")
+    assert(nDup <= nPairs)
+    assert(nDropped <= nDup, "a vec dropped once per distinct pair at most")
+    assert(nKept === nVecs - nDropped)
+  }
+
+  test("text_heavy_hitters: CMS estimate never undercounts, top-10 exact order") {
+    val rows = TrainingData.textHeavyHitters(spark, sf).collect()
+    assert(rows.length === 10)
+    val exacts = rows.map(_.getLong(2)).toSeq
+    assert(exacts === exacts.sortBy(-_), "ranked by exact count desc")
+    rows.foreach { r =>
+      // CMS overestimates or is exact, never under
+      assert(r.getLong(4) >= 0L, s"undercount for token ${r.getString(1)}")
+      assert(r.getLong(3) === r.getLong(2) + r.getLong(4))
+    }
+  }
+
+  test("q25: approx percentile within the 1/accuracy rank-error band") {
+    val Array(r) = graft.queries.Relational
+      .q25ApproxQuantile(spark, sf).collect()
+    assert(r.getLong(0) === 1500L, "orders at sf0.001")
+    // accuracy 1000 over 1.5k rows: generous but nonzero tolerance
+    assert(r.getDouble(3) < 0.05, "p50 rel err")
+    assert(r.getDouble(6) < 0.05, "p99 rel err")
+    assert(r.getDouble(1) <= r.getDouble(4), "p50 <= p99")
+  }
+
   test("text_pmi: top-15 ranked by ratio, min-count respected, words exist") {
     val rows = TrainingData.textPmi(spark, sf).collect()
     assert(rows.length === 15)
