@@ -355,6 +355,68 @@ case class JaccardIds(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** L2-normalize an `array<double>` vector in one pass: norm computed once,
+  * then one division per component.
+  *
+  * Why a custom Expression: the composable form
+  * `transform(v, x => x / sqrt(vec_dot(v, v)))` evaluates its lambda
+  * INTERPRETED per element with no cross-iteration subexpression sharing —
+  * the full d-element dot product re-runs for every component (O(d²)
+  * multiplies per row). Hoisting the norm into a sibling column is fragile:
+  * CollapseProject re-inlines single-use projections straight back into the
+  * lambda. This is the fused O(d) loop, codegen'd. Zero vectors divide
+  * through (0/0 = NaN), matching the SQL `x / sqrt(vv)` the oracles run.
+  */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_normalize requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    val nm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / nm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val nm = ctx.freshName("nm")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i); $s += $x * $x;
+         |}
+         |double $nm = Math.sqrt($s);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getDouble($i) / $nm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormalize =
+    copy(child = newChild)
+}
+
 /** Exact intersection size of two SORTED `array<bigint>` columns (the
   * shingle-id arrays every near-dup operator carries) as one merge scan.
   *
@@ -451,6 +513,10 @@ object VectorFunctions {
       FunctionIdentifier("intersect_size_ids"),
       new ExpressionInfo(classOf[IntersectSizeIds].getName, "intersect_size_ids"),
       (exprs: Seq[Expression]) => IntersectSizeIds(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
+      (exprs: Seq[Expression]) => VecNormalize(exprs.head))
   }
 
   /** Codegen'd dot product; requires [[register]] on the session. */
@@ -474,4 +540,7 @@ object VectorFunctions {
   /** Merge-scan intersection size over sorted id arrays; requires [[register]]. */
   def intersectIds(a: Column, b: Column): Column =
     call_function("intersect_size_ids", a, b)
+
+  /** Fused one-pass L2 normalization; requires [[register]]. */
+  def vecNormalize(a: Column): Column = call_function("vec_normalize", a)
 }

@@ -394,8 +394,11 @@ object Relational {
     */
   def q21SetOps(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
-        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      // string-literal casts parse in the UTC session timezone (q1/q2
+      // convention) — java.sql.Timestamp.valueOf would use the JVM default
+      // tz and shift the year boundaries on non-UTC hosts
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
       .groupBy("l_orderkey")
       .agg(
         max(when(year(col("l_shipdate")) === 1995, 1).otherwise(0)).as("in95"),

@@ -175,10 +175,9 @@ object TrainingData {
     */
   private def normalized(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    import graft.functions.VectorFunctions.vecDot
+    import graft.functions.VectorFunctions.vecNormalize
     val v = col("embedding").cast(ArrayType(DoubleType))
-    embs(spark, dir).select(col("vec_id"),
-      transform(v, x => x / sqrt(vecDot(v, v))).as("nv"))
+    embs(spark, dir).select(col("vec_id"), vecNormalize(v).as("nv"))
   }
 
   /** Embedding-cosine near-dup: all pairs with similarity >= 0.4 (the data's
@@ -1179,7 +1178,10 @@ object TrainingData {
     * miners do.
     */
   def textPmi(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir).select(col("doc_id"), F.tokens(col("text")).as("toks"))
+    // cached: totals, unigram counts, and bigram counts are three subplans
+    // over the same tokenized projection — uncached, the regex tokenization
+    // would run three times over the corpus
+    val toks = docs(spark, dir).select(F.tokens(col("text")).as("toks")).cache()
     val totals = toks.agg(
       sum(size(col("toks"))).cast(LongType).as("n_uni"),
       sum(greatest(size(col("toks")) - 1, lit(0))).cast(LongType).as("n_bi"))
@@ -1202,10 +1204,12 @@ object TrainingData {
             (col("c1").cast(DoubleType) * col("c2")) *
             (col("n_uni").cast(DoubleType) / col("n_bi")), 4).as("pmi_ratio"))
     val w = Window.orderBy(col("pmi_ratio").desc, col("bigram"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 15)
-      .select("rank", "bigram", "cab", "pmi_ratio")
-      .orderBy("rank")
+    materializeAndRelease(
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 15)
+        .select("rank", "bigram", "cab", "pmi_ratio")
+        .orderBy("rank"),
+      toks)
   }
 
   /** Weight-proportional sampling without replacement via PRIORITY sampling
@@ -1299,10 +1303,10 @@ object TrainingData {
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    import graft.functions.VectorFunctions.vecDot
+    import graft.functions.VectorFunctions.{vecDot, vecNormalize}
     val v = col("embedding").cast(ArrayType(DoubleType))
     val e = embs(spark, dir).select(col("vec_id"), v.as("v"),
-        transform(v, x => x / sqrt(vecDot(v, v))).as("nv"))
+        vecNormalize(v).as("nv"))
       .withColumn("vv", vecDot(col("v"), col("v")))
       .cache()
     val cents = e.filter(col("vec_id") % 100 === 3)
@@ -1339,15 +1343,22 @@ object TrainingData {
     * order, but register layouts are engine-internal: rows-only check.
     */
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the sketch build and the exact grading counts are two driver
+    // actions over the same tokenized explode — uncached, the corpus scan
+    // + regex tokenization would run twice
     val toks = docs(spark, dir).select(explode(F.tokens(col("text"))).as("w"))
+      .cache()
+    // eps 0.001 / conf 0.99 -> width 2000 x depth 7 longs ≈ 110 KB of
+    // counters — fixed-size regardless of corpus scale
     val sketchBytes = toks
-      .agg(count_min_sketch(col("w"), lit(0.0001d), lit(0.99d), lit(42))
+      .agg(count_min_sketch(col("w"), lit(0.001d), lit(0.99d), lit(42))
         .as("s"))
       .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     val topExact = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("w")).limit(10).collect()
+    toks.unpersist()
     val sp = spark
     import sp.implicits._
     topExact.toSeq.zipWithIndex.map { case (r, i) =>
@@ -1366,11 +1377,11 @@ object TrainingData {
     * LSH ANN operators above and the agreement aggregation is unchanged.
     */
   def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.vecDot
+    import graft.functions.VectorFunctions.{vecDot, vecNormalize}
     graft.functions.VectorFunctions.register(spark)
     val v = col("embedding").cast(ArrayType(DoubleType))
     val e = embs(spark, dir).select(col("vec_id"), col("label"),
-      transform(v, x => x / sqrt(vecDot(v, v))).as("nv"))
+      vecNormalize(v).as("nv"))
     val q = e.select(col("vec_id"), col("label"), col("nv"))
     val n = e.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
       col("nv").as("nb_nv"))

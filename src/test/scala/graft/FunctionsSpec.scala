@@ -112,6 +112,18 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(VectorFunctions.intersectIds(a, a)).getLong(0) == 4L)
   }
 
+  test("vec_normalize: matches per-element transform division, unit norm") {
+    val v = array(lit(3.0d), lit(4.0d))
+    val fused = one(VectorFunctions.vecNormalize(v)).getSeq[Double](0)
+    val chain = one(transform(v,
+      x => x / sqrt(VectorFunctions.vecDot(v, v)))).getSeq[Double](0)
+    assert(fused == chain)
+    assert(fused == Seq(0.6, 0.8))
+    // zero vector divides through to NaN, matching SQL x / sqrt(0)
+    assert(one(VectorFunctions.vecNormalize(array(lit(0.0d))))
+      .getSeq[Double](0).forall(_.isNaN))
+  }
+
   test("SQL surface: registered functions parse in spark.sql") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
