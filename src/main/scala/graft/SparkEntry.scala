@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_semantic" -> (TrainingData.dedupSemantic _),
     "text_heavy_hitters" -> (TrainingData.textHeavyHitters _),
     "q25_approx_quantile" -> (Relational.q25ApproxQuantile _),
+    "multimodal_pipeline" -> (TrainingData.multimodalPipeline _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -1082,5 +1083,41 @@ object SparkEntry {
         | (SELECT count(*) FROM pairs WHERE cos >= 0.4) AS n_dup_pairs,
         | (SELECT count(*) FROM dropped) AS n_dropped,
         | (SELECT count(*) FROM e) - (SELECT count(*) FROM dropped) AS n_kept""".stripMargin,
+    "multimodal_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |   CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type,
+        |   strlen(text) bl, text t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, media_type, bl,
+        |   list_transform(range(0, CAST(ceil(bl / 64.0) AS BIGINT)), i ->
+        |     round(list_sum(list_transform(
+        |         range(i * 64 + 1, least(bl, (i + 1) * 64) + 1),
+        |         j -> ord(substr(t, CAST(j AS INT), 1)))) * 1.0 /
+        |       (least(bl, (i + 1) * 64) - i * 64), 2)) means
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, media_type, bl,
+        |   list_transform(range(0, CAST(ceil(len(means) / 3.0) AS BIGINT)),
+        |     k -> means[CAST(3 * k + 1 AS INT)]) sm
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, media_type, bl, sm, len(sm) n,
+        |   greatest(CAST(ceil(len(sm) / 4.0) AS BIGINT), 1) g
+        |  FROM s),
+        |rz AS (
+        |  SELECT doc_id, media_type, bl,
+        |   list_transform(range(0, CAST(ceil(n * 1.0 / g) AS BIGINT)), k ->
+        |     list_sum(list_slice(sm, CAST(k * g + 1 AS INT),
+        |       CAST(least(n, (k + 1) * g) AS INT)))
+        |       / (least(n, (k + 1) * g) - k * g)) rm
+        |  FROM r)
+        |SELECT media_type, count(*) AS n_records,
+        | CAST(sum(bl) AS BIGINT) AS total_bytes,
+        | CAST(sum(len(rm)) AS BIGINT) AS total_resized_frames,
+        | round(sum(list_sum(rm)), 2) AS sum_resized_means
+        |FROM rz GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -66,6 +66,39 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: keep every `stride`-th decoded frame (the video
+    * keyframe-sampling step). Pure per-record array work — composes inside
+    * the same partition pass as the decode, no shuffle, no payload copies.
+    */
+  def frameSample(feats: Dataset[MediaFeatures], stride: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val kept = f.frame_means.zipWithIndex
+        .collect { case (m, i) if i % stride == 0 => m }
+      f.copy(n_frames = kept.length.toLong, frame_means = kept)
+    }
+  }
+
+  /** Resize the frame sequence to at most `target` frames by averaging
+    * fixed-size groups (the thumbnail / temporal-downsample step). Group
+    * means stay UNROUNDED — precision decisions belong to the consumer, and
+    * the deterministic group boundaries (ceil(n/target), sequential sums)
+    * keep the operator oracle-reproducible.
+    */
+  def resizeFrames(feats: Dataset[MediaFeatures], target: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val n = f.frame_means.length
+      if (n <= target) f
+      else {
+        val g = (n + target - 1) / target
+        val resized = f.frame_means.grouped(g)
+          .map(grp => grp.sum / grp.length).toArray
+        f.copy(n_frames = resized.length.toLong, frame_means = resized)
+      }
+    }
+  }
+
   /** Lift the documents table into a media table: UTF-8 text bytes as the
     * opaque payload (the deterministic stand-in for real image/audio blobs).
     */

@@ -1079,6 +1079,30 @@ object TrainingData {
       .orderBy("media_type")
   }
 
+  /** The full multimodal chain — decode (stub) -> frame-sample (every 3rd)
+    * -> resize (max 4 frames by group-mean) -> per-type rollup — through the
+    * REAL Spark plumbing ([[Multimodal]] mapPartitions Datasets). All three
+    * stages fuse into one partition pass (typed maps over the same
+    * iterator, no shuffle until the final aggregation), which is exactly
+    * the 100 TB media-lake shape: payload bytes are touched once per
+    * record, and only tiny per-record stats reach the exchange. The stub
+    * decode is deterministic from the payload bytes, so the DuckDB oracle
+    * replays the whole chain bit-for-bit.
+    */
+  def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(docs(spark, dir)))
+    val resized = Multimodal.resizeFrames(Multimodal.frameSample(feats, 3), 4)
+    resized.toDF()
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_records"),
+        sum("byte_len").as("total_bytes"),
+        sum("n_frames").as("total_resized_frames"),
+        round(sum(aggregate(col("frame_means"), lit(0.0d), _ + _)), 2)
+          .as("sum_resized_means"))
+      .orderBy("media_type")
+  }
+
   // ------------------------------------- mixture / sharding / chunking ops
 
   /** Temperature-scaled source mixture (the GPT-3/LLaMA-style data-mixture

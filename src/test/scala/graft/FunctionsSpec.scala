@@ -167,6 +167,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(means.take(2).forall(_ == 65.0))
   }
 
+  test("multimodal frame-sample + resize: strides, group means, identity") {
+    val sp = spark
+    import sp.implicits._
+    val rec = Multimodal.MediaFeatures(1L, "image", 0L, 7L,
+      Array(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0))
+    val ds = Seq(rec).toDS()
+    val sampled = Multimodal.frameSample(ds, 3).head()
+    assert(sampled.frame_means.toSeq === Seq(10.0, 40.0, 70.0)) // idx 0,3,6
+    assert(sampled.n_frames === 3L)
+    // 7 frames -> target 4: groups of ceil(7/4)=2 -> 4 group means
+    val resized = Multimodal.resizeFrames(ds, 4).head()
+    assert(resized.n_frames === 4L)
+    assert(resized.frame_means.toSeq === Seq(15.0, 35.0, 55.0, 70.0))
+    // n <= target is the identity (matches the g=1 general formula)
+    val id = Multimodal.resizeFrames(Multimodal.frameSample(ds, 3), 4).head()
+    assert(id.frame_means.toSeq === Seq(10.0, 40.0, 70.0))
+  }
+
   test("merge idempotence: re-merging merged state yields no changes") {
     val sp = spark
     import sp.implicits._
