@@ -1335,9 +1335,13 @@ object TrainingData {
       .cache()
     val cents = e.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vv").as("cvv"))
-    val assigned = kmeansAssign(e.select("vec_id", "v", "vv"), cents)
+    // cached: the assignment argmin feeds both sides of the within-cluster
+    // self-join AND the cluster count — uncached it would re-run the
+    // broadcast cross-join argmin for each
+    val withNv = kmeansAssign(e.select("vec_id", "v", "vv"), cents)
       .select("vec_id", "cent_id")
-    val withNv = assigned.join(e.select("vec_id", "nv"), Seq("vec_id"))
+      .join(e.select("vec_id", "nv"), Seq("vec_id"))
+      .cache()
     def side(s: String) = withNv.select(col("cent_id"),
       col("vec_id").as(s"vec$s"), col("nv").as(s"nv$s"))
     val pairs = side("_a").join(side("_b"), Seq("cent_id"))
@@ -1346,7 +1350,7 @@ object TrainingData {
         round(vecDot(col("nv_a"), col("nv_b")), 4).as("cos"))
     val dropped = pairs.filter(col("cos") >= 0.4).select("vec_b").distinct()
     val result = e.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(assigned.select("cent_id").distinct()
+      .crossJoin(withNv.select("cent_id").distinct()
         .agg(count(lit(1)).as("n_clusters")))
       .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
         count(when(col("cos") >= 0.4, 1)).as("n_dup_pairs")))
@@ -1354,7 +1358,7 @@ object TrainingData {
       .select(col("n_vecs"), col("n_clusters"), col("n_pairs"),
         col("n_dup_pairs"), col("n_dropped"),
         (col("n_vecs") - col("n_dropped")).as("n_kept"))
-    materializeAndRelease(result, e)
+    materializeAndRelease(result, e, withNv)
   }
 
   /** Heavy hitters through Spark's built-in Count-Min sketch beside the
