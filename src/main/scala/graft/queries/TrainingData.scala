@@ -1227,10 +1227,14 @@ object TrainingData {
           col("cab").cast(DoubleType) * col("n_uni") /
             (col("c1").cast(DoubleType) * col("c2")) *
             (col("n_uni").cast(DoubleType) / col("n_bi")), 4).as("pmi_ratio"))
+    // top-15 via orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-k, merged on the driver) — a global row_number window would pull
+    // EVERY scored bigram through one partition's sort; the rank column is
+    // then a window over just the 15 survivors
+    val top = scored.orderBy(col("pmi_ratio").desc, col("bigram")).limit(15)
     val w = Window.orderBy(col("pmi_ratio").desc, col("bigram"))
     materializeAndRelease(
-      scored.withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 15)
+      top.withColumn("rank", row_number().over(w).cast(LongType))
         .select("rank", "bigram", "cab", "pmi_ratio")
         .orderBy("rank"),
       toks)
@@ -1258,9 +1262,11 @@ object TrainingData {
         u.as("u"))
       .select(col("doc_id"), col("source"), col("weight"),
         (col("weight") / col("u")).as("pri"))
+    // top-20 as TakeOrderedAndProject (the distributed weighted sample at
+    // any scale), then rank the 20 survivors — never a global sort window
+    val top = scored.orderBy(col("pri").desc, col("doc_id")).limit(20)
     val w = Window.orderBy(col("pri").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 20)
+    top.withColumn("rank", row_number().over(w).cast(LongType))
       .select(col("rank"), col("doc_id"), col("source"), col("weight"),
         round(col("pri"), 4).as("priority"))
       .orderBy("rank")

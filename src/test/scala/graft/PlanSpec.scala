@@ -68,6 +68,14 @@ class PlanSpec extends AnyFunSuite {
       "no unbounded per-user pairing anywhere in the plan")
   }
 
+  test("sample_weighted: top-k is TakeOrdered, not a global sort window") {
+    // (textPmi shares the shape but materializes eagerly, so assert on the
+    // weighted sampler's lazy plan)
+    val sw = plan(graft.queries.TrainingData.sampleWeighted(TestSpark.spark, sf))
+    assert(sw.contains("TakeOrderedAndProject"),
+      "top-20 must be a per-partition top-k merge, not a single-partition sort")
+  }
+
   test("q13 as-of join: one window pass, NO join operator in the plan") {
     // the point-in-time lookup must compile to a window over a single
     // user_id shuffle — a range/theta join here would explode at scale
