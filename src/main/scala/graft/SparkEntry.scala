@@ -103,6 +103,8 @@ object SparkEntry {
     "text_heavy_hitters" -> (TrainingData.textHeavyHitters _),
     "q25_approx_quantile" -> (Relational.q25ApproxQuantile _),
     "multimodal_pipeline" -> (TrainingData.multimodalPipeline _),
+    "quality_funnel" -> (TrainingData.qualityFunnel _),
+    "source_overlap" -> (TrainingData.sourceOverlap _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -1119,5 +1121,55 @@ object SparkEntry {
         | CAST(sum(len(rm)) AS BIGINT) AS total_resized_frames,
         | round(sum(list_sum(rm)), 2) AS sum_resized_means
         |FROM rz GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quality_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) w FROM t),
+        |tc AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+        |        count(*) n_distinct FROM tc GROUP BY 1),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |         i -> l[i] || ' ' || l[i+1])) g
+        |       FROM t WHERE len(l) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) c FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) top_bigram FROM bc GROUP BY 1),
+        |pd AS (SELECT n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens ttr,
+        |  CAST(COALESCE(top_bigram, 0) AS DOUBLE) /
+        |    GREATEST(n_tokens - 1, 1) topbf
+        | FROM tt LEFT JOIN tb USING (doc_id)),
+        |a AS (SELECT count(*) n0,
+        | CAST(sum(CASE WHEN n_tokens BETWEEN 30 AND 200 THEN 1 ELSE 0 END)
+        |   AS BIGINT) n1,
+        | CAST(sum(CASE WHEN n_tokens BETWEEN 30 AND 200 AND ttr >= 0.35
+        |   THEN 1 ELSE 0 END) AS BIGINT) n2,
+        | CAST(sum(CASE WHEN n_tokens BETWEEN 30 AND 200 AND ttr >= 0.35
+        |   AND topbf <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) n3
+        | FROM pd)
+        |SELECT * FROM (
+        | SELECT CAST(0 AS BIGINT) stage, 'all' filter_name,
+        |  n0 survivors, n0 - n0 dropped FROM a
+        | UNION ALL SELECT 1, 'length_band', n1, n0 - n1 FROM a
+        | UNION ALL SELECT 2, 'lexical_diversity', n2, n1 - n2 FROM a
+        | UNION ALL SELECT 3, 'bigram_repetition', n3, n2 - n3 FROM a)
+        |ORDER BY stage""".stripMargin,
+    "source_overlap" ->
+      """WITH s AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') l FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    list_distinct(list_transform(range(1, len(l) - 3),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |           l[i+3] || ' ' || l[i+4])),
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647))) id
+        |  FROM s),
+        |sz AS (SELECT source, count(*) sz FROM g GROUP BY 1),
+        |cm AS (SELECT a.source src_a, b.source src_b, count(*) common_grams
+        |  FROM g a JOIN g b ON a.id = b.id AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, common_grams,
+        | round(CAST(common_grams AS DOUBLE) / least(x.sz, y.sz), 4) containment
+        |FROM cm JOIN sz x ON cm.src_a = x.source
+        |        JOIN sz y ON cm.src_b = y.source
+        |ORDER BY containment DESC, src_a, src_b LIMIT 10""".stripMargin,
   )
 }

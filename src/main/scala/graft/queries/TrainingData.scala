@@ -1103,6 +1103,83 @@ object TrainingData {
       .orderBy("media_type")
   }
 
+  /** Quality-filter attrition funnel: survivor/dropped counts per stage of
+    * a composed cleaning pipeline (length band -> lexical diversity ->
+    * bigram repetition), cumulative in order — the observability table a
+    * corpus-cleaning run publishes so each rule's bite is visible before
+    * committing the filtered corpus. All per-doc signals come from ONE
+    * token explode + one bigram explode ((doc, gram)-keyed aggregations,
+    * map-side partials); the funnel itself is a single conditional
+    * aggregate over the per-doc frame, so adding a stage costs one more
+    * `count(when(...))`, not another corpus pass.
+    */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val bi = toks
+      .select(col("doc_id"), explode(F.shinglesAll(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram"))
+    val perDoc = uni.join(bi, Seq("doc_id"), "left")
+      .select(col("n_tokens"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("ttr"),
+        (coalesce(col("top_bigram"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_tokens") - 1, lit(1L))).as("topbf"))
+    val f1 = col("n_tokens") >= 30 && col("n_tokens") <= 200
+    val f2 = col("ttr") >= 0.35
+    val f3 = col("topbf") <= 0.2
+    perDoc.agg(
+        count(lit(1)).as("n0"),
+        count(when(f1, 1)).as("n1"),
+        count(when(f1 && f2, 1)).as("n2"),
+        count(when(f1 && f2 && f3, 1)).as("n3"))
+      .select(expr(
+        "stack(4, 0L, 'all', n0, n0 - n0, " +
+          "1L, 'length_band', n1, n0 - n1, " +
+          "2L, 'lexical_diversity', n2, n1 - n2, " +
+          "3L, 'bigram_repetition', n3, n2 - n3) " +
+          "AS (stage, filter_name, survivors, dropped)"))
+      .orderBy("stage")
+  }
+
+  /** Cross-source overlap matrix: shared distinct 5-gram fingerprints per
+    * source pair with containment vs the smaller side — the corpus
+    * provenance diagnostic (which crawls duplicate each other, whether a
+    * "new" source adds anything). The self-join key is the gram id, so
+    * per-gram fan-out is bounded by the source count (tiny), never
+    * pairwise over documents; pair counts aggregate map-side.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    // cached: the distinct (source, gram) frame feeds the per-source sizes
+    // and both sides of the pair join
+    val grams = docs(spark, dir)
+      .select(col("source"), explode(shingleIds(col("text"), 5)).as("id"))
+      .distinct()
+      .cache()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    val common = grams.select(col("source").as("src_a"), col("id"))
+      .join(grams.select(col("source").as("src_b"), col("id")), Seq("id"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common_grams"))
+    val result = common
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("common_grams"),
+        round(col("common_grams").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")), 4).as("containment"))
+      .orderBy(col("containment").desc, col("src_a"), col("src_b"))
+      .limit(10)
+    materializeAndRelease(result, grams)
+  }
+
   // ------------------------------------- mixture / sharding / chunking ops
 
   /** Temperature-scaled source mixture (the GPT-3/LLaMA-style data-mixture

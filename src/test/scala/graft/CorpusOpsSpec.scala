@@ -263,6 +263,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) <= r.getDouble(4), "p50 <= p99")
   }
 
+  test("quality_funnel: monotone survivors, dropped sums telescope") {
+    val rows = TrainingData.qualityFunnel(spark, sf).collect()
+    assert(rows.length === 4)
+    val survivors = rows.map(_.getLong(2)).toSeq
+    assert(survivors.head === 500L, "stage 0 is the whole corpus")
+    assert(survivors === survivors.sortBy(-_), "each stage only removes")
+    // dropped at stage k = survivors(k-1) - survivors(k)
+    (1 until 4).foreach { k =>
+      assert(rows(k).getLong(3) === survivors(k - 1) - survivors(k))
+    }
+  }
+
+  test("source_overlap: pairs ordered, containment in (0,1]") {
+    val rows = TrainingData.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val conts = rows.map(_.getDouble(3)).toSeq
+    assert(conts === conts.sortBy(-_))
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
   test("text_pmi: top-15 ranked by ratio, min-count respected, words exist") {
     val rows = TrainingData.textPmi(spark, sf).collect()
     assert(rows.length === 15)
