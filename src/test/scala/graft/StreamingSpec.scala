@@ -223,6 +223,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "first copy of each content survives; re-deliveries within watermark drop")
   }
 
+  test("streaming near-dup: identical content flags against earlier doc, distinct passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val hits = StreamingPipeline.streamingNearDup(df)
+    val q = hits.writeStream.format("memory").queryName("neardupstream")
+      .outputMode(OutputMode.Append()).start()
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, textA),
+      (Timestamp.valueOf("2026-01-01 10:01:00"), 2L, textB))
+    q.processAllAvailable()
+    mem.addData( // doc 3 re-delivers doc 1's content in a later batch
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 3L, textA))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select distinct doc_id, dup_of from neardupstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perBand = spark.sql(
+      "select count(*) from neardupstream where doc_id = 3").head().getLong(0)
+    q.stop()
+    assert(rows === Set((3L, 1L)),
+      "identical content flags once per colliding band against doc 1 only")
+    assert(perBand === 8L, "identical signatures collide in ALL 8 bands")
+  }
+
   test("session windows: gap-merge within a user, separate sessions across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
