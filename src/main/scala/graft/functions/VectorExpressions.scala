@@ -355,6 +355,74 @@ case class JaccardIds(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused 60-bit md5 SimHash of a text column, one JVM pass per row.
+  *
+  * Semantically identical to the relational formulation (explode tokens ->
+  * portable 60-bit md5 hash per token -> 60 per-bit +1/-1 vote sums per doc
+  * -> sign of each vote sets the bit): per-doc integer vote sums are
+  * order-free, so fusing the loop into the row changes nothing the oracle
+  * can see. What it removes at scale is the plan cost: the exploded form
+  * shuffles |tokens| rows into a 60-column aggregation, where this is a
+  * narrow codegen-free map (no explode, no exchange). Tokenizer semantics
+  * (U+0020-only trim, `\s+` split keeping empty edge tokens) match
+  * [[ShingleIds]] and the SQL oracles exactly; the hash is the oracle
+  * idiom `('0x' || substr(md5(tok), 1, 15))::BIGINT` (first 60 bits of the
+  * digest).
+  */
+case class SimhashMd5(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5"
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.toString
+    var s = 0
+    var e = raw.length
+    while (s < e && raw.charAt(s) == ' ') s += 1
+    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+    val toks = ShingleIds.Whitespace.split(raw.substring(s, e), -1)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val md = digest.get()
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4 // first 15 hex digits = 60 bits
+      b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashMd5 =
+    copy(child = newChild)
+}
+
 /** L2-normalize an `array<double>` vector in one pass: norm computed once,
   * then one division per component.
   *
@@ -517,6 +585,10 @@ object VectorFunctions {
       FunctionIdentifier("vec_normalize"),
       new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
       (exprs: Seq[Expression]) => VecNormalize(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => SimhashMd5(exprs.head))
   }
 
   /** Codegen'd dot product; requires [[register]] on the session. */
@@ -543,4 +615,7 @@ object VectorFunctions {
 
   /** Fused one-pass L2 normalization; requires [[register]]. */
   def vecNormalize(a: Column): Column = call_function("vec_normalize", a)
+
+  /** Fused portable 60-bit md5 SimHash; requires [[register]]. */
+  def simhashMd5(text: Column): Column = call_function("simhash_md5", text)
 }

@@ -559,21 +559,17 @@ object TrainingData {
     * small shuffle; the consecutive-id pairing keeps the verification
     * linear.
     */
-  /** Per-doc 60-bit md5 SimHash fingerprints (doc_id, fp): explode tokens,
-    * hash each with the portable [[h60]], then 60 per-bit +1/-1 vote sums in
-    * one aggregate (map-side partial) — sign of each vote sum sets the bit.
+  /** Per-doc 60-bit md5 SimHash fingerprints (doc_id, fp) via the fused
+    * [[graft.functions.SimhashMd5]] expression — one narrow map, no
+    * explode, no 60-column vote aggregation (the relational formulation it
+    * replaces shuffled one row per TOKEN; per-doc integer vote sums are
+    * order-free, so the fused loop is bit-identical and the DuckDB oracles
+    * keep the explode+votes form).
     */
   private def simhashMd5Fps(d: DataFrame): DataFrame = {
-    val withH = d
-      .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), h60(col("tok")).as("h"))
-    val votes = (0 until 60).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b"))
-    val fpExpr = (0 until 60).map(b =>
-      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    withH.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fpExpr.as("fp"))
+    graft.functions.VectorFunctions.register(d.sparkSession)
+    d.select(col("doc_id"),
+      graft.functions.VectorFunctions.simhashMd5(col("text")).as("fp"))
   }
 
   def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {

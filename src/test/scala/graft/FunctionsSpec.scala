@@ -124,6 +124,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getSeq[Double](0).forall(_.isNaN))
   }
 
+  test("simhash_md5: fused loop matches the relational vote formulation") {
+    val sp = spark
+    import sp.implicits._
+    for (raw <- Seq("alpha beta gamma", "a a a b", " padded  text ", "solo", "")) {
+      val fused = one(VectorFunctions.simhashMd5(lit(raw))).getLong(0)
+      // relational form: explode tokens -> h60 -> 60 vote sums -> bits
+      val h60 = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val votes = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b"))
+      val fpExpr = (0 until 60).map(b =>
+        when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      val relational = Seq(raw).toDF("text")
+        .select(explode(F.tokens(col("text"))).as("tok"))
+        .select(h60(col("tok")).as("h"))
+        .agg(votes.head, votes.tail: _*)
+        .select(fpExpr.as("fp")).head().getLong(0)
+      assert(fused === relational, s"parity broke for '$raw'")
+    }
+  }
+
   test("SQL surface: registered functions parse in spark.sql") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
