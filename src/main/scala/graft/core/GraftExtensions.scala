@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   spark.sql.extensions=graft.core.GraftExtensions
   *
   * after which `SELECT vec_dot(a, b)`, `shingle_ids(text, 2)`,
-  * `minhash_sig(ids, 16)`, `jaccard_ids(a, b)` parse natively. Library
-  * users can equivalently call [[graft.functions.VectorFunctions.register]]
-  * on an existing session.
+  * `minhash_sig(ids, 16)`, `jaccard_ids(a, b)`, `shingle_strings(text, 2)`,
+  * `intersect_size_ids(a, b)`, `vec_normalize(v)`, and `simhash_md5(text)`
+  * parse natively. Library users can equivalently call
+  * [[graft.functions.VectorFunctions.register]] on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -35,5 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("intersect_size_ids"),
+      new ExpressionInfo(classOf[IntersectSizeIds].getName, "intersect_size_ids"),
+      (exprs: Seq[Expression]) => IntersectSizeIds(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
+      (exprs: Seq[Expression]) => VecNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => SimhashMd5(exprs.head)))
   }
 }

@@ -116,5 +116,11 @@ class OrchestrationSpec extends AnyFunSuite {
     val sig = MinHashSignature(Literal.create(Array(7L, 9L),
       ArrayType(LongType)), 4).eval(null).asInstanceOf[ArrayData]
     assert(sig.numElements() == 4)
+    val longs = Literal.create(Array(1L, 3L), ArrayType(LongType))
+    assert(IntersectSizeIds(longs, longs).eval(null) == 2L)
+    val nv = VecNormalize(Literal.create(Array(3.0, 4.0), ArrayType(DoubleType)))
+      .eval(null).asInstanceOf[ArrayData]
+    assert(nv.getDouble(0) == 0.6 && nv.getDouble(1) == 0.8)
+    assert(SimhashMd5(Literal("a b")).eval(null).isInstanceOf[Long])
   }
 }
