@@ -1086,7 +1086,12 @@ object SparkEntry {
         | (SELECT count(*) FROM dropped) AS n_dropped,
         | (SELECT count(*) FROM e) - (SELECT count(*) FROM dropped) AS n_kept""".stripMargin,
     "multimodal_pipeline" ->
-      """WITH f AS (
+      """-- NOTE: ord(substr(...)) walks CHARACTERS while the engine decodes
+        |-- UTF-8 payload BYTES; the two agree only because the synthetic
+        |-- corpus is pure ASCII (verified). A non-ASCII corpus needs a
+        |-- blob-indexed decode here — DuckDB lacks byte indexing on BLOB,
+        |-- so this oracle is scoped to the testdata by design.
+        |WITH f AS (
         |  SELECT doc_id,
         |   CASE WHEN doc_id % 3 = 0 THEN 'image'
         |        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type,

@@ -177,13 +177,7 @@ case class ShingleIds(child: Expression, n: Int)
     // and Spark's split keeps leading/trailing empty tokens (limit -1), so
     // text bounded by non-space whitespace tokenizes identically on all
     // three sides.
-    val raw = input.toString
-    var s = 0
-    var e = raw.length
-    while (s < e && raw.charAt(s) == ' ') s += 1
-    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
-    val text = raw.substring(s, e)
-    val toks = ShingleIds.Whitespace.split(text, -1)
+    val toks = ShingleIds.tokenize(input.toString)
     val ids = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length >= n) {
       val seen = new java.util.HashSet[String]()
@@ -198,15 +192,8 @@ case class ShingleIds(child: Expression, n: Int)
           j += 1
         }
         val sh = sb.toString
-        if (seen.add(sh)) {
-          val md = digest.get()
-          md.reset()
-          val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var v = 0L
-          var b = 0
-          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-          ids.add((v >>> 4) % 2147483647L)
-        }
+        if (seen.add(sh))
+          ids.add(ShingleIds.md5h60(digest.get(), sh) % 2147483647L)
         i += 1
       }
     }
@@ -228,6 +215,35 @@ case class ShingleIds(child: Expression, n: Int)
 object ShingleIds {
   /** Precompiled: String.split(regex) would recompile the pattern per row. */
   val Whitespace: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** The repo's ONE tokenizer: `split(trim(text), "\s+")` semantics shared
+    * by [[ShingleIds]], [[ShingleStrings]], and [[SimhashMd5]] — trim
+    * strips U+0020 ONLY (Java String.trim also eats \t\n\r, which would
+    * break parity with Spark/DuckDB trim), and split keeps leading/trailing
+    * empty tokens (limit -1). Any tokenizer change happens HERE or oracle
+    * parity silently breaks in three places.
+    */
+  def tokenize(raw: String): Array[String] = {
+    var s = 0
+    var e = raw.length
+    while (s < e && raw.charAt(s) == ' ') s += 1
+    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+    Whitespace.split(raw.substring(s, e), -1)
+  }
+
+  /** First 60 bits of md5(s) — the oracle idiom
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` (big-endian first 8 digest
+    * bytes shifted right 4). Callers reduce mod 2^31-1 where ids need to
+    * stay in 31 bits.
+    */
+  def md5h60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
 }
 
 /** Fused text -> distinct word-n-gram shingle STRINGS, one JVM pass per row
@@ -253,12 +269,7 @@ case class ShingleStrings(child: Expression, n: Int)
   override def prettyName: String = "shingle_strings"
 
   override def nullSafeEval(input: Any): Any = {
-    val raw = input.toString
-    var s = 0
-    var e = raw.length
-    while (s < e && raw.charAt(s) == ' ') s += 1
-    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
-    val toks = ShingleIds.Whitespace.split(raw.substring(s, e), -1)
+    val toks = ShingleIds.tokenize(input.toString)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
       val sb = new StringBuilder
@@ -387,23 +398,12 @@ case class SimhashMd5(child: Expression)
       java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
-    val raw = input.toString
-    var s = 0
-    var e = raw.length
-    while (s < e && raw.charAt(s) == ' ') s += 1
-    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
-    val toks = ShingleIds.Whitespace.split(raw.substring(s, e), -1)
+    val toks = ShingleIds.tokenize(input.toString)
     val votes = new Array[Int](60)
     var i = 0
     while (i < toks.length) {
-      val md = digest.get()
-      md.reset()
-      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var h = 0L
+      val h = ShingleIds.md5h60(digest.get(), toks(i))
       var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      h = h >>> 4 // first 15 hex digits = 60 bits
-      b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1

@@ -568,8 +568,12 @@ object TrainingData {
     */
   private def simhashMd5Fps(d: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(d.sparkSession)
-    d.select(col("doc_id"),
-      graft.functions.VectorFunctions.simhashMd5(col("text")).as("fp"))
+    // null-text docs must VANISH from the fingerprint frame (the explode
+    // formulation this replaces produced zero rows for them) — without the
+    // filter a null fp row would survive into the pairings
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhashMd5(col("text")).as("fp"))
   }
 
   def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame = {

@@ -335,13 +335,19 @@ object StreamingPipeline {
           val hits = scala.collection.mutable.ListBuffer[NearDupHit]()
           // deterministic intra-batch order: event time, then id
           rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+            // self-guard: an at-least-once source re-delivering a doc_id
+            // must neither flag it against itself nor duplicate its state
+            // entry (which would evict a genuine older signature)
             entries.foreach { case (prevId, prevSig) =>
-              val m = prevSig.iterator.zip(r.sig.iterator)
-                .count { case (a, b) => a == b }
-              if (m >= matchThreshold)
-                hits += NearDupHit(r.doc_id, prevId, band, m.toLong)
+              if (prevId != r.doc_id) {
+                val m = prevSig.iterator.zip(r.sig.iterator)
+                  .count { case (a, b) => a == b }
+                if (m >= matchThreshold)
+                  hits += NearDupHit(r.doc_id, prevId, band, m.toLong)
+              }
             }
-            entries = ((r.doc_id, r.sig) :: entries).take(maxPerBand)
+            if (!entries.exists(_._1 == r.doc_id))
+              entries = ((r.doc_id, r.sig) :: entries).take(maxPerBand)
           }
           state.update(BandState(entries))
           hits.iterator

@@ -246,10 +246,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val perBand = spark.sql(
       "select count(*) from neardupstream where doc_id = 3").head().getLong(0)
+    // at-least-once re-delivery of doc 1 itself: no self-hit rows
+    mem.addData((Timestamp.valueOf("2026-01-01 10:06:00"), 1L, textA))
+    q.processAllAvailable()
+    val selfHits = spark.sql(
+      "select count(*) from neardupstream where doc_id = dup_of")
+      .head().getLong(0)
     q.stop()
     assert(rows === Set((3L, 1L)),
       "identical content flags once per colliding band against doc 1 only")
     assert(perBand === 8L, "identical signatures collide in ALL 8 bands")
+    assert(selfHits === 0L, "re-delivered doc must not flag against itself")
   }
 
   test("session windows: gap-merge within a user, separate sessions across gaps") {
