@@ -105,6 +105,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (TrainingData.multimodalPipeline _),
     "quality_funnel" -> (TrainingData.qualityFunnel _),
     "source_overlap" -> (TrainingData.sourceOverlap _),
+    "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -1176,5 +1177,22 @@ object SparkEntry {
         |FROM cm JOIN sz x ON cm.src_a = x.source
         |        JOIN sz y ON cm.src_b = y.source
         |ORDER BY containment DESC, src_a, src_b LIMIT 10""".stripMargin,
+    "text_hash_embedding" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) w
+        |  FROM documents),
+        |hd AS (SELECT source, doc_id,
+        |  ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 dim,
+        |  (((('0x' || substr(md5(w), 1, 15))::BIGINT >> 6) & 1) * 2 - 1) sgn
+        | FROM tok),
+        |pd AS (SELECT source, doc_id, dim, CAST(sum(sgn) AS BIGINT) s
+        |       FROM hd GROUP BY 1, 2, 3),
+        |dc AS (SELECT source, doc_id, sqrt(sum(s * s)) nrm,
+        |        CAST(sum(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) nz
+        |       FROM pd GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(nrm), 4) AS avg_norm,
+        | round(avg(CAST(nz AS DOUBLE) / 64), 4) AS avg_density
+        |FROM dc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1180,6 +1180,34 @@ object TrainingData {
     materializeAndRelease(result, grams)
   }
 
+  /** Feature-hashed bag-of-words embedding (the hashing trick): every token
+    * hashes to one of 64 dimensions with a hash-derived ±1 sign (sign bit
+    * taken ABOVE the dimension bits so they decorrelate), votes sum per
+    * (doc, dim), and the result is graded by per-source vector norm and
+    * density — the no-vocabulary featurizer that turns raw text into the
+    * engine's embedding-operator space (ANN / k-means / PCA above) with
+    * O(1) memory and no trained state. Every aggregation is fine-grained
+    * ((doc, dim) then doc then source) with map-side partials, and the
+    * stats formulation needs no per-doc array materialization at all.
+    */
+  def textHashEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("source"), col("doc_id"),
+      explode(F.tokens(col("text"))).as("w"))
+    val h = h60(col("w"))
+    val perDim = tok.select(col("source"), col("doc_id"),
+        (h % 64).as("dim"),
+        (shiftright(h, 6).bitwiseAND(lit(1L)) * 2 - 1).as("sgn"))
+      .groupBy("source", "doc_id", "dim").agg(sum("sgn").as("s"))
+    val perDoc = perDim.groupBy("source", "doc_id")
+      .agg(sqrt(sum(col("s") * col("s"))).as("nrm"),
+        count(when(col("s") =!= 0, 1)).as("nz"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(avg(col("nz").cast(DoubleType) / 64), 4).as("avg_density"))
+      .orderBy("source")
+  }
+
   // ------------------------------------- mixture / sharding / chunking ops
 
   /** Temperature-scaled source mixture (the GPT-3/LLaMA-style data-mixture

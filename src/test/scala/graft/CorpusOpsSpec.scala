@@ -263,6 +263,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) <= r.getDouble(4), "p50 <= p99")
   }
 
+  test("text_hash_embedding: all docs featurized, density in (0,1]") {
+    val rows = TrainingData.textHashEmbedding(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0, "non-empty docs have nonzero norm")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("quality_funnel: monotone survivors, dropped sums telescope") {
     val rows = TrainingData.qualityFunnel(spark, sf).collect()
     assert(rows.length === 4)
