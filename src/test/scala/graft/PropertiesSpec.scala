@@ -79,4 +79,36 @@ class PropertiesSpec extends AnyFunSuite {
         "changed value must change the hash")
     }
   }
+
+  test("vector expression properties: norms, intersections, simhash stability") {
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val rnd = new Random(11)
+    (1 to 40).foreach { _ =>
+      // vec_normalize: output norm is 1 within float tolerance
+      val v = Array.fill(8)(rnd.nextDouble() * 10 - 5)
+      if (v.exists(_ != 0.0)) {
+        val nv = VecNormalize(Literal.create(v, ArrayType(DoubleType)))
+          .eval(null).asInstanceOf[ArrayData].toDoubleArray()
+        val norm = math.sqrt(nv.map(x => x * x).sum)
+        assert(math.abs(norm - 1.0) < 1e-12)
+      }
+      // intersect_size_ids == Set intersection size on sorted inputs
+      val a = Array.fill(12)(rnd.nextLong(20)).distinct.sorted
+      val b = Array.fill(12)(rnd.nextLong(20)).distinct.sorted
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      val got = IntersectSizeIds(
+        Literal.create(a, ArrayType(LongType)),
+        Literal.create(b, ArrayType(LongType))).eval(null)
+      assert(got == expected)
+      // simhash_md5: deterministic, and token order does not flip far bits
+      // (votes are order-free sums -> identical fingerprint)
+      val words = Seq.fill(6)(rnd.alphanumeric.take(4).mkString)
+      val fp1 = SimhashMd5(Literal(words.mkString(" "))).eval(null)
+      val fp2 = SimhashMd5(Literal(Random.shuffle(words).mkString(" "))).eval(null)
+      assert(fp1 == fp2, "permuting tokens must not change the fingerprint")
+    }
+  }
 }
