@@ -150,12 +150,11 @@ case class MinHashSignature(child: Expression, k: Int)
   * (bigEndianLong >>> 4 == parseInt(hex[0:15], 16)). ~20x faster, same ids,
   * same DuckDB oracle.
   *
-  * CodegenFallback is fine: the whole row's work is one opaque JVM call;
-  * there is no per-element expression tree left to fuse.
+  * The row's work is one opaque JVM call; doGenCode emits that call
+  * directly so the surrounding projection keeps one whole-stage codegen
+  * span (CodegenFallback would split the stage around this expression).
   */
-case class ShingleIds(child: Expression, n: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
@@ -166,47 +165,15 @@ case class ShingleIds(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_ids"
 
-  @transient private lazy val digest =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(input: Any): Any =
+    ShingleIds.shingleIdsCompute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
 
-  override def nullSafeEval(input: Any): Any = {
-    // Bit-parity with the composable path and the DuckDB oracles requires
-    // the exact semantics of `split(trim(text), "\s+")`: Spark/DuckDB trim
-    // strips U+0020 ONLY (Java String.trim also eats \t\n\r — wrong here),
-    // and Spark's split keeps leading/trailing empty tokens (limit -1), so
-    // text bounded by non-space whitespace tokenizes identically on all
-    // three sides.
-    val toks = ShingleIds.tokenize(input.toString)
-    val ids = new java.util.LinkedHashSet[java.lang.Long]()
-    if (toks.length >= n) {
-      val seen = new java.util.HashSet[String]()
-      val sb = new StringBuilder
-      var i = 0
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        val sh = sb.toString
-        if (seen.add(sh))
-          ids.add(ShingleIds.md5h60(digest.get(), sh) % 2147483647L)
-        i += 1
-      }
-    }
-    val out = new Array[Long](ids.size)
-    val it = ids.iterator()
-    var idx = 0
-    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
-    // sorted output: downstream set ops (JaccardIds) merge-scan instead of
-    // hashing; min/band computations are order-insensitive
-    java.util.Arrays.sort(out)
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
-  }
+  // one opaque JVM call, generated (vs CodegenFallback) so the surrounding
+  // projection stays in a single whole-stage codegen span
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleIds.shingleIdsCompute($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleIds =
     copy(child = newChild)
@@ -244,32 +211,53 @@ object ShingleIds {
     while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
     v >>> 4
   }
-}
 
-/** Fused text -> distinct word-n-gram shingle STRINGS, one JVM pass per row
-  * — the string-output sibling of [[ShingleIds]] for operators that need the
-  * n-gram text itself (corpus n-gram statistics), not its hash. Semantically
-  * identical to `array_distinct(shingles(tokens(text), n))` (first-seen
-  * order), whose interpreted HOF chain costs ~1 ms per document; tokenizer
-  * semantics (U+0020-only trim, `\s+` split keeping empty edge tokens) match
-  * [[ShingleIds]], [[TextFunctions.tokens]], and the SQL oracles exactly.
-  */
-case class ShingleStrings(child: Expression, n: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val LocalDigest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"shingle_strings requires string, got ${other.simpleString}")
+  /** Static entry point for generated code (see [[ShingleIds.doGenCode]]):
+    * fused tokenize -> distinct n-grams -> md5-60-bit ids (mod 2^31-1),
+    * sorted ascending so downstream set ops ([[JaccardIds]],
+    * [[IntersectSizeIds]]) merge-scan instead of hashing.
+    */
+  def shingleIdsCompute(text: org.apache.spark.unsafe.types.UTF8String,
+                        n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(text.toString)
+    val ids = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= n) {
+      val seen = new java.util.HashSet[String]()
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val sh = sb.toString
+        if (seen.add(sh))
+          ids.add(md5h60(LocalDigest.get(), sh) % 2147483647L)
+        i += 1
+      }
+    }
+    val out = new Array[Long](ids.size)
+    val it = ids.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "shingle_strings"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ShingleIds.tokenize(input.toString)
+  /** Static entry point for generated code (see [[ShingleStrings.doGenCode]]):
+    * fused tokenize -> distinct n-gram strings in first-seen order.
+    */
+  def shingleStringsCompute(text: org.apache.spark.unsafe.types.UTF8String,
+                            n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(text.toString)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
       val sb = new StringBuilder
@@ -295,6 +283,64 @@ case class ShingleStrings(child: Expression, n: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
+
+  /** Static entry point for generated code (see [[SimhashMd5.doGenCode]]):
+    * the fused tokenize -> md5h60 -> 60-bit vote loop as one JVM call, so
+    * the expression participates in whole-stage codegen instead of forcing
+    * a CodegenFallback Project split around it.
+    */
+  def simhashMd5Compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = tokenize(text.toString)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5h60(LocalDigest.get(), toks(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+}
+
+/** Fused text -> distinct word-n-gram shingle STRINGS, one JVM pass per row
+  * — the string-output sibling of [[ShingleIds]] for operators that need the
+  * n-gram text itself (corpus n-gram statistics), not its hash. Semantically
+  * identical to `array_distinct(shingles(tokens(text), n))` (first-seen
+  * order), whose interpreted HOF chain costs ~1 ms per document; tokenizer
+  * semantics (U+0020-only trim, `\s+` split keeping empty edge tokens) match
+  * [[ShingleIds]], [[TextFunctions.tokens]], and the SQL oracles exactly.
+  */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleIds.shingleStringsCompute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  // one opaque JVM call, generated (vs CodegenFallback) so the surrounding
+  // projection stays in a single whole-stage codegen span
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleIds.shingleStringsCompute($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
@@ -380,9 +426,7 @@ case class JaccardIds(left: Expression, right: Expression)
   * idiom `('0x' || substr(md5(tok), 1, 15))::BIGINT` (first 60 bits of the
   * digest).
   */
-case class SimhashMd5(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class SimhashMd5(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
@@ -393,31 +437,16 @@ case class SimhashMd5(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash_md5"
 
-  @transient private lazy val digest =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
+  override def nullSafeEval(input: Any): Any =
+    ShingleIds.simhashMd5Compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ShingleIds.tokenize(input.toString)
-    val votes = new Array[Int](60)
-    var i = 0
-    while (i < toks.length) {
-      val h = ShingleIds.md5h60(digest.get(), toks(i))
-      var b = 0
-      while (b < 60) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 60) {
-      if (votes(b) >= 0) fp |= 1L << b
-      b += 1
-    }
-    fp
-  }
+  // the row's work is one opaque JVM call, but generating that call (vs
+  // CodegenFallback) keeps the SURROUNDING projection in one whole-stage
+  // codegen span instead of splitting the stage at this expression
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleIds.simhashMd5Compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashMd5 =
     copy(child = newChild)
