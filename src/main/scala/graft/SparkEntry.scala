@@ -106,6 +106,7 @@ object SparkEntry {
     "quality_funnel" -> (TrainingData.qualityFunnel _),
     "source_overlap" -> (TrainingData.sourceOverlap _),
     "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
+    "dedup_spans" -> (TrainingData.dedupSpans _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
   )
@@ -1194,5 +1195,22 @@ object SparkEntry {
         | round(avg(nrm), 4) AS avg_norm,
         | round(avg(CAST(nz AS DOUBLE) / 64), 4) AS avg_density
         |FROM dc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_spans" ->
+      """WITH s AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') l FROM documents),
+        |ids AS (SELECT unnest(list_distinct(list_transform(
+        |    list_distinct(list_transform(range(1, len(l) - 8),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |           l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] || ' ' ||
+        |           l[i+8] || ' ' || l[i+9])),
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647))) id
+        |  FROM s),
+        |f AS (SELECT id, count(*) df FROM ids GROUP BY 1)
+        |SELECT count(*) AS distinct_spans,
+        | count(CASE WHEN df > 1 THEN 1 END) AS duplicated_spans,
+        | CAST(max(df) AS BIGINT) AS max_span_df,
+        | round(CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE) / count(*), 4)
+        |   AS dup_rate
+        |FROM f""".stripMargin,
   )
 }

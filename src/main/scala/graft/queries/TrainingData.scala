@@ -1180,6 +1180,29 @@ object TrainingData {
     materializeAndRelease(result, grams)
   }
 
+  /** Duplicated-span scan: distinct 10-token spans appearing in MORE than
+    * one document — the screening pass of exact-substring deduplication
+    * (the suffix-array method finds maximal repeated substrings; fixed
+    * 10-gram fingerprints catch every repetition of length >= 10 tokens at
+    * a fraction of the cost, which is how a 100 TB corpus gets screened
+    * before any exact pass). One explode + a (span-id)-keyed count with
+    * map-side partials; per-doc spans are already distinct (shingle_ids
+    * dedups within the doc), so the count IS document frequency.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    val df = docs(spark, dir)
+      .select(explode(shingleIds(col("text"), 10)).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("df"))
+    df.agg(
+      count(lit(1)).as("distinct_spans"),
+      count(when(col("df") > 1, 1)).as("duplicated_spans"),
+      max("df").as("max_span_df"),
+      round(count(when(col("df") > 1, 1)).cast(DoubleType) / count(lit(1)), 4)
+        .as("dup_rate"))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick): every token
     * hashes to one of 64 dimensions with a hash-derived ±1 sign (sign bit
     * taken ABOVE the dimension bits so they decorrelate), votes sum per

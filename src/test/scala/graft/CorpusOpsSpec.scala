@@ -263,6 +263,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) <= r.getDouble(4), "p50 <= p99")
   }
 
+  test("dedup_spans: duplicated subset of distinct, rate consistent") {
+    val Array(r) = TrainingData.dedupSpans(spark, sf).collect()
+    val (distinct, dup, maxDf) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(distinct > 0L)
+    assert(dup <= distinct)
+    assert(maxDf >= 1L)
+    assert(dup == 0L || maxDf >= 2L)
+    assert(math.abs(r.getDouble(3) - dup.toDouble / distinct) < 1e-3)
+  }
+
   test("text_hash_embedding: all docs featurized, density in (0,1]") {
     val rows = TrainingData.textHashEmbedding(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === 500L)
