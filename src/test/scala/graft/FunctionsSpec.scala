@@ -232,4 +232,31 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.inserts == 0 && m2.updates == 0) // hash no-op fixpoint
     assert(m2.merged.count() == 4)
   }
+
+  test("all-pairs cosine: blocked build side matches single-block result") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 60 deterministic unit vectors, dim 6; several engineered near-dupes
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map { i =>
+      (i, unit(Array.fill(6)(rnd.nextGaussian())))
+    }
+    val nearDup = base.take(5).map { case (i, v) =>
+      (i + 1000L, unit(v.zipWithIndex.map { case (x, d) => x + (if (d == 0) 0.01 else 0.0) }))
+    }
+    val df = spark.createDataset(base ++ nearDup).toDF("vec_id", "nv")
+
+    // Forced tiny block size → must genuinely split the build side
+    val tiny = 4L * Similarity.rowBytes(6)
+    assert(Similarity.numBlocksFor(65L, 6, tiny) > 1)
+    val single = Similarity.allPairsAboveThreshold(df, threshold = 0.8).collect()
+    val blocked = Similarity.allPairsAboveThreshold(df, threshold = 0.8,
+      maxBlockBytes = tiny).collect()
+    assert(single.nonEmpty) // the 5 engineered near-dupes must surface
+    assert(blocked.map(_.toSeq).toSeq == single.map(_.toSeq).toSeq)
+  }
 }
