@@ -9,7 +9,7 @@ import graft.store.TableStore
   *
   * Usage:
   *   graft.run.Main --drop DIR --archive DIR --duplicates DIR --warehouse DIR
-  *                  [--file NAME]
+  *                  [--file NAME] [--jdbc URL]
   *
   * Sources are registered in code (like the reference's src/sources/systems
   * package); [[DemoSources.registry]] ships the example `sales` source so
@@ -43,8 +43,14 @@ object Main {
         req("archive"), req("duplicates"))
       val notifier: Notifier = opts.get("webhook")
         .map(new WebhookNotifier(_)).getOrElse(new LoggingNotifier)
+      // --jdbc jdbc:derby:/path;create=true (etc.): publish TARGETS to a
+      // relational database instead of the parquet store (K5 dispatch;
+      // reference write/factory.py). Run metadata stays in the warehouse.
+      val targetSink = opts.get("jdbc")
+        .map(url => new graft.store.JdbcSink(spark, url))
       val proc = new Processor(spark, DemoSources.registry, store, files,
-        notifier, drop, filePoolSize = cfg.filePoolSize)
+        notifier, drop, filePoolSize = cfg.filePoolSize,
+        targetSink = targetSink)
       opts.get("file") match {
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the

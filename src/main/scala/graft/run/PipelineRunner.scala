@@ -38,7 +38,14 @@ final class PipelineRunner(
     spark: SparkSession,
     store: TableStore,
     files: FileOps,
-    notifier: Notifier) {
+    notifier: Notifier,
+    /** Where published TARGETS live (K5 writer dispatch: the reference picks
+      * a DB writer per deployment, write/factory.py:13-43). Run metadata —
+      * log, DLQ, filename sidecars — always stays in the parquet store.
+      */
+    targetSink: graft.store.Sink = null) {
+
+  private val sink: graft.store.Sink = Option(targetSink).getOrElse(store)
 
   def run(path: String, source: SourceConfig): FileResult = {
     val fileName = FileUtils.bareName(path)
@@ -95,7 +102,7 @@ final class PipelineRunner(
     val names =
       if (store.exists(sidecar)) store.readIfExists(sidecar)
         .map(_.select("source_filename"))
-      else store.readIfExists(source.tableName)
+      else sink.readIfExists(source.tableName)
         .map(_.select("source_filename").distinct())
     names.foreach { n =>
       if (!n.filter(col("source_filename") === fileName).isEmpty)
@@ -181,7 +188,7 @@ final class PipelineRunner(
           graft.core.Trace.span("publish", "file" -> fileName,
             "table" -> source.tableName) {
         store.withTableLock(source.tableName) {
-        val existing = store.readIfExists(source.tableName)
+        val existing = sink.readIfExists(source.tableName)
         val target = existing.getOrElse(Publish.emptyTarget(spark, source))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         // one-time sidecar backfill for tables populated before the sidecar
@@ -196,8 +203,8 @@ final class PipelineRunner(
         // cached count pass); first publishes skip the merge join entirely
         val m = Publish.mergePlan(stage, target, source, now,
           targetKnownEmpty = existing.isEmpty)
-        store.overwrite(source.tableName, m.merged, source.targetPartitionBy)
-        store.vacuum(source.tableName) // bound disk: drop superseded versions
+        sink.overwrite(source.tableName, m.merged, source.targetPartitionBy)
+        sink.vacuum(source.tableName) // bound disk: drop superseded versions
         // record the filename in the probe sidecar (atomic segment append)
         val sp = spark
         import sp.implicits._

@@ -32,9 +32,14 @@ final class Processor(
     files: FileOps,
     notifier: Notifier,
     dropDir: String,
-    filePoolSize: Int = 2) {
+    filePoolSize: Int = 2,
+    /** Optional relational target sink (K5 writer dispatch); run metadata
+      * stays in the parquet `store` regardless.
+      */
+    targetSink: Option[graft.store.Sink] = None) {
 
-  private val runner = new PipelineRunner(spark, store, files, notifier)
+  private val runner =
+    new PipelineRunner(spark, store, files, notifier, targetSink.orNull)
 
   /** Single-file entry, the test/library surface (reference
     * Processor.process_file, processor.py:62-87).

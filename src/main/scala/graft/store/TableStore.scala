@@ -29,7 +29,7 @@ import java.util.concurrent.atomic.AtomicLong
   * pointer swap is O(1) driver metadata. (A production deployment would use
   * Delta/Iceberg — same design, hardened.)
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String) extends Sink {
   private val counter = new AtomicLong(System.currentTimeMillis())
   private def conf = spark.sparkContext.hadoopConfiguration
   private def tableDir(name: String) = new Path(root, name)
@@ -54,7 +54,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def withTableLock[T](name: String)(f: => T): T =
     locks.computeIfAbsent(name, _ => new Object).synchronized(f)
 
-  def exists(name: String): Boolean = {
+  override def exists(name: String): Boolean = {
     val p = pointer(name)
     fs(p).exists(p) || segments(name).nonEmpty
   }
@@ -83,7 +83,7 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Read the current version plus any append segments; None when the table
     * has never been written.
     */
-  def readIfExists(name: String): Option[DataFrame] = {
+  override def readIfExists(name: String): Option[DataFrame] = {
     val base = currentVersion(name).map(v => new Path(tableDir(name), v))
     val paths = (base.toSeq ++ segments(name)).map(_.toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
@@ -103,8 +103,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * partition-pruned reads (date-ranged queries on a date-partitioned
     * target) skip directories entirely.
     */
-  def overwrite(name: String, df: DataFrame,
-                partitionBy: Seq[String] = Nil): Unit =
+  override def overwrite(name: String, df: DataFrame,
+                         partitionBy: Seq[String]): Unit =
     overwriteFolding(name, df, partitionBy, segments(name))
 
   /** [[overwrite]] with an EXPLICIT list of segments to fold away: the
@@ -202,7 +202,7 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Remove version directories other than the current one plus any stale
     * uncommitted temp dirs a crashed writer left behind (vacuum).
     */
-  def vacuum(name: String): Unit = {
+  override def vacuum(name: String): Unit = {
     currentVersion(name).foreach { cur =>
       val dir = tableDir(name)
       val f = fs(dir)

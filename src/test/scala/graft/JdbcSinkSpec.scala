@@ -1,0 +1,113 @@
+package graft
+
+import graft.run._
+import graft.store.{JdbcSink, TableStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+import java.sql.DriverManager
+
+/** K3-analogue: relational target loading through the [[JdbcSink]] seam,
+  * e2e against embedded Derby (the reference's primary deployment writes
+  * SQL Server / Postgres / MySQL / SQLite targets through the same kind of
+  * dialect dispatch, write/factory.py:13-43). Mirrors the reprocess
+  * semantics of reference src/tests/test_csv.py:167-248.
+  */
+class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = TestSpark.spark
+
+  private var workDir: Path = _
+  private var dropDir: Path = _
+  private var url: String = _
+  private var processor: Processor = _
+  private var store: TableStore = _
+
+  override def beforeEach(): Unit = {
+    workDir = Files.createTempDirectory("graft_jdbc")
+    System.setProperty("derby.system.home", workDir.toString)
+    dropDir = Files.createDirectories(workDir.resolve("drop"))
+    url = s"jdbc:derby:${workDir.resolve("db")};create=true"
+    store = new TableStore(spark, workDir.resolve("tables").toString)
+    val files = new FileOps(spark.sparkContext.hadoopConfiguration,
+      workDir.resolve("archive").toString,
+      workDir.resolve("duplicates").toString)
+    // batchSize=2 forces multi-batch prepared-statement inserts on 3 rows
+    val sink = new JdbcSink(spark, url, batchSize = 2)
+    processor = new Processor(spark, TestSources.registry, store, files,
+      new CollectingNotifier, dropDir.toString, filePoolSize = 1,
+      targetSink = Some(sink))
+  }
+
+  import TestSources._
+
+  private def dropFile(name: String, lines: Seq[String]): String =
+    TestSources.writeText(dropDir, name, lines)
+
+  private def query1[T](sql: String)(get: java.sql.ResultSet => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      rs.next()
+      get(rs)
+    } finally conn.close()
+  }
+
+  test("publish lands target rows in the database, engine columns included") {
+    val f = dropFile("sales_2024.csv", Seq(SalesHeader,
+      salesRow("TXN001"), salesRow("TXN002"), salesRow("TXN003")))
+    val r = processor.processFile(f).get
+    assert(r.success && r.publishInserts == 3)
+    assert(query1("SELECT COUNT(*) FROM transactions")(_.getInt(1)) == 3)
+    // engine columns persisted relationally (reference write/base.py adds
+    // etl_row_hash + source_filename to every staged row)
+    val hash = query1(
+      """SELECT "etl_row_hash" FROM transactions FETCH FIRST ROW ONLY""")(_.getLong(1))
+    assert(hash != 0L)
+    // run metadata stays in the parquet store, NOT the database
+    assert(store.exists(graft.store.Schemas.LogTable))
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME").toLowerCase).toSet
+      assert(names == Set("transactions")) // no log/dlq/swap leftovers
+    } finally conn.close()
+  }
+
+  test("identical content under a new name: hash no-op merge (0/0)") {
+    dropFile("sales_a.csv", Seq(SalesHeader, salesRow("TXN001"), salesRow("TXN002")))
+    processor.processFile(dropDir.resolve("sales_a.csv").toString)
+    val f2 = dropFile("sales_b.csv", Seq(SalesHeader, salesRow("TXN001"), salesRow("TXN002")))
+    val r = processor.processFile(f2).get
+    assert(r.success && r.publishInserts == 0 && r.publishUpdates == 0)
+    assert(query1("SELECT COUNT(*) FROM transactions")(_.getInt(1)) == 2)
+  }
+
+  test("changed row merges in place; new row inserts") {
+    dropFile("sales_a.csv", Seq(SalesHeader, salesRow("TXN001"), salesRow("TXN002")))
+    processor.processFile(dropDir.resolve("sales_a.csv").toString)
+    val f2 = dropFile("sales_b.csv", Seq(SalesHeader,
+      salesRow("TXN001", qty = 9), salesRow("TXN003")))
+    val r = processor.processFile(f2).get
+    assert(r.publishInserts == 1 && r.publishUpdates == 1)
+    assert(query1("SELECT COUNT(*) FROM transactions")(_.getInt(1)) == 3)
+    assert(query1(
+      """SELECT "quantity" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
+      _.getInt(1)) == 9)
+    val updatedAt = query1(
+      """SELECT "etl_updated_at" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
+      _.getTimestamp(1))
+    assert(updatedAt != null)
+  }
+
+  test("duplicate filename is still detected with a relational target") {
+    dropFile("sales_2024.csv", Seq(SalesHeader, salesRow("TXN001")))
+    processor.processFile(dropDir.resolve("sales_2024.csv").toString)
+    val f2 = dropFile("sales_2024.csv", Seq(SalesHeader, salesRow("TXN099")))
+    val r = processor.processFile(f2).get
+    assert(r.success && r.errorName.contains("DuplicateFileError"))
+    assert(query1("SELECT COUNT(*) FROM transactions")(_.getInt(1)) == 1)
+  }
+}
