@@ -39,7 +39,16 @@ final case class GraftConfig(
     archiveDirectory: String,
     duplicatesDirectory: String,
     warehouseDirectory: String,
-    filePoolSize: Int)
+    filePoolSize: Int,
+    /** SMTP transport settings (reference settings.py SMTP_HOST/SMTP_PORT/
+      * FROM_EMAIL/DATA_TEAM_EMAIL): email notifications activate only when
+      * host AND from are configured — the reference skips sending with a
+      * warning otherwise (email.py:44-46,72-74).
+      */
+    smtpHost: Option[String] = None,
+    smtpPort: Int = 25,
+    fromEmail: Option[String] = None,
+    dataTeamEmail: Option[String] = None)
 
 object GraftConfig {
   def load(env: Map[String, String] = sys.env): GraftConfig = {
@@ -47,11 +56,18 @@ object GraftConfig {
     def get(key: String, default: String): String =
       env.get(s"GRAFT_${state}_$key").orElse(env.get(s"GRAFT_$key"))
         .getOrElse(default)
+    def opt(key: String): Option[String] =
+      env.get(s"GRAFT_${state}_$key").orElse(env.get(s"GRAFT_$key"))
+        .filter(_.nonEmpty)
     GraftConfig(
       dropDirectory = get("DROP_DIRECTORY", "drop"),
       archiveDirectory = get("ARCHIVE_DIRECTORY", "archive"),
       duplicatesDirectory = get("DUPLICATES_DIRECTORY", "duplicates"),
       warehouseDirectory = get("WAREHOUSE_DIRECTORY", "warehouse"),
-      filePoolSize = get("FILE_POOL_SIZE", "2").toInt)
+      filePoolSize = get("FILE_POOL_SIZE", "2").toInt,
+      smtpHost = opt("SMTP_HOST"),
+      smtpPort = get("SMTP_PORT", "25").toInt,
+      fromEmail = opt("FROM_EMAIL"),
+      dataTeamEmail = opt("DATA_TEAM_EMAIL"))
   }
 }

@@ -41,8 +41,14 @@ object Main {
       val store = new TableStore(spark, req("warehouse"))
       val files = new FileOps(spark.sparkContext.hadoopConfiguration,
         req("archive"), req("duplicates"))
+      // transport pick: --webhook beats SMTP env config beats console
+      // (reference wires email when SMTP_HOST+FROM_EMAIL are set)
       val notifier: Notifier = opts.get("webhook")
-        .map(new WebhookNotifier(_)).getOrElse(new LoggingNotifier)
+        .map[Notifier](new WebhookNotifier(_))
+        .orElse((cfg.smtpHost zip cfg.fromEmail).map { case (h, f) =>
+          new EmailNotifier(h, cfg.smtpPort, f, cfg.dataTeamEmail)
+        })
+        .getOrElse(new LoggingNotifier)
       // --jdbc jdbc:derby:/path;create=true (etc.): publish TARGETS to a
       // relational database instead of the parquet store (K5 dispatch;
       // reference write/factory.py). Run metadata stays in the warehouse.

@@ -102,6 +102,46 @@ class OrchestrationSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("smtp notifier: email=>success path sends exactly one templated message") {
+    val stub = new SmtpStub
+    stub.start()
+    try {
+      // drive a real pipeline failure through the email=>success routing:
+      // a notify-configured source with a validation error
+      val spark = TestSpark.spark
+      val workDir = java.nio.file.Files.createTempDirectory("graft_smtp")
+      val dropDir = java.nio.file.Files.createDirectories(workDir.resolve("drop"))
+      val store = new graft.store.TableStore(spark, workDir.resolve("tables").toString)
+      val files = new graft.run.FileOps(spark.sparkContext.hadoopConfiguration,
+        workDir.resolve("archive").toString, workDir.resolve("duplicates").toString)
+      val notifier = new graft.run.EmailNotifier("127.0.0.1", stub.port,
+        "loader@example.com", ccEmail = Some("cc-team@example.com"))
+      val proc = new graft.run.Processor(spark, TestSources.registry, store,
+        files, notifier, dropDir.toString, filePoolSize = 1)
+      val f = TestSources.writeText(dropDir, "notify_sales_1.csv", Seq(
+        TestSources.SalesHeader,
+        TestSources.salesRow("TXN001"),
+        "TXN002,CUST1,SKU1,not_a_number,10.5,21.0,2024-03-01,Alice"))
+      val r = proc.processFile(f).get
+      // email sent => run counts as SUCCESS (reference runner.py:246-251)
+      assert(r.success && r.errorName.contains("ValidationThresholdExceededError"))
+      val msg = stub.messages.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(msg != null, "no message reached the SMTP stub")
+      assert(stub.messages.isEmpty, "expected exactly one message")
+      assert(msg.from == "loader@example.com")
+      // recipient list = notification_emails + CC (reference email.py:90-92)
+      assert(msg.recipients == Seq("data-team@example.com", "cc-team@example.com"))
+      assert(msg.data.contains("Subject: FileLoader Failed: notify_sales_1.csv - ValidationThresholdExceededError"))
+      assert(msg.data.contains("Cc: cc-team@example.com"))
+      assert(msg.data.contains("File: notify_sales_1.csv"))
+      assert(msg.data.contains("Error Type: ValidationThresholdExceededError"))
+      assert(msg.data.contains("Error Details:"))
+      // dead server: must swallow after retries, never fail the run
+      val dead = new graft.run.EmailNotifier("127.0.0.1", 1, "x@y.z")
+      dead.notifyFileError(Seq("a@b.c"), "f.csv", MissingHeaderError("f.csv"))
+    } finally stub.stop()
+  }
+
   test("extensions: function builders produce working expressions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.core.GraftExtensions().apply(ext) // registration must not throw
@@ -123,4 +163,61 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(nv.getDouble(0) == 0.6 && nv.getDouble(1) == 0.8)
     assert(SimhashMd5(Literal("a b")).eval(null).isInstanceOf[Long])
   }
+}
+
+/** Minimal in-process SMTP server: accepts connections, records MAIL FROM /
+  * RCPT TO / DATA per message.
+  */
+final class SmtpStub {
+  final case class Message(from: String, recipients: Seq[String], data: String)
+  val messages = new java.util.concurrent.LinkedBlockingQueue[Message]()
+  private val server = new java.net.ServerSocket(0, 8,
+    java.net.InetAddress.getByName("127.0.0.1"))
+  private var thread: Thread = _
+  def port: Int = server.getLocalPort
+
+  def start(): Unit = {
+    thread = new Thread(() => {
+      try while (!server.isClosed) {
+        val s = server.accept()
+        try handle(s) finally s.close()
+      } catch { case _: java.net.SocketException => () } // closed
+    })
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  private def handle(s: java.net.Socket): Unit = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(s.getInputStream, "US-ASCII"))
+    val out = new java.io.OutputStreamWriter(s.getOutputStream, "US-ASCII")
+    def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+    reply("220 stub ESMTP")
+    var from = ""
+    val rcpts = scala.collection.mutable.ArrayBuffer[String]()
+    var line = in.readLine()
+    while (line != null) {
+      val upper = line.toUpperCase
+      if (upper.startsWith("HELO") || upper.startsWith("EHLO")) reply("250 ok")
+      else if (upper.startsWith("MAIL FROM:")) {
+        from = line.drop(10).trim.stripPrefix("<").stripSuffix(">"); reply("250 ok")
+      } else if (upper.startsWith("RCPT TO:")) {
+        rcpts += line.drop(8).trim.stripPrefix("<").stripSuffix(">"); reply("250 ok")
+      } else if (upper == "DATA") {
+        reply("354 end with .")
+        val sb = new StringBuilder
+        var d = in.readLine()
+        while (d != null && d != ".") {
+          sb.append(if (d.startsWith("..")) d.drop(1) else d).append("\n")
+          d = in.readLine()
+        }
+        messages.put(Message(from, rcpts.toSeq, sb.toString))
+        reply("250 queued")
+      } else if (upper == "QUIT") { reply("221 bye"); return }
+      else reply("250 ok")
+      line = in.readLine()
+    }
+  }
+
+  def stop(): Unit = server.close()
 }
