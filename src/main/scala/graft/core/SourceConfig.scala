@@ -116,7 +116,8 @@ object FileUtils {
     ".csv" -> "csv", ".csv.gz" -> "csv",
     ".json" -> "json", ".json.gz" -> "json",
     ".xlsx" -> "excel", ".xls" -> "excel",
-    ".parquet" -> "parquet")
+    ".parquet" -> "parquet",
+    ".avro" -> "avro")
 
   def bareName(path: String): String = {
     val p = path.stripSuffix("/")

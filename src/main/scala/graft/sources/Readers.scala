@@ -251,7 +251,8 @@ object ReaderFactory {
     "csv" -> new CsvReader,
     "json" -> new JsonReader,
     "parquet" -> new ParquetReader,
-    "excel" -> new ExcelReader)
+    "excel" -> new ExcelReader,
+    "avro" -> new AvroReader)
 
   def readerFor(fileName: String): Reader = {
     val ext = FileUtils.extensionOf(fileName)

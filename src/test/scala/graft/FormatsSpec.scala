@@ -137,6 +137,77 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
   }
 
+  // ---- Avro fixtures: written with avro-core's DataFileWriter ----
+
+  /** Ledger avro container: nested Account record, [null,int] Entry_ID,
+    * date logical type — exercises union unwrap, struct flatten, logicals.
+    */
+  private def writeAvro(path: Path, ids: Seq[Option[Int]]): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"LedgerEntry","fields":[
+        |{"name":"Entry_ID","type":["null","int"]},
+        |{"name":"Account","type":{"type":"record","name":"Account","fields":[
+        |  {"name":"Code","type":"string"},{"name":"Name","type":"string"}]}},
+        |{"name":"Debit_Amount","type":"double"},
+        |{"name":"Credit_Amount","type":"double"},
+        |{"name":"Description","type":["null","string"]},
+        |{"name":"Transaction_Date","type":{"type":"int","logicalType":"date"}},
+        |{"name":"Reference_Number","type":"string"}]}""".stripMargin)
+    val accountSchema = schema.getField("Account").schema()
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, path.toFile)
+    ids.zipWithIndex.foreach { case (idOpt, i) =>
+      val r = new GenericData.Record(schema)
+      r.put("Entry_ID", idOpt.map(Int.box).orNull)
+      val acc = new GenericData.Record(accountSchema)
+      acc.put("Code", s"AC${idOpt.getOrElse(0)}")
+      acc.put("Name", s"acct ${idOpt.getOrElse(0)}")
+      r.put("Account", acc)
+      r.put("Debit_Amount", (i + 1) * 10.5)
+      r.put("Credit_Amount", 0.0)
+      r.put("Description", s"entry $i")
+      r.put("Transaction_Date",
+        java.time.LocalDate.of(2025, 2, i + 1).toEpochDay.toInt)
+      r.put("Reference_Number", s"R$i")
+      writer.append(r)
+    }
+    writer.close()
+  }
+
+  test("Avro: container read, nested-record flatten, date logical type e2e") {
+    val p = dropDir.resolve("ledger_2026.avro")
+    writeAvro(p, Seq(Some(1), Some(2), Some(3)))
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 3 && r.publishInserts == 3)
+    val t = store.readIfExists("ledger_entries").get
+    assert(t.count() == 3)
+    assert(t.filter(col("entry_id") === 2).head().getAs[String]("account_code") == "AC2")
+    assert(t.schema("transaction_date").dataType.typeName == "date")
+    assert(t.filter(col("entry_id") === 1).head()
+      .getAs[java.sql.Date]("transaction_date").toString == "2025-02-01")
+  }
+
+  test("Avro: null required field routes to DLQ with accurate row number") {
+    val p = dropDir.resolve("ledger_bad2026.avro")
+    writeAvro(p, Seq(Some(1), None, Some(3)))
+    val r = processor.processFile(p.toString).get
+    assert(!r.success && r.errorName.contains("ValidationThresholdExceededError"))
+    val dlq = store.readIfExists(graft.store.Schemas.DlqTable).get
+      .filter(col("source_filename") === "ledger_bad2026.avro")
+    assert(dlq.count() == 1)
+    assert(dlq.head().getAs[Long]("file_row_number") == 2L)
+  }
+
+  test("Avro: non-container bytes report MissingHeaderError") {
+    val p = dropDir.resolve("ledger_junk.avro")
+    Files.write(p, "this is not avro".getBytes("UTF-8"))
+    val r = processor.processFile(p.toString).get
+    assert(!r.success && r.errorName.contains("MissingHeaderError"))
+  }
+
   // ---- Excel fixtures: build a minimal xlsx with the JDK zip writer ----
 
   private def xlsx(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {

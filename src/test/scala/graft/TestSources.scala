@@ -71,6 +71,12 @@ object TestSources {
     sourceType = "parquet",
     formatOptions = ParquetOptions)
 
+  val ledgerAvro: SourceConfig = ledgerJson.copy(
+    name = "ledger_avro",
+    filePattern = "ledger_*.avro",
+    sourceType = "avro",
+    formatOptions = ParquetOptions)
+
   val products: Seq[ColumnSpec] = Seq(
     ColumnSpec.string("sku", alias = "SKU", nullable = false),
     ColumnSpec.string("name", alias = "Product Name"),
@@ -107,7 +113,7 @@ object TestSources {
 
   def registry: SourceRegistry = new SourceRegistry(Seq(
     salesCsv, thresholdSales, notifySales, ledgerJson, ledgerParquet,
-    inventoryExcel, balances))
+    ledgerAvro, inventoryExcel, balances))
 
   // ---- file builders (reference conftest.py:69-209 synthesizes per format) --
 
