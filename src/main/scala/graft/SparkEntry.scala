@@ -101,6 +101,7 @@ object SparkEntry {
     // semantic dedup + sketch family
     "dedup_semantic" -> (TrainingData.dedupSemantic _),
     "text_heavy_hitters" -> (TrainingData.textHeavyHitters _),
+    "text_top_tokens" -> (TrainingData.textTopTokens _),
     "q25_approx_quantile" -> (Relational.q25ApproxQuantile _),
     "multimodal_pipeline" -> (TrainingData.multimodalPipeline _),
     "quality_funnel" -> (TrainingData.qualityFunnel _),
@@ -515,6 +516,11 @@ object SparkEntry {
         |     % 10 = 7 s
         |  FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT t AS token, count(*) AS exact_count
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
+        |      FROM documents) x
+        |GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
     "text_ngrams" ->
       """SELECT ngram, count(*) AS df FROM (
         |  SELECT unnest(list_distinct(list_transform(range(1, len(l)),

@@ -1532,6 +1532,17 @@ object TrainingData {
     }.toDF("rank", "token", "exact_count", "est_count", "overestimate")
   }
 
+  /** Exact top-10 tokens by corpus frequency — the oracle-checkable side of
+    * [[textHeavyHitters]] (whose CMS estimate columns are engine-internal
+    * and stay rows-only). Aggregation shuffles one row per DISTINCT token,
+    * then top-k via TakeOrderedAndProject — never a global sort.
+    */
+  def textTopTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(F.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token")).limit(10)
+
   /** 1-NN label agreement over the embedding space — the classic
     * mislabeled-data / embedding-quality probe: for every vector, does its
     * nearest neighbor (cosine) carry the same label? Exact all-pairs here
@@ -1547,13 +1558,17 @@ object TrainingData {
     val q = e.select(col("vec_id"), col("label"), col("nv"))
     val n = e.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
       col("nv").as("nb_nv"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("nb_id"))
+    // Nearest neighbor as an ARGMIN aggregation (min_by over the orderable
+    // struct (-sim, nb_id)), not a window row_number: the window form must
+    // shuffle every candidate pair row to sort within each vec_id partition,
+    // while the aggregate gets map-side partial combine — one surviving row
+    // per vector crosses the wire no matter how many candidates were scored.
     val nn = q.join(n, col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("label"), col("nb_label"), col("nb_id"),
         round(vecDot(col("nv"), col("nb_nv")), 4).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "label")
+      .agg(min_by(col("nb_label"),
+        struct((-col("sim")).as("neg_sim"), col("nb_id"))).as("nb_label"))
     nn.groupBy(col("label").cast(LongType).as("label"))
       .agg(count(lit(1)).as("n_vecs"),
         count(when(col("label") === col("nb_label"), 1)).as("n_agree"),

@@ -128,6 +128,18 @@ class PlanSpec extends AnyFunSuite {
       s"HLL rsd=0.02 must land well under 10%, got ${r.getDouble(3)}")
   }
 
+  test("knn_label_agreement: nearest neighbor is an argmin aggregate, no window") {
+    val p = plan(graft.queries.TrainingData.knnLabelAgreement(spark, sf))
+    assert(!p.contains("Window"),
+      "top-1 via min_by gets map-side combine; a window would shuffle every pair")
+    assert(p.contains("min_by") || p.contains("MinBy"))
+  }
+
+  test("text_top_tokens: exact top-k is TakeOrderedAndProject") {
+    val p = plan(graft.queries.TrainingData.textTopTokens(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("emb_kmeans assignment: broadcast cross join, no per-vector sort") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
