@@ -36,8 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    // the merge-scan precondition must live on the SQL surface too: a SQL
+    // user calling this on unsorted arrays would get silent undercounts
     ext.injectFunction((FunctionIdentifier("intersect_size_ids"),
-      new ExpressionInfo(classOf[IntersectSizeIds].getName, "intersect_size_ids"),
+      new ExpressionInfo(classOf[IntersectSizeIds].getName, null,
+        "intersect_size_ids",
+        "intersect_size_ids(a, b) - Exact intersection size of two SORTED " +
+          "array<bigint> columns via a two-pointer merge scan. Both arrays " +
+          "MUST be sorted ascending (e.g. shingle_ids output); unsorted " +
+          "input yields undercounts. A null element makes the result null.",
+        ""),
       (exprs: Seq[Expression]) => IntersectSizeIds(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("vec_normalize"),
       new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),

@@ -463,6 +463,12 @@ case class SimhashMd5(child: Expression) extends UnaryExpression {
   * CollapseProject re-inlines single-use projections straight back into the
   * lambda. This is the fused O(d) loop, codegen'd. Zero vectors divide
   * through (0/0 = NaN), matching the SQL `x / sqrt(vv)` the oracles run.
+  *
+  * A NULL *element* makes the whole result NULL (a vector with a missing
+  * component has no meaningful norm); the element scan only compiles in
+  * when the input type says containsNull, so clean-typed columns pay
+  * nothing. getDouble on a null slot would otherwise read 0.0 from
+  * UnsafeArrayData or NPE on GenericArrayData — silently wrong either way.
   */
 case class VecNormalize(child: Expression) extends UnaryExpression {
 
@@ -475,11 +481,20 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_normalize"
 
+  private def inputContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    var s = 0.0
     var i = 0
+    if (inputContainsNull) {
+      while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    }
+    var s = 0.0
+    i = 0
     while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     val nm = math.sqrt(s)
     val out = new Array[Double](n)
@@ -494,19 +509,27 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val nm = ctx.freshName("nm")
       val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      val nullScan = if (inputContainsNull)
+        s"""for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+           |}""".stripMargin
+      else ""
       s"""
          |int $n = $a.numElements();
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i); $s += $x * $x;
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i); $s += $x * $x;
+         |  }
+         |  double $nm = Math.sqrt($s);
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getDouble($i) / $nm;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
          |}
-         |double $nm = Math.sqrt($s);
-         |double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $a.getDouble($i) / $nm;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -522,6 +545,10 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
   * admit a branch-predictable two-pointer scan with zero allocation, the
   * same access pattern as [[JaccardIds]]. Containment / overlap metrics
   * derive from this count with plain column arithmetic.
+  *
+  * A NULL *element* on either side makes the result NULL (the merge scan's
+  * ordering contract is meaningless with missing slots); the element scan
+  * only compiles in for containsNull input types.
   */
 case class IntersectSizeIds(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -540,10 +567,23 @@ case class IntersectSizeIds(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "intersect_size_ids"
 
+  private def sideContainsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
+    if (sideContainsNull(left)) {
+      var k = 0
+      while (k < nx) { if (x.isNullAt(k)) return null; k += 1 }
+    }
+    if (sideContainsNull(right)) {
+      var k = 0
+      while (k < ny) { if (y.isNullAt(k)) return null; k += 1 }
+    }
     var i = 0; var j = 0; var inter = 0L
     while (i < nx && j < ny) {
       val xi = x.getLong(i); val yj = y.getLong(j)
@@ -559,14 +599,24 @@ case class IntersectSizeIds(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      def nullScan(arr: String, n: String): String =
+        s"""for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($arr.isNullAt($i)) ${ev.isNull} = true;
+           |}""".stripMargin
+      val scans =
+        (if (sideContainsNull(left)) nullScan(a, nx) else "") + "\n" +
+        (if (sideContainsNull(right)) nullScan(b, ny) else "")
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |int $i = 0; int $j = 0;
-         |${ev.value} = 0L;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { ${ev.value}++; $i++; $j++; }
-         |  else if ($xi < $yj) $i++; else $j++;
+         |$scans
+         |if (!${ev.isNull}) {
+         |  int $i = 0; int $j = 0;
+         |  ${ev.value} = 0L;
+         |  while ($i < $nx && $j < $ny) {
+         |    long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { ${ev.value}++; $i++; $j++; }
+         |    else if ($xi < $yj) $i++; else $j++;
+         |  }
          |}
        """.stripMargin
     })

@@ -460,13 +460,16 @@ object Relational {
     val ev = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tus"))
+    // `div` = integer division on longs: `floor(tus / winUs)` would go
+    // through double division, exact only below 2^53 µs — the banding proof
+    // relies on integer bucket arithmetic, so make it exact by construction
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("tus").as("ctus"),
-        floor(col("tus") / winUs).as("bucket"))
+        expr(s"tus div $winUs").as("bucket"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("tus").as("ptus"),
-        explode(array(floor(col("tus") / winUs),
-          floor(col("tus") / winUs) - 1)).as("bucket"))
+        explode(array(expr(s"tus div $winUs"),
+          expr(s"tus div $winUs") - 1)).as("bucket"))
     val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
       .filter(col("ctus") >= col("ptus") - winUs && col("ctus") < col("ptus"))
     val perPurchase = pairs.groupBy("event_id")

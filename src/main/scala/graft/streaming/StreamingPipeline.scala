@@ -335,19 +335,22 @@ object StreamingPipeline {
           val hits = scala.collection.mutable.ListBuffer[NearDupHit]()
           // deterministic intra-batch order: event time, then id
           rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
-            // self-guard: an at-least-once source re-delivering a doc_id
-            // must neither flag it against itself nor duplicate its state
-            // entry (which would evict a genuine older signature)
-            entries.foreach { case (prevId, prevSig) =>
-              if (prevId != r.doc_id) {
+            // re-delivery guard: an at-least-once source re-delivering an
+            // ALREADY-STORED doc_id is skipped entirely — re-comparing it
+            // would flag it against entries stored after its first arrival
+            // and emit the reversed pair (1, dup_of=3) alongside the
+            // original (3, dup_of=1), which the consumer dedup key
+            // (doc_id, dup_of) cannot collapse; re-storing would evict a
+            // genuine older signature from the ring buffer.
+            if (!entries.exists(_._1 == r.doc_id)) {
+              entries.foreach { case (prevId, prevSig) =>
                 val m = prevSig.iterator.zip(r.sig.iterator)
                   .count { case (a, b) => a == b }
                 if (m >= matchThreshold)
                   hits += NearDupHit(r.doc_id, prevId, band, m.toLong)
               }
-            }
-            if (!entries.exists(_._1 == r.doc_id))
               entries = ((r.doc_id, r.sig) :: entries).take(maxPerBand)
+            }
           }
           state.update(BandState(entries))
           hits.iterator

@@ -111,4 +111,33 @@ class PropertiesSpec extends AnyFunSuite {
       assert(fp1 == fp2, "permuting tokens must not change the fingerprint")
     }
   }
+
+  test("null array elements: vec_normalize and intersect_size_ids yield NULL") {
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    // interpreted eval: a null slot must null the whole result, never read
+    // a garbage 0.0/0L through the primitive getters
+    val withNull = Literal.create(Seq[java.lang.Double](1.0, null, 3.0),
+      ArrayType(DoubleType, containsNull = true))
+    assert(VecNormalize(withNull).eval(null) == null)
+    val idsWithNull = Literal.create(Seq[java.lang.Long](1L, null, 5L),
+      ArrayType(LongType, containsNull = true))
+    val clean = Literal.create(Seq(1L, 5L), ArrayType(LongType, containsNull = true))
+    assert(IntersectSizeIds(idsWithNull, clean).eval(null) == null)
+    assert(IntersectSizeIds(clean, idsWithNull).eval(null) == null)
+    assert(IntersectSizeIds(clean, clean).eval(null) == 2L)
+    // codegen path through a real DataFrame with containsNull=true schema
+    val spark = TestSpark.spark
+    graft.functions.VectorFunctions.register(spark)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(Seq[java.lang.Double](3.0, 4.0)),
+        org.apache.spark.sql.Row(Seq[java.lang.Double](1.0, null))),
+      StructType(Seq(StructField("v",
+        ArrayType(DoubleType, containsNull = true)))))
+    val out = df.selectExpr("vec_normalize(v) nv").collect()
+    assert(out(0).getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(out(1).isNullAt(0))
+  }
 }
