@@ -40,6 +40,9 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // object-store credentials from GRAFT_* env -> hadoopConfiguration (one
+    // shared config for spark.read, streaming checkpoints, and FileOps)
+    CloudCredentials.install(s)
     s
   }
 }

@@ -29,9 +29,14 @@ final class EmailNotifier(
     ccEmail: Option[String] = None,
     timeoutMs: Int = 10000) extends Notifier {
 
+  /** Header values must be single-line: a CR/LF smuggled through a filename
+    * or error name would otherwise inject extra SMTP headers.
+    */
+  private def headerSafe(s: String): String = s.replaceAll("[\\r\\n]+", " ")
+
   override def notifyFileError(recipients: Seq[String], fileName: String,
                                error: FileError): Unit = {
-    val subject = s"FileLoader Failed: $fileName - ${error.errorName}"
+    val subject = headerSafe(s"FileLoader Failed: $fileName - ${error.errorName}")
     val body =
       s"""File Processing Failure Notification
          |

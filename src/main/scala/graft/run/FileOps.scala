@@ -17,7 +17,18 @@ import org.apache.hadoop.fs.{FileUtil, Path}
 final class FileOps(conf: Configuration, archiveDir: String,
                     duplicatesDir: String) {
 
-  private def fs(p: Path) = p.getFileSystem(conf)
+  private def fs(p: Path) =
+    try p.getFileSystem(conf)
+    catch {
+      // a missing connector jar fails cryptically ("No FileSystem for
+      // scheme" / "Class ...S3AFileSystem not found"); rethrow with the
+      // deploy fix (which jar, where creds go)
+      case e @ (_: java.io.IOException | _: RuntimeException) =>
+        graft.core.CloudCredentials.missingConnectorHint(e) match {
+          case Some(hint) => throw new java.io.IOException(hint, e)
+          case None => throw e
+        }
+    }
 
   def archive(path: String): Unit = Retry.withBackoff() {
     val src = new Path(path)

@@ -74,7 +74,7 @@ final class AvroReader extends Reader {
       try Option(reader.getSchema) finally reader.close()
     } catch {
       case _: java.io.IOException => None // not an avro container
-    }
+    } finally in.close() // close is idempotent; covers the ctor-throw path
   }
 }
 
@@ -82,9 +82,9 @@ final class AvroReader extends Reader {
 object AvroConvert {
 
   /** Unwrap `[null, T]`-style unions to (T, nullable); multi-branch unions
-    * fall back to their first non-null branch (rows carrying another branch
-    * surface as validation errors downstream, which is the engine's DLQ
-    * contract for malformed values).
+    * map to their first non-null branch, and a datum carrying another branch
+    * converts to NULL (see [[value]]) so it surfaces as a validation error
+    * downstream — the engine's DLQ contract for malformed values.
     */
   private def unwrap(s: Schema): (Schema, Boolean) =
     if (s.getType != Schema.Type.UNION) (s, false)
@@ -93,6 +93,11 @@ object AvroConvert {
       val nonNull = branches.filterNot(_.getType == Schema.Type.NULL)
       (nonNull.head, nonNull.size != branches.size)
     }
+
+  /** How many non-null branches a (possibly non-union) schema carries. */
+  private def nonNullBranchCount(s: Schema): Int =
+    if (s.getType != Schema.Type.UNION) 1
+    else s.getTypes.asScala.count(_.getType != Schema.Type.NULL)
 
   def sparkType(schema: Schema): DataType = {
     val (s, _) = unwrap(schema)
@@ -134,6 +139,16 @@ object AvroConvert {
   private def value(schema: Schema, v: Any): Any = {
     if (v == null) return null
     val (s, _) = unwrap(schema)
+    if (nonNullBranchCount(schema) > 1) {
+      // multi-branch union: the column is typed as the FIRST non-null branch;
+      // a datum carrying a different branch cannot be represented, so it
+      // converts to NULL and the typed-validation stage DLQs the row (the
+      // documented contract) instead of a ClassCastException killing the task.
+      try convert(s, v) catch { case _: ClassCastException => null }
+    } else convert(s, v)
+  }
+
+  private def convert(s: Schema, v: Any): Any =
     s.getType match {
       case Schema.Type.STRING | Schema.Type.ENUM => v.toString
       case Schema.Type.INT => s.getLogicalType match {
@@ -178,5 +193,4 @@ object AvroConvert {
       case Schema.Type.NULL => null
       case other => throw new IllegalArgumentException(s"unsupported avro type $other")
     }
-  }
 }

@@ -201,6 +201,27 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(dlq.head().getAs[Long]("file_row_number") == 2L)
   }
 
+  test("Avro: multi-branch union datum outside the first branch converts to null") {
+    val sch = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"u","type":["null","long","string"]}]}""".stripMargin)
+    // column is typed as the FIRST non-null branch (long)
+    assert(graft.sources.AvroConvert.sparkType(sch)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("u").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rec = new org.apache.avro.generic.GenericData.Record(sch)
+    rec.put("id", 1L)
+    rec.put("u", new org.apache.avro.util.Utf8("not a long"))
+    val row = graft.sources.AvroConvert.toRow(sch, rec)
+    // other-branch datum => NULL (DLQ contract), not a task-killing CCE
+    assert(row.get(0) == 1L && row.get(1) == null)
+    val rec2 = new org.apache.avro.generic.GenericData.Record(sch)
+    rec2.put("id", 2L)
+    rec2.put("u", 7L)
+    assert(graft.sources.AvroConvert.toRow(sch, rec2).get(1) == 7L)
+  }
+
   test("Avro: non-container bytes report MissingHeaderError") {
     val p = dropDir.resolve("ledger_junk.avro")
     Files.write(p, "this is not avro".getBytes("UTF-8"))

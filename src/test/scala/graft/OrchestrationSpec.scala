@@ -139,7 +139,77 @@ class OrchestrationSpec extends AnyFunSuite {
       // dead server: must swallow after retries, never fail the run
       val dead = new graft.run.EmailNotifier("127.0.0.1", 1, "x@y.z")
       dead.notifyFileError(Seq("a@b.c"), "f.csv", MissingHeaderError("f.csv"))
+      // CR/LF smuggled through a filename must not inject extra headers
+      notifier.notifyFileError(Seq("a@b.c"), "evil\r\nX-Injected: 1.csv",
+        MissingHeaderError("evil"))
+      val m2 = stub.messages.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m2 != null, "injection-test message did not arrive")
+      val headerSection = m2.data.split("\n\n", 2)(0)
+      assert(headerSection.linesIterator.forall(!_.startsWith("X-Injected")),
+        s"injected header leaked:\n$headerSection")
+      assert(headerSection.contains(
+        "Subject: FileLoader Failed: evil X-Injected: 1.csv"))
     } finally stub.stop()
+  }
+
+  test("cloud credentials: GRAFT_* env maps onto hadoop fs settings") {
+    import graft.core.CloudCredentials
+    val env = Map(
+      "GRAFT_AWS_ACCESS_KEY_ID" -> "AKIA123",
+      "GRAFT_AWS_SECRET_ACCESS_KEY" -> "secret",
+      "GRAFT_AWS_SESSION_TOKEN" -> "tok",
+      "GRAFT_AWS_ENDPOINT_URL" -> "http://127.0.0.1:9000",
+      "GRAFT_AWS_REGION" -> "us-east-1",
+      "GRAFT_AZURE_STORAGE_ACCOUNT" -> "acct1",
+      "GRAFT_AZURE_STORAGE_KEY" -> "azkey",
+      "GRAFT_GCP_SERVICE_ACCOUNT_KEYFILE" -> "/etc/sa.json",
+      "GRAFT_HADOOP_CONF" -> "fs.s3a.connection.maximum=64; fs.custom.flag=on")
+    val s = CloudCredentials.hadoopSettings(env)
+    assert(s("fs.s3a.access.key") == "AKIA123")
+    assert(s("fs.s3a.secret.key") == "secret")
+    assert(s("fs.s3a.session.token") == "tok")
+    // a session token implies the temporary-credentials provider
+    assert(s("fs.s3a.aws.credentials.provider")
+      .contains("TemporaryAWSCredentialsProvider"))
+    // custom endpoint (MinIO/LocalStack) implies path-style addressing
+    assert(s("fs.s3a.endpoint") == "http://127.0.0.1:9000")
+    assert(s("fs.s3a.path.style.access") == "true")
+    assert(s("fs.s3a.endpoint.region") == "us-east-1")
+    assert(s("fs.azure.account.key.acct1.dfs.core.windows.net") == "azkey")
+    assert(s("fs.azure.account.key.acct1.blob.core.windows.net") == "azkey")
+    assert(s("google.cloud.auth.service.account.enable") == "true")
+    assert(s("google.cloud.auth.service.account.json.keyfile") == "/etc/sa.json")
+    assert(s("fs.s3a.connection.maximum") == "64")
+    assert(s("fs.custom.flag") == "on")
+    // ENV_STATE-prefixed settings win over the bare form (GraftConfig order)
+    val prod = CloudCredentials.hadoopSettings(Map(
+      "GRAFT_ENV_STATE" -> "prod",
+      "GRAFT_PROD_AWS_ACCESS_KEY_ID" -> "PRODKEY",
+      "GRAFT_AWS_ACCESS_KEY_ID" -> "DEVKEY"))
+    assert(prod("fs.s3a.access.key") == "PRODKEY")
+    // install applies onto a Configuration
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    CloudCredentials.install(conf, env)
+    assert(conf.get("fs.s3a.access.key") == "AKIA123")
+    // malformed escape-hatch pair is a hard config error
+    intercept[IllegalArgumentException] {
+      CloudCredentials.hadoopSettings(Map("GRAFT_HADOOP_CONF" -> "novalue"))
+    }
+  }
+
+  test("missing object-store connector surfaces an actionable error") {
+    val spark = TestSpark.spark
+    val files = new graft.run.FileOps(spark.sparkContext.hadoopConfiguration,
+      "archive", "duplicates")
+    // no hadoop-aws on this classpath: the scan must fail with the deploy
+    // hint, not a bare 'No FileSystem for scheme'
+    val e = intercept[java.io.IOException] {
+      files.scanDirectory("s3a://bucket/drop")
+    }
+    assert(e.getMessage.contains("hadoop-aws"),
+      s"expected connector hint, got: ${e.getMessage}")
+    assert(graft.core.CloudCredentials.missingConnectorHint(
+      new java.io.IOException("connection reset")).isEmpty)
   }
 
   test("extensions: function builders produce working expressions") {
