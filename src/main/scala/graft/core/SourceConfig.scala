@@ -117,7 +117,8 @@ object FileUtils {
     ".json" -> "json", ".json.gz" -> "json",
     ".xlsx" -> "excel", ".xls" -> "excel",
     ".parquet" -> "parquet",
-    ".avro" -> "avro")
+    ".avro" -> "avro",
+    ".orc" -> "orc")
 
   def bareName(path: String): String = {
     val p = path.stripSuffix("/")

@@ -137,6 +137,48 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
   }
 
+  test("ORC: native types end-to-end, validation failure DLQs, junk bytes fail cleanly") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (20, "AC20", "acct", 1.5, 0.0, "d", java.sql.Date.valueOf("2025-04-01"), "R20"),
+      (21, "AC21", "acct", 2.5, 0.0, "d", java.sql.Date.valueOf("2025-04-02"), "R21"))
+      .toDF("entry_id", "account_code", "account_name", "debit_amount",
+        "credit_amount", "description", "transaction_date", "reference_number")
+    val tmp = workDir.resolve("orc").toString
+    df.coalesce(1).write.orc(tmp)
+    val part = Files.list(java.nio.file.Paths.get(tmp)).toArray
+      .map(_.toString).filter(_.endsWith(".orc")).head
+    val p = dropDir.resolve("ledger_orc2025.orc")
+    Files.copy(java.nio.file.Paths.get(part), p)
+    val r = processor.processFile(p.toString).get
+    assert(r.success && r.recordsRead == 2 && r.publishInserts == 2)
+    val t = store.readIfExists("ledger_entries").get
+    assert(t.filter(col("entry_id") === 20).head()
+      .getAs[java.sql.Date]("transaction_date").toString == "2025-04-01")
+
+    // null required column -> DLQ with accurate row number
+    val bad = Seq((Some(22), "AC22"), (None, "AC23"))
+      .toDF("entry_id", "account_code")
+    val tmp2 = workDir.resolve("orc_bad").toString
+    bad.coalesce(1).write.orc(tmp2)
+    val part2 = Files.list(java.nio.file.Paths.get(tmp2)).toArray
+      .map(_.toString).filter(_.endsWith(".orc")).head
+    val pb = dropDir.resolve("ledger_orcbad2025.orc")
+    Files.copy(java.nio.file.Paths.get(part2), pb)
+    val rb = processor.processFile(pb.toString).get
+    assert(!rb.success && rb.errorName.contains("ValidationThresholdExceededError"))
+    val dlq = store.readIfExists(graft.store.Schemas.DlqTable).get
+      .filter(col("source_filename") === "ledger_orcbad2025.orc")
+    assert(dlq.count() == 1 && dlq.head().getAs[Long]("file_row_number") == 2L)
+
+    // junk bytes under .orc -> emailable MissingHeaderError, not a stack trace
+    val pj = dropDir.resolve("ledger_orcjunk.orc")
+    Files.write(pj, "this is not orc".getBytes("UTF-8"))
+    val rj = processor.processFile(pj.toString).get
+    assert(!rj.success && rj.errorName.contains("MissingHeaderError"))
+  }
+
   // ---- Avro fixtures: written with avro-core's DataFileWriter ----
 
   /** Ledger avro container: nested Account record, [null,int] Entry_ID,

@@ -77,6 +77,12 @@ object TestSources {
     sourceType = "avro",
     formatOptions = ParquetOptions)
 
+  val ledgerOrc: SourceConfig = ledgerJson.copy(
+    name = "ledger_orc",
+    filePattern = "ledger_*.orc",
+    sourceType = "orc",
+    formatOptions = ParquetOptions)
+
   val products: Seq[ColumnSpec] = Seq(
     ColumnSpec.string("sku", alias = "SKU", nullable = false),
     ColumnSpec.string("name", alias = "Product Name"),
@@ -113,7 +119,7 @@ object TestSources {
 
   def registry: SourceRegistry = new SourceRegistry(Seq(
     salesCsv, thresholdSales, notifySales, ledgerJson, ledgerParquet,
-    ledgerAvro, inventoryExcel, balances))
+    ledgerAvro, ledgerOrc, inventoryExcel, balances))
 
   // ---- file builders (reference conftest.py:69-209 synthesizes per format) --
 
