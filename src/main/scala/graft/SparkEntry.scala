@@ -61,6 +61,7 @@ object SparkEntry {
     "sim_topk_ivf" -> (TrainingData.simTopkIvf _),
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
+    "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
     "text_langid" -> (TrainingData.textLangid _),
     "text_tokens" -> (TrainingData.textTokens _),
     "text_fingerprint" -> (TrainingData.textFingerprint _),
@@ -401,6 +402,16 @@ object SparkEntry {
         |FROM (SELECT source, text, regexp_split_to_array(trim(text), '\s+') toks
         |      FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quality_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(log10(c / n)), 4) AS avg_logprob
+        |FROM toks JOIN counts USING (token) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """SELECT predicted, count(*) AS n,
         | CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct

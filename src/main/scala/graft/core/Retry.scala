@@ -48,7 +48,11 @@ final case class GraftConfig(
     smtpHost: Option[String] = None,
     smtpPort: Int = 25,
     fromEmail: Option[String] = None,
-    dataTeamEmail: Option[String] = None)
+    dataTeamEmail: Option[String] = None,
+    /** OTLP/HTTP collector base URL (reference logging_conf.py:37-128 OTel
+      * exporter config); spans export when set.
+      */
+    otelEndpoint: Option[String] = None)
 
 object GraftConfig {
   def load(env: Map[String, String] = sys.env): GraftConfig = {
@@ -68,6 +72,7 @@ object GraftConfig {
       smtpHost = opt("SMTP_HOST"),
       smtpPort = get("SMTP_PORT", "25").toInt,
       fromEmail = opt("FROM_EMAIL"),
-      dataTeamEmail = opt("DATA_TEAM_EMAIL"))
+      dataTeamEmail = opt("DATA_TEAM_EMAIL"),
+      otelEndpoint = opt("OTEL_ENDPOINT"))
   }
 }

@@ -17,10 +17,21 @@ import java.util.concurrent.atomic.AtomicReference
 object Trace {
   type Sink = String => Unit
 
+  /** A completed span, for structured exporters ([[OtlpHttpExporter]]):
+    * everything the logfmt line carries, pre-rendering.
+    */
+  final case class SpanData(name: String, durationNanos: Long,
+                            endUnixMillis: Long, ok: Boolean,
+                            errorClass: Option[String],
+                            attrs: Seq[(String, Any)])
+  type SpanSink = SpanData => Unit
+
   private val sinkRef = new AtomicReference[Option[Sink]](None)
+  private val spanSinkRef = new AtomicReference[Option[SpanSink]](None)
 
   def install(sink: Sink): Unit = sinkRef.set(Some(sink))
-  def uninstall(): Unit = sinkRef.set(None)
+  def installSpanSink(sink: SpanSink): Unit = spanSinkRef.set(Some(sink))
+  def uninstall(): Unit = { sinkRef.set(None); spanSinkRef.set(None) }
 
   private def fmt(v: Any): String = {
     val s = String.valueOf(v)
@@ -45,22 +56,28 @@ object Trace {
     * installed. The body's result/exception always propagates unchanged.
     */
   def span[T](name: String, attrs: (String, Any)*)(f: => T): T = {
-    val enabled = sinkRef.get()
-    if (enabled.isEmpty) return f
+    val lineSink = sinkRef.get()
+    val spanSink = spanSinkRef.get()
+    if (lineSink.isEmpty && spanSink.isEmpty) return f
     val t0 = System.nanoTime()
     var error: Option[Throwable] = None
     try f
     catch { case e: Throwable => error = Some(e); throw e }
     finally {
-      val ms = (System.nanoTime() - t0) / 1e6
-      val base = s"span=${fmt(name)} ms=${ms.round} ok=${error.isEmpty}"
-      val err = error.map(e => s" error=${fmt(e.getClass.getSimpleName)}")
-        .getOrElse("")
-      val rest = attrs.map { case (k, v) => s" ${fmt(k)}=${fmt(v)}" }.mkString
+      val nanos = System.nanoTime() - t0
+      val data = SpanData(name, nanos, System.currentTimeMillis(),
+        error.isEmpty, error.map(_.getClass.getSimpleName), attrs)
       // a throwing sink must never replace the body's result/exception —
       // tracing is observability, not control flow
-      try enabled.foreach(_(base + err + rest))
-      catch { case _: Throwable => () }
+      try {
+        lineSink.foreach { s =>
+          val base = s"span=${fmt(name)} ms=${(nanos / 1e6).round} ok=${data.ok}"
+          val err = data.errorClass.map(c => s" error=${fmt(c)}").getOrElse("")
+          val rest = attrs.map { case (k, v) => s" ${fmt(k)}=${fmt(v)}" }.mkString
+          s(base + err + rest)
+        }
+        spanSink.foreach(_(data))
+      } catch { case _: Throwable => () }
     }
   }
 }

@@ -359,6 +359,32 @@ object TrainingData {
         round(avg("punct_ratio"), 4).as("avg_punct_ratio"))
       .orderBy("source")
 
+  /** Unigram-logprob quality score — the SQL-expressible analogue of the
+    * KenLM-perplexity filter (CCNet-style): score every document by the
+    * mean log10 probability of its tokens under the corpus's own unigram
+    * distribution; unusually-worded documents rank lowest and are the
+    * filter's drop candidates.
+    *
+    * Plan: one explode to (doc, token); token counts aggregate with
+    * map-side partial combine; the count table joins back on the token key
+    * — an equi-join whose build side is the DISTINCT vocabulary (tiny vs
+    * the corpus; broadcast when under threshold, AQE skew-join above it —
+    * Zipf heads are exactly what skew splitting is for). The grand-total
+    * row broadcasts. Never pairwise, never a driver collect.
+    */
+  def qualityUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(F.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").cast(DoubleType).as("n"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("c") / col("n"))), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic vs the labeled lang column. */
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -1047,8 +1073,10 @@ object TrainingData {
       .cache()
     val exploded = d.select(col("doc_id"), col("split"),
       explode(col("ids")).as("id"))
-    val trainIds = exploded.filter(col("split") === "train")
-      .select("id").distinct()
+    // no .distinct() on the train side: LEFT SEMI already dedups its build
+    // side semantically, and a pre-distinct would shuffle the full exploded
+    // train-id set TWICE (distinct exchange + join exchange) for no gain
+    val trainIds = exploded.filter(col("split") === "train").select("id")
     val evalDocs = d.filter(col("split") === "eval")
     val contaminated = exploded.filter(col("split") === "eval")
       .join(trainIds, Seq("id"), "left_semi")

@@ -27,6 +27,10 @@ object Main {
     // --trace true: one logfmt line per pipeline span to stderr (O7)
     if (opts.get("trace").contains("true"))
       graft.core.Trace.install(l => System.err.println(s"[trace] $l"))
+    // --otel URL (or GRAFT_OTEL_ENDPOINT): export spans OTLP/HTTP to a
+    // collector's /v1/traces; composes with --trace (separate sinks)
+    val otel = opts.get("otel").orElse(cfg.otelEndpoint)
+      .map(url => new graft.core.OtlpHttpExporter(url).install())
     def req(k: String): String = opts.getOrElse(k, k match {
       case "drop" => cfg.dropDirectory
       case "archive" => cfg.archiveDirectory
@@ -98,7 +102,10 @@ object Main {
             s"read=${r.recordsRead} dlq=${r.recordsFailedValidation} " +
             s"inserts=${r.publishInserts} updates=${r.publishUpdates}"))
       }
-    } finally spark.stop()
+    } finally {
+      otel.foreach(_.shutdown()) // flush buffered spans before exit
+      spark.stop()
+    }
   }
 }
 

@@ -152,6 +152,53 @@ class OrchestrationSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("otlp exporter: spans batch to /v1/traces as OTLP JSON; failures drop") {
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/traces", exchange => {
+      received.put(new String(exchange.getRequestBody.readAllBytes(), "UTF-8"))
+      exchange.sendResponseHeaders(200, 0)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // base endpoint: exporter must append the standard /v1/traces path
+      val exp = new graft.core.OtlpHttpExporter(s"http://127.0.0.1:$port",
+        flushEvery = 2).install()
+      try {
+        graft.core.Trace.span("read file", "file" -> "a.csv", "rows" -> 42)(1)
+        assert(received.isEmpty, "must buffer until flushEvery")
+        intercept[RuntimeException] {
+          graft.core.Trace.span("validate")(throw new RuntimeException("boom"))
+        }
+        val body = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(body != null, "batch of 2 spans did not flush")
+        assert(body.contains("\"resourceSpans\""))
+        assert(body.contains("\"service.name\"") && body.contains("\"graft\""))
+        assert(body.contains("\"name\":\"read file\""))
+        assert(body.contains("\"intValue\":\"42\""))
+        assert(body.contains("\"stringValue\":\"a.csv\""))
+        // failed span carries ERROR status + error.type attribute
+        assert(body.contains("\"code\":2") && body.contains("RuntimeException"))
+        assert("\"traceId\":\"[0-9a-f]{32}\"".r.findFirstIn(body).isDefined)
+        assert("\"spanId\":\"[0-9a-f]{16}\"".r.findFirstIn(body).isDefined)
+        assert("\"startTimeUnixNano\":\"\\d+\"".r.findFirstIn(body).isDefined)
+        // shutdown flushes a partial batch
+        graft.core.Trace.span("partial")(1)
+        exp.shutdown()
+        val tail = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(tail != null && tail.contains("\"name\":\"partial\""))
+        // dead collector: export drops, the span body's result is unaffected
+        val dead = new graft.core.OtlpHttpExporter("http://127.0.0.1:1",
+          flushEvery = 1).install()
+        assert(graft.core.Trace.span("dropped")(7) == 7)
+        dead.shutdown()
+      } finally graft.core.Trace.uninstall()
+    } finally server.stop(0)
+  }
+
   test("cloud credentials: GRAFT_* env maps onto hadoop fs settings") {
     import graft.core.CloudCredentials
     val env = Map(
