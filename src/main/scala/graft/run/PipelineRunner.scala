@@ -188,29 +188,35 @@ final class PipelineRunner(
           graft.core.Trace.span("publish", "file" -> fileName,
             "table" -> source.tableName) {
         store.withTableLock(source.tableName) {
-        val existing = sink.readIfExists(source.tableName)
-        val target = existing.getOrElse(Publish.emptyTarget(spark, source))
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         // one-time sidecar backfill for tables populated before the sidecar
         // existed — otherwise filenames loaded pre-sidecar would stop being
         // detected as duplicates once the sidecar appears
-        if (!store.exists(sidecar)) existing.foreach { t =>
+        if (!store.exists(sidecar)) sink.readIfExists(source.tableName).foreach { t =>
           store.append(sidecar, t.select(col("source_filename")).distinct()
             .withColumn("file_load_log_id", lit(-1L))
             .withColumn("published_at", lit(now)))
         }
-        // counts are observed during the overwrite's write job (no separate
-        // cached count pass); first publishes skip the merge join entirely
-        val m = Publish.mergePlan(stage, target, source, now,
-          targetKnownEmpty = existing.isEmpty)
-        sink.overwrite(source.tableName, m.merged, source.targetPartitionBy)
-        sink.vacuum(source.tableName) // bound disk: drop superseded versions
+        // backends with a native MERGE (JDBC) publish O(delta) in place;
+        // otherwise read -> Spark-side merge -> overwrite, with counts
+        // observed during the overwrite's own write job (no separate cached
+        // count pass) and first publishes skipping the merge join entirely
+        val cnt = sink.mergeInPlace(source.tableName, stage, source, now)
+          .getOrElse {
+            val existing = sink.readIfExists(source.tableName)
+            val target = existing.getOrElse(Publish.emptyTarget(spark, source))
+            val m = Publish.mergePlan(stage, target, source, now,
+              targetKnownEmpty = existing.isEmpty)
+            sink.overwrite(source.tableName, m.merged, source.targetPartitionBy)
+            sink.vacuum(source.tableName) // bound disk: drop superseded versions
+            m.counts()
+          }
         // record the filename in the probe sidecar (atomic segment append)
         val sp = spark
         import sp.implicits._
         store.append(sidecar, Seq((fileName, logId, now))
           .toDF("source_filename", "file_load_log_id", "published_at"))
-        m.counts()
+        cnt
       } }
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
         inserts = mInserts, updates = mUpdates)

@@ -3,7 +3,10 @@ package graft.store
 import java.sql.{Connection, DriverManager}
 import java.util.Properties
 
+import graft.core.SourceConfig
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
 
 /** Where published target tables live.
   *
@@ -28,6 +31,21 @@ trait Sink {
 
   /** Reclaim superseded storage; no-op unless the backend versions. */
   def vacuum(name: String): Unit = ()
+
+  /** Keyed in-place merge publish, for backends with a NATIVE merge: land
+    * the validated delta, merge O(delta) rows inside the backend, return
+    * Some((inserts, updates)). None means "not supported here" — the caller
+    * falls back to read → Spark-side merge → overwrite.
+    *
+    * This is the reference's actual publish mechanism (per-dialect MERGE,
+    * publish/postgresql.py:24-43 etc.) and the 100 TB shape for relational
+    * targets: per-file work scales with the FILE, not the accumulated
+    * target — the overwrite fallback rewrites the whole table every
+    * publish, which is fine for the versioned parquet store (O(1) pointer
+    * swap, rewrite is the contract) but quadratic-over-time for a database.
+    */
+  def mergeInPlace(name: String, stage: DataFrame, source: SourceConfig,
+                   now: java.sql.Timestamp): Option[(Long, Long)] = None
 }
 
 /** JDBC target sink (reference write/factory.py dialect dispatch; the
@@ -77,6 +95,94 @@ final class JdbcSink(
   override def readIfExists(name: String): Option[DataFrame] =
     if (!exists(name)) None
     else Some(spark.read.jdbc(url, name, connectionProperties))
+
+  private def qid(c: String): String = "\"" + c + "\""
+
+  /** ANSI MERGE publish: executors batch-insert the delta into
+    * `<name>__delta` (string columns typed VARCHAR via
+    * `createTableColumnTypes` — Spark's Derby dialect would otherwise map
+    * them to CLOB, which cannot sit in a MERGE ON equality), then the
+    * driver runs the reference's two pre-merge count queries plus one
+    * ANSI `MERGE` in a single transaction:
+    *
+    *   WHEN MATCHED AND t.hash <> d.hash THEN UPDATE ... etl_updated_at=now
+    *   WHEN NOT MATCHED THEN INSERT ... etl_created_at=now
+    *
+    * identical to the Spark-side [[graft.operators.Publish]] semantics
+    * (hash-equal rows untouched, unmatched target rows retained). String
+    * grain keys are CAST to VARCHAR in the ON clause so the merge also
+    * works against legacy CLOB-keyed targets.
+    *
+    * Scale: the delta insert is the only data-volume work and it is
+    * executor-parallel; the MERGE is one set-based statement the database
+    * runs against its own key index — per-file cost scales with the file,
+    * never with the accumulated target.
+    */
+  override def mergeInPlace(name: String, stage: DataFrame,
+                            source: SourceConfig,
+                            now: java.sql.Timestamp): Option[(Long, Long)] = {
+    val modelCols = source.columns.map(_.name)
+    val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
+    val delta = s"${name}__delta"
+
+    val varcharTypes = (source.columns.filter(_.dataType == StringType)
+      .map(c => s"${c.name} VARCHAR(${c.maxLength.getOrElse(4000)})") :+
+      "source_filename VARCHAR(4000)").mkString(", ")
+    stage.select(dataCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("batchsize", batchSize.toString)
+      .option("createTableColumnTypes", varcharTypes)
+      .jdbc(url, delta, connectionProperties)
+
+    val ts = s"{ts '${now.toString}'}"
+    val isString = source.columns.filter(_.dataType == StringType).map(_.name).toSet
+    def keyRef(side: String, g: String): String =
+      if (isString(g)) s"CAST($side.${qid(g)} AS VARCHAR(4000))"
+      else s"$side.${qid(g)}"
+    val onClause = source.grain
+      .map(g => s"${keyRef("t", g)} = ${keyRef("d", g)}").mkString(" AND ")
+    val updateSet = (dataCols.filterNot(source.grain.contains)
+      .map(c => s"${qid(c)} = d.${qid(c)}") :+ s"${qid("etl_updated_at")} = $ts")
+      .mkString(", ")
+    val insertCols = (dataCols :+ "etl_created_at").map(qid).mkString(", ")
+    val insertVals = (dataCols.map(c => s"d.${qid(c)}") :+ ts).mkString(", ")
+
+    val counts = withConnection { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (!exists(name)) {
+          st.executeUpdate(s"CREATE TABLE $name AS SELECT * FROM $delta WITH NO DATA")
+          st.executeUpdate(s"ALTER TABLE $name ADD COLUMN ${qid("etl_created_at")} TIMESTAMP")
+          st.executeUpdate(s"ALTER TABLE $name ADD COLUMN ${qid("etl_updated_at")} TIMESTAMP")
+        }
+        // pre-merge counts (reference publish/base.py:40-74), same txn as
+        // the MERGE so nothing can slip in between
+        def one(sql: String): Long = {
+          val rs = st.executeQuery(sql)
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        }
+        val inserts = one(s"SELECT COUNT(*) FROM $delta d WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $name t WHERE $onClause)")
+        val updates = one(s"SELECT COUNT(*) FROM $delta d JOIN $name t ON $onClause " +
+          s"WHERE t.${qid("etl_row_hash")} <> d.${qid("etl_row_hash")}")
+        st.executeUpdate(
+          s"""MERGE INTO $name t USING $delta d ON $onClause
+             |WHEN MATCHED AND t.${qid("etl_row_hash")} <> d.${qid("etl_row_hash")}
+             |  THEN UPDATE SET $updateSet
+             |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+        conn.commit()
+        (inserts, updates)
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    }
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $delta") finally st.close()
+    }
+    Some(counts)
+  }
 
   override def overwrite(name: String, df: DataFrame,
                          partitionBy: Seq[String]): Unit = {

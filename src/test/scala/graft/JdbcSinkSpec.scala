@@ -100,6 +100,30 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
       """SELECT "etl_updated_at" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
       _.getTimestamp(1))
     assert(updatedAt != null)
+    // in-place MERGE semantics: the update retains the original created_at,
+    // and a freshly inserted row has NULL updated_at (reference publish
+    // dialects set only the side the action touches)
+    val createdAt = query1(
+      """SELECT "etl_created_at" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
+      _.getTimestamp(1))
+    assert(createdAt != null && createdAt.before(updatedAt))
+    val insUpdated = query1(
+      """SELECT "etl_updated_at" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN003'""")(
+      _.getTimestamp(1))
+    assert(insUpdated == null)
+    // untouched row (TXN002, hash-equal absent from file b? it was only in
+    // file a): still present — unmatched target rows are retained
+    assert(query1(
+      """SELECT COUNT(*) FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN002'""")(
+      _.getInt(1)) == 1)
+    // no __delta / __swap leftovers after the merge
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME").toLowerCase).toSet
+      assert(names == Set("transactions"))
+    } finally conn.close()
   }
 
   test("duplicate filename is still detected with a relational target") {
