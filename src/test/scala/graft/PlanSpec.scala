@@ -155,4 +155,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "argmin is an aggregation, not a window sort")
     assert(!"\\(\\d+\\) Sort".r.findAllIn(p).hasNext, "no sort anywhere")
   }
+
+  test("quality_unigram_logprob: token equi-join, no cartesian over data") {
+    val p = plan(graft.queries.TrainingData.qualityUnigramLogprob(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "grand-total must broadcast, not cartesian")
+    // the count-table join must be a real equi-join on the token key
+    // (broadcast at this scale; shuffled hash/sort-merge + AQE skew at 100x)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"))
+  }
 }
