@@ -73,7 +73,11 @@ final class JdbcSink(
     spark: SparkSession,
     url: String,
     connectionProperties: Properties = new Properties(),
-    batchSize: Int = 1000) extends Sink {
+    batchSize: Int = 1000,
+    dialect: MergeDialect = null) extends Sink {
+
+  private val mergeDialect: MergeDialect =
+    Option(dialect).getOrElse(MergeDialect.forUrl(url))
 
   private def withConnection[T](f: Connection => T): T = {
     val conn = DriverManager.getConnection(url, connectionProperties)
@@ -98,12 +102,13 @@ final class JdbcSink(
 
   private def qid(c: String): String = "\"" + c + "\""
 
-  /** ANSI MERGE publish: executors batch-insert the delta into
+  /** In-database merge publish: executors batch-insert the delta into
     * `<name>__delta` (string columns typed VARCHAR via
     * `createTableColumnTypes` — Spark's Derby dialect would otherwise map
     * them to CLOB, which cannot sit in a MERGE ON equality), then the
-    * driver runs the reference's two pre-merge count queries plus one
-    * ANSI `MERGE` in a single transaction:
+    * driver runs the reference's two pre-merge count queries plus ONE
+    * set-based upsert — dialect-dispatched by URL ([[MergeDialect]]: ANSI
+    * MERGE / ON CONFLICT / ON DUPLICATE KEY) — in a single transaction:
     *
     *   WHEN MATCHED AND t.hash <> d.hash THEN UPDATE ... etl_updated_at=now
     *   WHEN NOT MATCHED THEN INSERT ... etl_created_at=now
@@ -134,30 +139,22 @@ final class JdbcSink(
       .option("createTableColumnTypes", varcharTypes)
       .jdbc(url, delta, connectionProperties)
 
+    val dlt = mergeDialect
     val ts = s"{ts '${now.toString}'}"
     val isString = source.columns.filter(_.dataType == StringType).map(_.name).toSet
-    def keyRef(side: String, g: String): String =
-      if (isString(g)) s"CAST($side.${qid(g)} AS VARCHAR(4000))"
-      else s"$side.${qid(g)}"
-    val onClause = source.grain
-      .map(g => s"${keyRef("t", g)} = ${keyRef("d", g)}").mkString(" AND ")
-    val updateSet = (dataCols.filterNot(source.grain.contains)
-      .map(c => s"${qid(c)} = d.${qid(c)}") :+ s"${qid("etl_updated_at")} = $ts")
-      .mkString(", ")
-    val insertCols = (dataCols :+ "etl_created_at").map(qid).mkString(", ")
-    val insertVals = (dataCols.map(c => s"d.${qid(c)}") :+ ts).mkString(", ")
+    val onClause = dlt.keyEq(source.grain, isString)
+    val hash = dlt.qid("etl_row_hash")
 
     val counts = withConnection { conn =>
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         if (!exists(name)) {
-          st.executeUpdate(s"CREATE TABLE $name AS SELECT * FROM $delta WITH NO DATA")
-          st.executeUpdate(s"ALTER TABLE $name ADD COLUMN ${qid("etl_created_at")} TIMESTAMP")
-          st.executeUpdate(s"ALTER TABLE $name ADD COLUMN ${qid("etl_updated_at")} TIMESTAMP")
+          dlt.createLike(name, delta).foreach(st.executeUpdate)
+          dlt.onCreate(name, source.grain).foreach(st.executeUpdate)
         }
         // pre-merge counts (reference publish/base.py:40-74), same txn as
-        // the MERGE so nothing can slip in between
+        // the merge so nothing can slip in between
         def one(sql: String): Long = {
           val rs = st.executeQuery(sql)
           try { rs.next(); rs.getLong(1) } finally rs.close()
@@ -165,12 +162,8 @@ final class JdbcSink(
         val inserts = one(s"SELECT COUNT(*) FROM $delta d WHERE NOT EXISTS " +
           s"(SELECT 1 FROM $name t WHERE $onClause)")
         val updates = one(s"SELECT COUNT(*) FROM $delta d JOIN $name t ON $onClause " +
-          s"WHERE t.${qid("etl_row_hash")} <> d.${qid("etl_row_hash")}")
-        st.executeUpdate(
-          s"""MERGE INTO $name t USING $delta d ON $onClause
-             |WHEN MATCHED AND t.${qid("etl_row_hash")} <> d.${qid("etl_row_hash")}
-             |  THEN UPDATE SET $updateSet
-             |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+          s"WHERE t.$hash <> d.$hash")
+        st.executeUpdate(dlt.mergeSql(name, delta, source.grain, dataCols, ts, onClause))
         conn.commit()
         (inserts, updates)
       } catch {

@@ -126,6 +126,54 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally conn.close()
   }
 
+  test("merge dialects: URL dispatch and generated upsert SQL shapes") {
+    import graft.store._
+    assert(MergeDialect.forUrl("jdbc:postgresql://h/db") == PostgresOnConflictDialect)
+    assert(MergeDialect.forUrl("jdbc:sqlite:/tmp/x.db") == SqliteOnConflictDialect)
+    assert(MergeDialect.forUrl("jdbc:mysql://h/db") == MySqlOnDuplicateDialect)
+    assert(MergeDialect.forUrl("jdbc:mariadb://h/db") == MySqlOnDuplicateDialect)
+    assert(MergeDialect.forUrl("jdbc:derby:/tmp/db") == AnsiMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:sqlserver://h;db=x") == AnsiMergeDialect)
+
+    val grain = Seq("transaction_id")
+    val cols = Seq("transaction_id", "quantity", "etl_row_hash",
+      "source_filename", "file_load_log_id")
+    val ts = "{ts '2026-08-13 00:00:00.0'}"
+
+    val ansi = AnsiMergeDialect.mergeSql("t1", "t1__delta", grain, cols, ts,
+      AnsiMergeDialect.keyEq(grain, Set("transaction_id")))
+    assert(ansi.contains("MERGE INTO t1 t USING t1__delta d"))
+    // string grain keys CAST so legacy CLOB-typed targets stay mergeable
+    assert(ansi.contains("CAST(t.\"transaction_id\" AS VARCHAR(4000))"))
+    assert(ansi.contains("WHEN MATCHED AND t.\"etl_row_hash\" <> d.\"etl_row_hash\""))
+    assert(ansi.contains("WHEN NOT MATCHED THEN INSERT"))
+    // update never reassigns the grain key
+    assert(!ansi.contains("""UPDATE SET "transaction_id""""))
+
+    val pg = PostgresOnConflictDialect.mergeSql("t1", "t1__delta", grain, cols, ts,
+      PostgresOnConflictDialect.keyEq(grain, Set("transaction_id")))
+    assert(pg.contains("""ON CONFLICT ("transaction_id") DO UPDATE SET"""))
+    assert(pg.contains("""WHERE t1."etl_row_hash" <> EXCLUDED."etl_row_hash""""))
+    assert(pg.contains("""EXCLUDED."quantity""""))
+    // ON CONFLICT demands the unique grain index at table creation
+    assert(PostgresOnConflictDialect.onCreate("t1", grain)
+      .exists(_.contains("CREATE UNIQUE INDEX")))
+
+    val my = MySqlOnDuplicateDialect.mergeSql("t1", "t1__delta", grain, cols, ts,
+      MySqlOnDuplicateDialect.keyEq(grain, Set("transaction_id")))
+    assert(my.contains("ON DUPLICATE KEY UPDATE"))
+    assert(my.contains("`quantity` = IF(t1.`etl_row_hash` <> new.`etl_row_hash`"))
+    // the hash guard must be assigned LAST (MySQL applies SET left-to-right)
+    assert(my.trim.endsWith(
+      "`etl_row_hash` = IF(t1.`etl_row_hash` <> new.`etl_row_hash`, " +
+        "new.`etl_row_hash`, t1.`etl_row_hash`)"))
+    // derived-table row alias, not the deprecated VALUES() function
+    assert(my.contains(") AS new") && !my.contains("VALUES("))
+    // SQLite cannot CTAS WITH NO DATA
+    assert(SqliteOnConflictDialect.createLike("t1", "t1__delta")
+      .head.contains("WHERE 1=0"))
+  }
+
   test("duplicate filename is still detected with a relational target") {
     dropFile("sales_2024.csv", Seq(SalesHeader, salesRow("TXN001")))
     processor.processFile(dropDir.resolve("sales_2024.csv").toString)
