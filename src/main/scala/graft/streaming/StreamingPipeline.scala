@@ -217,6 +217,39 @@ object StreamingPipeline {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming corpus-quality monitor — the streaming twin of the batch
+    * text-quality scoring: per (event-time window, source), doc counts,
+    * token totals, and the fraction passing a length/stopword quality gate.
+    * Per-doc work is a narrow codegen'd map (token count + flags); the
+    * watermarked windowed groupBy holds ONE state row per open (window,
+    * source) so state is bounded by window horizon × source count no matter
+    * the feed rate. Drift in `quality_rate` across windows is the alerting
+    * signal for an always-on ingest (a crawler shard going bad, a source
+    * flipping formats).
+    */
+  def streamingQualityMonitor(
+      docs: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes",
+      minTokens: Int = 5,
+      maxTokens: Int = 1000): DataFrame = {
+    import graft.functions.{TextFunctions => F}
+    docs
+      .withColumn("n_tokens", size(F.tokens(col("text"))))
+      .withColumn("passes",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          F.stopwordCount(F.tokens(col("text"))) > 0)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        round(avg(col("n_tokens").cast("double")), 2).as("avg_tokens"),
+        round(avg(when(col("passes"), 1.0).otherwise(0.0)), 4).as("quality_rate"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("total_tokens"), col("avg_tokens"),
+        col("quality_rate"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch `dedup_exact`
     * operator: a document is dropped when its content hash was already seen
     * within the watermark horizon. State holds ONLY the 16-byte md5 keys

@@ -109,6 +109,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 4.0) // 11:00 view
   }
 
+  test("streaming quality monitor: per-window per-source stats and pass rate") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "source", "text")
+    val agg = StreamingPipeline.streamingQualityMonitor(
+      df, "1 hour", "10 minutes", minTokens = 3, maxTokens = 10)
+    val q = agg.writeStream.format("memory").queryName("qmon")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      // passes: 5 tokens incl. stopword 'the'
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "web", "the cat sat down here"),
+      // fails: under minTokens
+      (Timestamp.valueOf("2026-01-01 10:10:00"), "web", "too short"),
+      // fails: no stopword
+      (Timestamp.valueOf("2026-01-01 10:20:00"), "web", "alpha beta gamma delta"),
+      // other source, next window, passes
+      (Timestamp.valueOf("2026-01-01 11:05:00"), "books", "a dog ran over there"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select window_start, source, n_docs, total_tokens, quality_rate " +
+        "from qmon order by 1, 2").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "web" && rows(0).getLong(2) == 3)
+    assert(rows(0).getLong(3) == 11) // 5 + 2 + 4 tokens
+    assert(rows(0).getDouble(4) == 0.3333)
+    assert(rows(1).getString(1) == "books" && rows(1).getLong(2) == 1)
+    assert(rows(1).getDouble(4) == 1.0)
+  }
+
   test("stream-stream join: purchases attribute to clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
