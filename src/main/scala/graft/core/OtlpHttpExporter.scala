@@ -76,7 +76,10 @@ final class OtlpHttpExporter(
     case i: Int => s"""{"key":"${esc(k)}","value":{"intValue":"$i"}}"""
     case l: Long => s"""{"key":"${esc(k)}","value":{"intValue":"$l"}}"""
     case b: Boolean => s"""{"key":"${esc(k)}","value":{"boolValue":$b}}"""
-    case d: Double => s"""{"key":"${esc(k)}","value":{"doubleValue":$d}}"""
+    case d: Double if !d.isNaN && !d.isInfinite =>
+      s"""{"key":"${esc(k)}","value":{"doubleValue":$d}}"""
+    case d: Double => // NaN/Infinity are not valid JSON numbers
+      s"""{"key":"${esc(k)}","value":{"stringValue":"$d"}}"""
     case other => s"""{"key":"${esc(k)}","value":{"stringValue":"${esc(String.valueOf(other))}"}}"""
   }
 
