@@ -174,6 +174,27 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
       .head.contains("WHERE 1=0"))
   }
 
+  test("failed merge rolls back: target rows unchanged, no partial state") {
+    dropFile("sales_a.csv", Seq(SalesHeader, salesRow("TXN001"), salesRow("TXN002")))
+    processor.processFile(dropDir.resolve("sales_a.csv").toString)
+    // sabotage the target so the MERGE statement itself fails mid-publish
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """ALTER TABLE transactions DROP COLUMN "sales_rep"""")
+    finally conn.close()
+    val f2 = dropFile("sales_b.csv", Seq(SalesHeader,
+      salesRow("TXN001", qty = 9), salesRow("TXN003")))
+    // internal (non-FileError) failures propagate from processFile by
+    // design (processAll's safeProcess is the catching surface)
+    intercept[java.sql.SQLException] { processor.processFile(f2) }
+    // transactional rollback: the pre-sabotage rows are intact and the
+    // failed file inserted nothing
+    assert(query1("SELECT COUNT(*) FROM transactions")(_.getInt(1)) == 2)
+    assert(query1(
+      """SELECT "quantity" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
+      _.getInt(1)) == 2, "failed publish must not have applied its update")
+  }
+
   test("duplicate filename is still detected with a relational target") {
     dropFile("sales_2024.csv", Seq(SalesHeader, salesRow("TXN001")))
     processor.processFile(dropDir.resolve("sales_2024.csv").toString)
