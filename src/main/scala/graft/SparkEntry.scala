@@ -59,6 +59,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (TrainingData.simTopkBruteforce _),
     "sim_topk_lsh" -> (TrainingData.simTopkLsh _),
     "sim_topk_ivf" -> (TrainingData.simTopkIvf _),
+    "sim_topk_ivf_index" -> (TrainingData.simTopkIvfIndex _),
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
     "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
@@ -362,6 +363,38 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id query_id, cent_id bucket FROM ranked
+        |  WHERE vec_id % 25 = 0 AND rn <= 2),
+        |scored AS (
+        |  SELECT q.query_id, d.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim
+        |  FROM qprobe q
+        |  JOIN buckets d ON q.bucket = d.bucket AND d.vec_id <> q.query_id
+        |  JOIN norm qn ON qn.vec_id = q.query_id
+        |  JOIN norm dn ON dn.vec_id = d.vec_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_ivf_index" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings),

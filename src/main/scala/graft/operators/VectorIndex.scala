@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persisted IVF (inverted-file) vector index — build once, probe many.
+  *
+  * The inline index ([[graft.queries.TrainingData.simTopkIvf]]) recomputes
+  * centroid assignment on every query run; a production similarity-search
+  * workflow builds the index ONCE over the corpus and serves many probe
+  * batches against it. This operator persists the index as two parquet
+  * tables under `indexDir`:
+  *
+  *   - `centroids/` — (cent_id, cv): tiny, broadcast at probe time
+  *   - `postings/`  — (vec_id, nv) PARTITIONED BY bucket: the inverted
+  *     file. Partitioning is the scale lever — a probe touching `nprobe`
+  *     buckets reads only those directories (partition pruning / dynamic
+  *     partition pruning on the bucket join), i.e. ~nprobe/n_buckets of
+  *     the corpus instead of scanning it all.
+  *
+  * Determinism: centroids are the same `vec_id % centEvery == centOffset`
+  * sample and the same rounded-cosine argmin as the inline query, so
+  * [[queryIvf]] over a built index reproduces `sim_topk_ivf` bit-for-bit —
+  * the index path shares its DuckDB oracle.
+  */
+object VectorIndex {
+  import graft.functions.VectorFunctions.vecDot
+
+  /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors. */
+  def buildIvf(embeddings: DataFrame, indexDir: String,
+               centEvery: Int = 100, centOffset: Int = 3): Unit = {
+    val e = embeddings.select(col("vec_id"), col("nv"))
+    val cents = e.filter(col("vec_id") % centEvery === centOffset)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val sims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val buckets = sims.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    e.join(buckets, Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("nv"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Top-k cosine neighbors for `(query_id: long, qv: array<double>)`
+    * probes against a built index, probing each query's `nprobe` nearest
+    * centroid buckets.
+    */
+  def queryIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
+               k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probe = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        round(vecDot(col("qv"), col("cv")), 4).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val scored = probe.join(postings, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(vecDot(col("qv"), col("nv")), 4).as("sim"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -322,6 +322,22 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Persisted-index twin of [[simTopkIvf]]: build the IVF index to a
+    * scratch directory ([[graft.operators.VectorIndex.buildIvf]] — postings
+    * partitioned by bucket), then answer the same probe batch from the
+    * index files alone. Must reproduce simTopkIvf bit-for-bit (the two
+    * share one oracle), proving the build-once/probe-many path returns the
+    * inline path's answers while reading only the probed buckets.
+    */
+  def simTopkIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = normalized(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.VectorIndex.buildIvf(e, idx)
+    val queries = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+    graft.operators.VectorIndex.queryIvf(spark, idx, queries)
+  }
+
   /** Recall of the LSH ANN against the exact brute-force top-5: the
     * "measure, don't guess" companion to [[simTopkLsh]] — approximate
     * operators ship with their measured quality. Deterministic (both

@@ -366,6 +366,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rerun.toSeq === rows.toSeq)
   }
 
+  test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
+    val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
+    val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
+    assert(indexed === inline, "index path must return the inline path's answers")
+    // the scale lever: postings are physically partitioned by bucket, so a
+    // probe reads only its nprobe bucket directories
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecNormalize
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_t").toString
+    graft.operators.VectorIndex.buildIvf(e, idx)
+    val parts = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(parts.length > 1, "postings must be hive-partitioned by bucket")
+    // a single-bucket read plans with a partition filter, not a full scan
+    val one = spark.read.parquet(s"$idx/postings")
+      .filter(col("bucket") === parts.head.getName.stripPrefix("bucket=").toLong)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
   test("text_zipf_slope: negative slope, r2 in [0,1], vocab sane") {
     val Array(r) = TrainingData.textZipfSlope(spark, sf).collect()
     assert(r.getLong(0) > 10L, "non-trivial vocabulary")
