@@ -49,6 +49,31 @@ object VectorIndex {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Incremental maintenance: assign NEW vectors to the EXISTING centroids
+    * and append their postings — O(new vectors) work, no rebuild, the same
+    * trade every production IVF service makes (FAISS add-with-ids): recall
+    * for the appended vectors is defined by the original centroid geometry,
+    * so rebuild when the corpus distribution has drifted far enough for
+    * centroids to be stale.
+    */
+  def appendIvf(newEmbeddings: DataFrame, indexDir: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val e = newEmbeddings.select(col("vec_id"), col("nv"))
+    val sims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val buckets = sims.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+    e.join(buckets, Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("nv"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+  }
+
   /** Top-k cosine neighbors for `(query_id: long, qv: array<double>)`
     * probes against a built index, probing each query's `nprobe` nearest
     * centroid buckets.

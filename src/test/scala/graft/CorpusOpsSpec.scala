@@ -391,6 +391,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("appendIvf: incremental vectors join the index under the base centroids") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val base = e.filter(col("vec_id") < 400)
+    val late = e.filter(col("vec_id") >= 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_a").toString
+    graft.operators.VectorIndex.buildIvf(base, idx)
+    graft.operators.VectorIndex.appendIvf(late, idx)
+    val postings = spark.read.parquet(s"$idx/postings")
+    assert(postings.count() == e.count(), "all vectors present after append")
+    // appended vectors sit in their nearest BASE-centroid bucket
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val expected = late.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("expected_bucket"))
+    val mismatches = postings.filter(col("vec_id") >= 400)
+      .join(expected, Seq("vec_id"))
+      .filter(col("bucket") =!= col("expected_bucket")).count()
+    assert(mismatches == 0)
+    // and a probe can retrieve an appended vector
+    val q = late.limit(1)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+    val res = graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
+    assert(res.count() == 3)
+  }
+
   test("text_zipf_slope: negative slope, r2 in [0,1], vocab sane") {
     val Array(r) = TrainingData.textZipfSlope(spark, sf).collect()
     assert(r.getLong(0) > 10L, "non-trivial vocabulary")
