@@ -28,22 +28,30 @@ import org.apache.spark.sql.types.LongType
 object VectorIndex {
   import graft.functions.VectorFunctions.vecDot
 
+  /** Nearest-centroid assignment as a `min_by` ARGMIN aggregation over the
+    * orderable struct (-csim, cent_id) — identical tie semantics to
+    * `row_number() OVER (ORDER BY csim DESC, cent_id)` (highest cosine,
+    * lowest cent_id on ties) but with map-side partial combine: one row per
+    * VECTOR crosses the shuffle instead of one per (vector, centroid)
+    * scored pair. The window form ships n x c rows at 100 TB.
+    */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),
+          col("cent_id")).as("scored"))
+      .groupBy("vec_id")
+      .agg(min(col("scored")).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("bucket"))
+
   /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors. */
   def buildIvf(embeddings: DataFrame, indexDir: String,
                centEvery: Int = 100, centOffset: Int = 3): Unit = {
     val e = embeddings.select(col("vec_id"), col("nv"))
     val cents = e.filter(col("vec_id") % centEvery === centOffset)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    val sims = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
-    val buckets = sims.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("bucket"))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    e.join(buckets, Seq("vec_id"))
+    e.join(assign(e, cents), Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
@@ -60,15 +68,7 @@ object VectorIndex {
     val spark = newEmbeddings.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val e = newEmbeddings.select(col("vec_id"), col("nv"))
-    val sims = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
-    val buckets = sims.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("bucket"))
-    e.join(buckets, Seq("vec_id"))
+    e.join(assign(e, cents), Seq("vec_id"))
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
