@@ -181,6 +181,30 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming ANN-index maintenance: every micro-batch of
+    * `(vec_id: long, nv: array<double>)` unit vectors appends into a
+    * persisted IVF index ([[graft.operators.VectorIndex.appendIvf]] —
+    * assignment against the FIXED base centroids, postings appended into
+    * their bucket partitions). Per-batch work is O(batch); queries against
+    * the index see new vectors as soon as their batch commits. This is the
+    * always-fresh-similarity-search loop (embed -> index -> serve) —
+    * rebuild the index offline when corpus drift makes the base centroids
+    * stale, exactly like a FAISS add-with-ids deployment.
+    */
+  def streamingIndexAppend(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.VectorIndex.appendIvf(batch, indexDir)
+        ()
+      }
+      .start()
+
   /** Watermarked event-time window aggregation: counts + value sums per
     * (window, event_type), tolerating `lateness` of out-of-order data.
     * State is bounded by the watermark — at 100 TB/day the state store only

@@ -109,6 +109,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getLong(2) == 1 && rows(1).getDouble(3) == 4.0) // 11:00 view
   }
 
+  test("streaming index append: micro-batched vectors land in the IVF index") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecNormalize
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val work = java.nio.file.Files.createTempDirectory("graft_sidx")
+    val idx = work.resolve("idx").toString
+    graft.operators.VectorIndex.buildIvf(all.filter(col("vec_id") < 400), idx)
+    // stream the late vectors in as two micro-batches
+    val late = all.filter(col("vec_id") >= 400)
+      .as[(Long, Array[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = StreamingPipeline.streamingIndexAppend(
+      mem.toDF().toDF("vec_id", "nv"), idx,
+      work.resolve("ckpt").toString)
+    mem.addData(late.take(50))
+    mem.addData(late.drop(50))
+    q.awaitTermination()
+    val postings = spark.read.parquet(s"$idx/postings")
+    assert(postings.count() == all.count(), "all vectors indexed after the stream")
+    // a probe retrieves a streamed-in vector from the index
+    val streamedId = late.head._1
+    val probe = all.filter(col("vec_id") === streamedId)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+    val res = graft.operators.VectorIndex.queryIvf(spark, idx, probe, k = 3)
+    assert(res.count() == 3)
+  }
+
   test("streaming quality monitor: per-window per-source stats and pass rate") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
