@@ -107,6 +107,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (TrainingData.textHeavyHitters _),
     "text_top_tokens" -> (TrainingData.textTopTokens _),
     "q25_approx_quantile" -> (Relational.q25ApproxQuantile _),
+    "q26_correlated_avg" -> (Relational.q26CorrelatedAvg _),
     "multimodal_pipeline" -> (TrainingData.multimodalPipeline _),
     "quality_funnel" -> (TrainingData.qualityFunnel _),
     "source_overlap" -> (TrainingData.sourceOverlap _),
@@ -880,6 +881,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_correlated_avg" ->
+      """SELECT c_nationkey, count(*) AS n_above,
+        |       round(avg(c_acctbal), 2) AS avg_above_bal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q21_set_ops" ->
       """WITH y95 AS (SELECT DISTINCT l_orderkey FROM lineitem
         |             WHERE year(l_shipdate) = 1995),

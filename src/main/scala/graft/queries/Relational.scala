@@ -527,6 +527,25 @@ object Relational {
         round(abs(col("approx_users") - col("exact_users"))
           .cast(DoubleType) / col("exact_users"), 4).as("rel_err"))
 
+  /** q26: correlated scalar subquery — customers above their own nation's
+    * average balance, written in the CORRELATED form (the way analysts
+    * write it) and left to Catalyst to decorrelate: the per-row subquery
+    * rewrites to one per-nation aggregate joined back on the correlation
+    * key. PlanSpec pins that rewrite — the naive execution would re-run
+    * the subquery per customer row, O(n·groups) at scale instead of one
+    * aggregate + one broadcast join.
+    */
+  def q26CorrelatedAvg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q26_customer")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n_above,
+        |       round(avg(c_acctbal), 2) AS avg_above_bal
+        |FROM q26_customer c1
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q26_customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** q18: semi-structured JSON column — per-event-type stats over the `$.k`
     * field parsed from the `props` JSON string. `get_json_object` is a
     * codegen'd per-row path expression, so parsing happens inside the scan

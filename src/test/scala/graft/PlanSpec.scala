@@ -156,6 +156,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!"\\(\\d+\\) Sort".r.findAllIn(p).hasNext, "no sort anywhere")
   }
 
+  test("q26: correlated subquery decorrelates to one aggregate + broadcast join") {
+    val p = plan(Relational.q26CorrelatedAvg(spark, sf))
+    // the correlated form must NOT survive as a per-row subquery
+    assert(!p.contains("Subquery"), "scalar subquery must decorrelate")
+    assert(p.contains("BroadcastHashJoin"))
+    // both customer scans pruned to (c_nationkey, c_acctbal)
+    assert(!p.contains("c_name"), "scan must prune unused columns")
+  }
+
   test("quality_unigram_logprob: token equi-join, no cartesian over data") {
     val p = plan(graft.queries.TrainingData.qualityUnigramLogprob(spark, sf))
     assert(!p.contains("CartesianProduct"),
