@@ -108,6 +108,7 @@ object SparkEntry {
     "text_top_tokens" -> (TrainingData.textTopTokens _),
     "q25_approx_quantile" -> (Relational.q25ApproxQuantile _),
     "q26_correlated_avg" -> (Relational.q26CorrelatedAvg _),
+    "q27_lateral_topn" -> (Relational.q27LateralTopPerNation _),
     "multimodal_pipeline" -> (TrainingData.multimodalPipeline _),
     "quality_funnel" -> (TrainingData.qualityFunnel _),
     "source_overlap" -> (TrainingData.sourceOverlap _),
@@ -888,6 +889,16 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c1.c_nationkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q27_lateral_topn" ->
+      """SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin,
     "q21_set_ops" ->
       """WITH y95 AS (SELECT DISTINCT l_orderkey FROM lineitem
         |             WHERE year(l_shipdate) = 1995),

@@ -546,6 +546,29 @@ object Relational {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** q27: LATERAL top-N-per-group — each nation's two highest-value orders,
+    * written as a correlated LATERAL subquery with ORDER BY + LIMIT (the
+    * form both engines now accept) rather than a hand-rolled window. The
+    * optimizer turns the per-nation limit into a ranked join; the outer
+    * side (nation) is tiny, so the per-group work is driven by the small
+    * side, not a global sort of orders.
+    */
+  def q27LateralTopPerNation(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("q27_nation")
+    t(spark, dir, "orders").createOrReplaceTempView("q27_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("q27_customer")
+    spark.sql(
+      """SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        |FROM q27_nation n,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM q27_orders o JOIN q27_customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |ORDER BY n_name, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** q18: semi-structured JSON column — per-event-type stats over the `$.k`
     * field parsed from the `props` JSON string. `get_json_object` is a
     * codegen'd per-row path expression, so parsing happens inside the scan
