@@ -60,6 +60,7 @@ object SparkEntry {
     "sim_topk_lsh" -> (TrainingData.simTopkLsh _),
     "sim_topk_ivf" -> (TrainingData.simTopkIvf _),
     "sim_topk_ivf_index" -> (TrainingData.simTopkIvfIndex _),
+    "sim_truncated_recall" -> (TrainingData.simTruncatedRecall _),
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
     "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
@@ -364,6 +365,47 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_truncated_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
+        |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
+        |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 25 = 0),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM scored) t
+        |  WHERE rank <= 5),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |tr AS (SELECT vec_id, nv[1:16] s FROM norm),
+        |twn AS (
+        |  SELECT vec_id, s, sqrt(list_sum(list_transform(s, y -> y * y))) tn FROM tr),
+        |tnorm AS (SELECT vec_id, list_transform(s, x -> x / tn) tv FROM twn),
+        |tscored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, 17), i -> q.tv[i] * b.tv[i])), 4) sim
+        |  FROM tnorm q JOIN tnorm b ON b.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 25 = 0),
+        |tapprox AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM tscored) t
+        |  WHERE rank <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+        |  CAST(count(a.neighbor_id) AS BIGINT) AS trunc_hits,
+        |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact x LEFT JOIN tapprox a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin,
     "sim_topk_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

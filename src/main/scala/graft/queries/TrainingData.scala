@@ -322,6 +322,39 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Truncated-dimension retrieval quality — the matryoshka-embedding
+    * trade, measured: top-5 recall when similarity uses only the FIRST 16
+    * of 64 dimensions (re-normalized prefix) against the full-precision
+    * exact top-5. Prefix truncation cuts vector bytes (and so ANN memory
+    * and shuffle width) 4x; this query reports what that costs in recall,
+    * entirely deterministically — both the exact and truncated rankings
+    * are rounded-cosine + id tiebreaks, so the DuckDB oracle reproduces
+    * the whole measurement.
+    */
+  def simTruncatedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val t = normalized(spark, dir)
+      .select(col("vec_id"), vecNormalize(slice(col("nv"), 1, 16)).as("tv"))
+    val q = t.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("tv").as("q"))
+    val n = t.select(col("vec_id").as("neighbor_id"), col("tv").as("v"))
+    val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("q"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").withColumn("_hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        count(col("_hit")).as("trunc_hits"))
+      .select(col("exact_pairs"), col("trunc_hits"),
+        round(col("trunc_hits").cast(DoubleType) / col("exact_pairs"), 4)
+          .as("recall"))
+  }
+
   /** Persisted-index twin of [[simTopkIvf]]: build the IVF index to a
     * scratch directory ([[graft.operators.VectorIndex.buildIvf]] — postings
     * partitioned by bucket), then answer the same probe batch from the

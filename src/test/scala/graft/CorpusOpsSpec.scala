@@ -427,6 +427,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.count() == 3)
   }
 
+  test("sim_truncated_recall: recall in [0,1] over the full exact pair set") {
+    val Array(r) = TrainingData.simTruncatedRecall(spark, sf).collect()
+    assert(r.getLong(0) == 100L, "20 queries x top-5 exact pairs")
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("text_zipf_slope: negative slope, r2 in [0,1], vocab sane") {
     val Array(r) = TrainingData.textZipfSlope(spark, sf).collect()
     assert(r.getLong(0) > 10L, "non-trivial vocabulary")
