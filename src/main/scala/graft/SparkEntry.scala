@@ -61,6 +61,7 @@ object SparkEntry {
     "sim_topk_ivf" -> (TrainingData.simTopkIvf _),
     "sim_topk_ivf_index" -> (TrainingData.simTopkIvfIndex _),
     "sim_truncated_recall" -> (TrainingData.simTruncatedRecall _),
+    "sim_quantized_recall" -> (TrainingData.simQuantizedRecall _),
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
     "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
@@ -403,6 +404,52 @@ object SparkEntry {
         |  WHERE rank <= 5)
         |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
         |  CAST(count(a.neighbor_id) AS BIGINT) AS trunc_hits,
+        |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact x LEFT JOIN tapprox a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin,
+    "sim_quantized_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
+        |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
+        |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 25 = 0),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM scored) t
+        |  WHERE rank <= 5),
+        |comps AS (SELECT vec_id, i AS pos, v[CAST(i AS INT)] AS x
+        |          FROM e, range(1, 65) t(i)),
+        |bydim AS (SELECT pos, min(x) lo, max(x) hi FROM comps GROUP BY 1),
+        |dqc AS (
+        |  SELECT vec_id, c.pos,
+        |   CASE WHEN hi > lo
+        |     THEN lo + round((x - lo) / (hi - lo) * 255, 0) * (hi - lo) / 255
+        |     ELSE lo END AS dqx
+        |  FROM comps c JOIN bydim USING (pos)),
+        |dv AS (SELECT vec_id, list(dqx ORDER BY pos) AS d FROM dqc GROUP BY 1),
+        |twn AS (
+        |  SELECT vec_id, d, sqrt(list_sum(list_transform(d, y -> y * y))) tn FROM dv),
+        |tnorm AS (SELECT vec_id, list_transform(d, x -> x / tn) tv FROM twn),
+        |tscored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, 65), i -> q.tv[i] * b.tv[i])), 4) sim
+        |  FROM tnorm q JOIN tnorm b ON b.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 25 = 0),
+        |tapprox AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM tscored) t
+        |  WHERE rank <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+        |  CAST(count(a.neighbor_id) AS BIGINT) AS int8_hits,
         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM exact x LEFT JOIN tapprox a
         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin,

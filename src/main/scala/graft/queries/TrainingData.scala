@@ -355,6 +355,51 @@ object TrainingData {
           .as("recall"))
   }
 
+  /** Int8-quantized retrieval quality — the second compression trade,
+    * measured: top-5 recall when similarity runs over the int8-dequantized
+    * vectors (same per-dimension global min/max scalar quantization as
+    * [[embQuantize]], whose oracle already pins the formula) against the
+    * full-precision exact top-5. 8-bit storage cuts index bytes 8x; unlike
+    * prefix truncation it preserves every dimension, so recall stays near
+    * 1.0 on anything but adversarial data — this query REPORTS it rather
+    * than assuming it.
+    */
+  def simQuantizedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val e = embs(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val comps = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val byDim = comps.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val dq = comps.join(broadcast(byDim), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("hi") > col("lo"),
+          col("lo") + round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255, 0) *
+            (col("hi") - col("lo")) / 255)
+          .otherwise(col("lo")).as("dqx"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("dqx")))),
+        s => s.getField("dqx")).as("dv"))
+    val t = dq.select(col("vec_id"), vecNormalize(col("dv")).as("tv"))
+    val q = t.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("tv").as("q"))
+    val n = t.select(col("vec_id").as("neighbor_id"), col("tv").as("nvv"))
+    val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("q"), col("nvv")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").withColumn("_hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        count(col("_hit")).as("int8_hits"))
+      .select(col("exact_pairs"), col("int8_hits"),
+        round(col("int8_hits").cast(DoubleType) / col("exact_pairs"), 4)
+          .as("recall"))
+  }
+
   /** Persisted-index twin of [[simTopkIvf]]: build the IVF index to a
     * scratch directory ([[graft.operators.VectorIndex.buildIvf]] — postings
     * partitioned by bucket), then answer the same probe batch from the

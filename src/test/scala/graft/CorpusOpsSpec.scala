@@ -434,6 +434,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("sim_quantized_recall: int8 retains most of exact top-5") {
+    val Array(r) = TrainingData.simQuantizedRecall(spark, sf).collect()
+    assert(r.getLong(0) == 100L)
+    // 8-bit scalar quantization preserves every dimension; on non-adversarial
+    // data recall stays high (the truncated variant is the lossy one)
+    assert(r.getDouble(2) >= 0.8, s"int8 recall collapsed: ${r.getDouble(2)}")
+  }
+
   test("text_zipf_slope: negative slope, r2 in [0,1], vocab sane") {
     val Array(r) = TrainingData.textZipfSlope(spark, sf).collect()
     assert(r.getLong(0) > 10L, "non-trivial vocabulary")
