@@ -74,6 +74,48 @@ object VectorIndex {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Index health: bucket-size distribution and skew ratio. The biggest
+    * bucket bounds probe tail latency (every probe of that bucket scans it
+    * whole); a skew ratio far above 1 means the centroids no longer fit the
+    * data — the rebuild signal for the [[appendIvf]] maintenance loop.
+    */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val sizes = spark.read.parquet(s"$indexDir/postings")
+      .groupBy("bucket").agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      sum("sz").as("n_vectors"),
+      min("sz").as("min_bucket"),
+      max("sz").as("max_bucket"),
+      round(avg("sz"), 2).as("avg_bucket"),
+      round(max("sz") / avg("sz"), 2).as("skew_ratio"))
+  }
+
+  /** Compact the postings after a run of [[appendIvf]] micro-batches: each
+    * append writes one small file per touched bucket, and probe latency
+    * degrades with file count (open/footer cost per file). Rewrites every
+    * bucket partition to ONE file (hash-repartition on bucket puts each
+    * bucket in exactly one task; cap with
+    * `spark.sql.files.maxRecordsPerFile` if a skewed bucket needs
+    * splitting), then swaps directories so concurrent readers never see a
+    * half-compacted index.
+    */
+  def compactIvf(spark: SparkSession, indexDir: String): Unit = {
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val tmp = s"$indexDir/postings__compact"
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    fs.delete(old, true)
+  }
+
   /** Top-k cosine neighbors for `(query_id: long, qv: array<double>)`
     * probes against a built index, probing each query's `nprobe` nearest
     * centroid buckets.

@@ -141,6 +141,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("vec_id").as("query_id"), col("nv").as("qv"))
     val res = graft.operators.VectorIndex.queryIvf(spark, idx, probe, k = 3)
     assert(res.count() == 3)
+    // stats see the whole index; skew ratio is a sane multiple of the mean
+    val stats = graft.operators.VectorIndex.indexStats(spark, idx).head()
+    assert(stats.getAs[Long]("n_vectors") == all.count())
+    assert(stats.getAs[Double]("skew_ratio") >= 1.0)
+    // compaction: same rows, exactly one parquet file per bucket, results
+    // identical before/after
+    val before = res.collect().toSeq
+    graft.operators.VectorIndex.compactIvf(spark, idx)
+    val bucketDirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected 1 file, got ${files.length}")
+    }
+    assert(spark.read.parquet(s"$idx/postings").count() == all.count())
+    assert(graft.operators.VectorIndex.queryIvf(spark, idx, probe, k = 3)
+      .collect().toSeq === before)
   }
 
   test("streaming quality monitor: per-window per-source stats and pass rate") {
