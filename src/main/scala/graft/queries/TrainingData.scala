@@ -295,17 +295,26 @@ object TrainingData {
     val e = normalized(spark, dir)
     val cents = e.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    val sims = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
-    val ranked = sims.withColumn("rn", row_number().over(wAssign))
-    val buckets = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("bucket"))
+    // full-corpus assignment as a min_by ARGMIN over (-csim, cent_id) —
+    // identical tie semantics to the ranked-window form the oracle mirrors
+    // (highest cosine, lowest cent_id) but with map-side combine: one row
+    // per VECTOR crosses the shuffle, not one per (vector, centroid) pair
+    val buckets = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),
+          col("cent_id")).as("scored"))
+      .groupBy("vec_id").agg(min(col("scored")).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("bucket"))
     val data = e.join(buckets, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("nv").as("nvv"), col("bucket"))
-    val qProbe = ranked.filter(col("vec_id") % 25 === 0 && col("rn") <= 2)
+    // the top-2 probe window only runs over the (tiny) query subset
+    val qsims = e.filter(col("vec_id") % 25 === 0).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val qProbe = qsims.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("cent_id").as("bucket"))
     val qv = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"))
