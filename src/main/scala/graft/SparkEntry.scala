@@ -354,13 +354,15 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |scored AS (
         |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
         |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
         |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
-        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 25 = 0)
+        |  FROM e q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN e b ON b.vec_id <> q.vec_id)
         |SELECT query_id, rank, neighbor_id, sim FROM (
         |  SELECT query_id, neighbor_id, sim,
         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
@@ -370,13 +372,15 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |scored AS (
         |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
         |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
         |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
-        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 25 = 0),
+        |  FROM e q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN e b ON b.vec_id <> q.vec_id),
         |exact AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
@@ -394,8 +398,8 @@ object SparkEntry {
         |tscored AS (
         |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, 17), i -> q.tv[i] * b.tv[i])), 4) sim
-        |  FROM tnorm q JOIN tnorm b ON b.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 25 = 0),
+        |  FROM tnorm q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN tnorm b ON b.vec_id <> q.vec_id),
         |tapprox AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
@@ -411,13 +415,15 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |scored AS (
         |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
         |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
         |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
-        |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 25 = 0),
+        |  FROM e q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN e b ON b.vec_id <> q.vec_id),
         |exact AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
@@ -440,8 +446,8 @@ object SparkEntry {
         |tscored AS (
         |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, 65), i -> q.tv[i] * b.tv[i])), 4) sim
-        |  FROM tnorm q JOIN tnorm b ON b.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 25 = 0),
+        |  FROM tnorm q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN tnorm b ON b.vec_id <> q.vec_id),
         |tapprox AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
@@ -462,6 +468,8 @@ object SparkEntry {
         |norm AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
         |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -471,8 +479,8 @@ object SparkEntry {
         |  FROM sims),
         |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
         |qprobe AS (
-        |  SELECT vec_id query_id, cent_id bucket FROM ranked
-        |  WHERE vec_id % 25 = 0 AND rn <= 2),
+        |  SELECT r.vec_id query_id, cent_id bucket FROM ranked r
+        |  JOIN qids ON r.vec_id = qids.vec_id WHERE rn <= 2),
         |scored AS (
         |  SELECT q.query_id, d.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim
@@ -494,6 +502,8 @@ object SparkEntry {
         |norm AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
         |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -503,8 +513,8 @@ object SparkEntry {
         |  FROM sims),
         |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
         |qprobe AS (
-        |  SELECT vec_id query_id, cent_id bucket FROM ranked
-        |  WHERE vec_id % 25 = 0 AND rn <= 2),
+        |  SELECT r.vec_id query_id, cent_id bucket FROM ranked r
+        |  JOIN qids ON r.vec_id = qids.vec_id WHERE rn <= 2),
         |scored AS (
         |  SELECT q.query_id, d.vec_id neighbor_id,
         |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim

@@ -34,6 +34,32 @@ final class OtlpHttpExporter(
 
   private val buf = new java.util.ArrayList[Trace.SpanData]()
 
+  // Flushes run on ONE background daemon thread (the BatchSpanProcessor
+  // contract): a slow or unreachable collector must never stall the
+  // pipeline thread that happened to record the 32nd span — synchronously,
+  // retry-with-backoff against a dead endpoint held the caller ~30 s per
+  // flush. The queue is bounded; batches beyond it are dropped with a
+  // stderr note (tracing is observability, never control flow, and never
+  // unbounded memory).
+  private val exportThread = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-otlp-export"); t.setDaemon(true); t
+    })
+  private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val MaxQueuedBatches = 8
+
+  private def enqueue(batch: java.util.List[Trace.SpanData]): Unit =
+    if (queued.incrementAndGet() > MaxQueuedBatches) {
+      queued.decrementAndGet()
+      System.err.println(
+        s"[graft] otlp export queue full (dropped ${batch.size()} spans)")
+    } else
+      try exportThread.execute(() => try send(batch) finally queued.decrementAndGet())
+      catch { // racing shutdown(): executor already terminated
+        case _: java.util.concurrent.RejectedExecutionException =>
+          queued.decrementAndGet()
+      }
+
   /** The sink to pass to [[Trace.installSpanSink]]. */
   val sink: Trace.SpanSink = { data =>
     val toFlush = buf.synchronized {
@@ -42,18 +68,24 @@ final class OtlpHttpExporter(
         val batch = new java.util.ArrayList(buf); buf.clear(); Some(batch)
       } else None
     }
-    toFlush.foreach(send)
+    toFlush.foreach(enqueue)
   }
 
   def install(): this.type = { Trace.installSpanSink(sink); this }
 
-  /** Flush any buffered spans (call at process end). */
+  /** Flush any buffered spans and wait (bounded) for in-flight exports; call
+    * at process end. Batches still unflushed after the wait are dropped —
+    * the export thread is a daemon, so a hung collector cannot block JVM
+    * exit either.
+    */
   def shutdown(): Unit = {
     val toFlush = buf.synchronized {
       if (buf.isEmpty) None
       else { val batch = new java.util.ArrayList(buf); buf.clear(); Some(batch) }
     }
-    toFlush.foreach(send)
+    toFlush.foreach(enqueue)
+    exportThread.shutdown()
+    exportThread.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
   }
 
   private def esc(s: String): String = s.flatMap {

@@ -486,6 +486,14 @@ case class VecNormalize(child: Expression) extends UnaryExpression {
     case _ => false
   }
 
+  /** A null ELEMENT nulls the result, so the expression is nullable even
+    * over a non-nullable child (e.g. a `collect_list` output) with nullable
+    * elements. Without this override `ev.isNull` is the `false` literal for
+    * such children and the generated `isNull = true` assignment in the
+    * element scan below fails Janino compilation (interpreted fallback).
+    */
+  override def nullable: Boolean = child.nullable || inputContainsNull
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
@@ -571,6 +579,15 @@ case class IntersectSizeIds(left: Expression, right: Expression)
     case ArrayType(_, cn) => cn
     case _ => false
   }
+
+  /** See [[VecNormalize.nullable]]: null elements null the result, so the
+    * expression stays nullable over non-nullable children with nullable
+    * elements (otherwise the generated element scan assigns to a `false`
+    * literal and codegen falls back to interpreted).
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      sideContainsNull(left) || sideContainsNull(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

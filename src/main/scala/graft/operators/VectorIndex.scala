@@ -29,20 +29,25 @@ object VectorIndex {
   import graft.functions.VectorFunctions.vecDot
 
   /** Nearest-centroid assignment as a `min_by` ARGMIN aggregation over the
-    * orderable struct (-csim, cent_id) — identical tie semantics to
+    * orderable struct (-csim, cent_id, nv) — identical tie semantics to
     * `row_number() OVER (ORDER BY csim DESC, cent_id)` (highest cosine,
     * lowest cent_id on ties) but with map-side partial combine: one row per
     * VECTOR crosses the shuffle instead of one per (vector, centroid)
-    * scored pair. The window form ships n x c rows at 100 TB.
+    * scored pair. The window form ships n x c rows at 100 TB. The vector
+    * itself rides inside the struct ((-csim, cent_id) is already unique per
+    * candidate, so the nv field is never compared) — the output carries
+    * (vec_id, bucket, nv) directly and no corpus join-back is needed to
+    * recover the vectors for the postings write.
     */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),
-          col("cent_id")).as("scored"))
+          col("cent_id"), col("nv")).as("scored"))
       .groupBy("vec_id")
       .agg(min(col("scored")).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("bucket"))
+      .select(col("vec_id"), col("best.cent_id").as("bucket"),
+        col("best.nv").as("nv"))
 
   /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors. */
   def buildIvf(embeddings: DataFrame, indexDir: String,
@@ -51,7 +56,7 @@ object VectorIndex {
     val cents = e.filter(col("vec_id") % centEvery === centOffset)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    e.join(assign(e, cents), Seq("vec_id"))
+    assign(e, cents)
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
@@ -68,10 +73,28 @@ object VectorIndex {
     val spark = newEmbeddings.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val e = newEmbeddings.select(col("vec_id"), col("nv"))
-    e.join(assign(e, cents), Seq("vec_id"))
+    assign(e, cents)
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("append").partitionBy("bucket")
-      .parquet(s"$indexDir/postings")
+      .parquet(livePostingsDir(spark, indexDir))
+  }
+
+  /** The live postings directory: named by the `_POSTINGS` pointer file
+    * when one exists (post-compaction layout), the original `postings/`
+    * otherwise. Public so external tooling (and the specs) can inspect the
+    * physical layout the probes actually read.
+    */
+  def livePostingsDir(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_POSTINGS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } else "postings"
+    s"$indexDir/$name"
   }
 
   /** Index health: bucket-size distribution and skew ratio. The biggest
@@ -80,7 +103,7 @@ object VectorIndex {
     * data — the rebuild signal for the [[appendIvf]] maintenance loop.
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
-    val sizes = spark.read.parquet(s"$indexDir/postings")
+    val sizes = spark.read.parquet(livePostingsDir(spark, indexDir))
       .groupBy("bucket").agg(count(lit(1)).as("sz"))
     sizes.agg(
       count(lit(1)).as("n_buckets"),
@@ -97,23 +120,42 @@ object VectorIndex {
     * bucket partition to ONE file (hash-repartition on bucket puts each
     * bucket in exactly one task; cap with
     * `spark.sql.files.maxRecordsPerFile` if a skewed bucket needs
-    * splitting), then swaps directories so concurrent readers never see a
-    * half-compacted index.
+    * splitting) into a NEW versioned directory, then publishes it with an
+    * atomic pointer swap (`FileContext.rename(OVERWRITE)` on `_POSTINGS`,
+    * the [[graft.store.TableStore]] idiom) — a concurrent [[queryIvf]]
+    * resolves either the old or the new generation, never a missing path.
+    * The superseded generation is retained until the NEXT compaction, so
+    * probes that resolved just before the swap finish their scans on
+    * intact files; single WRITER at a time remains the caller's contract
+    * (as for appendIvf), and object stores without atomic rename need a
+    * consistent pointer store in front, as with any Hadoop-on-S3 layout.
     */
   def compactIvf(spark: SparkSession, indexDir: String): Unit = {
-    val postings = spark.read.parquet(s"$indexDir/postings")
-    val tmp = s"$indexDir/postings__compact"
-    postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
+    val live = livePostingsDir(spark, indexDir)
+    val liveName = live.substring(live.lastIndexOf('/') + 1)
+    val nextGen =
+      if (liveName == "postings") 1
+      else liveName.stripPrefix("postings_v").toInt + 1
+    val next = s"postings_v$nextGen"
+    spark.read.parquet(live).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
-    val live = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(live, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
-    fs.delete(old, true)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$nextGen")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // reclaim generations older than the one just superseded
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("postings") &&
+        st.getPath.getName != next && st.getPath.getName != liveName)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Top-k cosine neighbors for `(query_id: long, qv: array<double>)`
@@ -131,7 +173,7 @@ object VectorIndex {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = spark.read.parquet(livePostingsDir(spark, indexDir))
     val scored = probe.join(postings, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

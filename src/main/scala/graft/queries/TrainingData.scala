@@ -214,14 +214,33 @@ object TrainingData {
 
   // ----------------------------------------------------- similarity search
 
-  /** Brute-force cosine top-k: every query against every vector, ranked per
-    * query with a per-partition top-k (window over the query partition).
-    * The exact baseline the ANN variant is measured against.
+  /** Deterministic FIXED-SIZE probe set shared by every similarity/recall
+    * query: the `n` vec_ids with the smallest `md5(vec_id)`. Compiles to a
+    * TakeOrdered (per-partition top-n + driver merge) — an O(corpus) scan
+    * with an O(n) result at any scale. The previous fixed FRACTION
+    * (`vec_id % 25`) kept the probe side proportional to the corpus, which
+    * made the brute-force recall verifiers O(corpus²/25) at 100×; a fixed N
+    * caps them at O(N·corpus). md5-of-decimal-string is bit-reproducible in
+    * DuckDB (`md5(CAST(vec_id AS VARCHAR))`), so the oracles select the
+    * identical set.
+    */
+  private[graft] val ProbeN = 32
+  private def probeIds(e: DataFrame, n: Int = ProbeN): DataFrame =
+    e.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(n)
+
+  /** Brute-force cosine top-k: a fixed-N query batch against every vector,
+    * ranked per query with a per-partition top-k (window over the query
+    * partition). The exact baseline the ANN variants are measured against;
+    * O(N·corpus) by construction (see [[probeIds]]). The normalized corpus
+    * is cached for the query/neighbor sides and released once the (tiny)
+    * top-k result is materialized.
     */
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
-    val e = normalized(spark, dir)
-    val q = e.filter(col("vec_id") % 25 === 0)
+    val e = normalized(spark, dir).cache()
+    val q = e.join(broadcast(probeIds(e)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("nv").as("q"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("nv").as("v"))
     val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
@@ -229,10 +248,11 @@ object TrainingData {
         round(vecDot(col("q"), col("v")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
+    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
+    materializeAndRelease(result, e)
   }
 
   /** LSH-bucketed ANN: 6 deterministic random hyperplanes -> 6-bit sign
@@ -260,13 +280,14 @@ object TrainingData {
 
     val e = normalized(spark, dir)
       .select(col("vec_id"), col("nv"), bucket(col("nv")).as("bkt"))
+      .cache()
     // multi-probe: every bucket within Hamming radius 2 of the query's own
     // (the query side explodes to 22 probe keys; neighbors stay put)
     val probeMasks: Seq[Long] =
       Seq(0L) ++
       (0 until 6).map(i => 1L << i) ++
       (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1L << i) | (1L << j))
-    val q = e.filter(col("vec_id") % 25 === 0)
+    val q = e.join(broadcast(probeIds(e)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
         explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m))): _*))
           .as("bkt"))
@@ -276,10 +297,11 @@ object TrainingData {
         round(vecDot(col("qv"), col("nvv")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
+    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
+    materializeAndRelease(result, e)
   }
 
   /** IVF-bucketed ANN: an inverted-file index with deterministic centroids
@@ -292,43 +314,53 @@ object TrainingData {
     */
   def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
-    val e = normalized(spark, dir)
+    // ONE normalization pass: the corpus frame feeds the assignment, the
+    // probe scoring, and the query-vector lookup — cached, then released
+    // once the (tiny) top-k result is materialized. The round-6 form
+    // re-ran the normalize scan ≥3× (the one measured regression of that
+    // round); the cache plus the carry-nv argmin below restores the r5
+    // wall time while keeping the map-side-combine shuffle shape.
+    val e = normalized(spark, dir).cache()
     val cents = e.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    // full-corpus assignment as a min_by ARGMIN over (-csim, cent_id) —
+    // full-corpus assignment as a min_by ARGMIN over (-csim, cent_id, nv) —
     // identical tie semantics to the ranked-window form the oracle mirrors
     // (highest cosine, lowest cent_id) but with map-side combine: one row
-    // per VECTOR crosses the shuffle, not one per (vector, centroid) pair
-    val buckets = e.crossJoin(broadcast(cents))
+    // per VECTOR crosses the shuffle, not one per (vector, centroid) pair.
+    // The vector rides inside the min struct ((-csim, cent_id) is unique
+    // per candidate so nv is never compared), which removes the join-back
+    // against the corpus that a bucket-only argmin would need to recover
+    // the neighbor vectors — one full-width shuffle instead of two.
+    val data = e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),
-          col("cent_id")).as("scored"))
+          col("cent_id"), col("nv")).as("scored"))
       .groupBy("vec_id").agg(min(col("scored")).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("bucket"))
-    val data = e.join(buckets, Seq("vec_id"))
-      .select(col("vec_id").as("neighbor_id"), col("nv").as("nvv"), col("bucket"))
-    // the top-2 probe window only runs over the (tiny) query subset
-    val qsims = e.filter(col("vec_id") % 25 === 0).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
+      .select(col("vec_id").as("neighbor_id"),
+        col("best.cent_id").as("bucket"), col("best.nv").as("nvv"))
+    // the top-2 probe window only runs over the (fixed-size) query batch;
+    // the query vector rides through the probe rows, so no qv join-back
+    val qsims = e.join(broadcast(probeIds(e)), Seq("vec_id"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nv"), col("cent_id"),
         round(vecDot(col("nv"), col("cv")), 4).as("csim"))
     val wProbe = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
     val qProbe = qsims.withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
-      .select(col("vec_id").as("query_id"), col("cent_id").as("bucket"))
-    val qv = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+        col("cent_id").as("bucket"))
     val scored = qProbe.join(data, Seq("bucket"))
-      .join(qv, Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(vecDot(col("qv"), col("nvv")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
+    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
+    materializeAndRelease(result, e)
   }
 
   /** Truncated-dimension retrieval quality — the matryoshka-embedding
@@ -342,10 +374,14 @@ object TrainingData {
     */
   def simTruncatedRecall(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    // exact side is already a materialized ~5N-row local frame (the
+    // brute-force query collects its own result), so only the truncated
+    // ranking below does cluster work here; O(N·corpus), N fixed
     val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
     val t = normalized(spark, dir)
       .select(col("vec_id"), vecNormalize(slice(col("nv"), 1, 16)).as("tv"))
-    val q = t.filter(col("vec_id") % 25 === 0)
+      .cache()
+    val q = t.join(broadcast(probeIds(t)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("tv").as("q"))
     val n = t.select(col("vec_id").as("neighbor_id"), col("tv").as("v"))
     val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
@@ -356,12 +392,13 @@ object TrainingData {
     val approx = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id").withColumn("_hit", lit(1))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+    val result = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("exact_pairs"),
         count(col("_hit")).as("trunc_hits"))
       .select(col("exact_pairs"), col("trunc_hits"),
         round(col("trunc_hits").cast(DoubleType) / col("exact_pairs"), 4)
           .as("recall"))
+    materializeAndRelease(result, t)
   }
 
   /** Int8-quantized retrieval quality — the second compression trade,
@@ -389,8 +426,11 @@ object TrainingData {
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("dqx")))),
         s => s.getField("dqx")).as("dv"))
-    val t = dq.select(col("vec_id"), vecNormalize(col("dv")).as("tv"))
-    val q = t.filter(col("vec_id") % 25 === 0)
+    // cache the dequantized frame: the posexplode→groupBy rebuild is the
+    // expensive part, and without the cache it runs once for the query
+    // side and again for the neighbor side
+    val t = dq.select(col("vec_id"), vecNormalize(col("dv")).as("tv")).cache()
+    val q = t.join(broadcast(probeIds(t)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("tv").as("q"))
     val n = t.select(col("vec_id").as("neighbor_id"), col("tv").as("nvv"))
     val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
@@ -401,12 +441,13 @@ object TrainingData {
     val approx = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id").withColumn("_hit", lit(1))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+    val result = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("exact_pairs"),
         count(col("_hit")).as("int8_hits"))
       .select(col("exact_pairs"), col("int8_hits"),
         round(col("int8_hits").cast(DoubleType) / col("exact_pairs"), 4)
           .as("recall"))
+    materializeAndRelease(result, t)
   }
 
   /** Persisted-index twin of [[simTopkIvf]]: build the IVF index to a
@@ -417,12 +458,38 @@ object TrainingData {
     * inline path's answers while reading only the probed buckets.
     */
   def simTopkIvfIndex(spark: SparkSession, dir: String): DataFrame = {
-    val e = normalized(spark, dir)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val (df, _, _) = simTopkIvfIndexTimed(spark, dir)
+    df
+  }
+
+  /** [[simTopkIvfIndex]] with the one-time BUILD and steady-state PROBE
+    * timed separately (seconds) — at 100 TB the build is amortized over
+    * many probe batches, so benching their sum round-over-round hides
+    * probe regressions behind build noise.
+    *
+    * The scratch index lives under the session's `spark.sql.warehouse.dir`
+    * (a cluster-shared filesystem in real deployments — a driver-local
+    * `java.io.tmpdir` path would be invisible to executors on other
+    * machines) and is deleted once the probe result is materialized, so
+    * repeated runs don't leak a corpus-sized directory per invocation.
+    */
+  def simTopkIvfIndexTimed(spark: SparkSession,
+                           dir: String): (DataFrame, Double, Double) = {
+    val e = normalized(spark, dir).cache()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val idx = s"$warehouse/graft_scratch/ivf_${java.util.UUID.randomUUID()}"
+    val t0 = System.nanoTime()
     graft.operators.VectorIndex.buildIvf(e, idx)
-    val queries = e.filter(col("vec_id") % 25 === 0)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val queries = e.join(broadcast(probeIds(e)), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("nv").as("qv"))
-    graft.operators.VectorIndex.queryIvf(spark, idx, queries)
+    val t1 = System.nanoTime()
+    val result = materializeAndRelease(
+      graft.operators.VectorIndex.queryIvf(spark, idx, queries), e)
+    val tProbe = (System.nanoTime() - t1) / 1e9
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (result, tBuild, tProbe)
   }
 
   /** Recall of the LSH ANN against the exact brute-force top-5: the

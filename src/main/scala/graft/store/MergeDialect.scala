@@ -41,16 +41,46 @@ sealed trait MergeDialect {
     */
   def onCreate(target: String, grain: Seq[String]): Seq[String] = Nil
 
+  /** Whether this dialect's upsert matches rows through a UNIQUE index
+    * (ON CONFLICT / ON DUPLICATE KEY). Under the SQL index model NULL keys
+    * are pairwise distinct, so a NULL-keyed row would re-INSERT on every
+    * publish — [[JdbcSink]] rejects nullable grain columns for such
+    * dialects up front instead of silently diverging from the parquet
+    * sink's null-safe (`<=>`) merge semantics.
+    */
+  def requiresNonNullGrain: Boolean = false
+
+  /** Column type for a declared string column in the landed delta table.
+    * Bounded lengths map to VARCHAR(n); UNDECLARED lengths map to the
+    * dialect's largest VARCHAR rather than a guessed bound — the validator
+    * only gates length when maxLength is declared, so a small default
+    * turned valid long rows into hard SQLExceptions unique to JDBC
+    * targets. 32672 is Derby's VARCHAR ceiling and within bounds for
+    * Postgres / SQL Server / Oracle; MySQL overrides (65k row-size limit)
+    * to TEXT.
+    */
+  def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(32672)")
+
   /** Key equality predicate between aliases `t` (target) and `d` (delta);
     * string grain columns CAST to VARCHAR so legacy CLOB-typed keys stay
     * comparable (index-based dialects override to plain equality — their
     * writers never produce CLOB keys and a CAST would defeat the index).
+    * Grain columns declared NULLABLE get a null-safe form
+    * (`a = b OR (a IS NULL AND b IS NULL)`) matching the Spark-side
+    * publish's `<=>` — with plain `=`, a NULL key never matches and the
+    * same row re-INSERTs on every publish of its file family.
     */
-  def keyEq(grain: Seq[String], stringCols: Set[String]): String =
+  def keyEq(grain: Seq[String], stringCols: Set[String],
+            nullableCols: Set[String] = Set.empty): String =
     grain.map { g =>
-      if (stringCols(g))
-        s"CAST(t.${qid(g)} AS VARCHAR(4000)) = CAST(d.${qid(g)} AS VARCHAR(4000))"
-      else s"t.${qid(g)} = d.${qid(g)}"
+      val eq =
+        if (stringCols(g))
+          s"CAST(t.${qid(g)} AS VARCHAR(32672)) = CAST(d.${qid(g)} AS VARCHAR(32672))"
+        else s"t.${qid(g)} = d.${qid(g)}"
+      if (nullableCols(g))
+        s"($eq OR (t.${qid(g)} IS NULL AND d.${qid(g)} IS NULL))"
+      else eq
     }.mkString(" AND ")
 
   /** The single set-based upsert statement. `dataCols` excludes the
@@ -96,11 +126,14 @@ case object AnsiMergeDialect extends MergeDialect {
 
 /** Postgres / SQLite `INSERT .. ON CONFLICT (grain) DO UPDATE`. */
 sealed abstract class OnConflictDialect extends MergeDialect {
+  override def requiresNonNullGrain: Boolean = true
+
   override def onCreate(target: String, grain: Seq[String]): Seq[String] = Seq(
     s"CREATE UNIQUE INDEX ${target}__grain_ux ON $target " +
       grain.map(qid).mkString("(", ", ", ")"))
 
-  override def keyEq(grain: Seq[String], stringCols: Set[String]): String =
+  override def keyEq(grain: Seq[String], stringCols: Set[String],
+                     nullableCols: Set[String] = Set.empty): String =
     grain.map(g => s"t.${qid(g)} = d.${qid(g)}").mkString(" AND ")
 
   override def mergeSql(target: String, delta: String, grain: Seq[String],
@@ -151,8 +184,17 @@ case object MySqlOnDuplicateDialect extends MergeDialect {
     s"ALTER TABLE $target ADD CONSTRAINT ${target}__grain_ux UNIQUE " +
       grain.map(qid).mkString("(", ", ", ")"))
 
-  override def keyEq(grain: Seq[String], stringCols: Set[String]): String =
+  override def requiresNonNullGrain: Boolean = true
+
+  override def keyEq(grain: Seq[String], stringCols: Set[String],
+                     nullableCols: Set[String] = Set.empty): String =
     grain.map(g => s"t.${qid(g)} = d.${qid(g)}").mkString(" AND ")
+
+  /** MySQL VARCHAR shares the 65,535-byte row-size budget; unbounded
+    * strings land as TEXT (off-row) instead of a row-breaking VARCHAR.
+    */
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("TEXT")
 
   override def mergeSql(target: String, delta: String, grain: Seq[String],
                         dataCols: Seq[String], ts: String, on: String): String = {

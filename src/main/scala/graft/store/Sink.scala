@@ -130,8 +130,27 @@ final class JdbcSink(
     val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
     val delta = s"${name}__delta"
 
+    val dlt = mergeDialect
+    // NULL grain keys: index-matched upserts (ON CONFLICT / ON DUPLICATE
+    // KEY) treat NULLs as pairwise distinct — the row would re-INSERT on
+    // every publish and silently diverge from the parquet sink's null-safe
+    // merge. Fail the file up front with the actionable config change.
+    val nullableGrain = source.columns
+      .filter(c => source.grain.contains(c.name) && c.nullable).map(_.name)
+    if (nullableGrain.nonEmpty && dlt.requiresNonNullGrain)
+      throw new IllegalArgumentException(
+        s"grain column(s) ${nullableGrain.mkString(", ")} are nullable, but " +
+          s"the ${dlt.name} dialect upserts through a unique index where " +
+          "NULL keys never match (each NULL-keyed row re-inserts on every " +
+          "publish); declare the grain columns non-nullable or target a " +
+          "MERGE-capable database")
+
+    // string delta columns land typed by the dialect: VARCHAR(n) when a
+    // maxLength is declared (the validator gates it), the dialect's largest
+    // string type when not — a guessed small bound made valid long rows a
+    // hard SQLException unique to JDBC targets
     val varcharTypes = (source.columns.filter(_.dataType == StringType)
-      .map(c => s"${c.name} VARCHAR(${c.maxLength.getOrElse(4000)})") :+
+      .map(c => s"${c.name} ${dlt.stringType(c.maxLength)}") :+
       "source_filename VARCHAR(4000)").mkString(", ")
     stage.select(dataCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
@@ -139,10 +158,9 @@ final class JdbcSink(
       .option("createTableColumnTypes", varcharTypes)
       .jdbc(url, delta, connectionProperties)
 
-    val dlt = mergeDialect
     val ts = s"{ts '${now.toString}'}"
     val isString = source.columns.filter(_.dataType == StringType).map(_.name).toSet
-    val onClause = dlt.keyEq(source.grain, isString)
+    val onClause = dlt.keyEq(source.grain, isString, nullableGrain.toSet)
     val hash = dlt.qid("etl_row_hash")
 
     val counts = withConnection { conn =>

@@ -429,14 +429,15 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("sim_truncated_recall: recall in [0,1] over the full exact pair set") {
     val Array(r) = TrainingData.simTruncatedRecall(spark, sf).collect()
-    assert(r.getLong(0) == 100L, "20 queries x top-5 exact pairs")
+    assert(r.getLong(0) == TrainingData.ProbeN * 5L,
+      "fixed-N probe batch x top-5 exact pairs")
     assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(0))
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
   test("sim_quantized_recall: int8 retains most of exact top-5") {
     val Array(r) = TrainingData.simQuantizedRecall(spark, sf).collect()
-    assert(r.getLong(0) == 100L)
+    assert(r.getLong(0) == TrainingData.ProbeN * 5L)
     // 8-bit scalar quantization preserves every dimension; on non-adversarial
     // data recall stays high (the truncated variant is the lossy one)
     assert(r.getDouble(2) >= 0.8, s"int8 recall collapsed: ${r.getDouble(2)}")

@@ -144,7 +144,23 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
       AnsiMergeDialect.keyEq(grain, Set("transaction_id")))
     assert(ansi.contains("MERGE INTO t1 t USING t1__delta d"))
     // string grain keys CAST so legacy CLOB-typed targets stay mergeable
-    assert(ansi.contains("CAST(t.\"transaction_id\" AS VARCHAR(4000))"))
+    assert(ansi.contains("CAST(t.\"transaction_id\" AS VARCHAR(32672))"))
+    // nullable grain keys merge null-safe (Spark-side <=> analogue); the
+    // non-nullable form above stays plain equality (index-friendly)
+    val ansiNullable = AnsiMergeDialect.keyEq(grain, Set("transaction_id"),
+      nullableCols = Set("transaction_id"))
+    assert(ansiNullable.contains("IS NULL AND d.\"transaction_id\" IS NULL"))
+    assert(!AnsiMergeDialect.keyEq(grain, Set("transaction_id")).contains("IS NULL"))
+    // index-matched dialects reject nullable grains up front instead
+    assert(PostgresOnConflictDialect.requiresNonNullGrain
+      && SqliteOnConflictDialect.requiresNonNullGrain
+      && MySqlOnDuplicateDialect.requiresNonNullGrain
+      && !AnsiMergeDialect.requiresNonNullGrain)
+    // unbounded strings land as the dialect's LARGE type, never a guessed
+    // small bound (a valid long row must not SQLException only on JDBC)
+    assert(AnsiMergeDialect.stringType(None) == "VARCHAR(32672)")
+    assert(AnsiMergeDialect.stringType(Some(100)) == "VARCHAR(100)")
+    assert(MySqlOnDuplicateDialect.stringType(None) == "TEXT")
     assert(ansi.contains("WHEN MATCHED AND t.\"etl_row_hash\" <> d.\"etl_row_hash\""))
     assert(ansi.contains("WHEN NOT MATCHED THEN INSERT"))
     // update never reassigns the grain key

@@ -149,14 +149,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // identical before/after
     val before = res.collect().toSeq
     graft.operators.VectorIndex.compactIvf(spark, idx)
-    val bucketDirs = new java.io.File(s"$idx/postings").listFiles()
+    // compaction publishes a NEW generation via the _POSTINGS pointer; the
+    // original postings/ dir is retained one generation for in-flight reads
+    val live = graft.operators.VectorIndex.livePostingsDir(spark, idx)
+    assert(live.endsWith("postings_v1"), s"pointer must name v1, got $live")
+    val bucketDirs = new java.io.File(live).listFiles()
       .filter(_.getName.startsWith("bucket="))
     assert(bucketDirs.nonEmpty)
     bucketDirs.foreach { d =>
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1, s"${d.getName}: expected 1 file, got ${files.length}")
     }
-    assert(spark.read.parquet(s"$idx/postings").count() == all.count())
+    assert(spark.read.parquet(live).count() == all.count())
+    assert(graft.operators.VectorIndex.queryIvf(spark, idx, probe, k = 3)
+      .collect().toSeq === before)
+    // a second compaction reclaims the superseded original generation
+    graft.operators.VectorIndex.compactIvf(spark, idx)
+    assert(graft.operators.VectorIndex.livePostingsDir(spark, idx)
+      .endsWith("postings_v2"))
+    assert(!new java.io.File(s"$idx/postings").exists(),
+      "generation older than the superseded one must be reclaimed")
     assert(graft.operators.VectorIndex.queryIvf(spark, idx, probe, k = 3)
       .collect().toSeq === before)
   }
