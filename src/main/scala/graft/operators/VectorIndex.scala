@@ -39,7 +39,7 @@ object VectorIndex {
     * (vec_id, bucket, nv) directly and no corpus join-back is needed to
     * recover the vectors for the postings write.
     */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),

@@ -323,21 +323,16 @@ object TrainingData {
     val e = normalized(spark, dir).cache()
     val cents = e.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    // full-corpus assignment as a min_by ARGMIN over (-csim, cent_id, nv) —
-    // identical tie semantics to the ranked-window form the oracle mirrors
-    // (highest cosine, lowest cent_id) but with map-side combine: one row
-    // per VECTOR crosses the shuffle, not one per (vector, centroid) pair.
-    // The vector rides inside the min struct ((-csim, cent_id) is unique
-    // per candidate so nv is never compared), which removes the join-back
-    // against the corpus that a bucket-only argmin would need to recover
-    // the neighbor vectors — one full-width shuffle instead of two.
-    val data = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),
-          col("cent_id"), col("nv")).as("scored"))
-      .groupBy("vec_id").agg(min(col("scored")).as("best"))
+    // full-corpus assignment via the SHARED argmin
+    // ([[graft.operators.VectorIndex.assign]], also the persisted-index
+    // build path): min_by over (-csim, cent_id, nv) — identical tie
+    // semantics to the ranked-window form the oracle mirrors (highest
+    // cosine, lowest cent_id) but with map-side combine, one row per
+    // VECTOR crossing the shuffle WITH its vector, so no corpus join-back
+    // to recover neighbor vectors — one full-width shuffle instead of two
+    val data = graft.operators.VectorIndex.assign(e, cents)
       .select(col("vec_id").as("neighbor_id"),
-        col("best.cent_id").as("bucket"), col("best.nv").as("nvv"))
+        col("bucket"), col("nv").as("nvv"))
     // the top-2 probe window only runs over the (fixed-size) query batch;
     // the query vector rides through the probe rows, so no qv join-back
     val qsims = e.join(broadcast(probeIds(e)), Seq("vec_id"))

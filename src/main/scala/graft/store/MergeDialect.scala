@@ -27,8 +27,12 @@ package graft.store
 sealed trait MergeDialect {
   def name: String
 
-  /** Identifier quote. Double quotes for standard SQL; backticks for MySQL. */
-  def qid(c: String): String = "\"" + c + "\""
+  /** Identifier quote. Double quotes for standard SQL; backticks for MySQL.
+    * Embedded quotes double per the SQL standard, so a hostile or merely
+    * unfortunate column name in a source model cannot break out of the
+    * identifier and change the generated statement.
+    */
+  def qid(c: String): String = "\"" + c.replace("\"", "\"\"") + "\""
 
   /** Create an empty target shaped like the delta table (+ timestamps). */
   def createLike(target: String, delta: String): Seq[String] = Seq(
@@ -173,7 +177,7 @@ case object SqliteOnConflictDialect extends OnConflictDialect {
   */
 case object MySqlOnDuplicateDialect extends MergeDialect {
   val name = "mysql-on-duplicate"
-  override def qid(c: String): String = "`" + c + "`"
+  override def qid(c: String): String = "`" + c.replace("`", "``") + "`"
 
   override def createLike(target: String, delta: String): Seq[String] = Seq(
     s"CREATE TABLE $target AS SELECT * FROM $delta WHERE 1=0",

@@ -48,6 +48,48 @@ trait Sink {
                    now: java.sql.Timestamp): Option[(Long, Long)] = None
 }
 
+object JdbcSink {
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which (a)
+    * cannot sit in MERGE ON equality and (b) makes the JDBC writer bind
+    * NULL strings as `setNull(CLOB)` — Derby rejects that against the
+    * VARCHAR columns `createTableColumnTypes` creates (ERROR 22005), so a
+    * single NULL string value failed the whole delta insert. Registering a
+    * higher-precedence dialect keeps strings VARCHAR end-to-end (write
+    * types AND null binding). Process-global by Spark's design; guarded
+    * idempotent.
+    */
+  private val derbyDialectRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Wraps Spark's own Derby dialect rather than extending the base class
+    * bare: a bare override would silently fall back to the COMMON JDBC
+    * types for everything else (losing Derby's 31-digit decimal cap,
+    * BOOLEAN mapping, etc.).
+    */
+  private final class DerbyVarcharDialect(
+      builtin: org.apache.spark.sql.jdbc.JdbcDialect)
+      extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case StringType => Some(org.apache.spark.sql.jdbc.JdbcType(
+        "VARCHAR(32672)", java.sql.Types.VARCHAR))
+      case other => builtin.getJDBCType(other)
+    }
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+        md: org.apache.spark.sql.types.MetadataBuilder)
+        : Option[org.apache.spark.sql.types.DataType] =
+      builtin.getCatalystType(sqlType, typeName, size, md)
+  }
+
+  private[store] def ensureDerbyVarcharDialect(): Unit =
+    if (derbyDialectRegistered.compareAndSet(false, true)) {
+      val builtin = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:")
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+        new DerbyVarcharDialect(builtin))
+    }
+}
+
 /** JDBC target sink (reference write/factory.py dialect dispatch; the
   * param-limit batching of write/mssql.py:29-41 maps to Spark's `batchsize`
   * JDBC option — each executor task inserts `batchSize`-row prepared-statement
@@ -75,6 +117,8 @@ final class JdbcSink(
     connectionProperties: Properties = new Properties(),
     batchSize: Int = 1000,
     dialect: MergeDialect = null) extends Sink {
+
+  if (url.startsWith("jdbc:derby")) JdbcSink.ensureDerbyVarcharDialect()
 
   private val mergeDialect: MergeDialect =
     Option(dialect).getOrElse(MergeDialect.forUrl(url))

@@ -126,6 +126,40 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally conn.close()
   }
 
+  test("NULL grain key merges null-safe on the ANSI dialect; index dialects reject") {
+    val sp = spark
+    import sp.implicits._
+    val src = graft.core.SourceConfig(
+      name = "nullable_grain", filePattern = "ng*.csv", sourceType = "csv",
+      columns = Seq(
+        graft.core.ColumnSpec.string("k", maxLength = 50), // nullable grain
+        graft.core.ColumnSpec.int("v")),
+      tableName = "null_grain_target", grain = Seq("k"))
+    def stage(v: Int, hash: Long) =
+      Seq((Option.empty[String], v, hash, "ng.csv", 1L))
+        .toDF("k", "v", "etl_row_hash", "source_filename", "file_load_log_id")
+    val sink = new JdbcSink(spark, url)
+    val ts1 = java.sql.Timestamp.valueOf("2026-08-13 00:00:00")
+    val Some((i1, u1)) = sink.mergeInPlace("null_grain_target", stage(1, 100L), src, ts1)
+    assert(i1 == 1 && u1 == 0)
+    // second publish of the SAME (NULL-keyed) logical row with a changed
+    // hash: plain `=` never matches NULL, which would re-INSERT it on
+    // every run — the null-safe predicate must UPDATE in place instead
+    val ts2 = java.sql.Timestamp.valueOf("2026-08-13 00:01:00")
+    val Some((i2, u2)) = sink.mergeInPlace("null_grain_target", stage(2, 200L), src, ts2)
+    assert(i2 == 0 && u2 == 1, "NULL grain key must match null-safe")
+    assert(query1("SELECT COUNT(*) FROM null_grain_target")(_.getInt(1)) == 1)
+    assert(query1("""SELECT "v" FROM null_grain_target""")(_.getInt(1)) == 2)
+    // unique-index upsert dialects cannot honor null-safe matching (NULLs
+    // are pairwise distinct in the index model): reject before any DB work
+    val pgSink = new JdbcSink(spark, url,
+      dialect = graft.store.PostgresOnConflictDialect)
+    val e = intercept[IllegalArgumentException] {
+      pgSink.mergeInPlace("null_grain_target", stage(3, 300L), src, ts2)
+    }
+    assert(e.getMessage.contains("nullable"))
+  }
+
   test("merge dialects: URL dispatch and generated upsert SQL shapes") {
     import graft.store._
     assert(MergeDialect.forUrl("jdbc:postgresql://h/db") == PostgresOnConflictDialect)

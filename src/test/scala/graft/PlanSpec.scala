@@ -174,4 +174,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
       || p.contains("SortMergeJoin"))
   }
+
+  test("ivf assignment: map-side-combined argmin carries the vector, no join-back") {
+    // the shape shared by sim_topk_ivf and the persisted-index build
+    // (VectorIndex.assign): the r6 regression came from losing it
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("nv"))
+    val cents = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val p = plan(graft.operators.VectorIndex.assign(e, cents))
+    // partial aggregation before the exchange = one row per VECTOR crosses
+    // the shuffle (min_by with map-side combine), not one per scored pair
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      "argmin must partially aggregate map-side")
+    // exactly ONE shuffle exchange (the argmin groupBy) — "Exchange" alone
+    // would also match the centroids' BroadcastExchange
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "exactly ONE shuffle: the argmin groupBy; a corpus join-back would add more")
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no shuffled join: the vector rides inside the min struct")
+  }
 }
