@@ -58,9 +58,16 @@ object Main {
       // reference write/factory.py). Run metadata stays in the warehouse.
       val targetSink = opts.get("jdbc")
         .map(url => new graft.store.JdbcSink(spark, url))
+      // --progress true: in-place progress bar on STDERR (reference
+      // cli/main.py:100-129 renders a rich spinner/bar/ETA); stdout keeps
+      // only the machine-parseable result lines
+      val progress =
+        if (opts.get("progress").contains("true")) Some(new ProgressLine)
+        else None
       val proc = new Processor(spark, DemoSources.registry, store, files,
         notifier, drop, filePoolSize = cfg.filePoolSize,
-        targetSink = targetSink)
+        targetSink = targetSink,
+        onProgress = progress.map(_.update _).getOrElse((_: Int, _: Int) => ()))
       opts.get("file") match {
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the
@@ -106,6 +113,35 @@ object Main {
       otel.foreach(_.shutdown()) // flush buffered spans before exit
       spark.stop()
     }
+  }
+}
+
+/** In-place CLI progress line: spinner, bar, percentage, file counts,
+  * elapsed and ETA — the reference's rich progress display
+  * (cli/main.py:100-129) re-expressed as a single carriage-returned stderr
+  * line, so stdout stays machine-parseable and non-TTY logs capture one
+  * final line instead of control characters per frame.
+  */
+final class ProgressLine {
+  private val t0 = System.nanoTime()
+  private val spinner = Array('|', '/', '-', '\\')
+  private val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def fmt(s: Double): String =
+    f"${(s / 60).toInt}%02d:${(s % 60).toInt}%02d"
+
+  /** Thread-safe: called from the file-pool threads. */
+  def update(done: Int, total: Int): Unit = synchronized {
+    val frac = if (total == 0) 1.0 else done.toDouble / total
+    val width = 24
+    val filled = math.min(width, (frac * width).round.toInt)
+    val bar = "=" * filled + " " * (width - filled)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val eta = if (done == 0) "--:--" else fmt(elapsed / done * (total - done))
+    val sp = if (done == total) '*' else spinner(tick.getAndIncrement() % 4)
+    System.err.print(
+      f"\r$sp [$bar] ${frac * 100}%3.0f%% ($done/$total files) " +
+        s"${fmt(elapsed)} elapsed ~$eta left")
+    if (done >= total) System.err.println()
   }
 }
 

@@ -36,7 +36,13 @@ final class Processor(
     /** Optional relational target sink (K5 writer dispatch); run metadata
       * stays in the parquet `store` regardless.
       */
-    targetSink: Option[graft.store.Sink] = None) {
+    targetSink: Option[graft.store.Sink] = None,
+    /** Called after each file completes during [[processAll]] with
+      * (filesDone, filesTotal) — the CLI progress hook (reference
+      * cli/main.py:100-129 polls its result list from a render thread;
+      * a callback avoids the poll). May be invoked from pool threads.
+      */
+    onProgress: (Int, Int) => Unit = (_, _) => ()) {
 
   private val runner =
     new PipelineRunner(spark, store, files, notifier, targetSink.orNull)
@@ -61,16 +67,21 @@ final class Processor(
     val queue = new ConcurrentLinkedQueue[String]()
     paths.foreach(queue.add)
     val results = new ConcurrentLinkedQueue[Option[FileResult]]()
+    val doneCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    def record(r: Option[FileResult]): Unit = {
+      results.add(r)
+      onProgress(doneCount.incrementAndGet(), paths.size)
+    }
 
     if (filePoolSize <= 1 || paths.size <= 1) {
-      paths.foreach(p => results.add(safeProcess(p)))
+      paths.foreach(p => record(safeProcess(p)))
     } else {
       val pool = Executors.newFixedThreadPool(filePoolSize)
       (1 to filePoolSize).foreach { _ =>
         pool.submit(new Runnable {
           def run(): Unit = {
             var p = queue.poll()
-            while (p != null) { results.add(safeProcess(p)); p = queue.poll() }
+            while (p != null) { record(safeProcess(p)); p = queue.poll() }
           }
         })
       }
