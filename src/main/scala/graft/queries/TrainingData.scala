@@ -26,30 +26,20 @@ object TrainingData {
     * splits of a single row group all no-op except the one holding the
     * group's midpoint) — and every narrow per-row stage (shingling,
     * signatures, vector math, the expensive part of these queries) would run
-    * single-threaded behind it. Effective scan parallelism is estimated from
-    * the FILE LISTING (≈ one row group per 128 MB of each file) rather than
+    * single-threaded behind it. Effective scan parallelism comes from
+    * [[graft.core.ScanEstimate]] (parquet footer row-group counts; never
     * `df.rdd.getNumPartitions`, which forces a full plan conversion at
-    * build time. The repartition only fires when that estimate is far below
+    * build time). The repartition only fires when that estimate is far below
     * the core count; production multi-row-group data keeps its native
     * (shuffle-free) layout.
     */
   private def fanOut(df: DataFrame, path: String): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val rowGroupBytes = 128L << 20
     val estTasks =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        var est = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (!f.getPath.getName.startsWith("_"))
-            est += math.max(1L, f.getLen / rowGroupBytes)
-        }
-        math.max(1L, est)
-      } catch { case _: java.io.IOException => par.toLong } // unknown: don't touch
+      try graft.core.ScanEstimate.effectiveTasks(
+        spark.sparkContext.hadoopConfiguration, path)
+      catch { case _: java.io.IOException => par.toLong } // unknown: don't touch
     if (estTasks * 2 <= par) df.repartition(par) else df
   }
 

@@ -127,21 +127,15 @@ final class PipelineRunner(
     // one CSV split): fan the validation out across the cluster when the
     // scan itself can't. Only fires on under-partitioned reads — large
     // multi-split files keep their native layout, no gratuitous shuffle.
-    // Parallelism is ESTIMATED from the file length (≈ one task per 128 MB
-    // split; gzip is never splittable → always one task) —
+    // Parallelism comes from graft.core.ScanEstimate (parquet footer
+    // row-group counts; gzip = 1 task; otherwise one task per 128 MB) —
     // `df.rdd.getNumPartitions` forced a full logical→RDD plan conversion
-    // per file on this hot path. A single-row-group parquet file >256 MB
-    // over-estimates and skips the repartition; its scan was one task
-    // before this change too, so nothing regresses there.
+    // per file on this hot path.
     val par = spark.sparkContext.defaultParallelism
     val estTasks =
-      if (fileName.toLowerCase.endsWith(".gz")) 1L
-      else
-        try {
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          math.max(1L, fs.getFileStatus(p).getLen / (128L << 20))
-        } catch { case _: java.io.IOException => par.toLong }
+      try graft.core.ScanEstimate.effectiveTasks(
+        spark.sparkContext.hadoopConfiguration, path)
+      catch { case _: java.io.IOException => par.toLong }
     val validationInput =
       if (estTasks * 2 <= par) raw.df.repartition(par)
       else raw.df

@@ -175,6 +175,27 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("SortMergeJoin"))
   }
 
+  test("ScanEstimate: parquet footer row groups, gzip=1, length fallback") {
+    import graft.core.ScanEstimate
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the bench corpora are single-row-group parquet — the length estimate
+    // can't see that, the footer can
+    assert(ScanEstimate.effectiveTasks(conf, s"$sf/orders.parquet") >= 1L)
+    val work = java.nio.file.Files.createTempDirectory("graft_scanest")
+    val multi = work.resolve("multi").toString
+    spark.read.parquet(s"$sf/orders.parquet").repartition(3)
+      .write.parquet(multi)
+    assert(ScanEstimate.effectiveTasks(conf, multi) == 3L,
+      "3 one-row-group part files = 3 effective tasks")
+    val gz = work.resolve("x.csv.gz")
+    java.nio.file.Files.write(gz, Array.fill(64)("a,b,c").mkString("\n").getBytes)
+    assert(ScanEstimate.effectiveTasks(conf, gz.toString) == 1L,
+      "gzip is never splittable")
+    val small = work.resolve("y.csv")
+    java.nio.file.Files.write(small, "a,b\n1,2\n".getBytes)
+    assert(ScanEstimate.effectiveTasks(conf, small.toString) == 1L)
+  }
+
   test("ivf assignment: map-side-combined argmin carries the vector, no join-back") {
     // the shape shared by sim_topk_ivf and the persisted-index build
     // (VectorIndex.assign): the r6 regression came from losing it
