@@ -259,4 +259,19 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.nonEmpty) // the 5 engineered near-dupes must surface
     assert(blocked.map(_.toSeq).toSeq == single.map(_.toSeq).toSeq)
   }
+
+  test("probe-set hash: Spark md5-of-decimal-string matches the reference digest") {
+    // The fixed-N probe sets select by md5(CAST(vec_id AS VARCHAR)) in
+    // DuckDB and md5(cast(vec_id as string)) in Spark — the two oracles
+    // agree only if both hash the UTF-8 decimal rendering to the same
+    // lowercase hex. Pin Spark's side against the RFC 1321 reference
+    // digests so a change in either cast or hash surfaces here, not as a
+    // silent oracle mismatch.
+    import org.apache.spark.sql.functions._
+    val got = spark.range(1).select(
+      md5(lit(0L).cast("string")).as("h0"),
+      md5(lit(25L).cast("string")).as("h25")).head()
+    assert(got.getString(0) == "cfcd208495d565ef66e7dff9f98764da") // md5("0")
+    assert(got.getString(1) == "8e296a067a37563370ded05f5a3bf3ec") // md5("25")
+  }
 }
