@@ -64,6 +64,8 @@ object SparkEntry {
     "sim_quantized_recall" -> (TrainingData.simQuantizedRecall _),
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
     "text_quality" -> (TrainingData.textQuality _),
+    "text_pii" -> (TrainingData.textPii _),
+    "select_token_budget" -> (TrainingData.selectTokenBudget _),
     "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
     "source_kl_divergence" -> (TrainingData.sourceKlDivergence _),
     "text_zipf_slope" -> (TrainingData.textZipfSlope _),
@@ -538,6 +540,32 @@ object SparkEntry {
         |FROM (SELECT source, text, regexp_split_to_array(trim(text), '\s+') toks
         |      FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_pii" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+        | CAST(sum(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))) AS BIGINT) AS phones,
+        | CAST(sum(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS ipv4s,
+        | CAST(sum(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+        |   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "select_token_budget" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id, len(toks) AS ntok,
+        |   round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |     OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is' OR x = 'it')) AS DOUBLE)
+        |     / len(toks), 6) AS score
+        |  FROM (SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM documents) t),
+        |cum AS (
+        |  SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) c
+        |  FROM scored)
+        |SELECT source, count(*) AS n_selected,
+        | CAST(sum(ntok) AS BIGINT) AS tokens_selected,
+        | min(score) AS score_cutoff
+        |FROM cum WHERE c <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -167,6 +167,33 @@ object TextFunctions {
     regexp_replace(text, "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b",
       "<EMAIL>")
 
+  // ---- PII detection / redaction (training-data scrubbing) ----
+  // Patterns restrict themselves to RE2-safe syntax (no lookaround, no
+  // backreferences) so the DuckDB oracles can run the IDENTICAL regex;
+  // Java and RE2 agree on every construct used here (\b is the ASCII word
+  // boundary in both). Each count/redaction is one codegen'd regexp pass —
+  // a narrow map at any scale, no shuffle.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Occurrences of `re` in `text` (0 when none). */
+  def patternCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Redact emails, then phone numbers, then IPv4 addresses with typed
+    * placeholder tokens. Email runs first (an address may contain digit
+    * runs the later patterns would mangle); phone before IP is safe — the
+    * dotted phone form has one separator too few to parse as an IPv4.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
   /** Strip C0/C1 control characters (keep \t\n\r which normalize next). */
   def stripControl(text: Column): Column =
     regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")

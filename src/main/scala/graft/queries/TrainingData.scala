@@ -508,6 +508,56 @@ object TrainingData {
 
   // ------------------------------------------------------------ text analysis
 
+  /** PII scan per source: email / phone / IPv4 occurrence counts and the
+    * number of documents a redaction pass would change. Patterns are
+    * RE2-safe so the DuckDB oracle runs the IDENTICAL regexes — on this
+    * synthetic corpus every count is exactly zero and the oracle asserts
+    * exactly that; the match/redact behavior itself is unit-tested on
+    * crafted text (FunctionsSpec). Scale: four codegen'd regexp passes per
+    * document, one aggregate shuffle on the source key.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        F.patternCount(col("text"), F.EmailRe).as("e"),
+        F.patternCount(col("text"), F.PhoneRe).as("p"),
+        F.patternCount(col("text"), F.Ipv4Re).as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("e").cast(LongType).as("emails"),
+        sum("p").cast(LongType).as("phones"),
+        sum("i").cast(LongType).as("ipv4s"),
+        count(when(col("e") + col("p") + col("i") > 0, 1)).as("docs_with_pii"))
+      .orderBy("source")
+
+  /** Token-budget corpus selection: per source, admit the highest-quality
+    * documents (stopword-ratio proxy score, doc_id tiebreak) until a fixed
+    * token budget fills — the mixture-construction step that turns a
+    * per-source quality ranking into an actual training corpus. One
+    * running-sum window per source partition. Scale note: the cumsum
+    * serializes within each source partition, the known skew point when
+    * one source holds billions of documents — there, replace with a
+    * two-pass threshold find (score histogram to locate the admission
+    * bucket, then an exact scan); the semantics below stay the contract.
+    */
+  def selectTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000
+    val toks = F.tokens(col("text"))
+    val scored = docs(spark, dir).select(col("source"), col("doc_id"),
+      size(toks).as("ntok"),
+      round(F.stopwordCount(toks).cast(DoubleType) / size(toks), 6).as("score"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum", sum("ntok").over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("ntok").cast(LongType).as("tokens_selected"),
+        min("score").as("score_cutoff"))
+      .orderBy("source")
+  }
+
   /** Quality scoring per source: length, stopword ratio, punctuation ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

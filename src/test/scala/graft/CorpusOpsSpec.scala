@@ -443,6 +443,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.8, s"int8 recall collapsed: ${r.getDouble(2)}")
   }
 
+  test("text_pii: synthetic corpus is clean — every count exactly zero") {
+    val rows = TrainingData.textPii(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("emails") == 0L && r.getAs[Long]("phones") == 0L
+        && r.getAs[Long]("ipv4s") == 0L && r.getAs[Long]("docs_with_pii") == 0L)
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+  }
+
+  test("select_token_budget: per-source tokens within budget, cutoff sane") {
+    val rows = TrainingData.selectTokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_selected") <= 2000L,
+        s"${r.getAs[String]("source")}: budget exceeded")
+      assert(r.getAs[Long]("n_selected") > 0L)
+      val cutoff = r.getAs[Double]("score_cutoff")
+      assert(cutoff >= 0.0 && cutoff <= 1.0)
+    }
+    // the selection must be a PREFIX of the per-source quality ranking:
+    // every unselected doc scores <= the selected cutoff (score tie broken
+    // by doc_id, so equality is allowed)
+    import org.apache.spark.sql.functions._
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), size(toks).as("ntok"),
+        round(graft.functions.TextFunctions.stopwordCount(toks)
+          .cast(org.apache.spark.sql.types.DoubleType) / size(toks), 6).as("score"))
+    val cutoffs = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Double]("score_cutoff")).toMap
+    val perSourceMax = scored.groupBy("source").agg(max("score").as("mx"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("mx")).toMap
+    cutoffs.foreach { case (src, cut) =>
+      assert(cut <= perSourceMax(src), s"$src: cutoff above best score")
+    }
+  }
+
   test("text_zipf_slope: negative slope, r2 in [0,1], vocab sane") {
     val Array(r) = TrainingData.textZipfSlope(spark, sf).collect()
     assert(r.getLong(0) > 10L, "non-trivial vocabulary")

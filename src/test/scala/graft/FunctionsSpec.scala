@@ -260,6 +260,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked.map(_.toSeq).toSeq == single.map(_.toSeq).toSeq)
   }
 
+  test("pii: detects and redacts emails, phones, ipv4; clean text untouched") {
+    import org.apache.spark.sql.functions._
+    val s = "mail bob.smith+x@corp.example.com or call 555-867-5309 " +
+      "from 192.168.1.250 twice: 10.0.0.1; phone 555.867.5309 too"
+    val row = spark.range(1).select(
+      F.patternCount(lit(s), F.EmailRe).as("e"),
+      F.patternCount(lit(s), F.PhoneRe).as("p"),
+      F.patternCount(lit(s), F.Ipv4Re).as("i"),
+      F.redactPii(lit(s)).as("r")).head()
+    assert(row.getInt(0) == 1 && row.getInt(1) == 2 && row.getInt(2) == 2)
+    val r = row.getString(3)
+    assert(r == "mail [EMAIL] or call [PHONE] from [IP] twice: [IP]; " +
+      "phone [PHONE] too")
+    // clean text passes through byte-identical, counts all zero
+    val clean = "no personal data here, just 3 words and v1.2 notation"
+    val c = spark.range(1).select(
+      F.patternCount(lit(clean), F.EmailRe).as("e"),
+      F.patternCount(lit(clean), F.PhoneRe).as("p"),
+      F.patternCount(lit(clean), F.Ipv4Re).as("i"),
+      F.redactPii(lit(clean)).as("r")).head()
+    assert(c.getInt(0) == 0 && c.getInt(1) == 0 && c.getInt(2) == 0)
+    assert(c.getString(3) == clean)
+  }
+
   test("probe-set hash: Spark md5-of-decimal-string matches the reference digest") {
     // The fixed-N probe sets select by md5(CAST(vec_id AS VARCHAR)) in
     // DuckDB and md5(cast(vec_id as string)) in Spark — the two oracles
