@@ -50,6 +50,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q2 = StreamingPipeline.dropFolderStream(spark, source, drop, out, ckpt)
     q2.awaitTermination()
     assert(spark.read.parquet(s"$out/valid").count() == 2)
+    // RESTART RECOVERY: a third run over the same checkpoint with a newly
+    // dropped file processes exactly the new file — earlier rows are
+    // neither reprocessed nor clobbered (exactly-once across restarts, the
+    // property the reference's duplicate-file ledger provides in batch)
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_s2.csv"),
+      "transaction_id,quantity\nT10,7\n")
+    val q3 = StreamingPipeline.dropFolderStream(spark, source, drop, out, ckpt)
+    q3.awaitTermination()
+    val afterRestart = spark.read.parquet(s"$out/valid")
+    assert(afterRestart.count() == 3)
+    assert(afterRestart.select("transaction_id").distinct().count() == 3,
+      "restart must not duplicate previously processed rows")
+    assert(spark.read.parquet(s"$out/dlq").count() == 1,
+      "dlq rows from the first run survive the restart")
   }
 
   test("streaming merge-publish: upserts per micro-batch, hash no-op on replayed content") {
