@@ -45,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "array<bigint> columns via a two-pointer merge scan. Both arrays " +
           "MUST be sorted ascending (e.g. shingle_ids output); unsorted " +
           "input yields undercounts. A null element makes the result null.",
-        ""),
+        "", "", "", "", "", "", ""),
       (exprs: Seq[Expression]) => IntersectSizeIds(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("vec_normalize"),
       new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),

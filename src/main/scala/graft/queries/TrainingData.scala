@@ -1736,7 +1736,7 @@ object TrainingData {
       .cache()
     val dim = 64
     def matvec(v: Array[Double]): Array[Double] = {
-      val litV = array(v.map(lit): _*)
+      val litV = array(v.toIndexedSeq.map(lit): _*)
       val y = e.select(vecDot(col("v"), litV).as("s"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("pos").agg(round(sum(col("x") * col("s")), 6).as("y"))
@@ -1752,7 +1752,7 @@ object TrainingData {
     }
     val v0 = Array.fill(dim)(0.125) // 1/sqrt(64), exactly representable
     val v2 = normalize(matvec(normalize(matvec(v0))))
-    val litV2 = array(v2.map(lit): _*)
+    val litV2 = array(v2.toIndexedSeq.map(lit): _*)
     val result = e.select(vecDot(col("v"), litV2).as("s"),
         vecDot(col("v"), col("v")).as("vv"))
       .agg(count(lit(1)).cast(LongType).as("n_vecs"),
