@@ -53,12 +53,25 @@ object Bench {
     // workload (GC pauses, page-cache misses, and CPU contention only ever
     // ADD time).
     val Reps = 3
-    def bestOf(f: => Unit): Double =
-      (1 to Reps).map { _ =>
+    // -1 sentinel when EVERY rep throws: a fast-failing query must be
+    // visibly failed in the bench JSON, not recorded as a plausibly small
+    // wall time (failures also never contribute to the total).
+    def bestOf(f: => Unit): Double = {
+      var best = Double.MaxValue
+      var ok = false
+      (1 to Reps).foreach { _ =>
         val t0 = System.nanoTime()
-        try f catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        try {
+          f
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          ok = true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      if (ok) best else -1.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> bestOf { fn(spark, sfDir).count(); () }
     }
@@ -86,11 +99,21 @@ object Bench {
     val all = results ++ ivfSplit
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
+    // The capture downstream keeps only the TAIL of stdout, so the head of
+    // one long line gets truncated (rounds 1-7 lost the first ~8 query
+    // entries every round). Persist the full JSON to a file truncation
+    // can't reach, still print it for human eyes, and END with a SHORT
+    // line that always parses whole.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // Print the result LAST, after spark.stop()'s shutdown logging, so the
-    // JSON line is the final stdout line and trivially machine-parseable.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Print after spark.stop()'s shutdown logging so nothing interleaves.
+    println(full)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"failed":$failed,"queries_file":"bench_out.json"}""")
     System.out.flush()
   }
 }

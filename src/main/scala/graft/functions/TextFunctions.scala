@@ -178,9 +178,16 @@ object TextFunctions {
   val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Occurrences of `re` in `text` (0 when none). */
+  /** Occurrences of `re` in `text` (0 when none, NULL for NULL text).
+    * `size()` returns -1 for NULL input under Spark's default
+    * `spark.sql.legacy.sizeOfNull=true` — a NULL document would contribute
+    * a NEGATIVE count to any sum and diverge from the oracle's NULL
+    * semantics (DuckDB `len(...)` of NULL is NULL), so NULL text is gated
+    * to NULL explicitly.
+    */
   def patternCount(text: Column, re: String): Column =
-    size(regexp_extract_all(text, lit(re), lit(0)))
+    when(text.isNull, lit(null))
+      .otherwise(size(regexp_extract_all(text, lit(re), lit(0))))
 
   /** Redact emails, then phone numbers, then IPv4 addresses with typed
     * placeholder tokens. Email runs first (an address may contain digit

@@ -49,7 +49,16 @@ object VectorIndex {
       .select(col("vec_id"), col("best.cent_id").as("bucket"),
         col("best.nv").as("nv"))
 
-  /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors. */
+  /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors.
+    *
+    * A REBUILD into a previously compacted index must also retire the
+    * `_POSTINGS` pointer and the `postings_v*` generations it points at:
+    * probes resolve the live dir through the pointer, so leaving it in
+    * place would have them silently keep reading the stale generation and
+    * make the rebuild invisible. The pointer is deleted first (readers fall
+    * back to `postings/`, which the write below repopulates), then the
+    * orphaned generations.
+    */
   def buildIvf(embeddings: DataFrame, indexDir: String,
                centEvery: Int = 100, centOffset: Int = 3): Unit = {
     val e = embeddings.select(col("vec_id"), col("nv"))
@@ -60,6 +69,14 @@ object VectorIndex {
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(
+      embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_POSTINGS"), false)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("postings_v"))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING centroids

@@ -472,18 +472,26 @@ object TrainingData {
     val e = normalized(spark, dir).cache()
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val idx = s"$warehouse/graft_scratch/ivf_${java.util.UUID.randomUUID()}"
-    val t0 = System.nanoTime()
-    graft.operators.VectorIndex.buildIvf(e, idx)
-    val tBuild = (System.nanoTime() - t0) / 1e9
-    val queries = e.join(broadcast(probeIds(e)), Seq("vec_id"))
-      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
-    val t1 = System.nanoTime()
-    val result = materializeAndRelease(
-      graft.operators.VectorIndex.queryIvf(spark, idx, queries), e)
-    val tProbe = (System.nanoTime() - t1) / 1e9
-    val p = new org.apache.hadoop.fs.Path(idx)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    (result, tBuild, tProbe)
+    // delete in finally: a build/probe failure must not leak a corpus-sized
+    // scratch directory per invocation (and the cache must be released even
+    // when materializeAndRelease never runs)
+    try {
+      val t0 = System.nanoTime()
+      graft.operators.VectorIndex.buildIvf(e, idx)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val queries = e.join(broadcast(probeIds(e)), Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+      val t1 = System.nanoTime()
+      val result = materializeAndRelease(
+        graft.operators.VectorIndex.queryIvf(spark, idx, queries), e)
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      (result, tBuild, tProbe)
+    } catch {
+      case err: Throwable => e.unpersist(blocking = false); throw err
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Recall of the LSH ANN against the exact brute-force top-5: the

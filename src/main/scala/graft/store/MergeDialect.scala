@@ -56,22 +56,30 @@ sealed trait MergeDialect {
 
   /** Column type for a declared string column in the landed delta table.
     * Bounded lengths map to VARCHAR(n); UNDECLARED lengths map to the
-    * dialect's largest VARCHAR rather than a guessed bound — the validator
-    * only gates length when maxLength is declared, so a small default
-    * turned valid long rows into hard SQLExceptions unique to JDBC
-    * targets. 32672 is Derby's VARCHAR ceiling and within bounds for
-    * Postgres / SQL Server / Oracle; MySQL overrides (65k row-size limit)
-    * to TEXT.
+    * dialect's OWN largest string type rather than a guessed bound — the
+    * validator only gates length when maxLength is declared, so a small
+    * default turned valid long rows into hard SQLExceptions unique to JDBC
+    * targets. No single large VARCHAR is portable (Derby caps at 32672,
+    * SQL Server at 8000, Oracle at 4000 bytes standard), so each
+    * MERGE-capable dialect overrides: Derby VARCHAR(32672), SQL Server
+    * VARCHAR(MAX), Oracle CLOB, MySQL TEXT. The generic fallback stays at
+    * the classic portable VARCHAR(4000).
     */
   def stringType(maxLength: Option[Int]): String =
-    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(32672)")
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(4000)")
+
+  /** Cast target for string grain keys in [[keyEq]]. VARCHAR(4000) is the
+    * portable bound (within every documented target's limit); dialects
+    * with a larger comparable type override (Derby 32672, SQL Server MAX).
+    */
+  protected def keyCastType: String = "VARCHAR(4000)"
 
   /** Key equality predicate between aliases `t` (target) and `d` (delta);
-    * string grain columns CAST to VARCHAR so legacy CLOB-typed keys stay
-    * comparable (index-based dialects override to plain equality — their
-    * writers never produce CLOB keys and a CAST would defeat the index).
-    * Grain columns declared NULLABLE get a null-safe form
-    * (`a = b OR (a IS NULL AND b IS NULL)`) matching the Spark-side
+    * string grain columns CAST to [[keyCastType]] so legacy CLOB-typed
+    * keys stay comparable (index-based dialects override to plain
+    * equality — their writers never produce CLOB keys and a CAST would
+    * defeat the index). Grain columns declared NULLABLE get a null-safe
+    * form (`a = b OR (a IS NULL AND b IS NULL)`) matching the Spark-side
     * publish's `<=>` — with plain `=`, a NULL key never matches and the
     * same row re-INSERTs on every publish of its file family.
     */
@@ -80,7 +88,7 @@ sealed trait MergeDialect {
     grain.map { g =>
       val eq =
         if (stringCols(g))
-          s"CAST(t.${qid(g)} AS VARCHAR(32672)) = CAST(d.${qid(g)} AS VARCHAR(32672))"
+          s"CAST(t.${qid(g)} AS $keyCastType) = CAST(d.${qid(g)} AS $keyCastType)"
         else s"t.${qid(g)} = d.${qid(g)}"
       if (nullableCols(g))
         s"($eq OR (t.${qid(g)} IS NULL AND d.${qid(g)} IS NULL))"
@@ -105,15 +113,20 @@ object MergeDialect {
       case "postgresql" => PostgresOnConflictDialect
       case "sqlite" => SqliteOnConflictDialect
       case "mysql" | "mariadb" => MySqlOnDuplicateDialect
-      case _ => AnsiMergeDialect // mssql, oracle, db2, derby, h2, ...
+      case "derby" => DerbyMergeDialect
+      case "sqlserver" | "jtds" => SqlServerMergeDialect
+      case "oracle" => OracleMergeDialect
+      case _ => AnsiMergeDialect // db2, h2, unknown MERGE-capable targets
     }
   }
 }
 
-/** ANSI `MERGE` (SQL Server, Oracle, DB2, Derby, H2, Postgres 15+). */
-case object AnsiMergeDialect extends MergeDialect {
-  val name = "ansi-merge"
-
+/** Shared ANSI `MERGE` statement shape (SQL Server, Oracle, DB2, Derby, H2,
+  * Postgres 15+). String-type limits differ per database, so the concrete
+  * MERGE dialects below override [[stringType]]/[[keyCastType]] (and DDL
+  * where the database lacks `CREATE TABLE .. WITH NO DATA`).
+  */
+sealed trait AnsiMergeLike extends MergeDialect {
   override def mergeSql(target: String, delta: String, grain: Seq[String],
                         dataCols: Seq[String], ts: String, on: String): String = {
     val updateSet = (dataCols.filterNot(grain.contains)
@@ -126,6 +139,63 @@ case object AnsiMergeDialect extends MergeDialect {
        |  THEN UPDATE SET $updateSet
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
   }
+}
+
+/** Generic ANSI MERGE fallback (DB2, H2, unknown) — portable VARCHAR(4000)
+  * bounds because nothing larger is safe everywhere (DB2's effective
+  * VARCHAR ceiling depends on table-space page size and can be ~4 KB).
+  */
+case object AnsiMergeDialect extends AnsiMergeLike {
+  val name = "ansi-merge"
+}
+
+/** Derby (the live-e2e-tested target): VARCHAR ceiling 32672 — used for
+  * both unbounded strings and the grain-key CAST so legacy CLOB keys up to
+  * that length stay comparable.
+  */
+case object DerbyMergeDialect extends AnsiMergeLike {
+  val name = "derby-merge"
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(32672)")
+  override protected def keyCastType: String = "VARCHAR(32672)"
+}
+
+/** SQL Server: plain VARCHAR caps at 8000, so unbounded strings land as
+  * VARCHAR(MAX) (comparable with `=`, just not indexable — MERGE ON
+  * doesn't need an index). `SELECT INTO` replaces the unsupported
+  * `CREATE TABLE .. WITH NO DATA`; TIMESTAMP means rowversion on SQL
+  * Server, so the audit columns are DATETIME2. MERGE statements must be
+  * semicolon-terminated on SQL Server.
+  */
+case object SqlServerMergeDialect extends AnsiMergeLike {
+  val name = "sqlserver-merge"
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(MAX)")
+  override protected def keyCastType: String = "VARCHAR(MAX)"
+  override def createLike(target: String, delta: String): Seq[String] = Seq(
+    s"SELECT * INTO $target FROM $delta WHERE 1=0",
+    s"ALTER TABLE $target ADD ${qid("etl_created_at")} DATETIME2",
+    s"ALTER TABLE $target ADD ${qid("etl_updated_at")} DATETIME2")
+  override def mergeSql(target: String, delta: String, grain: Seq[String],
+                        dataCols: Seq[String], ts: String, on: String): String =
+    super.mergeSql(target, delta, grain, dataCols, ts, on) + ";"
+}
+
+/** Oracle: standard VARCHAR2 caps at 4000 bytes, so unbounded strings land
+  * as CLOB; grain keys CAST to VARCHAR2(4000) in the ON clause (CLOBs
+  * cannot sit in `=` directly — keys longer than 4000 bytes compare by
+  * their 4000-byte prefix, documented bound). No `WITH NO DATA`; the
+  * `WHERE 1=0` CTAS form and parenthesized ALTER TABLE ADD instead.
+  */
+case object OracleMergeDialect extends AnsiMergeLike {
+  val name = "oracle-merge"
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR2($n)").getOrElse("CLOB")
+  override protected def keyCastType: String = "VARCHAR2(4000)"
+  override def createLike(target: String, delta: String): Seq[String] = Seq(
+    s"CREATE TABLE $target AS SELECT * FROM $delta WHERE 1=0",
+    s"ALTER TABLE $target ADD (${qid("etl_created_at")} TIMESTAMP)",
+    s"ALTER TABLE $target ADD (${qid("etl_updated_at")} TIMESTAMP)")
 }
 
 /** Postgres / SQLite `INSERT .. ON CONFLICT (grain) DO UPDATE`. */

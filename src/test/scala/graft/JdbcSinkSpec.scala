@@ -166,19 +166,29 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(MergeDialect.forUrl("jdbc:sqlite:/tmp/x.db") == SqliteOnConflictDialect)
     assert(MergeDialect.forUrl("jdbc:mysql://h/db") == MySqlOnDuplicateDialect)
     assert(MergeDialect.forUrl("jdbc:mariadb://h/db") == MySqlOnDuplicateDialect)
-    assert(MergeDialect.forUrl("jdbc:derby:/tmp/db") == AnsiMergeDialect)
-    assert(MergeDialect.forUrl("jdbc:sqlserver://h;db=x") == AnsiMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:derby:/tmp/db") == DerbyMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:sqlserver://h;db=x") == SqlServerMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:oracle:thin:@h:1521/db") == OracleMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:db2://h/db") == AnsiMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:h2:mem:x") == AnsiMergeDialect)
 
     val grain = Seq("transaction_id")
     val cols = Seq("transaction_id", "quantity", "etl_row_hash",
       "source_filename", "file_load_log_id")
     val ts = "{ts '2026-08-13 00:00:00.0'}"
 
-    val ansi = AnsiMergeDialect.mergeSql("t1", "t1__delta", grain, cols, ts,
-      AnsiMergeDialect.keyEq(grain, Set("transaction_id")))
+    val ansi = DerbyMergeDialect.mergeSql("t1", "t1__delta", grain, cols, ts,
+      DerbyMergeDialect.keyEq(grain, Set("transaction_id")))
     assert(ansi.contains("MERGE INTO t1 t USING t1__delta d"))
-    // string grain keys CAST so legacy CLOB-typed targets stay mergeable
+    // string grain keys CAST so legacy CLOB-typed targets stay mergeable,
+    // at each database's own comparable bound
     assert(ansi.contains("CAST(t.\"transaction_id\" AS VARCHAR(32672))"))
+    assert(AnsiMergeDialect.keyEq(grain, Set("transaction_id"))
+      .contains("AS VARCHAR(4000)"))
+    assert(SqlServerMergeDialect.keyEq(grain, Set("transaction_id"))
+      .contains("AS VARCHAR(MAX)"))
+    assert(OracleMergeDialect.keyEq(grain, Set("transaction_id"))
+      .contains("AS VARCHAR2(4000)"))
     // nullable grain keys merge null-safe (Spark-side <=> analogue); the
     // non-nullable form above stays plain equality (index-friendly)
     val ansiNullable = AnsiMergeDialect.keyEq(grain, Set("transaction_id"),
@@ -190,11 +200,28 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
       && SqliteOnConflictDialect.requiresNonNullGrain
       && MySqlOnDuplicateDialect.requiresNonNullGrain
       && !AnsiMergeDialect.requiresNonNullGrain)
-    // unbounded strings land as the dialect's LARGE type, never a guessed
-    // small bound (a valid long row must not SQLException only on JDBC)
-    assert(AnsiMergeDialect.stringType(None) == "VARCHAR(32672)")
-    assert(AnsiMergeDialect.stringType(Some(100)) == "VARCHAR(100)")
+    // unbounded strings land as each dialect's OWN large type, never a
+    // one-size bound (32672 exceeds SQL Server's 8000 / Oracle's 4000;
+    // a valid long row must not SQLException only on JDBC)
+    assert(DerbyMergeDialect.stringType(None) == "VARCHAR(32672)")
+    assert(DerbyMergeDialect.stringType(Some(100)) == "VARCHAR(100)")
+    assert(SqlServerMergeDialect.stringType(None) == "VARCHAR(MAX)")
+    assert(OracleMergeDialect.stringType(None) == "CLOB")
+    assert(OracleMergeDialect.stringType(Some(80)) == "VARCHAR2(80)")
+    assert(AnsiMergeDialect.stringType(None) == "VARCHAR(4000)")
     assert(MySqlOnDuplicateDialect.stringType(None) == "TEXT")
+    // SQL Server: MERGE must be semicolon-terminated; audit cols DATETIME2
+    // (TIMESTAMP is rowversion there); SELECT INTO replaces WITH NO DATA
+    val mssql = SqlServerMergeDialect.mergeSql("t1", "t1__delta", grain, cols,
+      ts, SqlServerMergeDialect.keyEq(grain, Set.empty))
+    assert(mssql.endsWith(";"))
+    assert(SqlServerMergeDialect.createLike("t1", "t1__delta").head
+      .startsWith("SELECT * INTO t1"))
+    assert(SqlServerMergeDialect.createLike("t1", "t1__delta")
+      .exists(_.contains("DATETIME2")))
+    // Oracle: no WITH NO DATA; WHERE 1=0 CTAS + parenthesized ADD
+    assert(OracleMergeDialect.createLike("t1", "t1__delta").head
+      .contains("WHERE 1=0"))
     assert(ansi.contains("WHEN MATCHED AND t.\"etl_row_hash\" <> d.\"etl_row_hash\""))
     assert(ansi.contains("WHEN NOT MATCHED THEN INSERT"))
     // update never reassigns the grain key
