@@ -1,7 +1,10 @@
 package graft.store
 
+import graft.core.SourceConfig
+import graft.operators.Publish
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -28,8 +31,46 @@ import java.util.concurrent.atomic.AtomicLong
   * At 100 TB scale each version write is a fully parallel parquet job; the
   * pointer swap is O(1) driver metadata. (A production deployment would use
   * Delta/Iceberg — same design, hardened.)
+  *
+  * == O(delta) bucketed copy-on-write publish ==
+  *
+  * A naive versioned publish rewrites the WHOLE target per file — fatal at
+  * 100 TB where each drop-file is a sliver of the accumulated table. The
+  * [[mergeInPlace]] path instead lays targets out in `publishBuckets`
+  * grain-hash bucket directories (`_bucket=K/`, K = pmod(xxhash64(grain),
+  * N)) and each version carries a `_MANIFEST` file mapping every bucket to
+  * the version directory that OWNS its current files. A publish:
+  *
+  *   1. computes the stage's touched buckets (≤N small ints, one
+  *      O(delta) pass),
+  *   2. reads ONLY the touched buckets' directories (path-level pruning —
+  *      untouched data is never opened),
+  *   3. full-outer-merges the delta against just those rows,
+  *   4. writes the merged touched buckets into the NEW version directory,
+  *   5. writes a manifest that points touched buckets at the new version
+  *      and carries every untouched bucket forward to its PRIOR owner
+  *      unchanged — zero IO for untouched data,
+  *   6. atomically swaps the `_VERSION` pointer.
+  *
+  * Per-publish cost is O(delta + touched-bucket data), matching the
+  * reference's in-database MERGE (src/pipeline/publish/base.py:76-97) and
+  * our own JDBC path ([[JdbcSink.mergeInPlace]]). Readers resolve the
+  * manifest and scan each bucket from its owning version; crash safety is
+  * unchanged (nothing is visible until the pointer flips). [[vacuum]]
+  * understands manifests: it keeps every referenced version and prunes
+  * bucket directories a version no longer owns, bounding storage at ~1×
+  * the table plus the in-flight publish.
   */
-final class TableStore(spark: SparkSession, root: String) extends Sink {
+final class TableStore(spark: SparkSession, root: String,
+                       /** Grain-hash bucket count for merge-published
+                         * targets; fixed per table at first publish (the
+                         * manifest records it). Sizing: buckets should
+                         * OUTNUMBER a typical delta's distinct grains so
+                         * hash-spread deltas still leave buckets untouched,
+                         * while keeping bucket size (table/N) a sane rewrite
+                         * unit — 256 ≈ 390 GB buckets at 100 TB.
+                         */
+                       publishBuckets: Int = 256) extends Sink {
   private val counter = new AtomicLong(System.currentTimeMillis())
   private def conf = spark.sparkContext.hadoopConfiguration
   private def tableDir(name: String) = new Path(root, name)
@@ -80,12 +121,62 @@ final class TableStore(spark: SparkSession, root: String) extends Sink {
     }
   }
 
+  // ---- bucket-manifest plumbing (O(delta) publish) -----------------------
+
+  private val ManifestFile = "_MANIFEST"
+  private val BucketPrefix = "_bucket="
+
+  /** bucket id -> version-directory name owning that bucket's files. */
+  private final case class BucketManifest(numBuckets: Int,
+                                          buckets: Map[Int, String])
+
+  private def bucketDir(name: String, version: String, b: Int): Path =
+    new Path(new Path(tableDir(name), version), s"$BucketPrefix$b")
+
+  private def readManifest(name: String, version: String): Option[BucketManifest] = {
+    val p = new Path(new Path(tableDir(name), version), ManifestFile)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                 finally in.close()
+      val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val entries = lines.tail.map { l =>
+        val sep = l.indexOf('\t')
+        l.substring(0, sep).toInt -> l.substring(sep + 1)
+      }
+      Some(BucketManifest(lines.head.toInt, entries.toMap))
+    }
+  }
+
+  private def writeManifest(name: String, version: String,
+                            m: BucketManifest): Unit = {
+    val p = new Path(new Path(tableDir(name), version), ManifestFile)
+    val out = fs(p).create(p, true)
+    val text = (m.numBuckets.toString +:
+      m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b\t$v" })
+      .mkString("\n")
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def currentManifest(name: String): Option[BucketManifest] =
+    currentVersion(name).flatMap(v => readManifest(name, v))
+
   /** Read the current version plus any append segments; None when the table
-    * has never been written.
+    * has never been written. Manifested (bucket-merged) tables read each
+    * bucket directory from its OWNING version — the union of those paths IS
+    * the table; the scan never touches superseded bucket generations.
     */
   override def readIfExists(name: String): Option[DataFrame] = {
-    val base = currentVersion(name).map(v => new Path(tableDir(name), v))
-    val paths = (base.toSeq ++ segments(name)).map(_.toString)
+    val cur = currentVersion(name)
+    val man = cur.flatMap(v => readManifest(name, v))
+    val base = man match {
+      case Some(m) =>
+        m.buckets.toSeq.sortBy(_._1).map { case (b, v) => bucketDir(name, v, b) }
+      case None => cur.map(v => new Path(tableDir(name), v)).toSeq
+    }
+    val paths = (base ++ segments(name)).map(_.toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
@@ -119,10 +210,17 @@ final class TableStore(spark: SparkSession, root: String) extends Sink {
     val priorSegs = foldedSegs
     val version = s"v_${counter.incrementAndGet()}"
     val dir = tableDir(name)
-    val f = fs(dir)
     val writer = if (partitionBy.isEmpty) df.write
                  else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(new Path(dir, version).toString)
+    swapPointer(name, version)
+    priorSegs.foreach(s => fs(dir).delete(s, true))
+  }
+
+  /** Atomically flip `_VERSION` to `version` (create temp + overwrite-rename). */
+  private def swapPointer(name: String, version: String): Unit = {
+    val dir = tableDir(name)
+    val f = fs(dir)
     val tmp = new Path(dir, s"._VERSION.tmp.${counter.incrementAndGet()}")
     val out = f.create(tmp, true)
     try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -144,7 +242,91 @@ final class TableStore(spark: SparkSession, root: String) extends Sink {
             throw new java.io.IOException(s"pointer swap failed for $name")
         }
     }
-    priorSegs.foreach(s => f.delete(s, true))
+  }
+
+  /** O(delta) bucketed copy-on-write merge publish — see the class doc.
+    *
+    * The caller (PipelineRunner's publish stage) holds [[withTableLock]];
+    * like [[JdbcSink.mergeInPlace]] this method does not re-acquire it.
+    * Targets with user-declared hive partitioning keep their layout and
+    * fall back to the full merge-overwrite path (None).
+    */
+  override def mergeInPlace(name: String, stage: DataFrame,
+                            source: SourceConfig,
+                            now: java.sql.Timestamp): Option[(Long, Long)] = {
+    if (source.targetPartitionBy.nonEmpty) return None
+    val cur = currentVersion(name)
+    val man = cur.flatMap(v => readManifest(name, v))
+    val segs = segments(name)
+    val n = man.map(_.numBuckets).getOrElse(publishBuckets)
+    def bucketOf(grain: Seq[String]): Column =
+      pmod(xxhash64(grain.map(col): _*), lit(n.toLong))
+
+    // One O(delta) pass: which buckets does this file's grain set reach?
+    // Bounded by n small ints — never scales with the corpus. A first
+    // publish (nothing to prune against) skips the probe entirely.
+    val tableIsEmpty = cur.isEmpty && segs.isEmpty
+    val touched: Set[Int] =
+      if (tableIsEmpty) Set.empty
+      else stage.select(bucketOf(source.grain).as("_b")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+
+    // A legacy (un-manifested) version or stray append segments force a
+    // one-time full migration merge — same cost as the old full rewrite,
+    // after which the table is bucketed and every later publish is O(delta).
+    val fullRewrite = man.isEmpty || segs.nonEmpty
+    val targetPaths: Seq[Path] = (man match {
+      case Some(m) =>
+        val wanted = if (fullRewrite) m.buckets.keySet else touched
+        m.buckets.toSeq.sortBy(_._1).collect {
+          case (b, v) if wanted(b) => bucketDir(name, v, b)
+        }
+      case None => cur.map(v => new Path(tableDir(name), v)).toSeq
+    }) ++ segs
+
+    val targetEmpty = targetPaths.isEmpty
+    val target =
+      if (targetEmpty) Publish.emptyTarget(spark, source)
+      else spark.read.parquet(targetPaths.map(_.toString): _*)
+    val plan = Publish.mergePlan(stage, target, source, now,
+      targetKnownEmpty = targetEmpty)
+
+    // Layout the merged touched buckets: one `_bucket=K/` dir each. The
+    // repartition bounds output files — `filesPerBucket` salt lanes give
+    // within-bucket write parallelism when the delta is huge (initial 100 TB
+    // load: shuffle-partition-many tasks, ~P/touched files per bucket)
+    // while a routine small publish collapses to one lane and at most
+    // min(P, touched) tasks. The salt hash is seeded differently from the
+    // bucket hash — an unseeded reuse would make salt a pure function of
+    // bucket (h mod fpb determined by h mod n when fpb | n) and kill the
+    // within-bucket split.
+    val p = spark.sessionState.conf.numShufflePartitions
+    val touchedCount = if (tableIsEmpty) n else math.max(1, touched.size)
+    val fpb = math.max(1, p / touchedCount)
+    val saltCols = lit("graft#salt") +: source.grain.map(col)
+    val salt = pmod(xxhash64(saltCols: _*), lit(fpb.toLong))
+    val version = s"v_${counter.incrementAndGet()}"
+    val outDir = new Path(tableDir(name), version)
+    plan.merged.withColumn("_bucket", bucketOf(source.grain))
+      .repartition(math.min(p, touchedCount * fpb), col("_bucket"), salt)
+      .write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
+    val counts = plan.counts()
+
+    // Ground truth of what the new version owns = the bucket dirs the write
+    // actually produced (an all-invalid file yields an empty delta and no
+    // dirs — the manifest then just carries the old map forward).
+    val f = fs(outDir)
+    val owned = f.listStatus(outDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketPrefix))
+      .map(_.getPath.getName.stripPrefix(BucketPrefix).toInt)
+    val carried = if (fullRewrite) Map.empty[Int, String]
+                  else man.map(_.buckets).getOrElse(Map.empty)
+    writeManifest(name, version,
+      BucketManifest(n, carried ++ owned.map(_ -> version)))
+    swapPointer(name, version)
+    segs.foreach(s => f.delete(s, true))
+    vacuum(name) // bound disk: drop superseded generations (manifest-aware)
+    Some(counts)
   }
 
   /** Append as an O(new-rows) segment write: the new rows land in a temp
@@ -183,6 +365,11 @@ final class TableStore(spark: SparkSession, root: String) extends Sink {
     */
   def compact(name: String, maxSegments: Int = 16): Boolean =
     withTableLock(name) {
+      // Bucket-manifested targets never accumulate segments (publishes go
+      // through mergeInPlace) and an unpartitioned fold would destroy their
+      // layout — leave them to the publish path.
+      if (currentManifest(name).isDefined) false
+      else {
       val segs = segments(name)
       if (segs.size <= maxSegments) false
       else {
@@ -190,6 +377,7 @@ final class TableStore(spark: SparkSession, root: String) extends Sink {
         val df = spark.read.parquet((base.toSeq ++ segs).map(_.toString): _*)
         overwriteFolding(name, df, Nil, segs)
         true
+      }
       }
     }
 
@@ -199,18 +387,33 @@ final class TableStore(spark: SparkSession, root: String) extends Sink {
     if (f.exists(dir)) f.delete(dir, true)
   }
 
-  /** Remove version directories other than the current one plus any stale
-    * uncommitted temp dirs a crashed writer left behind (vacuum).
+  /** Reclaim superseded storage (vacuum): stale uncommitted temp dirs plus
+    * version directories no longer reachable. For a manifested table
+    * "reachable" is manifest-defined — a version stays while it still owns
+    * at least one bucket, and within a kept non-current version the bucket
+    * dirs it NO LONGER owns are pruned (a bucket rewritten by a later
+    * publish would otherwise pin its stale generation forever, an unbounded
+    * leak over a table's life). Net storage is ~1× the live table.
     */
   override def vacuum(name: String): Unit = {
     currentVersion(name).foreach { cur =>
+      val man = readManifest(name, cur)
+      val keep = Set(cur) ++ man.map(_.buckets.values.toSet).getOrElse(Set.empty)
       val dir = tableDir(name)
       val f = fs(dir)
       f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if ((n.startsWith("v_") && n != cur) ||
+        if ((n.startsWith("v_") && !keep(n)) ||
             n.startsWith(".tmp_") || n.startsWith("._VERSION.tmp"))
           f.delete(st.getPath, true)
+        else if (n.startsWith("v_") && n != cur && man.isDefined)
+          f.listStatus(st.getPath).foreach { sub =>
+            val sn = sub.getPath.getName
+            if (sn.startsWith(BucketPrefix) &&
+                !man.get.buckets.get(sn.stripPrefix(BucketPrefix).toInt)
+                  .contains(n))
+              f.delete(sub.getPath, true)
+          }
       }
     }
   }

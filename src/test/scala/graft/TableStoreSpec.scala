@@ -1,6 +1,9 @@
 package graft
 
+import graft.core.{ColumnSpec, SourceConfig}
 import graft.store.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -94,5 +97,131 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.compact("log", maxSegments = 0))
     assert(store.readIfExists("log").get.collect().map(_.getLong(0)).sorted
       .sameElements(Array(1L, 2L, 3L, 4L, 9L)))
+  }
+
+  // ---- O(delta) bucketed copy-on-write merge publish ----------------------
+
+  private val btSource = SourceConfig(
+    name = "bt", filePattern = "x.parquet", sourceType = "parquet",
+    columns = Seq(ColumnSpec.long("id", nullable = false),
+      ColumnSpec.string("v")),
+    tableName = "bt", grain = Seq("id"))
+
+  private def stageDf(rows: (Long, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("id", "v")
+      .withColumn("etl_row_hash",
+        xxhash64(concat_ws("|", col("id"), col("v"))))
+      .withColumn("source_filename", lit("x.parquet"))
+      .withColumn("file_load_log_id", lit(1L))
+  }
+
+  /** The store's bucket function, recomputed independently. */
+  private def bucketsOf(n: Int, ids: Seq[Long]): Map[Long, Int] = {
+    val sp = spark
+    import sp.implicits._
+    ids.toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(n.toLong)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+  }
+
+  /** (relative path -> (size, mtime)) for every data file under dir. */
+  private def fileSnapshot(dir: java.nio.file.Path): Map[String, (Long, Long)] = {
+    val s = Files.walk(dir)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-"))
+      .map(p => dir.relativize(p).toString ->
+        (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      .toMap
+    finally s.close()
+  }
+
+  test("bucketed merge publish: O(delta) rewrite leaves untouched buckets byte-identical") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    val ids = (1L to 200L)
+    val t0 = new java.sql.Timestamp(1000L)
+
+    // first publish: all-insert, establishes the bucketed layout
+    val c1 = store.mergeInPlace("bt", stageDf(ids.map(i => i -> s"v$i"): _*),
+      btSource, t0)
+    assert(c1.contains((200L, 0L)))
+    assert(store.readIfExists("bt").get.count() == 200)
+
+    val tableDir = root.resolve("bt")
+    val v1 = Files.list(tableDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("v_")) match {
+      case Array(only) => only
+      case other => fail(s"expected one version dir, got ${other.length}")
+    }
+    val bucketByKey = bucketsOf(8, ids :+ 1000L)
+    // a delta touching exactly the buckets of {1, 1000}
+    val touched = Set(bucketByKey(1L), bucketByKey(1000L))
+    val untouched = (0 until 8).toSet -- touched
+    assert(untouched.nonEmpty, "test needs at least one untouched bucket")
+    val before = untouched.map(b => b -> fileSnapshot(v1.resolve(s"_bucket=$b"))).toMap
+
+    // delta publish: one update (id=1 new value) + one insert (id=1000)
+    val t1 = new java.sql.Timestamp(2000L)
+    val c2 = store.mergeInPlace("bt",
+      stageDf(1L -> "CHANGED", 1000L -> "v1000"), btSource, t1)
+    assert(c2.contains((1L, 1L)))
+
+    // untouched buckets: the exact same files, not rewritten copies
+    untouched.foreach { b =>
+      assert(fileSnapshot(v1.resolve(s"_bucket=$b")) == before(b),
+        s"bucket $b was rewritten by a delta that never touched it")
+    }
+    // touched buckets migrated to the new version; vacuum pruned them from v1
+    touched.foreach { b =>
+      assert(!Files.exists(v1.resolve(s"_bucket=$b")),
+        s"stale generation of touched bucket $b not pruned")
+    }
+
+    // merged contents are exact
+    val got = store.readIfExists("bt").get
+      .select("id", "v", "etl_created_at", "etl_updated_at")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(got.size == 201)
+    assert(got(1L) == (("CHANGED", t0, t1)), "updated row: new value, updated_at stamped")
+    assert(got(2L) == (("v2", t0, null)), "untouched row survives unchanged")
+    assert(got(1000L) == (("v1000", t1, null)), "inserted row stamped created_at")
+
+    // idempotent republish of the same delta: hash-equal rows are no-ops
+    val c3 = store.mergeInPlace("bt",
+      stageDf(1L -> "CHANGED", 1000L -> "v1000"), btSource,
+      new java.sql.Timestamp(3000L))
+    assert(c3.contains((0L, 0L)))
+    assert(store.readIfExists("bt").get.count() == 201)
+  }
+
+  test("bucketed merge adopts a legacy (unbucketed) target via one-time migration") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 4)
+    // legacy layout: created by plain overwrite (pre-bucket era)
+    store.overwrite("m", stageDf(1L -> "a", 2L -> "b")
+      .withColumn("etl_created_at", lit(new java.sql.Timestamp(1L)))
+      .withColumn("etl_updated_at", lit(null).cast("timestamp")))
+    val c = store.mergeInPlace("m", stageDf(2L -> "B2", 3L -> "c"),
+      btSource.copy(tableName = "m"), new java.sql.Timestamp(2000L))
+    assert(c.contains((1L, 1L)))
+    val got = store.readIfExists("m").get.select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // now bucketed: a second delta leaves other buckets' files alone
+    val c2 = store.mergeInPlace("m", stageDf(4L -> "d"),
+      btSource.copy(tableName = "m"), new java.sql.Timestamp(3000L))
+    assert(c2.contains((1L, 0L)))
+    assert(store.readIfExists("m").get.count() == 4)
+  }
+
+  test("mergeInPlace declines user-partitioned targets (layout preserved)") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString)
+    assert(store.mergeInPlace("p", stageDf(1L -> "a"),
+      btSource.copy(tableName = "p", targetPartitionBy = Seq("v")),
+      new java.sql.Timestamp(0L)).isEmpty)
   }
 }
