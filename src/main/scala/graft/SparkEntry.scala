@@ -120,6 +120,9 @@ object SparkEntry {
     "dedup_spans" -> (TrainingData.dedupSpans _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
+    // steady-state incremental publish: O(delta) bucketed merge into an
+    // existing target, counters oracle-recomputed relationally
+    "pipeline_incremental" -> (PipelineBench.pipelineIncremental _),
   )
 
   /** DuckDB bit-vote expression mirroring TrainingData.dedupSimhashMd5's 60
@@ -1137,6 +1140,15 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') AND o_totalprice > 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS target_rows
         |FROM orders""".stripMargin,
+    "pipeline_incremental" ->
+      """WITH v AS (SELECT * FROM orders
+        |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
+        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0)
+        |SELECT (SELECT count(*) FROM v) AS base_inserts,
+        | (SELECT 2 * count(*) FROM d) AS delta_read,
+        | (SELECT count(*) FROM d) AS delta_inserts,
+        | (SELECT count(*) FROM d) AS delta_updates,
+        | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,
     "mixture_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) n_docs, sqrt(count(*)) w_raw
