@@ -62,13 +62,18 @@ import java.util.concurrent.atomic.AtomicLong
   * the table plus the in-flight publish.
   */
 final class TableStore(spark: SparkSession, root: String,
-                       /** Grain-hash bucket count for merge-published
-                         * targets; fixed per table at first publish (the
-                         * manifest records it). Sizing: buckets should
-                         * OUTNUMBER a typical delta's distinct grains so
-                         * hash-spread deltas still leave buckets untouched,
-                         * while keeping bucket size (table/N) a sane rewrite
-                         * unit — 256 ≈ 390 GB buckets at 100 TB.
+                       /** MAXIMUM grain-hash bucket count for merge-published
+                         * targets. The actual count is chosen at first
+                         * publish (~[[TableStore.RowsPerBucket]] rows per
+                         * bucket from the first file, clamped to
+                         * [16, publishBuckets]) and pinned by the manifest:
+                         * bucket count trades pruning granularity against
+                         * per-file overhead, so a 150k-row bench table gets
+                         * 64 directories while a 100 TB initial load maxes
+                         * out (256 ≈ 390 GB rewrite units). A table whose
+                         * first file is unrepresentatively tiny keeps a
+                         * coarse layout (documented; a re-bucket fold is the
+                         * escape hatch, same cost as one full publish).
                          */
                        publishBuckets: Int = 256) extends Sink {
   private val counter = new AtomicLong(System.currentTimeMillis())
@@ -258,14 +263,27 @@ final class TableStore(spark: SparkSession, root: String,
     val cur = currentVersion(name)
     val man = cur.flatMap(v => readManifest(name, v))
     val segs = segments(name)
-    val n = man.map(_.numBuckets).getOrElse(publishBuckets)
+    val tableIsEmpty = cur.isEmpty && segs.isEmpty
+    // Bucket count: manifest-pinned once chosen; a first publish sizes it
+    // from the file (~RowsPerBucket rows each) so small tables don't pay
+    // hundreds of tiny-file opens per publish and read, while a large
+    // initial load maxes out the pruning granularity. Migration of a legacy
+    // table implies maturity — take the max.
+    val n = man.map(_.numBuckets).getOrElse {
+      if (tableIsEmpty) {
+        val floor = math.min(16, publishBuckets)
+        var b = floor
+        val ideal = stage.count() / TableStore.RowsPerBucket
+        while (b < ideal && b < publishBuckets) b <<= 1
+        b
+      } else publishBuckets
+    }
     def bucketOf(grain: Seq[String]): Column =
       pmod(xxhash64(grain.map(col): _*), lit(n.toLong))
 
     // One O(delta) pass: which buckets does this file's grain set reach?
     // Bounded by n small ints — never scales with the corpus. A first
     // publish (nothing to prune against) skips the probe entirely.
-    val tableIsEmpty = cur.isEmpty && segs.isEmpty
     val touched: Set[Int] =
       if (tableIsEmpty) Set.empty
       else stage.select(bucketOf(source.grain).as("_b")).distinct()
@@ -417,4 +435,13 @@ final class TableStore(spark: SparkSession, root: String,
       }
     }
   }
+}
+
+object TableStore {
+  /** First-file rows per bucket when sizing a new table's bucket count:
+    * small enough that routine drop-files (thousands of rows) keep real
+    * pruning granularity, large enough that a bucket's parquet files stay
+    * well above the tiny-file overhead floor.
+    */
+  val RowsPerBucket: Long = 4096L
 }

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // SPARK_GRAFT_CPUS mirrors Bench's environment (local[4]) when set —
+    // profiling in a different core count than the bench hides task-count
+    // sensitive costs (dynamic-partition write fan-out, tiny-file commits)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,6 +86,28 @@ object Profile {
       time("full pipeline_etl")(
         graft.queries.PipelineBench.pipelineEtl(spark, dir).head())
       Thread.sleep(500)
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("writebench")) {
+      // isolate the bucketed-publish write/read costs at bench scale
+      import org.apache.spark.sql.functions.{pmod, xxhash64}
+      val orders = spark.read.parquet(s"$dir/orders.parquet").cache()
+      println(s"rows=${orders.count()}")
+      val work = java.nio.file.Files.createTempDirectory("graft_wb")
+      def wdir(n: String) = work.resolve(n).toString
+      time("plain write (no buckets)")(
+        orders.write.parquet(wdir("plain")))
+      for (n <- Seq(32, 64, 256)) {
+        val b = orders.withColumn("_bucket",
+          pmod(xxhash64(col("o_orderkey")), lit(n.toLong)))
+        time(s"bucketed write n=$n")(
+          b.repartition(col("_bucket"))
+            .write.partitionBy("_bucket").parquet(wdir(s"b$n")))
+        val paths = (0 until n).map(k => s"${wdir(s"b$n")}/_bucket=$k")
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        time(s"manifested read n=$n")(
+          spark.read.parquet(paths: _*).count())
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("queries")) {
