@@ -270,13 +270,7 @@ final class TableStore(spark: SparkSession, root: String,
     // initial load maxes out the pruning granularity. Migration of a legacy
     // table implies maturity — take the max.
     val n = man.map(_.numBuckets).getOrElse {
-      if (tableIsEmpty) {
-        val floor = math.min(16, publishBuckets)
-        var b = floor
-        val ideal = stage.count() / TableStore.RowsPerBucket
-        while (b < ideal && b < publishBuckets) b <<= 1
-        b
-      } else publishBuckets
+      if (tableIsEmpty) chooseBucketCount(stage.count()) else publishBuckets
     }
     def bucketOf(grain: Seq[String]): Column =
       pmod(xxhash64(grain.map(col): _*), lit(n.toLong))
@@ -309,26 +303,48 @@ final class TableStore(spark: SparkSession, root: String,
     val plan = Publish.mergePlan(stage, target, source, now,
       targetKnownEmpty = targetEmpty)
 
-    // Layout the merged touched buckets: one `_bucket=K/` dir each. The
-    // repartition bounds output files — `filesPerBucket` salt lanes give
-    // within-bucket write parallelism when the delta is huge (initial 100 TB
-    // load: shuffle-partition-many tasks, ~P/touched files per bucket)
-    // while a routine small publish collapses to one lane and at most
-    // min(P, touched) tasks. The salt hash is seeded differently from the
-    // bucket hash — an unseeded reuse would make salt a pure function of
-    // bucket (h mod fpb determined by h mod n when fpb | n) and kill the
-    // within-bucket split.
-    val p = spark.sessionState.conf.numShufflePartitions
     val touchedCount = if (tableIsEmpty) n else math.max(1, touched.size)
-    val fpb = math.max(1, p / touchedCount)
-    val saltCols = lit("graft#salt") +: source.grain.map(col)
+    val carried = if (fullRewrite) Map.empty[Int, String]
+                  else man.map(_.buckets).getOrElse(Map.empty)
+    commitBucketedVersion(name, plan.merged, source.grain, n, touchedCount,
+      carried, segs)
+    Some(plan.counts())
+  }
+
+  /** First-publish / rebucket sizing rule — see the `publishBuckets` doc. */
+  private def chooseBucketCount(rows: Long): Int = {
+    var b = math.min(16, publishBuckets)
+    val ideal = rows / TableStore.RowsPerBucket
+    while (b < ideal && b < publishBuckets) b <<= 1
+    b
+  }
+
+  /** Write `out` as a new bucketed version, publish a manifest owning
+    * whatever `_bucket=K/` dirs the write produced on top of `carried`,
+    * swap the pointer, fold `foldSegs`, vacuum.
+    *
+    * The repartition bounds output files — `filesPerBucket` salt lanes give
+    * within-bucket write parallelism when the delta is huge (initial 100 TB
+    * load: shuffle-partition-many tasks, ~P/touched files per bucket)
+    * while a routine small publish collapses to one lane and at most
+    * min(P, touched) tasks. The salt hash is seeded differently from the
+    * bucket hash — an unseeded reuse would make salt a pure function of
+    * bucket (h mod fpb determined by h mod n when fpb | n) and kill the
+    * within-bucket split.
+    */
+  private def commitBucketedVersion(name: String, out: DataFrame,
+      grain: Seq[String], n: Int, touchedCount: Int,
+      carried: Map[Int, String], foldSegs: Seq[Path]): Unit = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    val fpb = math.max(1, p / math.max(1, touchedCount))
+    val saltCols = lit("graft#salt") +: grain.map(col)
     val salt = pmod(xxhash64(saltCols: _*), lit(fpb.toLong))
     val version = s"v_${counter.incrementAndGet()}"
     val outDir = new Path(tableDir(name), version)
-    plan.merged.withColumn("_bucket", bucketOf(source.grain))
+    out.withColumn("_bucket",
+        pmod(xxhash64(grain.map(col): _*), lit(n.toLong)))
       .repartition(math.min(p, touchedCount * fpb), col("_bucket"), salt)
       .write.partitionBy("_bucket").mode("overwrite").parquet(outDir.toString)
-    val counts = plan.counts()
 
     // Ground truth of what the new version owns = the bucket dirs the write
     // actually produced (an all-invalid file yields an empty delta and no
@@ -337,15 +353,30 @@ final class TableStore(spark: SparkSession, root: String,
     val owned = f.listStatus(outDir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketPrefix))
       .map(_.getPath.getName.stripPrefix(BucketPrefix).toInt)
-    val carried = if (fullRewrite) Map.empty[Int, String]
-                  else man.map(_.buckets).getOrElse(Map.empty)
     writeManifest(name, version,
       BucketManifest(n, carried ++ owned.map(_ -> version)))
     swapPointer(name, version)
-    segs.foreach(s => f.delete(s, true))
+    foldSegs.foreach(s => f.delete(s, true))
     vacuum(name) // bound disk: drop superseded generations (manifest-aware)
-    Some(counts)
   }
+
+  /** Re-bucket a merge-published target, resizing the bucket count from the
+    * table's CURRENT row count (same sizing rule as a first publish): the
+    * escape hatch for tables whose pinned layout no longer fits — a first
+    * file that was unrepresentatively tiny, or a table that outgrew its
+    * granularity. Costs one full publish (read-everything rewrite); the
+    * copy-on-write swap keeps readers safe throughout. Returns the new
+    * bucket count, or None when the table has never been written.
+    */
+  def rebucket(name: String, grain: Seq[String]): Option[Int] =
+    withTableLock(name) {
+      readIfExists(name).map { df =>
+        val n = chooseBucketCount(df.count())
+        commitBucketedVersion(name, df, grain, n, touchedCount = n,
+          carried = Map.empty, foldSegs = segments(name))
+        n
+      }
+    }
 
   /** Append as an O(new-rows) segment write: the new rows land in a temp
     * dir and become visible via ONE atomic rename to seg_<id> — no

@@ -167,13 +167,21 @@ object StreamingPipeline {
             Validator.RawRecordCol, "file_row_number")
         if (!stage.isEmpty) {
           store.withTableLock(source.tableName) {
-            val existing = store.readIfExists(source.tableName)
-            val target = existing.getOrElse(graft.operators.Publish.emptyTarget(
-              batch.sparkSession, source))
             val now = new java.sql.Timestamp(System.currentTimeMillis())
-            val mr = graft.operators.Publish.mergePlan(stage, target, source,
-              now, targetKnownEmpty = existing.isEmpty)
-            store.overwrite(source.tableName, mr.merged, source.targetPartitionBy)
+            // O(delta) bucketed merge first — a micro-batch stream publishes
+            // FAR more often than the file pipeline, so a full-table rewrite
+            // per batch is quadratic over the stream's life. Falls back to
+            // the full merge-overwrite only for user-partitioned targets.
+            store.mergeInPlace(source.tableName, stage, source, now)
+              .getOrElse {
+                val existing = store.readIfExists(source.tableName)
+                val target = existing.getOrElse(graft.operators.Publish.emptyTarget(
+                  batch.sparkSession, source))
+                val mr = graft.operators.Publish.mergePlan(stage, target, source,
+                  now, targetKnownEmpty = existing.isEmpty)
+                store.overwrite(source.tableName, mr.merged, source.targetPartitionBy)
+                mr.counts()
+              }
           }
         }
         ()

@@ -217,6 +217,41 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readIfExists("m").get.count() == 4)
   }
 
+  test("rebucket resizes a coarse table from current rows and preserves contents") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 64)
+    val src = btSource.copy(tableName = "r")
+    // tiny first file pins the floor bucket count (16)
+    store.mergeInPlace("r", stageDf(1L -> "a"), src, new java.sql.Timestamp(1000L))
+    def bucketDirs(): Int = {
+      val v = new String(Files.readAllBytes(root.resolve("r").resolve("_VERSION"))).trim
+      Files.list(root.resolve("r").resolve(v)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .count(_.startsWith("_bucket="))
+    }
+    assert(bucketDirs() <= 16)
+    // the table then grows far past the floor's granularity
+    val sp = spark
+    import sp.implicits._
+    val big = sp.range(2L, 70002L).select(col("id"),
+        concat(lit("v"), col("id")).as("v"))
+      .withColumn("etl_row_hash", xxhash64(concat_ws("|", col("id"), col("v"))))
+      .withColumn("source_filename", lit("x.parquet"))
+      .withColumn("file_load_log_id", lit(1L))
+    store.mergeInPlace("r", big, src, new java.sql.Timestamp(2000L))
+    assert(store.readIfExists("r").get.count() == 70001)
+    // rebucket resizes from CURRENT rows: 70001/4096 -> 32 buckets
+    assert(store.rebucket("r", Seq("id")).contains(32))
+    assert(bucketDirs() == 32)
+    val got = store.readIfExists("r").get
+    assert(got.count() == 70001)
+    assert(got.filter(col("id") === 1L).head().getString(1) == "a")
+    // subsequent deltas merge into the NEW layout
+    val c = store.mergeInPlace("r", stageDf(1L -> "a2"), src,
+      new java.sql.Timestamp(3000L))
+    assert(c.contains((0L, 1L)))
+  }
+
   test("mergeInPlace declines user-partitioned targets (layout preserved)") {
     val root = Files.createTempDirectory("graft_store")
     val store = new TableStore(spark, root.toString)
