@@ -91,12 +91,28 @@ object Bench {
       else Seq("sim_topk_ivf_index_build" -> build,
         "sim_topk_ivf_index_probe" -> probe)
     }
+    // pipeline_incremental likewise conflates base-layout publish with the
+    // O(delta) steady state; split entries keep the delta path trackable
+    val incSplit = {
+      var base = Double.MaxValue; var delta = Double.MaxValue
+      (1 to Reps).foreach { _ =>
+        try {
+          val (df, b, d) = graft.queries.PipelineBench
+            .pipelineIncrementalTimed(spark, sfDir)
+          df.count()
+          base = math.min(base, b); delta = math.min(delta, d)
+        } catch { case _: Throwable => () }
+      }
+      if (base == Double.MaxValue) Seq.empty
+      else Seq("pipeline_incremental_base" -> base,
+        "pipeline_incremental_delta" -> delta)
+    }
     // 3 decimals keeps the single JSON line compact enough that all 84+
     // entries survive any downstream line truncation (full doubles tripled
     // the line length for sub-millisecond precision the bench doesn't have)
     def fmt(v: Double): String = // ROOT locale: '.' decimal point always
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val all = results ++ ivfSplit
+    val all = results ++ ivfSplit ++ incSplit
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum

@@ -51,7 +51,17 @@ object PipelineBench {
     * + insert + untouched-survivor counts all recomputed relationally by
     * DuckDB), and the bench timing tracks the O(delta) path round-over-round.
     */
-  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame =
+    pipelineIncrementalTimed(spark, dir)._1
+
+  /** [[pipelineIncremental]] plus (base-publish, delta-publish) wall
+    * seconds: the bench reports them as separate entries (like the IVF
+    * build/probe split) because the DELTA publish is the steady state the
+    * O(delta) layout exists for — conflated, a layout regression on either
+    * side would hide inside the sum.
+    */
+  def pipelineIncrementalTimed(spark: SparkSession,
+                               dir: String): (DataFrame, Double, Double) = {
     import org.apache.spark.sql.functions._
     val work = Files.createTempDirectory("graft_bench_inc")
     val drop = Files.createDirectories(work.resolve("drop"))
@@ -62,8 +72,10 @@ object PipelineBench {
       work.resolve("archive").toString, work.resolve("duplicates").toString)
     val proc = new Processor(spark, new SourceRegistry(Seq(OrdersSource)),
       store, files, new CollectingNotifier, drop.toString)
+    val tBase0 = System.nanoTime()
     val base = proc.processFile(drop.resolve("orders_base.parquet").toString)
       .getOrElse(sys.error("orders_base.parquet did not match the source"))
+    val baseSecs = (System.nanoTime() - tBase0) / 1e9
 
     // delta: valid orders with key % 100 == 0, re-priced (updates) plus the
     // same rows under offset keys (inserts); keys beyond any SF's range
@@ -80,17 +92,20 @@ object PipelineBench {
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error("delta part file missing"))
     Files.move(part, drop.resolve("orders_delta.parquet"))
+    val tDelta0 = System.nanoTime()
     val inc = proc.processFile(drop.resolve("orders_delta.parquet").toString)
       .getOrElse(sys.error("orders_delta.parquet did not match the source"))
+    val deltaSecs = (System.nanoTime() - tDelta0) / 1e9
 
     val targetRows = store.readIfExists(OrdersSource.tableName)
       .map(_.count()).getOrElse(0L)
     val sp = spark
     import sp.implicits._
-    Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
+    val df = Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
       inc.publishUpdates, targetRows))
       .toDF("base_inserts", "delta_read", "delta_inserts", "delta_updates",
         "target_rows")
+    (df, baseSecs, deltaSecs)
   }
 
   def pipelineEtl(spark: SparkSession, dir: String): DataFrame = {

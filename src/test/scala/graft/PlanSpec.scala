@@ -220,4 +220,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "no shuffled join: the vector rides inside the min struct")
   }
+
+  test("quality_repetition: gram-keyed partial aggregation, no cartesian") {
+    // round-7 flagged this query weak after a bench number moved 4x with
+    // unchanged code; round-8 re-measurement confirmed machine noise, and
+    // this pin freezes the plan properties that make it scale so any FUTURE
+    // slowdown can be triaged against a green plan: map-side partial
+    // aggregation on the fine-grained (doc, gram) keys, a real equi-join
+    // back on doc_id, and no cartesian anywhere.
+    val p = plan(graft.queries.TrainingData.qualityRepetition(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"),
+      "gram counts must partially aggregate map-side before the shuffle")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), "bigram join-back must be an equi-join")
+  }
 }
