@@ -231,12 +231,19 @@ final class PipelineRunner(
 
       // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
       // current run's rows survive (reference delete/base.py:36-41).
+      // Probe before rewriting: the common case — a clean file, or a file
+      // loaded for the first time — has nothing to delete, and the probe is
+      // one scan with the filename filter pushed to the parquet row groups,
+      // where the unconditional rewrite paid an O(DLQ) write on EVERY
+      // publish regardless.
       store.withTableLock(Schemas.DlqTable) {
         store.readIfExists(Schemas.DlqTable).foreach { dlq =>
-          val cleaned = dlq.filter(
-            !(col("source_filename") === fileName && col("file_load_log_id") < logId))
-          store.overwrite(Schemas.DlqTable, cleaned)
-          store.vacuum(Schemas.DlqTable)
+          val stale = col("source_filename") === fileName &&
+            col("file_load_log_id") < logId
+          if (!dlq.filter(stale).isEmpty) {
+            store.overwrite(Schemas.DlqTable, dlq.filter(!stale))
+            store.vacuum(Schemas.DlqTable)
+          }
         }
       }
 
