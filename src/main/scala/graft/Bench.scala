@@ -72,13 +72,19 @@ object Bench {
       }
       if (ok) best else -1.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> bestOf { fn(spark, sfDir).count(); () }
-    }
+    // SPARK_GRAFT_ONLY=a,b,c: time just the named queries (local iteration
+    // on one plan without paying the full 87-query sweep); unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
+      .map { case (name, fn) =>
+        name -> bestOf { fn(spark, sfDir).count(); () }
+      }
     // sim_topk_ivf_index conflates the one-time index BUILD with the
     // steady-state PROBE; report them as separate entries too, so the probe
     // path (the 100 TB steady state) is trackable round-over-round.
-    val ivfSplit = {
+    val ivfSplit = if (only.exists(!_("sim_topk_ivf_index"))) Seq.empty else {
       var build = Double.MaxValue; var probe = Double.MaxValue
       (1 to Reps).foreach { _ =>
         try {
@@ -93,7 +99,7 @@ object Bench {
     }
     // pipeline_incremental likewise conflates base-layout publish with the
     // O(delta) steady state; split entries keep the delta path trackable
-    val incSplit = {
+    val incSplit = if (only.exists(!_("pipeline_incremental"))) Seq.empty else {
       var base = Double.MaxValue; var delta = Double.MaxValue
       (1 to Reps).foreach { _ =>
         try {

@@ -587,23 +587,30 @@ object TrainingData {
     * distribution; unusually-worded documents rank lowest and are the
     * filter's drop candidates.
     *
-    * Plan: one explode to (doc, token); token counts aggregate with
-    * map-side partial combine; the count table joins back on the token key
-    * — an equi-join whose build side is the DISTINCT vocabulary (tiny vs
-    * the corpus; broadcast when under threshold, AQE skew-join above it —
-    * Zipf heads are exactly what skew splitting is for). The grand-total
-    * row broadcasts. Never pairwise, never a driver collect.
+    * Plan: ONE explode, immediately collapsed to (doc_id, token, k) with
+    * map-side partial counts — that aggregate is the only corpus-sized
+    * shuffle, and both downstream consumers (the vocabulary count and the
+    * per-doc join) read it through a ReusedExchange, so the corpus is
+    * tokenized exactly once. The token-count join is an equi-join whose
+    * build side is the DISTINCT vocabulary (tiny vs the corpus; broadcast
+    * when under threshold, AQE skew-join above it — Zipf heads are exactly
+    * what skew splitting is for). The grand-total row broadcasts. The
+    * occurrence-weighted mean Σk·log10(c/n) / Σk equals avg over raw
+    * occurrences, without materializing them twice. Never pairwise, never
+    * a driver collect.
     */
   def qualityUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    val docTok = docs(spark, dir)
       .select(col("doc_id"), explode(F.tokens(col("text"))).as("token"))
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
+    val counts = docTok.groupBy("token").agg(sum("k").as("c"))
     val total = counts.agg(sum("c").cast(DoubleType).as("n"))
-    toks.join(counts, "token")
+    docTok.join(counts, "token")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log10(col("c") / col("n"))), 4).as("avg_logprob"))
+      .agg(sum("k").as("n_tokens"),
+        round(sum(col("k") * log10(col("c") / col("n"))) / sum("k"), 4)
+          .as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -1014,11 +1021,17 @@ object TrainingData {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
     val nDocs = d.count() // tiny action; at scale pass the known count in
-    val toks = d.select(col("lang"), col("doc_id"),
-      explode(F.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE corpus-sized shuffle: the explode collapses straight to
+    // (lang, doc_id, term, k) with map-side partial counts, and both tf
+    // (Σk per lang+term) and df (row count per term — each doc_id has
+    // exactly one lang, so these rows ARE the distinct (doc, term) pairs)
+    // reduce that same aggregate through a ReusedExchange, replacing the
+    // old separate corpus-wide distinct() pass.
+    val docTerm = d.select(col("lang"), col("doc_id"),
+        explode(F.tokens(col("text"))).as("term"))
+      .groupBy("lang", "doc_id", "term").agg(count(lit(1)).as("k"))
+    val tf = docTerm.groupBy("lang", "term").agg(sum("k").as("tf"))
+    val df = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("lang")
       .orderBy(col("score").desc, col("term"))
     tf.join(df, Seq("term"))
@@ -1033,22 +1046,30 @@ object TrainingData {
 
   /** Dynamic quality gate: keep documents whose token count lies between the
     * corpus's own p10 and p90 — the self-calibrating version of the fixed
-    * band in [[curateCorpus]]. The two scalar quantiles broadcast to every
-    * task (a cross join against a 1-row frame), so the gate itself stays a
-    * narrow filter; Spark's exact `percentile` matches DuckDB's
-    * quantile_cont definition.
+    * band in [[curateCorpus]]. The two scalar quantiles broadcast (a cross
+    * join against a 1-row frame); Spark's exact `percentile` matches
+    * DuckDB's quantile_cont definition.
     */
   def qualityGateDynamic(spark: SparkSession, dir: String): DataFrame = {
-    val withN = docs(spark, dir).select(
-      size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val bounds = withN.agg(
-      expr("percentile(n_tokens, 0.1)").as("p10"),
-      expr("percentile(n_tokens, 0.9)").as("p90"))
-    withN.crossJoin(broadcast(bounds))
+    // ONE corpus pass: per-doc token counts collapse to a value→frequency
+    // histogram (distinct lengths ≪ documents at any corpus size), and
+    // BOTH the quantile bounds (percentile's frequency overload — the
+    // same repeat-each-value definition as quantile_cont over raw rows)
+    // and the kept-band rollup (Σcnt, Σn·cnt) reduce that histogram
+    // through a shared exchange. The previous shape re-tokenized the
+    // whole corpus on each side of the quantile broadcast.
+    val hist = docs(spark, dir).select(
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val bounds = hist.agg(
+      expr("percentile(n_tokens, 0.1D, cnt)").as("p10"),
+      expr("percentile(n_tokens, 0.9D, cnt)").as("p90"))
+    hist.crossJoin(broadcast(bounds))
       .filter(col("n_tokens") >= col("p10") && col("n_tokens") <= col("p90"))
-      .agg(count(lit(1)).as("n_kept"),
-        sum("n_tokens").as("total_tokens"),
-        round(avg("n_tokens"), 4).as("avg_tokens"))
+      .agg(sum("cnt").as("n_kept"),
+        sum(col("n_tokens") * col("cnt")).as("total_tokens"),
+        round(sum(col("n_tokens") * col("cnt")).cast(DoubleType) /
+          sum("cnt"), 4).as("avg_tokens"))
   }
 
   /** Repetition-based quality signals (the Gopher-rule family, word-level
