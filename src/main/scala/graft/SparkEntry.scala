@@ -96,6 +96,9 @@ object SparkEntry {
     "sample_fixed_n" -> (TrainingData.sampleFixedN _),
     "dedup_incremental" -> (TrainingData.dedupIncremental _),
     // mixture / sharding / chunking / embedding-quality ops
+    "importance_weights" -> (TrainingData.importanceWeights _),
+    "quality_ccnet_bucket" -> (TrainingData.qualityCcnetBucket _),
+    "emb_dim_stats" -> (TrainingData.embDimStats _),
     "mixture_weights" -> (TrainingData.mixtureWeights _),
     "shard_assign" -> (TrainingData.shardAssign _),
     "bytes_per_token" -> (TrainingData.bytesPerToken _),
@@ -579,6 +582,58 @@ object SparkEntry {
         |  round(avg(log10(c / n)), 4) AS avg_logprob
         |FROM toks JOIN counts USING (token) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, token, count(*) AS k
+        |       FROM toks GROUP BY 1, 2, 3),
+        |corpus AS (SELECT token, sum(k) AS c_all FROM dt GROUP BY 1),
+        |tgt AS (SELECT token, sum(k) AS c_t FROM dt
+        |        WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+        |               CAST(count(*) AS DOUBLE) AS vocab FROM corpus),
+        |tt AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_t FROM tgt),
+        |docw AS (
+        |  SELECT source, doc_id,
+        |   sum(k * log10(((coalesce(c_t, 0) + 1) / (n_t + vocab)) /
+        |                 (c_all / n_all))) / sum(k) AS doc_w
+        |  FROM dt JOIN corpus USING (token) LEFT JOIN tgt USING (token)
+        |  CROSS JOIN tot CROSS JOIN tt GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(doc_w), 4) AS avg_importance
+        |FROM docw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quality_ccnet_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |dt AS (SELECT doc_id, lang, token, count(*) AS k
+        |       FROM toks GROUP BY 1, 2, 3),
+        |counts AS (SELECT token, sum(k) AS c FROM dt GROUP BY 1),
+        |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+        |perdoc AS (
+        |  SELECT doc_id, lang, sum(k * log10(c / n)) / sum(k) AS lp
+        |  FROM dt JOIN counts USING (token) CROSS JOIN total GROUP BY 1, 2),
+        |b AS (SELECT lang, lp, ntile(3) OVER
+        |        (PARTITION BY lang ORDER BY lp DESC, doc_id) AS tercile
+        |      FROM perdoc)
+        |SELECT lang, tercile,
+        | CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket,
+        | count(*) AS n_docs, round(avg(lp), 4) AS avg_logprob
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM e)
+        |SELECT pos, count(*) AS n, round(avg(x), 6) AS mean,
+        | round(avg(x * x) - avg(x) * avg(x), 6) AS variance
+        |FROM comp GROUP BY pos
+        |ORDER BY variance DESC, pos LIMIT 8""".stripMargin,
     "source_kl_divergence" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

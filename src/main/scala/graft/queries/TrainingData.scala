@@ -1923,5 +1923,107 @@ object TrainingData {
       .orderBy("label")
   }
 
+  /** DSIR-style importance weights per source: how much more likely is
+    * each document under a TARGET domain's unigram LM than under the
+    * corpus LM (Xie et al. 2023's data-selection signal, at word-unigram
+    * granularity). Per doc: Σk·log10(p̂_target/p_corpus) / Σk with
+    * add-one smoothing on the target side (unseen tokens must not yield
+    * -∞), rolled up to the per-source mean — the mixture-design view:
+    * which sources look most like the domain you want more of.
+    *
+    * Scale: the same single-pass shape as [[qualityUnigramLogprob]] — ONE
+    * corpus-sized (doc, token) aggregate that the corpus counts, the
+    * target counts, and the per-doc join all reduce through a reused
+    * exchange; both LM count tables are vocabulary-sized, the scalar
+    * totals broadcast.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val target = "src0"
+    val docTok = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(F.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "source", "token").agg(count(lit(1)).as("k"))
+    val corpus = docTok.groupBy("token").agg(sum("k").as("c_all"))
+    val tgt = docTok.filter(col("source") === target)
+      .groupBy("token").agg(sum("k").as("c_t"))
+    val totals = corpus.agg(sum("c_all").cast(DoubleType).as("n_all"),
+      count(lit(1)).cast(DoubleType).as("vocab"))
+    val tgtTotal = tgt.agg(sum("c_t").cast(DoubleType).as("n_t"))
+    docTok.join(corpus, "token")
+      .join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tgtTotal))
+      .withColumn("w", log10(
+        ((coalesce(col("c_t"), lit(0L)) + 1) / (col("n_t") + col("vocab"))) /
+          (col("c_all") / col("n_all"))))
+      .groupBy("source", "doc_id")
+      .agg((sum(col("k") * col("w")) / sum("k")).as("doc_w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("doc_w"), 4).as("avg_importance"))
+      .orderBy("source")
+  }
+
+  /** CCNet-style perplexity bucketing: per language, split documents into
+    * head / middle / tail terciles of unigram log-probability (the CCNet
+    * pipeline's quality partition — head feeds training, tail gets
+    * dropped or down-weighted). Deterministic tie-break on doc_id makes
+    * the bucket assignment engine-independent.
+    *
+    * Scale: per-doc logprob reuses the single-pass
+    * [[qualityUnigramLogprob]] shape; the tercile is a per-lang ntile
+    * window over the DOC-level table (one row per document — already ≪
+    * corpus tokens). Languages partition the window, so skew is bounded
+    * by the largest language; at the extreme, swap the exact ntile for
+    * approx-quantile cutoffs and a broadcast range lookup.
+    */
+  def qualityCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(F.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("k"))
+    val counts = docTok.groupBy("token").agg(sum("k").as("c"))
+    val total = counts.agg(sum("c").cast(DoubleType).as("n"))
+    val perDoc = docTok.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "lang")
+      .agg((sum(col("k") * log10(col("c") / col("n"))) / sum("k")).as("lp"))
+    val w = Window.partitionBy("lang").orderBy(col("lp").desc, col("doc_id"))
+    perDoc.withColumn("tercile", ntile(3).over(w).cast(LongType))
+      .groupBy("lang", "tercile")
+      .agg(count(lit(1)).as("n_docs"), round(avg("lp"), 4).as("avg_logprob"))
+      .select(col("lang"), col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("avg_logprob"))
+      .orderBy("lang", "tercile")
+  }
+
+  /** Per-dimension embedding statistics — the whitening / feature-collapse
+    * diagnostic (a dimension whose variance dwarfs or vanishes against the
+    * rest distorts every cosine in the ANN stack): top-8 dimensions by
+    * variance with mean and count. Variance is the explicit
+    * E[x²]−E[x]² form — identical arithmetic in any engine, unlike
+    * library one-pass variance kernels.
+    *
+    * Scale: posexplode emits n·dim component rows but the aggregation is
+    * map-side partial — each task reduces to ≤ dim rows before the
+    * shuffle, so the wire carries tasks×dim tiny rows; top-8 is
+    * TakeOrderedAndProject over the dim-sized result.
+    */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(posexplode(col("embedding").cast(ArrayType(DoubleType)))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean"),
+        round(avg(col("x") * col("x")) - avg("x") * avg("x"), 6)
+          .as("variance"))
+      .select(col("pos").cast(LongType).as("pos"), col("n"), col("mean"),
+        col("variance"))
+      .orderBy(col("variance").desc, col("pos"))
+      .limit(8)
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -487,4 +487,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) < 0.0, "frequency decreases with rank")
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
+
+  test("importance_weights: every source scored; target source ranks high") {
+    val rows = TrainingData.importanceWeights(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L, "rollup partitions the corpus")
+    val byScore = rows.sortBy(-_.getDouble(2)).map(_.getString(0)).toSeq
+    // src0 IS the target LM: its own docs must score above the median
+    // source (add-one smoothing keeps it from being degenerate-top always)
+    assert(byScore.indexOf("src0") < rows.length / 2,
+      s"target source should look most target-like, order: $byScore")
+    // a second run is bit-identical (pure function of the corpus)
+    assert(TrainingData.importanceWeights(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("quality_ccnet_bucket: per-lang terciles ordered head >= tail") {
+    val rows = TrainingData.qualityCcnetBucket(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum === 500L, "buckets partition the corpus")
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, g) =>
+      assert(g.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L)))
+      val byT = g.sortBy(_.getLong(1))
+      // ntile(3) on lp DESC: head's mean logprob >= tail's
+      assert(byT.head.getDouble(4) >= byT.last.getDouble(4),
+        s"$lang: head tercile must have the higher avg logprob")
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = byT.map(_.getLong(3))
+      assert(sizes.max - sizes.min <= 1L, s"$lang: ntile sizes $sizes")
+      assert(byT.map(_.getString(2)).toSeq ===
+        Seq("head", "middle", "tail").take(g.length))
+    }
+  }
+
+  test("emb_dim_stats: top-8 by variance, non-increasing, sane counts") {
+    val rows = TrainingData.embDimStats(spark, sf).collect()
+    assert(rows.length === 8)
+    val vars = rows.map(_.getDouble(3)).toSeq
+    assert(vars === vars.sortBy(-_), "ordered by variance desc")
+    assert(vars.forall(_ >= 0.0), "E[x^2]-E[x]^2 is non-negative")
+    assert(rows.map(_.getLong(0)).distinct.length === 8, "distinct dims")
+    assert(rows.forall(_.getLong(1) === rows.head.getLong(1)),
+      "every dimension sees every vector")
+  }
 }
