@@ -113,12 +113,26 @@ object Bench {
       else Seq("pipeline_incremental_base" -> base,
         "pipeline_incremental_delta" -> delta)
     }
+    // pipeline_mor's split: the O(delta) upsert-segment publish, directly
+    // comparable against pipeline_incremental_delta's copy-on-write rewrite
+    val morSplit = if (only.exists(!_("pipeline_mor"))) Seq.empty else {
+      var base = Double.MaxValue; var delta = Double.MaxValue
+      (1 to Reps).foreach { _ =>
+        try {
+          val (df, b, d) = graft.queries.PipelineBench.pipelineMorTimed(spark, sfDir)
+          df.count()
+          base = math.min(base, b); delta = math.min(delta, d)
+        } catch { case _: Throwable => () }
+      }
+      if (base == Double.MaxValue) Seq.empty
+      else Seq("pipeline_mor_base" -> base, "pipeline_mor_delta" -> delta)
+    }
     // 3 decimals keeps the single JSON line compact enough that all 84+
     // entries survive any downstream line truncation (full doubles tripled
     // the line length for sub-millisecond precision the bench doesn't have)
     def fmt(v: Double): String = // ROOT locale: '.' decimal point always
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val all = results ++ ivfSplit ++ incSplit
+    val all = results ++ ivfSplit ++ incSplit ++ morSplit
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum

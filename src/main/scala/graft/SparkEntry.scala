@@ -63,6 +63,7 @@ object SparkEntry {
     "sim_truncated_recall" -> (TrainingData.simTruncatedRecall _),
     "sim_quantized_recall" -> (TrainingData.simQuantizedRecall _),
     "sim_lsh_recall" -> (TrainingData.simLshRecall _),
+    "sim_ivf_recall" -> (TrainingData.simIvfRecall _),
     "text_quality" -> (TrainingData.textQuality _),
     "text_pii" -> (TrainingData.textPii _),
     "select_token_budget" -> (TrainingData.selectTokenBudget _),
@@ -126,6 +127,7 @@ object SparkEntry {
     // steady-state incremental publish: O(delta) bucketed merge into an
     // existing target, counters oracle-recomputed relationally
     "pipeline_incremental" -> (PipelineBench.pipelineIncremental _),
+    "pipeline_mor" -> (PipelineBench.pipelineMor _),
   )
 
   /** DuckDB bit-vote expression mirroring TrainingData.dedupSimhashMd5's 60
@@ -466,6 +468,59 @@ object SparkEntry {
         |  CAST(count(a.neighbor_id) AS BIGINT) AS int8_hits,
         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM exact x LEFT JOIN tapprox a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin,
+    "sim_ivf_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |scored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
+        |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
+        |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+        |  FROM e q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN e b ON b.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM scored) t
+        |  WHERE rank <= 5),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT r.vec_id query_id, cent_id bucket FROM ranked r
+        |  JOIN qids ON r.vec_id = qids.vec_id WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT q.query_id, d.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim
+        |  FROM qprobe q
+        |  JOIN buckets d ON q.bucket = d.bucket AND d.vec_id <> q.query_id
+        |  JOIN norm qn ON qn.vec_id = q.query_id
+        |  JOIN norm dn ON dn.vec_id = d.vec_id),
+        |iapprox AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM iscored) t
+        |  WHERE rank <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+        |  CAST(count(a.neighbor_id) AS BIGINT) AS ivf_hits,
+        |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+        |FROM exact x LEFT JOIN iapprox a
         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin,
     "sim_topk_ivf" ->
       """WITH e AS (
@@ -1203,6 +1258,18 @@ object SparkEntry {
         | (SELECT 2 * count(*) FROM d) AS delta_read,
         | (SELECT count(*) FROM d) AS delta_inserts,
         | (SELECT count(*) FROM d) AS delta_updates,
+        | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,
+    "pipeline_mor" ->
+      """WITH v AS (SELECT * FROM orders
+        |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
+        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0)
+        |SELECT (SELECT count(*) FROM v) AS base_inserts,
+        | (SELECT 2 * count(*) FROM d) AS delta_read,
+        | (SELECT count(*) FROM d) AS delta_inserts,
+        | (SELECT count(*) FROM d) AS delta_updates,
+        | (SELECT 2 * count(*) FROM d) AS noop_read,
+        | CAST(0 AS BIGINT) AS noop_inserts,
+        | CAST(0 AS BIGINT) AS noop_updates,
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,
     "mixture_weights" ->
       """WITH s AS (

@@ -49,6 +49,19 @@ case object ParquetOptions extends FormatOptions
   *                     table's versions (e.g. a date column) so selective
   *                     reads prune directories; the reference's equivalent
   *                     was DB table clustering (db.py:103-104)
+  * @param mergeOnRead publish strategy for the parquet target. `false`
+  *                     (default): bucketed copy-on-write — each publish
+  *                     rewrites the buckets the delta touches; reads scan
+  *                     plain parquet with zero resolution cost. `true`:
+  *                     merge-on-read — each publish writes ONLY the delta
+  *                     as an upsert segment (O(delta) regardless of how
+  *                     the delta's keys spread across buckets — a
+  *                     uniformly-keyed delta touches every bucket and
+  *                     degenerates COW to a full rewrite), readers resolve
+  *                     latest-by-grain with MERGE timestamp semantics, and
+  *                     the store folds segments back into the bucketed
+  *                     base past a threshold. The Hudi COW/MOR trade:
+  *                     write-heavy targets at 100 TB want `true`.
   */
 final case class SourceConfig(
     name: String,
@@ -61,7 +74,8 @@ final case class SourceConfig(
     validationErrorThreshold: Double = 0.0,
     notificationEmails: Seq[String] = Nil,
     formatOptions: FormatOptions = ParquetOptions,
-    targetPartitionBy: Seq[String] = Nil) {
+    targetPartitionBy: Seq[String] = Nil,
+    mergeOnRead: Boolean = false) {
 
   require(grain.nonEmpty, s"source $name: grain must be non-empty")
   require(grain.forall(g => columns.exists(_.name == g)),

@@ -150,4 +150,72 @@ object Publish {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Schemas.targetSchema(source))
+
+  /** Target data columns in table order (model columns + lineage). */
+  def dataCols(source: SourceConfig): Seq[String] =
+    source.columns.map(_.name) ++
+      Seq("etl_row_hash", "source_filename", "file_load_log_id")
+
+  /** Merge-on-read resolution: replay the bucketed base plus ordered upsert
+    * segments into the SAME relation a chain of copy-on-write merges would
+    * have produced (the equivalence MorPublishSpec pins).
+    *
+    * The key fact making the replay exact: `etl_row_hash` covers every
+    * model column, so along one grain's chain the effective row only
+    * changes at a hash CHANGE — a no-op re-load must keep the OLDER row's
+    * lineage (source_filename / file_load_log_id) and timestamps, exactly
+    * like the COW merge's `WHEN MATCHED AND hashes equal` arm. So:
+    *
+    *   - "events" = the base row plus every segment row whose hash differs
+    *     from its predecessor in generation order (lag over the grain);
+    *     non-event segment rows are invisible no-ops.
+    *   - effective row   = the event with the highest generation,
+    *   - etl_created_at  = the base row's, else the first INSERT event's
+    *     load timestamp,
+    *   - etl_updated_at  = the last UPDATE event's load timestamp, else
+    *     the base row's value.
+    *
+    * Scale: ONE shuffle by grain (the lag window), whose partitioning the
+    * follow-up aggregation reuses; segment data is O(delta × segments)
+    * and the fold threshold bounds segment count, so the resolve reads
+    * ~1× the table — the MOR read tax the write path's O(delta) buys.
+    */
+  def morResolve(base: Option[DataFrame], segs: Seq[(Long, DataFrame)],
+                 grain: Seq[String]): DataFrame = {
+    require(segs.nonEmpty, "morResolve: no upsert segments to resolve")
+    import org.apache.spark.sql.expressions.Window
+    val cols = segs.head._2.columns.filterNot(_ == "etl_load_ts").toSeq
+    val nullTs = lit(null).cast(TimestampType)
+    val baseU = base.map(_.select(cols.map(col) ++ Seq(
+      col("etl_created_at"), col("etl_updated_at"),
+      nullTs.as("_load_ts"), lit(0L).as("_gen")): _*))
+    val segU = segs.map { case (id, df) =>
+      df.select(cols.map(col) ++ Seq(
+        nullTs.as("etl_created_at"), nullTs.as("etl_updated_at"),
+        col("etl_load_ts").as("_load_ts"), lit(id).as("_gen")): _*)
+    }
+    val all = (baseU.toSeq ++ segU).reduce(_ unionByName _)
+    val w = Window.partitionBy(grain.map(col): _*).orderBy(col("_gen"))
+    val withPrev = all.withColumn("_prev_hash",
+      lag(col("etl_row_hash"), 1).over(w))
+    val events = withPrev.filter(col("_gen") === 0 ||
+      col("_prev_hash").isNull ||
+      col("_prev_hash") =!= col("etl_row_hash"))
+    val payload = struct(
+      cols.filterNot(grain.contains).map(col) :+ col("_gen"): _*)
+    val agg = events.groupBy(grain.map(col): _*).agg(
+      max_by(payload, col("_gen")).as("_r"),
+      max(when(col("_gen") === 0, col("etl_created_at"))).as("_base_created"),
+      max(when(col("_gen") === 0, col("etl_updated_at"))).as("_base_updated"),
+      min(when(col("_gen") > 0 && col("_prev_hash").isNull,
+        col("_load_ts"))).as("_first_ins"),
+      max(when(col("_gen") > 0 && col("_prev_hash").isNotNull,
+        col("_load_ts"))).as("_last_upd"))
+    val out = cols.map { c =>
+      if (grain.contains(c)) col(c) else col("_r").getField(c).as(c)
+    } ++ Seq(
+      coalesce(col("_base_created"), col("_first_ins")).as("etl_created_at"),
+      coalesce(col("_last_upd"), col("_base_updated")).as("etl_updated_at"))
+    agg.select(out: _*)
+  }
 }

@@ -62,6 +62,54 @@ object PipelineBench {
     */
   def pipelineIncrementalTimed(spark: SparkSession,
                                dir: String): (DataFrame, Double, Double) = {
+    val (base, inc, _, targetRows, baseSecs, deltaSecs) =
+      incrementalScenario(spark, dir, OrdersSource, noopThird = false)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
+      inc.publishUpdates, targetRows))
+      .toDF("base_inserts", "delta_read", "delta_inserts", "delta_updates",
+        "target_rows")
+    (df, baseSecs, deltaSecs)
+  }
+
+  /** [[OrdersSource]] with the merge-on-read publish strategy: the delta
+    * publish writes one O(delta) upsert segment instead of rewriting every
+    * grain-hash bucket its (uniformly spread) keys touch.
+    */
+  val OrdersMorSource: SourceConfig = OrdersSource.copy(
+    name = "orders_mor", tableName = "orders_mor_target", mergeOnRead = true)
+
+  /** The incremental scenario against a merge-on-read target, plus a THIRD
+    * pure re-load of the delta content under a new filename: its rows all
+    * hash-match the resolved target, so the counters prove the MOR resolve
+    * applies the hash-guard noop semantics across segment chains (and the
+    * oracle recomputes every counter relationally). The bench's split
+    * entries make the O(delta) segment write directly comparable against
+    * pipeline_incremental's copy-on-write delta publish.
+    */
+  def pipelineMorTimed(spark: SparkSession,
+                       dir: String): (DataFrame, Double, Double) = {
+    val (base, inc, noop, targetRows, baseSecs, deltaSecs) =
+      incrementalScenario(spark, dir, OrdersMorSource, noopThird = true)
+    val n = noop.getOrElse(sys.error("noop publish missing"))
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
+      inc.publishUpdates, n.recordsRead, n.publishInserts, n.publishUpdates,
+      targetRows))
+      .toDF("base_inserts", "delta_read", "delta_inserts", "delta_updates",
+        "noop_read", "noop_inserts", "noop_updates", "target_rows")
+    (df, baseSecs, deltaSecs)
+  }
+
+  def pipelineMor(spark: SparkSession, dir: String): DataFrame =
+    pipelineMorTimed(spark, dir)._1
+
+  private def incrementalScenario(spark: SparkSession, dir: String,
+      source: SourceConfig, noopThird: Boolean):
+      (graft.run.FileResult, graft.run.FileResult,
+       Option[graft.run.FileResult], Long, Double, Double) = {
     import org.apache.spark.sql.functions._
     val work = Files.createTempDirectory("graft_bench_inc")
     val drop = Files.createDirectories(work.resolve("drop"))
@@ -70,7 +118,7 @@ object PipelineBench {
     val store = new TableStore(spark, work.resolve("tables").toString)
     val files = new FileOps(spark.sparkContext.hadoopConfiguration,
       work.resolve("archive").toString, work.resolve("duplicates").toString)
-    val proc = new Processor(spark, new SourceRegistry(Seq(OrdersSource)),
+    val proc = new Processor(spark, new SourceRegistry(Seq(source)),
       store, files, new CollectingNotifier, drop.toString)
     val tBase0 = System.nanoTime()
     val base = proc.processFile(drop.resolve("orders_base.parquet").toString)
@@ -92,20 +140,24 @@ object PipelineBench {
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error("delta part file missing"))
     Files.move(part, drop.resolve("orders_delta.parquet"))
+    if (noopThird)
+      Files.copy(drop.resolve("orders_delta.parquet"),
+        work.resolve("orders_noop.parquet"))
     val tDelta0 = System.nanoTime()
     val inc = proc.processFile(drop.resolve("orders_delta.parquet").toString)
       .getOrElse(sys.error("orders_delta.parquet did not match the source"))
     val deltaSecs = (System.nanoTime() - tDelta0) / 1e9
 
-    val targetRows = store.readIfExists(OrdersSource.tableName)
+    val noop = if (!noopThird) None else {
+      Files.move(work.resolve("orders_noop.parquet"),
+        drop.resolve("orders_noop.parquet"))
+      Some(proc.processFile(drop.resolve("orders_noop.parquet").toString)
+        .getOrElse(sys.error("orders_noop.parquet did not match the source")))
+    }
+
+    val targetRows = store.readIfExists(source.tableName)
       .map(_.count()).getOrElse(0L)
-    val sp = spark
-    import sp.implicits._
-    val df = Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
-      inc.publishUpdates, targetRows))
-      .toDF("base_inserts", "delta_read", "delta_inserts", "delta_updates",
-        "target_rows")
-    (df, baseSecs, deltaSecs)
+    (base, inc, noop, targetRows, baseSecs, deltaSecs)
   }
 
   def pipelineEtl(spark: SparkSession, dir: String): DataFrame = {

@@ -514,6 +514,26 @@ object TrainingData {
           .as("recall"))
   }
 
+  /** Measured top-5 recall of the IVF index ([[simTopkIvf]], nprobe=2)
+    * against exact brute force — completes the retrieval-quality matrix
+    * beside the truncated / int8 / LSH recalls. Unlike the LSH variant
+    * (engine-seeded hyperplanes, rows-only), BOTH operands here are
+    * data-derived and oracle-reproducible, so the recall itself is
+    * oracle-checked: the quality number a 100 TB deployment would use to
+    * pick nprobe is itself verified.
+    */
+  def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val approx = simTopkIvf(spark, dir).select("query_id", "neighbor_id")
+      .withColumn("_hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        count(col("_hit")).as("ivf_hits"))
+      .select(col("exact_pairs"), col("ivf_hits"),
+        round(col("ivf_hits").cast(DoubleType) / col("exact_pairs"), 4)
+          .as("recall"))
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** PII scan per source: email / phone / IPv4 occurrence counts and the

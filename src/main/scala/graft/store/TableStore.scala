@@ -4,7 +4,7 @@ import graft.core.SourceConfig
 import graft.operators.Publish
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, count, lit, max_by, pmod, when, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -60,6 +60,21 @@ import java.util.concurrent.atomic.AtomicLong
   * understands manifests: it keeps every referenced version and prunes
   * bucket directories a version no longer owns, bounding storage at ~1×
   * the table plus the in-flight publish.
+  *
+  * == Merge-on-read publish (per-source opt-in) ==
+  *
+  * "Touched-bucket data" is the COW catch: grain hashing spreads any
+  * realistic delta uniformly, so a file with more keys than buckets
+  * touches ALL of them and the publish rewrites the whole table. Sources
+  * with `mergeOnRead = true` instead commit each delta as one atomic
+  * `useg_<id>` upsert segment after the first (bucketed) publish —
+  * O(delta) written bytes regardless of key spread. [[readIfExists]]
+  * replays base + segments into the exact COW-merge relation
+  * ([[graft.operators.Publish.morResolve]]; per-grain hash-change events
+  * reproduce insert/update/noop timestamp and lineage semantics), and
+  * past [[morCompactSegments]] segments fold back into the bucketed base.
+  * The classic Hudi trade: O(delta) writes bought with a grain-shuffle
+  * resolve on read, so write-heavy targets opt in per source.
   */
 final class TableStore(spark: SparkSession, root: String,
                        /** MAXIMUM grain-hash bucket count for merge-published
@@ -75,7 +90,14 @@ final class TableStore(spark: SparkSession, root: String,
                          * coarse layout (documented; a re-bucket fold is the
                          * escape hatch, same cost as one full publish).
                          */
-                       publishBuckets: Int = 256) extends Sink {
+                       publishBuckets: Int = 256,
+                       /** Upsert-segment count at which a merge-on-read
+                         * target folds back into its bucketed base (one
+                         * full publish, amortized over the threshold's
+                         * O(delta) segment writes). Bounds both the
+                         * resolve's read fan-in and small-file growth.
+                         */
+                       morCompactSegments: Int = 8) extends Sink {
   private val counter = new AtomicLong(System.currentTimeMillis())
   private def conf = spark.sparkContext.hadoopConfiguration
   private def tableDir(name: String) = new Path(root, name)
@@ -102,7 +124,7 @@ final class TableStore(spark: SparkSession, root: String,
 
   override def exists(name: String): Boolean = {
     val p = pointer(name)
-    fs(p).exists(p) || segments(name).nonEmpty
+    fs(p).exists(p) || segments(name).nonEmpty || upsertSegments(name).nonEmpty
   }
 
   /** Committed append segments (seg_*) of a table, oldest first. */
@@ -113,6 +135,41 @@ final class TableStore(spark: SparkSession, root: String,
     else f.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
       .map(_.getPath).sortBy(_.getName)
+  }
+
+  /** Committed merge-on-read upsert segments (useg_<id>), generation order. */
+  private def upsertSegments(name: String): Seq[(Long, Path)] = {
+    val dir = tableDir(name)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(UsegPrefix))
+      .map(st => st.getPath.getName.stripPrefix(UsegPrefix).toLong -> st.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Grain sidecar for merge-on-read targets: readers need the grain to
+    * resolve upsert segments, and a generic [[readIfExists]] has no source
+    * config — written once before the first segment commits.
+    */
+  private def grainPath(name: String) = new Path(tableDir(name), GrainFile)
+
+  private def writeGrain(name: String, grain: Seq[String]): Unit = {
+    val p = grainPath(name)
+    val f = fs(p)
+    if (!f.exists(p)) {
+      val out = f.create(p, true)
+      try out.write(grain.mkString("\t").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def readGrain(name: String): Seq[String] = {
+    val p = grainPath(name)
+    val in = fs(p).open(p)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+               finally in.close()
+    text.split('\t').toSeq.filter(_.nonEmpty)
   }
 
   private def currentVersion(name: String): Option[String] = {
@@ -130,6 +187,8 @@ final class TableStore(spark: SparkSession, root: String,
 
   private val ManifestFile = "_MANIFEST"
   private val BucketPrefix = "_bucket="
+  private val UsegPrefix = "useg_"
+  private val GrainFile = "_GRAIN"
 
   /** bucket id -> version-directory name owning that bucket's files. */
   private final case class BucketManifest(numBuckets: Int,
@@ -182,7 +241,16 @@ final class TableStore(spark: SparkSession, root: String,
       case None => cur.map(v => new Path(tableDir(name), v)).toSeq
     }
     val paths = (base ++ segments(name)).map(_.toString)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    val usegs = upsertSegments(name)
+    if (usegs.nonEmpty) {
+      // merge-on-read target: resolve the bucketed base + ordered upsert
+      // segments into the exact relation the COW merge chain would produce
+      val baseDf = if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+      Some(Publish.morResolve(baseDf,
+        usegs.map { case (id, p) => id -> spark.read.parquet(p.toString) },
+        readGrain(name)))
+    } else if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*))
   }
 
   /** Read, or an empty frame with the given schema when absent. */
@@ -263,6 +331,15 @@ final class TableStore(spark: SparkSession, root: String,
     val cur = currentVersion(name)
     val man = cur.flatMap(v => readManifest(name, v))
     val segs = segments(name)
+    // Merge-on-read fast path: once the bucketed base exists (the first
+    // publish always establishes it — an initial load WANTS the parallel
+    // bucketed write), every later publish lands as one O(delta) upsert
+    // segment, regardless of how the delta's grain keys spread over the
+    // buckets (a uniformly-keyed delta touches EVERY bucket and turns the
+    // COW path below into a full rewrite). Legacy layouts and stray append
+    // segments still take the COW path once to migrate.
+    if (source.mergeOnRead && man.isDefined && segs.isEmpty)
+      return Some(morPublish(name, stage, source, now, man.get))
     val tableIsEmpty = cur.isEmpty && segs.isEmpty
     // Bucket count: manifest-pinned once chosen; a first publish sizes it
     // from the file (~RowsPerBucket rows each) so small tables don't pay
@@ -309,6 +386,65 @@ final class TableStore(spark: SparkSession, root: String,
     commitBucketedVersion(name, plan.merged, source.grain, n, touchedCount,
       carried, segs)
     Some(plan.counts())
+  }
+
+  /** Merge-on-read publish: O(delta) segment commit + pre-merge counts.
+    *
+    * Counts come from a column-pruned scan — parquet reads ONLY the grain
+    * and hash columns of the base buckets and segments (a sliver of a wide
+    * table), reduced latest-wins to the current effective hash per grain,
+    * then left-joined (null-safe, like the COW merge's `<=>`) against the
+    * stage's keys. The delta itself lands as one tmp-write + atomic-rename
+    * segment; past [[morCompactSegments]] the segments fold back into the
+    * bucketed base (one full publish amortized over the threshold's
+    * O(delta) commits). Caller holds the table lock.
+    */
+  private def morPublish(name: String, stage: DataFrame, source: SourceConfig,
+                         now: java.sql.Timestamp,
+                         man: BucketManifest): (Long, Long) = {
+    val grain = source.grain
+    val basePaths = man.buckets.toSeq.sortBy(_._1)
+      .map { case (b, v) => bucketDir(name, v, b).toString }
+    val kvCols = grain.map(col) :+ col("etl_row_hash")
+    val usegsNow = upsertSegments(name)
+    val baseKv = spark.read.parquet(basePaths: _*)
+      .select(kvCols :+ lit(0L).as("_gen"): _*)
+    val segKv = usegsNow.map { case (id, p) =>
+      spark.read.parquet(p.toString).select(kvCols :+ lit(id).as("_gen"): _*)
+    }
+    val curKv = (baseKv +: segKv).reduce(_ unionByName _)
+      .groupBy(grain.map(col): _*)
+      .agg(max_by(col("etl_row_hash"), col("_gen")).as("_t_hash"))
+      .alias("t")
+    val s = stage
+      .select(grain.map(col) :+ col("etl_row_hash").as("_s_hash"): _*)
+      .alias("s")
+    val cond = grain.map(g => col(s"s.$g") <=> col(s"t.$g")).reduce(_ && _)
+    val a = s.join(curKv, cond, "left").agg(
+      count(lit(1)).as("staged"),
+      count(col("_t_hash")).as("matched"),
+      count(when(col("_s_hash") =!= col("_t_hash"), 1)).as("updates")).head()
+    val (staged, matched, updates) = (a.getLong(0), a.getLong(1), a.getLong(2))
+
+    writeGrain(name, grain)
+    val id = counter.incrementAndGet()
+    val dir = tableDir(name)
+    val f = fs(dir)
+    val tmp = new Path(dir, s".tmp_$UsegPrefix$id")
+    stage.select(Publish.dataCols(source).map(col): _*)
+      .withColumn("etl_load_ts", lit(now))
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(tmp, new Path(dir, s"$UsegPrefix$id")))
+      throw new java.io.IOException(s"upsert segment commit failed for $name")
+
+    if (usegsNow.size + 1 >= morCompactSegments) {
+      val resolved = readIfExists(name)
+        .getOrElse(sys.error(s"mor compaction: $name unreadable"))
+      commitBucketedVersion(name, resolved, grain, man.numBuckets,
+        touchedCount = man.numBuckets, carried = Map.empty,
+        foldSegs = upsertSegments(name).map(_._2))
+    }
+    (staged - matched, updates)
   }
 
   /** First-publish / rebucket sizing rule — see the `publishBuckets` doc. */
@@ -372,8 +508,12 @@ final class TableStore(spark: SparkSession, root: String,
     withTableLock(name) {
       readIfExists(name).map { df =>
         val n = chooseBucketCount(df.count())
+        // fold upsert segments too: readIfExists already resolved them into
+        // df, so the rewrite subsumes them (leaving them would be a
+        // harmless-but-wasteful no-op replay on every later read)
         commitBucketedVersion(name, df, grain, n, touchedCount = n,
-          carried = Map.empty, foldSegs = segments(name))
+          carried = Map.empty,
+          foldSegs = segments(name) ++ upsertSegments(name).map(_._2))
         n
       }
     }
