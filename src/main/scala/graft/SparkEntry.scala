@@ -100,6 +100,9 @@ object SparkEntry {
     "importance_weights" -> (TrainingData.importanceWeights _),
     "quality_ccnet_bucket" -> (TrainingData.qualityCcnetBucket _),
     "emb_dim_stats" -> (TrainingData.embDimStats _),
+    "emb_outliers" -> (TrainingData.embOutliers _),
+    "bm25_topk" -> (TrainingData.bm25Topk _),
+    "text_entropy" -> (TrainingData.textEntropy _),
     "mixture_weights" -> (TrainingData.mixtureWeights _),
     "shard_assign" -> (TrainingData.shardAssign _),
     "bytes_per_token" -> (TrainingData.bytesPerToken _),
@@ -689,6 +692,74 @@ object SparkEntry {
         | round(avg(x * x) - avg(x) * avg(x), 6) AS variance
         |FROM comp GROUP BY pos
         |ORDER BY variance DESC, pos LIMIT 8""".stripMargin,
+    "bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) len FROM t),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) n, avg(len) avgdl FROM l),
+        |w AS (SELECT doc_id, unnest(toks) w FROM t),
+        |tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM w
+        |  WHERE w IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |   ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * 2.2) /
+        |   (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl)) AS sco
+        |  FROM tf JOIN df USING (w) JOIN l USING (doc_id) CROSS JOIN s)
+        |SELECT doc_id, count(*) AS n_matched, round(sum(sco), 4) AS score
+        |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "text_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, lang, w, CAST(count(*) AS DOUBLE) c FROM (
+        |    SELECT doc_id, lang,
+        |     unnest(regexp_split_to_array(trim(text), '\s+')) w
+        |    FROM documents) t
+        |  GROUP BY 1, 2, 3),
+        |perdoc AS (
+        |  SELECT lang, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+        |  FROM cnt GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        | round(avg(h), 4) AS avg_entropy,
+        | round(min(h), 4) AS min_entropy,
+        | round(max(h), 4) AS max_entropy,
+        | count(*) FILTER (h < 5.0) AS n_low_entropy
+        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_outliers" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |wn AS (
+        |  SELECT label, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm
+        |  FROM e),
+        |n AS (SELECT label, list_transform(v, x -> x / nrm) nv FROM wn),
+        |d AS (SELECT label, unnest(nv) x, unnest(range(0, len(nv))) pos FROM n),
+        |c AS (SELECT label, pos, avg(x) cx FROM d GROUP BY 1, 2),
+        |cl AS (SELECT label, list(cx ORDER BY pos) cv FROM c GROUP BY 1),
+        |cn AS (
+        |  SELECT label, list_transform(cv,
+        |    x -> x / sqrt(list_sum(list_transform(cv, y -> y * y)))) cnv
+        |  FROM cl),
+        |sims AS (
+        |  SELECT n.label,
+        |   round(list_sum(list_transform(range(1, len(nv) + 1),
+        |     i -> nv[i] * cnv[i])), 4) sim
+        |  FROM n JOIN cn ON n.label = cn.label),
+        |h AS (SELECT label, sim, count(*) cnt FROM sims GROUP BY 1, 2),
+        |st AS (
+        |  SELECT label, sum(cnt) n_vecs,
+        |   sum(sim * cnt) / sum(cnt) mu,
+        |   sqrt(sum(sim * sim * cnt) / sum(cnt) -
+        |     (sum(sim * cnt) / sum(cnt)) * (sum(sim * cnt) / sum(cnt))) sd
+        |  FROM h GROUP BY 1)
+        |SELECT CAST(h.label AS BIGINT) AS label,
+        | CAST(st.n_vecs AS BIGINT) AS n_vecs,
+        | round(st.mu, 4) AS avg_cos, round(st.sd, 4) AS std_cos,
+        | CAST(coalesce(sum(h.cnt) FILTER (h.sim < st.mu - 2.0 * st.sd), 0)
+        |   AS BIGINT) AS n_outliers
+        |FROM h JOIN st ON h.label = st.label
+        |GROUP BY h.label, st.n_vecs, st.mu, st.sd ORDER BY 1""".stripMargin,
     "source_kl_divergence" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -2045,5 +2045,137 @@ object TrainingData {
       .orderBy(col("variance").desc, col("pos"))
       .limit(8)
 
+  // ------------------------------------------------- retrieval / diagnostics
+
+  /** BM25 top-10 retrieval (k1=1.2, b=0.75) for a fixed conjunctive-OR
+    * query — the ranking function a curation pipeline uses to pull
+    * topic-relevant documents (or to score benchmark-adjacent text for
+    * decontamination review) without an external search service.
+    *
+    * Plan shape: ONE corpus scan feeds both frames — doc lengths are a
+    * narrow projection and term frequencies filter the exploded token
+    * stream BEFORE the (doc_id, term)-keyed aggregation, so the shuffle
+    * carries only matching-term partial counts (≤ |terms| rows per doc),
+    * never the full token stream. Document frequencies and the global
+    * length stats are one-row/|terms|-row frames that broadcast; the
+    * per-doc length join is the only doc-count-sized shuffle. The final
+    * top-10 is TakeOrderedAndProject — no global sort at any corpus size.
+    * All constants are written as identical literals in the DuckDB oracle
+    * so the double arithmetic agrees bit-for-bit before rounding.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "merge", "vector")
+    val base = docs(spark, dir)
+      .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+    val lens = base.select(col("doc_id"),
+      size(col("toks")).cast(DoubleType).as("len"))
+    val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n"),
+      avg("len").as("avgdl"))
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast(DoubleType).as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), round(sum("s"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Per-language token-entropy rollup: each document's Shannon entropy
+    * over its unigram distribution (H = log2 n − Σ c·log2 c / n — the
+    * algebraic form needs only the two sums, keeping the per-doc reduce a
+    * single aggregation), averaged per language with the count of
+    * low-entropy documents (H < 5.0 — repetitive/boilerplate symptom, the
+    * information-theoretic cousin of [[qualityRepetition]]'s ratio rules).
+    *
+    * Same scale shape as qualityRepetition: (doc, token)-keyed counts with
+    * map-side partial combine, then a doc-keyed reduce — fine-grained
+    * shuffle keys, no per-row interpreted HOFs, no skew on any single key.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(F.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).cast(DoubleType).as("c"))
+    val perDoc = cnt.groupBy("doc_id", "lang")
+      .agg(sum("c").as("n"), sum(col("c") * log2(col("c"))).as("clog"))
+      .select(col("lang"), (log2(col("n")) - col("clog") / col("n")).as("h"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("h"), 4).as("avg_entropy"),
+        round(min("h"), 4).as("min_entropy"),
+        round(max("h"), 4).as("max_entropy"),
+        count(when(col("h") < 5.0, 1)).as("n_low_entropy"))
+      .orderBy("lang")
+  }
+
+  /** Per-label embedding outlier detection: cosine of every vector to its
+    * own label's centroid direction, then a 2-sigma flag count — the
+    * standard mislabeled-example / contamination screen over an embedded
+    * corpus.
+    *
+    * The outlier rule needs each label's mean and stddev BEFORE rows can
+    * be flagged — naively two corpus passes (or a per-label window sort).
+    * Instead the rounded similarities collapse to a (label, sim) HISTOGRAM
+    * in the one corpus-sized aggregation (≤ 20001 distinct rounded values
+    * per label), and mean, moment-based stddev, and the threshold count
+    * all reduce that tiny frame — one pass over the data, no window, no
+    * join-back against anything corpus-sized. The histogram is cached so
+    * its two consumers (the stats reduce and the flag-count join) don't
+    * replay the corpus scan, and released once the rollup materializes.
+    * Centroids broadcast (labels × dim doubles).
+    */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (out, hist) = embOutliersFrames(spark, dir)
+    materializeAndRelease(out, hist)
+  }
+
+  /** The (rollup, cached histogram) pair behind [[embOutliers]], pre-
+    * materialization — exposed for the plan regression test, which asserts
+    * on the distributed plan (the public entry collects the ≤10-row result
+    * and releases the cache).
+    */
+  private[graft] def embOutliersFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    val e = embs(spark, dir).select(col("label"),
+      vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val cent = e.select(col("label"), posexplode(col("nv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+      .select(col("label"), vecNormalize(col("cv")).as("cnv"))
+    val hist = e.join(broadcast(cent), "label")
+      .select(col("label"), round(vecDot(col("nv"), col("cnv")), 4).as("sim"))
+      .groupBy("label", "sim").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val stats = hist.groupBy("label")
+      .agg(sum("cnt").as("n_vecs"),
+        (sum(col("sim") * col("cnt")) / sum("cnt")).as("mu"),
+        sqrt(sum(col("sim") * col("sim") * col("cnt")) / sum("cnt") -
+          (sum(col("sim") * col("cnt")) / sum("cnt")) *
+            (sum(col("sim") * col("cnt")) / sum("cnt"))).as("sd"))
+    val out = hist.join(stats, "label")
+      .groupBy(col("label"), col("n_vecs"), col("mu"), col("sd"))
+      .agg(coalesce(sum(when(col("sim") < col("mu") - lit(2.0) * col("sd"),
+        col("cnt"))), lit(0L)).as("n_outliers"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        round(col("mu"), 4).as("avg_cos"), round(col("sd"), 4).as("std_cos"),
+        col("n_outliers"))
+      .orderBy("label")
+    (out, hist)
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

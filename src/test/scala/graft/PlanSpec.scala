@@ -235,4 +235,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
       || p.contains("SortMergeJoin"), "bigram join-back must be an equi-join")
   }
+
+  test("bm25_topk: filtered explode, broadcast df/stats, top-k not a sort") {
+    val p = plan(graft.queries.TrainingData.bm25Topk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrderedAndProject, not a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats frame must broadcast, not cartesian")
+    assert(p.contains("BroadcastHashJoin"),
+      "document frequencies must broadcast to the tf frame")
+    assert(p.contains("partial_"),
+      "term counts must partially aggregate map-side")
+  }
+
+  test("text_entropy: token-keyed partial aggregation, no window, no join") {
+    val p = plan(graft.queries.TrainingData.textEntropy(spark, sf))
+    assert(p.contains("partial_"),
+      "token counts must partially aggregate map-side before the shuffle")
+    assert(!p.contains("Window"), "entropy is pure aggregation algebra")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("emb_outliers: centroids broadcast; histogram replaces window/join-back") {
+    val (out, hist) = graft.queries.TrainingData.embOutliersFrames(spark, sf)
+    try {
+      val p = plan(out)
+      assert(p.contains("BroadcastHashJoin"),
+        "label centroids must broadcast to the vector side")
+      assert(!p.contains("Window"),
+        "outlier stats come from the (label, sim) histogram, not a window")
+      // both consumers (stats reduce + flag-count join) must read the
+      // CACHED histogram, not replay the corpus scan lineage
+      assert(p.contains("InMemoryTableScan"),
+        "histogram must be cached, not recomputed per consumer")
+    } finally hist.unpersist()
+  }
 }
