@@ -101,6 +101,10 @@ object SparkEntry {
     "quality_ccnet_bucket" -> (TrainingData.qualityCcnetBucket _),
     "emb_dim_stats" -> (TrainingData.embDimStats _),
     "emb_outliers" -> (TrainingData.embOutliers _),
+    "quality_gopher" -> (TrainingData.qualityGopher _),
+    "seq_len_buckets" -> (TrainingData.seqLenBuckets _),
+    "length_outliers" -> (TrainingData.lengthOutliers _),
+    "dedup_prefix" -> (TrainingData.dedupPrefix _),
     "bm25_topk" -> (TrainingData.bm25Topk _),
     "text_entropy" -> (TrainingData.textEntropy _),
     "mixture_weights" -> (TrainingData.mixtureWeights _),
@@ -726,6 +730,78 @@ object SparkEntry {
         | round(max(h), 4) AS max_entropy,
         | count(*) FILTER (h < 5.0) AS n_low_entropy
         |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quality_gopher" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |   CAST(len(toks) AS DOUBLE) n,
+        |   CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        |     / len(toks) mean_len,
+        |   CAST(list_contains(toks, 'the') AS INT)
+        |     + CAST(list_contains(toks, 'a') AS INT)
+        |     + CAST(list_contains(toks, 'of') AS INT)
+        |     + CAST(list_contains(toks, 'and') AS INT)
+        |     + CAST(list_contains(toks, 'to') AS INT) n_stop,
+        |   CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+        |     AS DOUBLE) / len(toks) alpha_frac
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |   (n >= 20 AND n <= 90) r_len,
+        |   (mean_len >= 3.0 AND mean_len <= 10.0) r_word_len,
+        |   (n_stop >= 2) r_stopwords,
+        |   (alpha_frac >= 0.8) r_alpha
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (NOT r_len) AS n_fail_len,
+        | count(*) FILTER (NOT r_word_len) AS n_fail_word_len,
+        | count(*) FILTER (NOT r_stopwords) AS n_fail_stopwords,
+        | count(*) FILTER (NOT r_alpha) AS n_fail_alpha,
+        | round(CAST(count(*) FILTER (r_len AND r_word_len AND r_stopwords
+        |   AND r_alpha) AS DOUBLE) / count(*), 4) AS pass_rate
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seq_len_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS BIGINT) n
+        |  FROM documents),
+        |b AS (SELECT length(bin(n)) - 1 AS bucket, n FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS total_tokens,
+        | CAST((1 << (bucket + 1)) * count(*) AS BIGINT) AS padded_tokens,
+        | round(CAST(sum(n) AS DOUBLE) / ((1 << (bucket + 1)) * count(*)), 4)
+        |   AS fill_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "length_outliers" ->
+      """WITH l AS (
+        |  SELECT lang, CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS DOUBLE) n
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, round(quantile_cont(n, 0.05), 2) p5,
+        |   round(quantile_cont(n, 0.95), 2) p95
+        |  FROM l GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs,
+        | any_value(p5) AS p5_tokens, any_value(p95) AS p95_tokens,
+        | count(*) FILTER (n < p5) AS n_below,
+        | count(*) FILTER (n > p95) AS n_above
+        |FROM l JOIN s USING (lang) GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_prefix" ->
+      """WITH g AS (
+        |  SELECT md5(array_to_string(
+        |    (regexp_split_to_array(trim(text), '\s+'))[1:16], ' ')) fp,
+        |   count(*) cnt
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+        | count(*) FILTER (cnt > 1) AS n_dup_prefix_groups,
+        | CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT)
+        |   AS n_docs_in_groups,
+        | CAST(coalesce(sum(cnt - 1) FILTER (cnt > 1), 0) AS BIGINT)
+        |   AS n_redundant,
+        | max(cnt) AS max_group_size
+        |FROM g""".stripMargin,
     "emb_outliers" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -2177,5 +2177,124 @@ object TrainingData {
     (out, hist)
   }
 
+  /** Gopher-style quality rule screen (Rae et al. 2021, "Scaling Language
+    * Models" appendix A1.1), adapted to this corpus's shape: per-source
+    * counts of documents failing each structural rule and the overall pass
+    * rate. Rules: token count in [20, 90]; mean word length in [3.0, 10.0];
+    * >= 2 distinct common stopwords present; >= 80% of words alphabetic.
+    *
+    * Every metric is a narrow per-row HOF over the token array (aggregate /
+    * filter / array_contains — all codegen'd, NO explode), so the corpus
+    * scan stays one whole-stage-codegen map; the only shuffle is the
+    * per-source rollup on a low-cardinality key with map-side partials.
+    * At 100 TB this is scan-bound, exactly as a filter pass should be.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val toks = F.tokens(col("text"))
+    val n = size(toks).cast(DoubleType)
+    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+      .cast(DoubleType) / n
+    val nStop = Seq("the", "a", "of", "and", "to")
+      .map(w => array_contains(toks, w).cast(IntegerType))
+      .reduce(_ + _)
+    val alphaFrac =
+      size(filter(toks, w => w.rlike("[a-z]"))).cast(DoubleType) / n
+    val perDoc = docs(spark, dir).select(col("source"),
+      (n >= 20 && n <= 90).as("r_len"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("r_word_len"),
+      (nStop >= 2).as("r_stopwords"),
+      (alphaFrac >= 0.8).as("r_alpha"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!col("r_len"), 1)).as("n_fail_len"),
+        count(when(!col("r_word_len"), 1)).as("n_fail_word_len"),
+        count(when(!col("r_stopwords"), 1)).as("n_fail_stopwords"),
+        count(when(!col("r_alpha"), 1)).as("n_fail_alpha"),
+        round(count(when(col("r_len") && col("r_word_len") &&
+          col("r_stopwords") && col("r_alpha"), 1)).cast(DoubleType) /
+          count(lit(1)), 4).as("pass_rate"))
+      .orderBy("source")
+  }
+
+  /** Power-of-2 sequence-length histogram with padding waste — the batching
+    * planner's view of a corpus: documents bucketed by floor(log2(tokens)),
+    * each bucket padded to its capacity 2^(bucket+1), and the fraction of
+    * padded positions that are real tokens. Bucketing by binary-string
+    * length (`length(bin(n)) - 1`) instead of floating log2 keeps exact
+    * powers of two in the right bucket in BOTH engines — ln(n)/ln(2) can
+    * land an exact power at 5.999… and misbucket it.
+    *
+    * One scan, one narrow projection, one low-cardinality aggregation
+    * (<= 64 buckets) with map-side partials — scan-bound at any scale.
+    */
+  def seqLenBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(F.tokens(col("text"))).cast(LongType)
+    docs(spark, dir)
+      .select((length(bin(n)) - 1).cast(LongType).as("bucket"), n.as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        (expr("shiftleft(1L, cast(bucket + 1 as int))") *
+          count(lit(1))).as("padded_tokens"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast(DoubleType) / col("padded_tokens"), 4))
+      .orderBy("bucket")
+  }
+
+  /** Robust length-outlier screen: per-language p5/p95 token-count bounds
+    * and how many documents fall outside them — the percentile cousin of
+    * [[qualityGopher]]'s fixed bounds (fixed thresholds drift as the corpus
+    * mix shifts; percentile bounds self-calibrate per language).
+    *
+    * The outlier counts need each language's percentiles BEFORE rows can be
+    * flagged, so the narrow (lang, n) projection is computed once and
+    * cached: pass 1 reduces it to a per-language stats frame (exact
+    * percentile — at 100 TB swap in approx_percentile, declared divergence),
+    * pass 2 broadcast-joins that tiny frame back and counts. Nothing
+    * corpus-sized shuffles twice; the cache is released once the <= #langs
+    * row result materializes.
+    */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val lens = docs(spark, dir)
+      .select(col("lang"),
+        size(F.tokens(col("text"))).cast(DoubleType).as("n"))
+      .cache()
+    val stats = lens.groupBy("lang")
+      .agg(round(expr("percentile(n, 0.05)"), 2).as("p5"),
+        round(expr("percentile(n, 0.95)"), 2).as("p95"))
+    val out = lens.join(broadcast(stats), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        first("p5").as("p5_tokens"), first("p95").as("p95_tokens"),
+        count(when(col("n") < col("p5"), 1)).as("n_below"),
+        count(when(col("n") > col("p95"), 1)).as("n_above"))
+      .orderBy("lang")
+    materializeAndRelease(out, lens)
+  }
+
+  /** Truncation-duplicate screen: documents sharing the same first-16-token
+    * fingerprint (md5 of the space-joined prefix) — catches re-crawls cut
+    * at different lengths and boilerplate-prefixed families that EXACT
+    * dedup misses, without any pairwise comparison.
+    *
+    * The fingerprint is a narrow codegen'd map; the only corpus-sized
+    * shuffle is the fingerprint-keyed count with map-side partials (keys
+    * are 32-char hashes — fine-grained, skew-free), and everything after
+    * reduces group-count rows to one. This is the O(n) front door to the
+    * pairwise [[dedupNgramJaccard]] family.
+    */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws(" ", slice(F.tokens(col("text")), 1, 16)))
+    docs(spark, dir).select(fp.as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_docs"),
+        count(when(col("cnt") > 1, 1)).as("n_dup_prefix_groups"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L))
+          .as("n_docs_in_groups"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)), lit(0L))
+          .as("n_redundant"),
+        max("cnt").as("max_group_size"))
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -270,4 +270,32 @@ class PlanSpec extends AnyFunSuite {
         "histogram must be cached, not recomputed per consumer")
     } finally hist.unpersist()
   }
+
+  test("quality_gopher: no explode — per-doc metrics stay one codegen map") {
+    val p = plan(graft.queries.TrainingData.qualityGopher(spark, sf))
+    assert(!p.contains("Generate"),
+      "rule metrics must be array HOFs, not an exploded token stream")
+    assert(p.contains("partial_"),
+      "per-source rollup must partially aggregate map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("seq_len_buckets: single scan, single low-cardinality aggregation") {
+    val p = plan(graft.queries.TrainingData.seqLenBuckets(spark, sf))
+    assert(!p.contains("Generate"), "bucketing needs only the token COUNT")
+    assert(p.contains("partial_"),
+      "bucket histogram must partially aggregate map-side")
+    // formatted explain prints each scan in the tree AND the details
+    // section — count the numbered detail headers, one per scan node
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      "one corpus scan feeds the histogram")
+  }
+
+  test("dedup_prefix: fingerprint-keyed partial agg, no pairwise join") {
+    val p = plan(graft.queries.TrainingData.dedupPrefix(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "prefix dedup is O(n) hashing, never a pairwise comparison")
+    assert(p.contains("partial_"),
+      "fingerprint counts must partially aggregate map-side")
+  }
 }
