@@ -76,13 +76,27 @@ object Main {
           // any other value splits to valid/dlq parquet sinks.
           val wh = req("warehouse")
           if (opts("stream") == "merge") {
-            graft.streaming.StreamingPipeline.dropFolderMergeStream(
-              spark, DemoSources.Sales, store, drop,
-              checkpointDir = s"$wh/stream_merge_checkpoint")
-              .awaitTermination()
-            val n = store.readIfExists(DemoSources.Sales.tableName)
-              .map(_.count()).getOrElse(0L)
-            println(s"stream-merge: target_rows=$n")
+            // with --jdbc the micro-batch MERGE goes through the
+            // epoch-guarded exactly-once path (database txn = commit unit);
+            // otherwise the parquet store's bucketed O(delta) merge
+            targetSink match {
+              case Some(jdbc) =>
+                graft.streaming.StreamingPipeline.jdbcMergeStream(
+                  spark, DemoSources.Sales, jdbc, drop,
+                  checkpointDir = s"$wh/stream_merge_checkpoint")
+                  .awaitTermination()
+                val n = jdbc.readIfExists(DemoSources.Sales.tableName)
+                  .map(_.count()).getOrElse(0L)
+                println(s"stream-merge: target_rows=$n")
+              case None =>
+                graft.streaming.StreamingPipeline.dropFolderMergeStream(
+                  spark, DemoSources.Sales, store, drop,
+                  checkpointDir = s"$wh/stream_merge_checkpoint")
+                  .awaitTermination()
+                val n = store.readIfExists(DemoSources.Sales.tableName)
+                  .map(_.count()).getOrElse(0L)
+                println(s"stream-merge: target_rows=$n")
+            }
           } else {
             graft.streaming.StreamingPipeline.dropFolderStream(
               spark, DemoSources.Sales, drop,

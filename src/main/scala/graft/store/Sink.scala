@@ -169,7 +169,63 @@ final class JdbcSink(
     */
   override def mergeInPlace(name: String, stage: DataFrame,
                             source: SourceConfig,
-                            now: java.sql.Timestamp): Option[(Long, Long)] = {
+                            now: java.sql.Timestamp): Option[(Long, Long)] =
+    Some(mergeImpl(name, stage, source, now, epoch = None))
+
+  /** Exactly-once variant for Structured Streaming `foreachBatch`: the
+    * micro-batch MERGE and an epoch record (`<name>__epochs`, keyed by the
+    * stream's `batchId`) commit in ONE database transaction, so a batch
+    * replayed after a failure between the merge commit and the stream's
+    * checkpoint commit is detected and skipped — foreachBatch alone is only
+    * at-least-once. Replay of an already-applied epoch returns the
+    * RECORDED counts with `applied = false` (and skips the delta landing
+    * entirely — the epoch pre-check costs one indexed point lookup, not a
+    * delta re-land). Correct because Spark replays a failed micro-batch
+    * with the SAME batchId and the same source offsets (checkpoint WAL),
+    * so skipping is equivalent to the lost commit.
+    */
+  def mergeExactlyOnce(name: String, stage: DataFrame, source: SourceConfig,
+                       now: java.sql.Timestamp,
+                       batchId: Long): (Long, Long, Boolean) = {
+    ensureEpochTable(name)
+    recordedEpoch(name, batchId) match {
+      case Some((i, u)) => (i, u, false)
+      case None =>
+        val (i, u) = mergeImpl(name, stage, source, now, epoch = Some(batchId))
+        (i, u, true)
+    }
+  }
+
+  private def epochTable(name: String): String = s"${name}__epochs"
+
+  private def ensureEpochTable(name: String): Unit =
+    if (!exists(epochTable(name))) withConnection { conn =>
+      val st = conn.createStatement()
+      // PRIMARY KEY on batch_id: a concurrent duplicate apply (two drivers
+      // racing the same epoch) fails the second INSERT and rolls its
+      // transaction back instead of double-merging
+      try st.executeUpdate(
+        s"CREATE TABLE ${epochTable(name)} (batch_id BIGINT NOT NULL " +
+          "PRIMARY KEY, applied_at TIMESTAMP, inserts BIGINT, updates BIGINT)")
+      finally st.close()
+    }
+
+  private def recordedEpoch(name: String, batchId: Long): Option[(Long, Long)] =
+    withConnection { conn =>
+      val ps = conn.prepareStatement(
+        s"SELECT inserts, updates FROM ${epochTable(name)} WHERE batch_id = ?")
+      try {
+        ps.setLong(1, batchId)
+        val rs = ps.executeQuery()
+        try {
+          if (rs.next()) Some((rs.getLong(1), rs.getLong(2))) else None
+        } finally rs.close()
+      } finally ps.close()
+    }
+
+  private def mergeImpl(name: String, stage: DataFrame,
+                        source: SourceConfig, now: java.sql.Timestamp,
+                        epoch: Option[Long]): (Long, Long) = {
     val modelCols = source.columns.map(_.name)
     val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
     val delta = s"${name}__delta"
@@ -226,6 +282,15 @@ final class JdbcSink(
         val updates = one(s"SELECT COUNT(*) FROM $delta d JOIN $name t ON $onClause " +
           s"WHERE t.$hash <> d.$hash")
         st.executeUpdate(dlt.mergeSql(name, delta, source.grain, dataCols, ts, onClause))
+        // exactly-once epoch record: MUST commit atomically with the merge
+        // (see mergeExactlyOnce) — a separate transaction would reopen the
+        // replay-between-commits window it exists to close. Authoritative
+        // replay guard: the PRIMARY KEY rejects a racing duplicate apply
+        // even if both passed the cheap pre-check.
+        epoch.foreach { id =>
+          st.executeUpdate(s"INSERT INTO ${epochTable(name)} VALUES " +
+            s"($id, $ts, $inserts, $updates)")
+        }
         conn.commit()
         (inserts, updates)
       } catch {
@@ -236,7 +301,7 @@ final class JdbcSink(
       val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $delta") finally st.close()
     }
-    Some(counts)
+    counts
   }
 
   override def overwrite(name: String, df: DataFrame,

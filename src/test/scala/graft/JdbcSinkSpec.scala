@@ -272,6 +272,45 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
       _.getInt(1)) == 2, "failed publish must not have applied its update")
   }
 
+  test("mergeExactlyOnce: replayed epoch is skipped, next epoch applies") {
+    dropFile("sales_a.csv", Seq(SalesHeader, salesRow("TXN001"), salesRow("TXN002")))
+    processor.processFile(dropDir.resolve("sales_a.csv").toString)
+    val sink = new JdbcSink(spark, url)
+    val source = TestSources.registry.all.find(_.tableName == "transactions").get
+    val dataCols = source.columns.map(_.name) ++
+      Seq("etl_row_hash", "source_filename", "file_load_log_id")
+    // a published target read back IS a valid stage frame (same columns)
+    val stage = spark.read.jdbc(url, "transactions", new java.util.Properties())
+      .select(dataCols.map(org.apache.spark.sql.functions.col): _*)
+      .cache()
+    stage.count()
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+
+    // epoch 7 first apply: hash-equal content, 0/0, applied
+    val (i1, u1, applied1) = sink.mergeExactlyOnce("transactions", stage, source, now, 7L)
+    assert(applied1 && i1 == 0 && u1 == 0)
+
+    // REPLAY of epoch 7 with would-be-changing content: must be skipped
+    // (returns the recorded counts) and the target must not change
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val changed = stage.withColumn("quantity", lit(99))
+      .withColumn("etl_row_hash", c("etl_row_hash") + 1)
+    val (i2, u2, applied2) = sink.mergeExactlyOnce("transactions", changed, source, now, 7L)
+    assert(!applied2 && i2 == 0 && u2 == 0)
+    assert(query1(
+      """SELECT "quantity" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
+      _.getInt(1)) == 2, "replayed epoch must not re-apply")
+
+    // epoch 8 with the changed content: applies as updates
+    val (i3, u3, applied3) = sink.mergeExactlyOnce("transactions", changed, source, now, 8L)
+    assert(applied3 && i3 == 0 && u3 == 2)
+    assert(query1(
+      """SELECT "quantity" FROM transactions WHERE CAST("transaction_id" AS VARCHAR(100)) = 'TXN001'""")(
+      _.getInt(1)) == 99)
+    assert(query1("SELECT COUNT(*) FROM transactions__epochs")(_.getInt(1)) == 2)
+    stage.unpersist()
+  }
+
   test("duplicate filename is still detected with a relational target") {
     dropFile("sales_2024.csv", Seq(SalesHeader, salesRow("TXN001")))
     processor.processFile(dropDir.resolve("sales_2024.csv").toString)

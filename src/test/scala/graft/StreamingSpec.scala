@@ -100,6 +100,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[java.sql.Timestamp]("etl_updated_at") == null)
   }
 
+  test("jdbcMergeStream: epoch-guarded exactly-once merge across restarts") {
+    val drop = tmp("sj-drop")
+    val ckpt = tmp("sj-ckpt")
+    val db = tmp("sj-db")
+    val url = s"jdbc:derby:$db/db;create=true"
+    val sink = new graft.store.JdbcSink(spark, url)
+    val source = SourceConfig(
+      name = "sj", filePattern = "sales_*.csv", sourceType = "csv",
+      columns = Seq(
+        ColumnSpec.string("transaction_id", nullable = false),
+        ColumnSpec.int("quantity", nullable = false)),
+      tableName = "sj_target", grain = Seq("transaction_id"))
+    def query1[T](sql: String)(get: java.sql.ResultSet => T): T = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(sql)
+        rs.next(); get(rs)
+      } finally conn.close()
+    }
+
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_j1.csv"),
+      "transaction_id,quantity\nT1,1\nT2,2\n")
+    StreamingPipeline.jdbcMergeStream(spark, source, sink, drop, ckpt)
+      .awaitTermination()
+    assert(query1("SELECT COUNT(*) FROM sj_target")(_.getInt(1)) == 2)
+    val epochs1 = query1("SELECT COUNT(*) FROM sj_target__epochs")(_.getInt(1))
+    assert(epochs1 >= 1)
+
+    // restart over the same checkpoint with NO new files: file tracking
+    // yields no batch, so no new epoch rows and no target change
+    StreamingPipeline.jdbcMergeStream(spark, source, sink, drop, ckpt)
+      .awaitTermination()
+    assert(query1("SELECT COUNT(*) FROM sj_target__epochs")(_.getInt(1)) == epochs1)
+    assert(query1("SELECT COUNT(*) FROM sj_target")(_.getInt(1)) == 2)
+
+    // new file after restart: updates T2 in place, inserts T3, new epoch
+    Files.writeString(java.nio.file.Paths.get(s"$drop/sales_j2.csv"),
+      "transaction_id,quantity\nT2,20\nT3,3\n")
+    StreamingPipeline.jdbcMergeStream(spark, source, sink, drop, ckpt)
+      .awaitTermination()
+    assert(query1("SELECT COUNT(*) FROM sj_target")(_.getInt(1)) == 3)
+    assert(query1(
+      """SELECT "quantity" FROM sj_target WHERE CAST("transaction_id" AS VARCHAR(100)) = 'T2'""")(
+      _.getInt(1)) == 20)
+    assert(query1("SELECT COUNT(*) FROM sj_target__epochs")(_.getInt(1)) == epochs1 + 1)
+  }
+
   test("watermarked window aggregation over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
