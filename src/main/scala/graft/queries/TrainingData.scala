@@ -2052,31 +2052,47 @@ object TrainingData {
     * topic-relevant documents (or to score benchmark-adjacent text for
     * decontamination review) without an external search service.
     *
-    * Plan shape: ONE corpus scan feeds both frames — doc lengths are a
-    * narrow projection and term frequencies filter the exploded token
-    * stream BEFORE the (doc_id, term)-keyed aggregation, so the shuffle
-    * carries only matching-term partial counts (≤ |terms| rows per doc),
-    * never the full token stream. Document frequencies and the global
-    * length stats are one-row/|terms|-row frames that broadcast; the
-    * per-doc length join is the only doc-count-sized shuffle. The final
-    * top-10 is TakeOrderedAndProject — no global sort at any corpus size.
-    * All constants are written as identical literals in the DuckDB oracle
-    * so the double arithmetic agrees bit-for-bit before rounding.
+    * Plan shape: ONE cached text scan — the projection keeps only the doc
+    * length and the query-term matches (the term filter runs INSIDE the
+    * token array, so the explode emits ≤ matching tokens per doc, never
+    * the full token stream), and the doc length rides through the
+    * (doc_id, term) aggregation, so no corpus-sized lengths join exists
+    * anywhere. Document frequencies and the global length stats are
+    * |terms|-row / 1-row broadcast frames. The final top-10 is
+    * TakeOrderedAndProject — no global sort at any corpus size. All
+    * constants are written as identical literals in the DuckDB oracle so
+    * the double arithmetic agrees bit-for-bit before rounding.
     */
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val (result, proj) = bm25TopkFrames(spark, dir)
+    materializeAndRelease(result, proj)
+  }
+
+  /** The (top-10, cached projection) pair behind [[bm25Topk]], pre-
+    * materialization — exposed for the plan regression test.
+    */
+  private[graft] def bm25TopkFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val terms = Seq("spark", "merge", "vector")
-    val base = docs(spark, dir)
-      .select(col("doc_id"), F.tokens(col("text")).as("toks"))
-    val lens = base.select(col("doc_id"),
-      size(col("toks")).cast(DoubleType).as("len"))
-    val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n"),
+    val toks = F.tokens(col("text"))
+    // ONE text scan: the projection keeps only the doc length and the
+    // query-term matches (filter INSIDE the array, so non-matching tokens
+    // are dropped before any explode emits them), then drops the text.
+    // Cached because both the global length stats and the tf explode
+    // consume it — without the cache the corpus text would scan twice.
+    val proj = docs(spark, dir)
+      .select(col("doc_id"), size(toks).cast(DoubleType).as("len"),
+        filter(toks, w => w.isInCollection(terms)).as("mt"))
+      .cache()
+    val stats = proj.agg(count(lit(1)).cast(DoubleType).as("n"),
       avg("len").as("avgdl"))
-    val tf = base.select(col("doc_id"), explode(col("toks")).as("w"))
-      .filter(col("w").isInCollection(terms))
-      .groupBy("doc_id", "w").agg(count(lit(1)).cast(DoubleType).as("tf"))
+    // len rides through the (doc_id, term) aggregation (functionally
+    // dependent on doc_id), so no corpus-sized lengths join is ever needed
+    val tf = proj.select(col("doc_id"), col("len"), explode(col("mt")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), max("len").as("len"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast(DoubleType).as("df"))
-    tf.join(broadcast(dfreq), "w")
-      .join(lens, "doc_id")
+    val result = tf.join(broadcast(dfreq), "w")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
@@ -2087,6 +2103,7 @@ object TrainingData {
       .agg(count(lit(1)).as("n_matched"), round(sum("s"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
+    (result, proj)
   }
 
   /** Per-language token-entropy rollup: each document's Shannon entropy
@@ -2135,8 +2152,8 @@ object TrainingData {
     * Centroids broadcast (labels × dim doubles).
     */
   def embOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val (out, hist) = embOutliersFrames(spark, dir)
-    materializeAndRelease(out, hist)
+    val (out, cached) = embOutliersFrames(spark, dir)
+    materializeAndRelease(out, cached: _*)
   }
 
   /** The (rollup, cached histogram) pair behind [[embOutliers]], pre-
@@ -2145,11 +2162,15 @@ object TrainingData {
     * and releases the cache).
     */
   private[graft] def embOutliersFrames(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    // cached: the centroid pass and the similarity pass each consume every
+    // normalized vector — uncached, the embedding parquet would scan (and
+    // the normalize expression re-run) twice
     val e = embs(spark, dir).select(col("label"),
       vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+      .cache()
     val cent = e.select(col("label"), posexplode(col("nv")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg("x").as("cx"))
       .groupBy("label")
@@ -2174,7 +2195,7 @@ object TrainingData {
         round(col("mu"), 4).as("avg_cos"), round(col("sd"), 4).as("std_cos"),
         col("n_outliers"))
       .orderBy("label")
-    (out, hist)
+    (out, Seq(hist, e))
   }
 
   /** Gopher-style quality rule screen (Rae et al. 2021, "Scaling Language

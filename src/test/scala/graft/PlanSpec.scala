@@ -237,15 +237,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bm25_topk: filtered explode, broadcast df/stats, top-k not a sort") {
-    val p = plan(graft.queries.TrainingData.bm25Topk(spark, sf))
-    assert(p.contains("TakeOrderedAndProject"),
-      "top-10 must be TakeOrderedAndProject, not a global sort")
-    assert(!p.contains("CartesianProduct"),
-      "the 1-row stats frame must broadcast, not cartesian")
-    assert(p.contains("BroadcastHashJoin"),
-      "document frequencies must broadcast to the tf frame")
-    assert(p.contains("partial_"),
-      "term counts must partially aggregate map-side")
+    val (out, proj) = graft.queries.TrainingData.bm25TopkFrames(spark, sf)
+    try {
+      val p = plan(out)
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-10 must be TakeOrderedAndProject, not a global sort")
+      assert(!p.contains("CartesianProduct"),
+        "the 1-row stats frame must broadcast, not cartesian")
+      assert(p.contains("BroadcastHashJoin"),
+        "document frequencies must broadcast to the tf frame")
+      assert(p.contains("partial_"),
+        "term counts must partially aggregate map-side")
+      assert(!p.contains("SortMergeJoin"),
+        "no corpus-sized lengths join: len rides through the aggregation")
+      assert(p.contains("InMemoryTableScan"),
+        "the term-filtered projection must be cached, not re-scan the text")
+    } finally proj.unpersist()
   }
 
   test("text_entropy: token-keyed partial aggregation, no window, no join") {
@@ -257,7 +264,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("emb_outliers: centroids broadcast; histogram replaces window/join-back") {
-    val (out, hist) = graft.queries.TrainingData.embOutliersFrames(spark, sf)
+    val (out, cached) = graft.queries.TrainingData.embOutliersFrames(spark, sf)
     try {
       val p = plan(out)
       assert(p.contains("BroadcastHashJoin"),
@@ -268,7 +275,7 @@ class PlanSpec extends AnyFunSuite {
       // CACHED histogram, not replay the corpus scan lineage
       assert(p.contains("InMemoryTableScan"),
         "histogram must be cached, not recomputed per consumer")
-    } finally hist.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 
   test("quality_gopher: no explode — per-doc metrics stay one codegen map") {
