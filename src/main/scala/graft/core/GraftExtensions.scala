@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => SimhashMd5(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    // fuse vec_dot(vec_normalize(a), vec_normalize(b)) -> cosine_sim(a, b):
+    // bit-identical result, no per-row array allocations
+    ext.injectOptimizerRule(_ => FuseCosine)
   }
 }

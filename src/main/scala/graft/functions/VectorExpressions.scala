@@ -643,6 +643,140 @@ case class IntersectSizeIds(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: bit-identical to the composition
+  * `vec_dot(vec_normalize(a), vec_normalize(b))` — the per-element sum is
+  * `(a_i/||a||) * (b_i/||b||)` in exactly that floating-point order, a null
+  * ELEMENT nulls the result (vec_normalize's contract), and the dot runs
+  * over min(|a|, |b|) — but WITHOUT materializing the two normalized
+  * arrays: three allocation-free primitive loops (two norms + the sum)
+  * instead of two UnsafeArrayData allocations per row. [[FuseCosine]]
+  * rewrites the composed form to this automatically, so naive SQL
+  * (`vec_dot(vec_normalize(a), vec_normalize(b))`) gets the fused plan —
+  * per-row allocations in an all-pairs similarity join are the difference
+  * between a codegen-bound and a GC-bound stage at corpus scale.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def sideContainsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  /** Null elements null the result (see [[VecNormalize.nullable]] — same
+    * Janino trap: without this override the generated isNull assignment
+    * targets a `false` literal and codegen silently falls back).
+    */
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    sideContainsNull(left) || sideContainsNull(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0
+    if (sideContainsNull(left)) {
+      while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+    }
+    if (sideContainsNull(right)) {
+      i = 0; while (i < ny) { if (y.isNullAt(i)) return null; i += 1 }
+    }
+    var sx = 0.0; i = 0
+    while (i < nx) { val v = x.getDouble(i); sx += v * v; i += 1 }
+    var sy = 0.0; i = 0
+    while (i < ny) { val v = y.getDouble(i); sy += v * v; i += 1 }
+    val na = math.sqrt(sx); val nb = math.sqrt(sy)
+    val n = math.min(nx, ny)
+    var s = 0.0; i = 0
+    // (a_i/na) * (b_i/nb), NOT sum(a_i*b_i)/(na*nb): rounding must match
+    // the unfused composition bit-for-bit or the rewrite changes results
+    while (i < n) { s += (x.getDouble(i) / na) * (y.getDouble(i) / nb); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val v = ctx.freshName("v")
+      val sx = ctx.freshName("sx"); val sy = ctx.freshName("sy")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val leftNullScan = if (sideContainsNull(left))
+        s"""for (int $i = 0; $i < $nx && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+           |}""".stripMargin
+      else ""
+      val rightNullScan = if (sideContainsNull(right))
+        s"""for (int $i = 0; $i < $ny && !${ev.isNull}; $i++) {
+           |  if ($b.isNullAt($i)) ${ev.isNull} = true;
+           |}""".stripMargin
+      else ""
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |$leftNullScan
+         |$rightNullScan
+         |if (!${ev.isNull}) {
+         |  double $sx = 0.0;
+         |  for (int $i = 0; $i < $nx; $i++) {
+         |    double $v = $a.getDouble($i); $sx += $v * $v;
+         |  }
+         |  double $sy = 0.0;
+         |  for (int $i = 0; $i < $ny; $i++) {
+         |    double $v = $b.getDouble($i); $sy += $v * $v;
+         |  }
+         |  double $na = java.lang.Math.sqrt($sx);
+         |  double $nb = java.lang.Math.sqrt($sy);
+         |  int $n = java.lang.Math.min($nx, $ny);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ($a.getDouble($i) / $na) * ($b.getDouble($i) / $nb);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: fuse `vec_dot(vec_normalize(a), vec_normalize(b))` into
+  * [[CosineSim]] — the composed form allocates two normalized arrays per
+  * row; the fused form allocates nothing and produces bit-identical
+  * results (see [[CosineSim]]'s rounding-order note). Runs on every plan
+  * (registered via [[graft.core.GraftExtensions]] `injectOptimizerRule`
+  * for config-built sessions, and through
+  * `spark.experimental.extraOptimizations` by
+  * [[VectorFunctions.register]] for live ones); a no-op unless the
+  * pattern occurs.
+  */
+object FuseCosine
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case VecDot(VecNormalize(a), VecNormalize(b)) => CosineSim(a, b)
+    }
+}
+
 /** Session registration + Column API for the vector expressions. */
 object VectorFunctions {
 
@@ -685,6 +819,15 @@ object VectorFunctions {
       FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => SimhashMd5(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)))
+    // live-session path for the fusion rule (config-built sessions get it
+    // via GraftExtensions.injectOptimizerRule); idempotent by identity
+    if (!spark.experimental.extraOptimizations.contains(FuseCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseCosine
   }
 
   /** Codegen'd dot product; requires [[register]] on the session. */
@@ -714,4 +857,8 @@ object VectorFunctions {
 
   /** Fused portable 60-bit md5 SimHash; requires [[register]]. */
   def simhashMd5(text: Column): Column = call_function("simhash_md5", text)
+
+  /** Fused allocation-free cosine similarity; requires [[register]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 }

@@ -57,6 +57,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(F.cosine(a, a)).getDouble(0) == 1.0)
   }
 
+  test("cosine_sim: fused expression is bit-identical to the composition") {
+    import VectorFunctions.{cosineSim, vecDot, vecNormalize}
+    val a = array(lit(1.0), lit(-2.0), lit(3.0), lit(0.5))
+    val b = array(lit(4.0), lit(0.25), lit(-1.0), lit(2.0))
+    val fused = one(cosineSim(a, b)).getDouble(0)
+    val composed = one(vecDot(vecNormalize(a), vecNormalize(b))).getDouble(0)
+    assert(fused == composed, "must match the composition bit-for-bit")
+    assert(one(cosineSim(a, a)).getDouble(0) == 1.0)
+    // zero-norm: the composition yields NaN (0/0 elements); so must the fusion
+    val z = array(lit(0.0), lit(0.0))
+    assert(one(cosineSim(z, b)).getDouble(0).isNaN)
+    assert(one(vecDot(vecNormalize(z), vecNormalize(b))).getDouble(0).isNaN)
+    // a null ELEMENT nulls the result in both forms
+    val withNull = array(lit(1.0), lit(null).cast(DoubleType))
+    assert(one(cosineSim(withNull, b)).isNullAt(0))
+    assert(one(vecDot(vecNormalize(withNull), vecNormalize(b))).isNullAt(0))
+  }
+
+  test("FuseCosine: optimizer rewrites the composition to cosine_sim") {
+    import VectorFunctions.{vecDot, vecNormalize}
+    val df = spark.range(3).select(
+      array(col("id").cast(DoubleType), lit(2.0)).as("a"),
+      array(lit(1.0), col("id").cast(DoubleType)).as("b"))
+      .select(vecDot(vecNormalize(col("a")), vecNormalize(col("b"))).as("sim"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_sim"),
+      s"rule must fuse the composition, got:\n$optimized")
+    assert(!optimized.contains("vec_normalize"),
+      "the normalized intermediates must be gone after fusion")
+    // and the rewritten plan still computes the right values
+    val sims = df.collect().map(_.getDouble(0))
+    assert(sims.length == 3 && sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
   test("shingle_ids: fused expression matches the composable chain") {
     val text = lit("the quick brown fox jumps over the quick brown dog")
     val fused = one(VectorFunctions.shingleIds(text, 2)).getSeq[Long](0)
