@@ -105,6 +105,7 @@ object SparkEntry {
     "seq_len_buckets" -> (TrainingData.seqLenBuckets _),
     "length_outliers" -> (TrainingData.lengthOutliers _),
     "dedup_prefix" -> (TrainingData.dedupPrefix _),
+    "dedup_by_source" -> (TrainingData.dedupBySource _),
     "bm25_topk" -> (TrainingData.bm25Topk _),
     "text_entropy" -> (TrainingData.textEntropy _),
     "mixture_weights" -> (TrainingData.mixtureWeights _),
@@ -788,6 +789,21 @@ object SparkEntry {
         | count(*) FILTER (n < p5) AS n_below,
         | count(*) FILTER (n > p95) AS n_above
         |FROM l JOIN s USING (lang) GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_by_source" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) he,
+        |   md5(array_to_string(
+        |     (regexp_split_to_array(trim(text), '\s+'))[1:16], ' ')) hp
+        |  FROM documents),
+        |ec AS (SELECT he, count(*) ce FROM d GROUP BY 1),
+        |pc AS (SELECT hp, count(*) cp FROM d GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        | count(*) FILTER (ce > 1) AS n_exact_dup,
+        | count(*) FILTER (cp > 1) AS n_prefix_dup,
+        | round(CAST(count(*) FILTER (cp > 1) AS DOUBLE) / count(*), 4)
+        |   AS prefix_dup_rate
+        |FROM d JOIN ec USING (he) JOIN pc USING (hp)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_prefix" ->
       """WITH g AS (
         |  SELECT md5(array_to_string(

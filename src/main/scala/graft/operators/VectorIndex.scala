@@ -77,6 +77,9 @@ object VectorIndex {
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("postings_v"))
       .foreach(st => fs.delete(st.getPath, true))
+    // a rebuild indexes a fresh corpus snapshot: stale tombstones from the
+    // previous index's life must not mask rows of the new one
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
   }
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING centroids
@@ -114,13 +117,43 @@ object VectorIndex {
     s"$indexDir/$name"
   }
 
+  /** Logical deletion by tombstone: append the ids to
+    * `indexDir/tombstones/` — O(delete batch) work, no posting rewrite
+    * (the FAISS remove_ids / Lucene deleted-docs trade). Probes
+    * anti-join the tombstone set out ([[queryIvf]]); the NEXT
+    * [[compactIvf]] drops the rows physically and clears the tombstones.
+    *
+    * CONTRACT: a tombstoned id stays invisible even if re-appended before
+    * the next compaction (the anti-join cannot tell generations apart) —
+    * compact before re-adding a previously deleted id. Single writer at a
+    * time, as for [[appendIvf]].
+    */
+  def deleteIvf(ids: DataFrame, indexDir: String): Unit =
+    ids.select(col("vec_id").cast(LongType))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** The tombstone set, or None when nothing was ever deleted (the common
+    * case — probes then skip the anti-join entirely).
+    */
+  private def tombstones(spark: SparkSession,
+                         indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Index health: bucket-size distribution and skew ratio. The biggest
     * bucket bounds probe tail latency (every probe of that bucket scans it
     * whole); a skew ratio far above 1 means the centroids no longer fit the
     * data — the rebuild signal for the [[appendIvf]] maintenance loop.
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
-    val sizes = spark.read.parquet(livePostingsDir(spark, indexDir))
+    // tombstoned rows are invisible to probes, so health stats must not
+    // count them either (a skew ratio inflated by already-deleted vectors
+    // would trigger a pointless rebuild)
+    val sizes = tombstones(spark, indexDir)
+      .foldLeft(spark.read.parquet(livePostingsDir(spark, indexDir)))(
+        (p, t) => p.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .groupBy("bucket").agg(count(lit(1)).as("sz"))
     sizes.agg(
       count(lit(1)).as("n_buckets"),
@@ -155,7 +188,14 @@ object VectorIndex {
       if (liveName == "postings") 1
       else liveName.stripPrefix("postings_v").toInt + 1
     val next = s"postings_v$nextGen"
-    spark.read.parquet(live).repartition(col("bucket"))
+    // physical delete point: tombstoned rows are dropped from the rewrite,
+    // and the tombstone set is cleared AFTER the pointer swap commits (a
+    // crash in between only means probes keep anti-joining a now-redundant
+    // set — never resurrecting deleted rows)
+    val ts = tombstones(spark, indexDir)
+    ts.foldLeft(spark.read.parquet(live))(
+        (p, t) => p.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
@@ -173,6 +213,9 @@ object VectorIndex {
         st.getPath.getName.startsWith("postings") &&
         st.getPath.getName != next && st.getPath.getName != liveName)
       .foreach(st => fs.delete(st.getPath, true))
+    // tombstones are folded into the new generation; clear them last
+    if (ts.isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
   }
 
   /** Top-k cosine neighbors for `(query_id: long, qv: array<double>)`
@@ -190,7 +233,12 @@ object VectorIndex {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
-    val postings = spark.read.parquet(livePostingsDir(spark, indexDir))
+    // tombstoned vectors stay invisible until the next compaction; the
+    // delete set is tiny relative to the corpus, so the anti-join
+    // broadcasts — nothing corpus-sized moves for it
+    val postings = tombstones(spark, indexDir)
+      .foldLeft(spark.read.parquet(livePostingsDir(spark, indexDir)))(
+        (p, t) => p.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val scored = probe.join(postings, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -2317,5 +2317,36 @@ object TrainingData {
         max("cnt").as("max_group_size"))
   }
 
+  /** Per-source duplicate attribution: how many of each source's documents
+    * participate in corpus-WIDE exact-duplicate groups and prefix-duplicate
+    * ([[dedupPrefix]]) groups — the report a curation pipeline uses to
+    * decide which feeds to throttle or re-crawl (rollups like
+    * [[dedupExact]] say HOW MUCH duplication; this says WHO).
+    *
+    * A doc's dup status depends on the GLOBAL count of its hash, so the
+    * narrow (source, hash, hash) projection is cached and consumed three
+    * times (two hash-count frames + the flag join) without re-scanning the
+    * text. All shuffles are keyed on 32-char hashes or source — fine-
+    * grained and skew-free; nothing is ever pairwise.
+    */
+  def dedupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val toks = F.tokens(col("text"))
+    val d = docs(spark, dir).select(col("source"),
+        md5(col("text")).as("he"),
+        md5(concat_ws(" ", slice(toks, 1, 16))).as("hp"))
+      .cache()
+    val ec = d.groupBy("he").agg(count(lit(1)).as("ce"))
+    val pc = d.groupBy("hp").agg(count(lit(1)).as("cp"))
+    val out = d.join(ec, "he").join(pc, "hp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ce") > 1, 1)).as("n_exact_dup"),
+        count(when(col("cp") > 1, 1)).as("n_prefix_dup"),
+        round(count(when(col("cp") > 1, 1)).cast(DoubleType) /
+          count(lit(1)), 4).as("prefix_dup_rate"))
+      .orderBy("source")
+    materializeAndRelease(out, d)
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -427,6 +427,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.count() == 3)
   }
 
+  test("deleteIvf: tombstones hide vectors from probes; compact drops them") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecNormalize
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_d").toString
+    graft.operators.VectorIndex.buildIvf(e, idx)
+    val q = e.limit(1).select(col("vec_id").as("query_id"), col("nv").as("qv"))
+
+    // delete the probe's current top neighbor; it must vanish from results
+    val before = graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
+      .collect()
+    val victim = before.head.getAs[Long]("neighbor_id")
+    graft.operators.VectorIndex.deleteIvf(
+      spark.range(1).select(lit(victim).as("vec_id")), idx)
+    val after = graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
+      .collect()
+    assert(!after.map(_.getAs[Long]("neighbor_id")).contains(victim),
+      "tombstoned vector must not be retrievable")
+    assert(after.length == 3, "k results still come back from live vectors")
+    // stats see the live count, not the physical count
+    val total = e.count()
+    assert(graft.operators.VectorIndex.indexStats(spark, idx).head()
+      .getAs[Long]("n_vectors") == total - 1)
+
+    // compaction drops the row physically and clears the tombstone set
+    graft.operators.VectorIndex.compactIvf(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "compaction must clear folded-in tombstones")
+    val live = graft.operators.VectorIndex.livePostingsDir(spark, idx)
+    assert(spark.read.parquet(live)
+      .filter(col("vec_id") === victim).count() == 0,
+      "compacted postings must not contain the deleted row")
+    assert(graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq ==
+      after.map(_.getAs[Long]("neighbor_id")).toSeq,
+      "probe results identical before and after the physical drop")
+  }
+
   test("sim_truncated_recall: recall in [0,1] over the full exact pair set") {
     val Array(r) = TrainingData.simTruncatedRecall(spark, sf).collect()
     assert(r.getLong(0) == TrainingData.ProbeN * 5L,
