@@ -85,6 +85,7 @@ object SparkEntry {
     "dup_clusters" -> (TrainingData.dupClusters _),
     "emb_centroids" -> (TrainingData.embCentroids _),
     "contamination_check" -> (TrainingData.contaminationCheck _),
+    "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
     "tfidf_top_terms" -> (TrainingData.tfidfTopTerms _),
     "quality_gate_dynamic" -> (TrainingData.qualityGateDynamic _),
     "quality_repetition" -> (TrainingData.qualityRepetition _),
@@ -1065,6 +1066,27 @@ object SparkEntry {
         | (SELECT count(*) FROM contaminated) AS n_contaminated,
         | round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE) /
         |   (SELECT count(*) FROM d WHERE split = 'eval'), 4) AS contamination_rate""".stripMargin,
+    "contamination_topdocs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x),
+        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
+        |train_ids AS (SELECT DISTINCT id FROM ex WHERE split = 'train'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |   count(*) FILTER (id IN (SELECT id FROM train_ids)) AS n_hit
+        |  FROM ex WHERE split = 'eval' GROUP BY 1)
+        |SELECT doc_id, n_grams, n_hit,
+        | round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS overlap_frac
+        |FROM hits ORDER BY overlap_frac DESC, doc_id LIMIT 10""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,

@@ -2348,5 +2348,40 @@ object TrainingData {
     materializeAndRelease(out, d)
   }
 
+  /** The documents behind [[contaminationCheck]]'s rate: top-10 eval-split
+    * documents by 5-gram overlap fraction with the train split — the
+    * review queue a decontamination pass hands a human (or a filter
+    * threshold), not just the headline rate.
+    *
+    * Same scale shape as the rollup: one cached shingle projection, the
+    * train-id set deduplicated ONCE (the left join multiplies rows if its
+    * build side has duplicates — distinct here is correctness, not
+    * cosmetics), per-gram hit flags reduced doc-wise, and the top-10 is
+    * TakeOrderedAndProject. Nothing pairwise, nothing windowed.
+    */
+  def contaminationTopdocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+      .otherwise("eval")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split.as("split"),
+        shingleIds(col("text"), 5).as("ids"))
+      .cache()
+    val ex = d.select(col("doc_id"), col("split"), explode(col("ids")).as("id"))
+    val trainIds = ex.filter(col("split") === "train").select("id").distinct()
+      .withColumn("_hit", lit(1))
+    val out = ex.filter(col("split") === "eval")
+      .join(trainIds, Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_grams"), 4)
+          .as("overlap_frac"))
+      .orderBy(col("overlap_frac").desc, col("doc_id"))
+      .limit(10)
+    materializeAndRelease(out, d)
+  }
+
   private type Column = org.apache.spark.sql.Column
 }
