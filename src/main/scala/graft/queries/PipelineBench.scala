@@ -112,6 +112,7 @@ object PipelineBench {
        Option[graft.run.FileResult], Long, Double, Double) = {
     import org.apache.spark.sql.functions._
     val work = Files.createTempDirectory("graft_bench_inc")
+    try {
     val drop = Files.createDirectories(work.resolve("drop"))
     Files.copy(Paths.get(s"$dir/orders.parquet"),
       drop.resolve("orders_base.parquet"))
@@ -158,27 +159,50 @@ object PipelineBench {
     val targetRows = store.readIfExists(source.tableName)
       .map(_.count()).getOrElse(0L)
     (base, inc, noop, targetRows, baseSecs, deltaSecs)
+    } finally deleteRecursively(work)
   }
 
   def pipelineEtl(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft_bench")
-    val drop = Files.createDirectories(work.resolve("drop"))
-    Files.copy(Paths.get(s"$dir/orders.parquet"),
-      drop.resolve("orders_bench.parquet"))
-    val store = new TableStore(spark, work.resolve("tables").toString)
-    val files = new FileOps(spark.sparkContext.hadoopConfiguration,
-      work.resolve("archive").toString, work.resolve("duplicates").toString)
-    val proc = new Processor(spark, new SourceRegistry(Seq(OrdersSource)),
-      store, files, new CollectingNotifier, drop.toString)
-    val result = proc.processFile(drop.resolve("orders_bench.parquet").toString)
-      .getOrElse(sys.error("orders_bench.parquet did not match the source"))
-    val targetRows = store.readIfExists(OrdersSource.tableName)
-      .map(_.count()).getOrElse(0L)
-    val sp = spark
-    import sp.implicits._
-    Seq((result.recordsRead, result.recordsFailedValidation,
-      result.publishInserts, result.publishUpdates, targetRows))
-      .toDF("records_read", "records_failed_validation", "publish_inserts",
-        "publish_updates", "target_rows")
+    try {
+      val drop = Files.createDirectories(work.resolve("drop"))
+      Files.copy(Paths.get(s"$dir/orders.parquet"),
+        drop.resolve("orders_bench.parquet"))
+      val store = new TableStore(spark, work.resolve("tables").toString)
+      val files = new FileOps(spark.sparkContext.hadoopConfiguration,
+        work.resolve("archive").toString, work.resolve("duplicates").toString)
+      val proc = new Processor(spark, new SourceRegistry(Seq(OrdersSource)),
+        store, files, new CollectingNotifier, drop.toString)
+      val result = proc.processFile(drop.resolve("orders_bench.parquet").toString)
+        .getOrElse(sys.error("orders_bench.parquet did not match the source"))
+      val targetRows = store.readIfExists(OrdersSource.tableName)
+        .map(_.count()).getOrElse(0L)
+      val sp = spark
+      import sp.implicits._
+      Seq((result.recordsRead, result.recordsFailedValidation,
+        result.publishInserts, result.publishUpdates, targetRows))
+        .toDF("records_read", "records_failed_validation", "publish_inserts",
+          "publish_updates", "target_rows")
+    } finally deleteRecursively(work)
+  }
+
+  /** Every counter the scenarios return is materialized (counts / local
+    * Seq-backed frames) before control leaves them, so the scratch target
+    * can be deleted eagerly — best-of-3 bench reps were otherwise leaking
+    * a full parquet target per rep into the temp filesystem.
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.FileVisitResult
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+      override def visitFile(f: java.nio.file.Path,
+          a: java.nio.file.attribute.BasicFileAttributes): FileVisitResult = {
+        Files.deleteIfExists(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: java.nio.file.Path,
+          e: java.io.IOException): FileVisitResult = {
+        Files.deleteIfExists(d); FileVisitResult.CONTINUE
+      }
+    })
+    ()
   }
 }

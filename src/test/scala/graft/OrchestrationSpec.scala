@@ -273,6 +273,16 @@ class OrchestrationSpec extends AnyFunSuite {
     val sig = MinHashSignature(Literal.create(Array(7L, 9L),
       ArrayType(LongType)), 4).eval(null).asInstanceOf[ArrayData]
     assert(sig.numElements() == 4)
+    assert(math.abs(CosineSim(arr, arr).eval(null)
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    // the FuseCosine optimizer rule must ride along for config-built
+    // sessions (spark.sql.extensions=graft.core.GraftExtensions);
+    // buildOptimizerRules is private[sql], hence the reflective probe
+    val build = ext.getClass.getDeclaredMethods
+      .find(_.getName == "buildOptimizerRules").get
+    build.setAccessible(true)
+    assert(build.invoke(ext, TestSpark.spark).asInstanceOf[Seq[_]]
+      .contains(FuseCosine), "injectOptimizerRule must register FuseCosine")
     val longs = Literal.create(Array(1L, 3L), ArrayType(LongType))
     assert(IntersectSizeIds(longs, longs).eval(null) == 2L)
     val nv = VecNormalize(Literal.create(Array(3.0, 4.0), ArrayType(DoubleType)))
