@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_simhash_md5" -> (TrainingData.dedupSimhashMd5 _),
     "dedup_simhash_banded" -> (TrainingData.dedupSimhashBanded _),
     "dup_clusters" -> (TrainingData.dupClusters _),
+    "dup_cluster_sizes" -> (TrainingData.dupClusterSizes _),
     "emb_centroids" -> (TrainingData.embCentroids _),
     "contamination_check" -> (TrainingData.contaminationCheck _),
     "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
@@ -1425,6 +1426,49 @@ object SparkEntry {
         | CAST(sum(sz) AS BIGINT) AS docs_in_clusters,
         | CAST(max(sz) AS BIGINT) AS max_cluster_size
         |FROM sizes""".stripMargin,
+    "dup_cluster_sizes" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
+        |u AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, ids,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
+        |bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
+        |  FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id
+        |            JOIN u ub ON cand.doc_b = ub.doc_id
+        |  WHERE round(CAST(len(list_intersect(ua.ids, ub.ids)) AS DOUBLE) /
+        |    (len(ua.ids) + len(ub.ids) - len(list_intersect(ua.ids, ub.ids))), 4) >= 0.2),
+        |bi AS (
+        |  SELECT doc_a sv, doc_b dv FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |verts AS (SELECT DISTINCT sv v FROM bi),
+        |reach(a, b) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT reach.a, bi.dv FROM reach JOIN bi ON reach.b = bi.sv),
+        |labels AS (SELECT a id, min(b) lbl FROM reach GROUP BY a),
+        |sizes AS (SELECT lbl, count(*) sz FROM labels GROUP BY lbl)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
     "pipeline_etl" ->
       """SELECT count(*) AS records_read,
         | CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_totalprice <= 0

@@ -975,9 +975,39 @@ object TrainingData {
     * over-delete chains) — this is the operator that makes that correct.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, edges) = dupClusterLabels(spark, dir)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+    val result = sizes.agg(
+      count(lit(1)).as("n_clusters"),
+      sum("sz").as("docs_in_clusters"),
+      max("sz").as("max_cluster_size"))
+    materializeAndRelease(result, edges)
+  }
+
+  /** Cluster-size histogram over the same near-dup components: how many
+    * clusters of each size exist — the shape a dedup policy keys off
+    * (pairs vs boilerplate families need different keep-one strategies).
+    * Size-keyed aggregation over the <= n_docs label frame; everything
+    * upstream is shared with [[dupClusters]].
+    */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, edges) = dupClusterLabels(spark, dir)
+    val result = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+    materializeAndRelease(result, edges)
+  }
+
+  /** MinHash-banded candidate edges -> Jaccard-verified -> min-label
+    * propagation to convergence: the (labels, cached edges) pair behind
+    * [[dupClusters]] / [[dupClusterSizes]]. Callers release the edge cache
+    * once their rollup materializes.
+    */
+  private[graft] def dupClusterLabels(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
-    import org.apache.spark.sql.expressions.Window
 
     val withIds = docs(spark, dir).select(col("doc_id"),
         shingleIds(col("text"), 2).as("ids"))
@@ -1020,12 +1050,7 @@ object TrainingData {
         s"dup_clusters: label propagation did not converge in $maxRounds " +
           "rounds (component diameter exceeds the bound)")
 
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
-    val result = sizes.agg(
-      count(lit(1)).as("n_clusters"),
-      sum("sz").as("docs_in_clusters"),
-      max("sz").as("max_cluster_size"))
-    materializeAndRelease(result, edges)
+    (labels, edges)
   }
 
   /** Per-language salient terms (tf-idf family): term frequency per language

@@ -112,6 +112,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim property: bit-identical to the vec_dot∘vec_normalize composition") {
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val rnd = new Random(23)
+    (1 to 60).foreach { i =>
+      // mixed lengths exercise the min(|a|,|b|) dot bound; every tenth pair
+      // gets a zero vector (NaN path must agree too)
+      val la = 2 + rnd.nextInt(12); val lb = 2 + rnd.nextInt(12)
+      val a = if (i % 10 == 0) Array.fill(la)(0.0)
+        else Array.fill(la)(rnd.nextDouble() * 20 - 10)
+      val b = Array.fill(lb)(rnd.nextDouble() * 20 - 10)
+      val al = Literal.create(a, ArrayType(DoubleType))
+      val bl = Literal.create(b, ArrayType(DoubleType))
+      val fused = CosineSim(al, bl).eval(null).asInstanceOf[Double]
+      val composed = VecDot(VecNormalize(al), VecNormalize(bl))
+        .eval(null).asInstanceOf[Double]
+      // bit-level comparison: NaN == NaN must hold, and any rounding
+      // difference (not just a large one) breaks the FuseCosine rewrite
+      assert(java.lang.Double.doubleToLongBits(fused) ==
+        java.lang.Double.doubleToLongBits(composed),
+        s"fused $fused != composed $composed for ${a.toSeq} / ${b.toSeq}")
+    }
+  }
+
   test("null array elements: vec_normalize and intersect_size_ids yield NULL") {
     import graft.functions._
     import org.apache.spark.sql.catalyst.expressions.Literal
