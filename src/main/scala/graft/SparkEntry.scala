@@ -111,6 +111,7 @@ object SparkEntry {
     "bm25_topk" -> (TrainingData.bm25Topk _),
     "text_entropy" -> (TrainingData.textEntropy _),
     "mixture_weights" -> (TrainingData.mixtureWeights _),
+    "sample_temperature" -> (TrainingData.sampleTemperature _),
     "shard_assign" -> (TrainingData.shardAssign _),
     "bytes_per_token" -> (TrainingData.bytesPerToken _),
     "window_chunking" -> (TrainingData.windowChunking _),
@@ -1510,6 +1511,20 @@ object SparkEntry {
         | round(w_raw / w_total, 4) AS mix_weight,
         | round(w_raw / w_total * n_total, 1) AS expected_docs
         |FROM s, t ORDER BY source""".stripMargin,
+    "sample_temperature" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) n_docs,
+        |   pow(CAST(count(*) AS DOUBLE), 0.3) w03,
+        |   pow(CAST(count(*) AS DOUBLE), 0.7) w07
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) n_total,
+        |  sum(w03) s03, sum(w07) s07 FROM s)
+        |SELECT lang, n_docs,
+        | round(n_docs / n_total, 4) AS p_raw,
+        | round(w03 / s03, 4) AS p_alpha03,
+        | round(w07 / s07, 4) AS p_alpha07,
+        | round((w03 / s03) / (n_docs / n_total), 4) AS oversample_alpha03
+        |FROM s, t ORDER BY lang""".stripMargin,
     "shard_assign" ->
       """SELECT shard, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

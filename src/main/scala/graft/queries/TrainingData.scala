@@ -2408,5 +2408,38 @@ object TrainingData {
     materializeAndRelease(out, d)
   }
 
+  /** Temperature-scaled sampling weights per language: p_i^alpha
+    * renormalized, at the two canonical alphas (0.3 — the mBERT/XLM-R
+    * multilingual flattening — and 0.7, mild flattening), next to the raw
+    * proportions, with the effective oversampling factor for the SMALLEST
+    * language at alpha=0.3. The [[mixtureWeights]] sqrt is the alpha=0.5
+    * point of this same family; curation sweeps tune alpha, so the engine
+    * exposes the curve, not one point.
+    *
+    * One count-by-language aggregation (tiny frame), a 1-row broadcast of
+    * the normalization sums — nothing corpus-sized after the first reduce.
+    * `pow` is IEEE-754 `Math.pow` in both engines on the same doubles, so
+    * the oracle agrees to the rounded digits.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = docs(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totals = perLang.agg(
+      sum("n_docs").as("n_total"),
+      sum(pow(col("n_docs").cast(DoubleType), 0.3)).as("s03"),
+      sum(pow(col("n_docs").cast(DoubleType), 0.7)).as("s07"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast(DoubleType) / col("n_total"), 4).as("p_raw"),
+        round(pow(col("n_docs").cast(DoubleType), 0.3) / col("s03"), 4)
+          .as("p_alpha03"),
+        round(pow(col("n_docs").cast(DoubleType), 0.7) / col("s07"), 4)
+          .as("p_alpha07"),
+        round((pow(col("n_docs").cast(DoubleType), 0.3) / col("s03")) /
+          (col("n_docs").cast(DoubleType) / col("n_total")), 4)
+          .as("oversample_alpha03"))
+      .orderBy("lang")
+  }
+
   private type Column = org.apache.spark.sql.Column
 }
