@@ -2301,6 +2301,15 @@ object TrainingData {
     * row result materializes.
     */
   def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (out, lens) = lengthOutliersFrames(spark, dir)
+    materializeAndRelease(out, lens)
+  }
+
+  /** The (rollup, cached lengths) pair behind [[lengthOutliers]], pre-
+    * materialization — exposed for the plan regression test.
+    */
+  private[graft] def lengthOutliersFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val lens = docs(spark, dir)
       .select(col("lang"),
         size(F.tokens(col("text"))).cast(DoubleType).as("n"))
@@ -2315,7 +2324,7 @@ object TrainingData {
         count(when(col("n") < col("p5"), 1)).as("n_below"),
         count(when(col("n") > col("p95"), 1)).as("n_above"))
       .orderBy("lang")
-    materializeAndRelease(out, lens)
+    (out, lens)
   }
 
   /** Truncation-duplicate screen: documents sharing the same first-16-token
@@ -2355,6 +2364,15 @@ object TrainingData {
     * grained and skew-free; nothing is ever pairwise.
     */
   def dedupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val (out, d) = dedupBySourceFrames(spark, dir)
+    materializeAndRelease(out, d)
+  }
+
+  /** The (rollup, cached hash projection) pair behind [[dedupBySource]],
+    * pre-materialization — exposed for the plan regression test.
+    */
+  private[graft] def dedupBySourceFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = F.tokens(col("text"))
     val d = docs(spark, dir).select(col("source"),
         md5(col("text")).as("he"),
@@ -2370,7 +2388,7 @@ object TrainingData {
         round(count(when(col("cp") > 1, 1)).cast(DoubleType) /
           count(lit(1)), 4).as("prefix_dup_rate"))
       .orderBy("source")
-    materializeAndRelease(out, d)
+    (out, d)
   }
 
   /** The documents behind [[contaminationCheck]]'s rate: top-10 eval-split

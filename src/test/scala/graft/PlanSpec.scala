@@ -298,6 +298,33 @@ class PlanSpec extends AnyFunSuite {
       "one corpus scan feeds the histogram")
   }
 
+  test("length_outliers: cached lengths, broadcast percentile bounds") {
+    val (out, lens) =
+      graft.queries.TrainingData.lengthOutliersFrames(spark, sf)
+    try {
+      val p = plan(out)
+      assert(p.contains("BroadcastHashJoin"),
+        "the tiny per-lang stats frame must broadcast back")
+      assert(p.contains("InMemoryTableScan"),
+        "both passes must read the cached lengths, not re-scan the text")
+      assert(!p.contains("Window"),
+        "outlier counts come from the broadcast join, not a window sort")
+    } finally lens.unpersist()
+  }
+
+  test("dedup_by_source: cached hash projection, no pairwise comparison") {
+    val (out, d) = graft.queries.TrainingData.dedupBySourceFrames(spark, sf)
+    try {
+      val p = plan(out)
+      assert(p.contains("InMemoryTableScan"),
+        "all three consumers must read the cached hash projection")
+      assert(!p.contains("CartesianProduct"),
+        "dup attribution is hash-count joins, never all-pairs")
+      assert(p.contains("partial_"),
+        "hash counts must partially aggregate map-side")
+    } finally d.unpersist()
+  }
+
   test("dedup_prefix: fingerprint-keyed partial agg, no pairwise join") {
     val p = plan(graft.queries.TrainingData.dedupPrefix(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
