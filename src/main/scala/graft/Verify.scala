@@ -18,7 +18,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c: dump + oracle just the named queries (local
     // iteration on a new operator; the driver never sets it)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // .filter(_.nonEmpty) (as in Bench): an empty-but-set variable means
+    // "all queries" — Some(Set("")) would silently filter out every query
+    // and write an empty dump + empty oracle_sql.json (a vacuous pass)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
       .map(_.split(',').map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_(name))
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>

@@ -37,8 +37,8 @@ sealed trait MergeDialect {
   /** Create an empty target shaped like the delta table (+ timestamps). */
   def createLike(target: String, delta: String): Seq[String] = Seq(
     s"CREATE TABLE $target AS SELECT * FROM $delta WITH NO DATA",
-    s"ALTER TABLE $target ADD COLUMN ${qid("etl_created_at")} TIMESTAMP",
-    s"ALTER TABLE $target ADD COLUMN ${qid("etl_updated_at")} TIMESTAMP")
+    s"ALTER TABLE $target ADD COLUMN ${qid("etl_created_at")} $timestampType",
+    s"ALTER TABLE $target ADD COLUMN ${qid("etl_updated_at")} $timestampType")
 
   /** One-time DDL after target creation (unique grain index where the
     * upsert form requires one).
@@ -70,9 +70,27 @@ sealed trait MergeDialect {
 
   /** Cast target for string grain keys in [[keyEq]]. VARCHAR(4000) is the
     * portable bound (within every documented target's limit); dialects
-    * with a larger comparable type override (Derby 32672, SQL Server MAX).
+    * with a larger comparable type override (Derby 32672, SQL Server MAX,
+    * H2 unbounded). On dialects that keep the 4000 bound, string grain
+    * keys longer than 4000 characters compare by their 4000-char prefix —
+    * two distinct keys sharing a 4000-char prefix would MATCH and update
+    * rather than insert. That bound is documented here and on the Oracle
+    * dialect; targets whose keys can exceed it need a dialect override.
     */
   protected def keyCastType: String = "VARCHAR(4000)"
+
+  /** Column type for a 64-bit integer in dialect-issued DDL (the
+    * exactly-once epoch table). ANSI BIGINT almost everywhere; Oracle has
+    * no BIGINT and overrides to NUMBER(19).
+    */
+  def int64Type: String = "BIGINT"
+
+  /** Column type for a timestamp in dialect-issued DDL. ANSI TIMESTAMP by
+    * default; SQL Server overrides to DATETIME2 because its TIMESTAMP is a
+    * rowversion pseudo-type that rejects explicit values — an epoch INSERT
+    * through it would fail and roll back the whole micro-batch MERGE.
+    */
+  def timestampType: String = "TIMESTAMP"
 
   /** Key equality predicate between aliases `t` (target) and `d` (delta);
     * string grain columns CAST to [[keyCastType]] so legacy CLOB-typed
@@ -116,7 +134,8 @@ object MergeDialect {
       case "derby" => DerbyMergeDialect
       case "sqlserver" | "jtds" => SqlServerMergeDialect
       case "oracle" => OracleMergeDialect
-      case _ => AnsiMergeDialect // db2, h2, unknown MERGE-capable targets
+      case "h2" => H2MergeDialect
+      case _ => AnsiMergeDialect // db2, unknown MERGE-capable targets
     }
   }
 }
@@ -141,12 +160,32 @@ sealed trait AnsiMergeLike extends MergeDialect {
   }
 }
 
-/** Generic ANSI MERGE fallback (DB2, H2, unknown) — portable VARCHAR(4000)
+/** Generic ANSI MERGE fallback (DB2, unknown) — portable VARCHAR(4000)
   * bounds because nothing larger is safe everywhere (DB2's effective
   * VARCHAR ceiling depends on table-space page size and can be ~4 KB).
+  * Two documented consequences of the bound: undeclared-length strings
+  * land as VARCHAR(4000) (a longer valid row is a hard SQLException — the
+  * fix is a concrete dialect, as for H2 below), and grain keys compare by
+  * their 4000-char prefix (see [[MergeDialect.keyCastType]]).
   */
 case object AnsiMergeDialect extends AnsiMergeLike {
   val name = "ansi-merge"
+}
+
+/** H2: CHARACTER VARYING takes no practical bound (1,000,000,000 chars),
+  * and a bare `VARCHAR` means "maximum length" — so undeclared-length
+  * strings and grain-key CASTs use unbounded VARCHAR instead of the
+  * generic fallback's 4000 (which had re-introduced the round-6 failure
+  * mode on H2: a valid >4000-char row became a hard SQLException, and
+  * long grain keys prefix-compared). Generated-SQL unit-tested only: no
+  * H2 driver jar exists in this offline environment (same documented
+  * limit as sqlite-jdbc).
+  */
+case object H2MergeDialect extends AnsiMergeLike {
+  val name = "h2-merge"
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR")
+  override protected def keyCastType: String = "VARCHAR"
 }
 
 /** Derby (the live-e2e-tested target): VARCHAR ceiling 32672 — used for
@@ -172,10 +211,11 @@ case object SqlServerMergeDialect extends AnsiMergeLike {
   override def stringType(maxLength: Option[Int]): String =
     maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(MAX)")
   override protected def keyCastType: String = "VARCHAR(MAX)"
+  override def timestampType: String = "DATETIME2"
   override def createLike(target: String, delta: String): Seq[String] = Seq(
     s"SELECT * INTO $target FROM $delta WHERE 1=0",
-    s"ALTER TABLE $target ADD ${qid("etl_created_at")} DATETIME2",
-    s"ALTER TABLE $target ADD ${qid("etl_updated_at")} DATETIME2")
+    s"ALTER TABLE $target ADD ${qid("etl_created_at")} $timestampType",
+    s"ALTER TABLE $target ADD ${qid("etl_updated_at")} $timestampType")
   override def mergeSql(target: String, delta: String, grain: Seq[String],
                         dataCols: Seq[String], ts: String, on: String): String =
     super.mergeSql(target, delta, grain, dataCols, ts, on) + ";"
@@ -192,6 +232,8 @@ case object OracleMergeDialect extends AnsiMergeLike {
   override def stringType(maxLength: Option[Int]): String =
     maxLength.map(n => s"VARCHAR2($n)").getOrElse("CLOB")
   override protected def keyCastType: String = "VARCHAR2(4000)"
+  // Oracle has no BIGINT; NUMBER(19) holds the full signed-64-bit range
+  override def int64Type: String = "NUMBER(19)"
   override def createLike(target: String, delta: String): Seq[String] = Seq(
     s"CREATE TABLE $target AS SELECT * FROM $delta WHERE 1=0",
     s"ALTER TABLE $target ADD (${qid("etl_created_at")} TIMESTAMP)",

@@ -203,10 +203,15 @@ final class JdbcSink(
       val st = conn.createStatement()
       // PRIMARY KEY on batch_id: a concurrent duplicate apply (two drivers
       // racing the same epoch) fails the second INSERT and rolls its
-      // transaction back instead of double-merging
+      // transaction back instead of double-merging. Types come from the
+      // dialect: SQL Server's TIMESTAMP is rowversion (rejects explicit
+      // values — the epoch INSERT would roll back every micro-batch), and
+      // Oracle has no BIGINT.
+      val d = mergeDialect
       try st.executeUpdate(
-        s"CREATE TABLE ${epochTable(name)} (batch_id BIGINT NOT NULL " +
-          "PRIMARY KEY, applied_at TIMESTAMP, inserts BIGINT, updates BIGINT)")
+        s"CREATE TABLE ${epochTable(name)} (batch_id ${d.int64Type} NOT NULL " +
+          s"PRIMARY KEY, applied_at ${d.timestampType}, " +
+          s"inserts ${d.int64Type}, updates ${d.int64Type})")
       finally st.close()
     }
 

@@ -170,7 +170,7 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(MergeDialect.forUrl("jdbc:sqlserver://h;db=x") == SqlServerMergeDialect)
     assert(MergeDialect.forUrl("jdbc:oracle:thin:@h:1521/db") == OracleMergeDialect)
     assert(MergeDialect.forUrl("jdbc:db2://h/db") == AnsiMergeDialect)
-    assert(MergeDialect.forUrl("jdbc:h2:mem:x") == AnsiMergeDialect)
+    assert(MergeDialect.forUrl("jdbc:h2:mem:x") == H2MergeDialect)
 
     val grain = Seq("transaction_id")
     val cols = Seq("transaction_id", "quantity", "etl_row_hash",
@@ -210,6 +210,23 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(OracleMergeDialect.stringType(Some(80)) == "VARCHAR2(80)")
     assert(AnsiMergeDialect.stringType(None) == "VARCHAR(4000)")
     assert(MySqlOnDuplicateDialect.stringType(None) == "TEXT")
+    // H2: bare VARCHAR = maximum length (~1e9 chars) — the generic 4000
+    // fallback would re-introduce the round-6 long-row SQLException there
+    assert(H2MergeDialect.stringType(None) == "VARCHAR")
+    assert(H2MergeDialect.stringType(Some(64)) == "VARCHAR(64)")
+    assert(H2MergeDialect.keyEq(grain, Set("transaction_id"))
+      .contains("AS VARCHAR)"))
+    // epoch-table DDL types are dialect-routed: SQL Server TIMESTAMP is
+    // rowversion (explicit-value INSERT fails → every micro-batch MERGE
+    // rolls back), Oracle has no BIGINT
+    assert(SqlServerMergeDialect.timestampType == "DATETIME2")
+    assert(OracleMergeDialect.int64Type == "NUMBER(19)")
+    assert(OracleMergeDialect.timestampType == "TIMESTAMP")
+    assert(DerbyMergeDialect.int64Type == "BIGINT"
+      && DerbyMergeDialect.timestampType == "TIMESTAMP")
+    // audit-column DDL flows through the same hook
+    assert(SqlServerMergeDialect.createLike("t1", "t1__delta")
+      .count(_.contains("DATETIME2")) == 2)
     // SQL Server: MERGE must be semicolon-terminated; audit cols DATETIME2
     // (TIMESTAMP is rowversion there); SELECT INTO replaces WITH NO DATA
     val mssql = SqlServerMergeDialect.mergeSql("t1", "t1__delta", grain, cols,
