@@ -76,11 +76,30 @@ object Bench {
     // on one plan without paying the full 87-query sweep); unset = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
+    // pipeline_etl is timed through its *Timed variant below so the main
+    // entry measures the pipeline, not the scratch-dir teardown (round-8
+    // verdict: the finally-delete ran inside the timed region)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
+      .filter(_._1 != "pipeline_etl")
       .map { case (name, fn) =>
         name -> bestOf { fn(spark, sfDir).count(); () }
       }
+    val etlSplit = if (only.exists(!_("pipeline_etl"))) Seq.empty else {
+      var run = Double.MaxValue; var cleanup = Double.MaxValue
+      (1 to Reps).foreach { _ =>
+        try {
+          val (df, r, c) = graft.queries.PipelineBench.pipelineEtlTimed(spark, sfDir)
+          df.count()
+          run = math.min(run, r); cleanup = math.min(cleanup, c)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      if (run == Double.MaxValue) Seq("pipeline_etl" -> -1.0)
+      else Seq("pipeline_etl" -> run, "pipeline_etl_cleanup" -> cleanup)
+    }
     // sim_topk_ivf_index conflates the one-time index BUILD with the
     // steady-state PROBE; report them as separate entries too, so the probe
     // path (the 100 TB steady state) is trackable round-over-round.
@@ -101,42 +120,52 @@ object Bench {
     // O(delta) steady state; split entries keep the delta path trackable
     val incSplit = if (only.exists(!_("pipeline_incremental"))) Seq.empty else {
       var base = Double.MaxValue; var delta = Double.MaxValue
+      var cleanup = Double.MaxValue
       (1 to Reps).foreach { _ =>
         try {
-          val (df, b, d) = graft.queries.PipelineBench
-            .pipelineIncrementalTimed(spark, sfDir)
+          val (df, b, d, c) = graft.queries.PipelineBench
+            .pipelineIncrementalTimedFull(spark, sfDir)
           df.count()
           base = math.min(base, b); delta = math.min(delta, d)
+          cleanup = math.min(cleanup, c)
         } catch { case _: Throwable => () }
       }
       if (base == Double.MaxValue) Seq.empty
       else Seq("pipeline_incremental_base" -> base,
-        "pipeline_incremental_delta" -> delta)
+        "pipeline_incremental_delta" -> delta,
+        "pipeline_incremental_cleanup" -> cleanup)
     }
     // pipeline_mor's split: the O(delta) upsert-segment publish, directly
     // comparable against pipeline_incremental_delta's copy-on-write rewrite
     val morSplit = if (only.exists(!_("pipeline_mor"))) Seq.empty else {
       var base = Double.MaxValue; var delta = Double.MaxValue
+      var cleanup = Double.MaxValue
       (1 to Reps).foreach { _ =>
         try {
-          val (df, b, d) = graft.queries.PipelineBench.pipelineMorTimed(spark, sfDir)
+          val (df, b, d, c) = graft.queries.PipelineBench.pipelineMorTimedFull(spark, sfDir)
           df.count()
           base = math.min(base, b); delta = math.min(delta, d)
+          cleanup = math.min(cleanup, c)
         } catch { case _: Throwable => () }
       }
       if (base == Double.MaxValue) Seq.empty
-      else Seq("pipeline_mor_base" -> base, "pipeline_mor_delta" -> delta)
+      else Seq("pipeline_mor_base" -> base, "pipeline_mor_delta" -> delta,
+        "pipeline_mor_cleanup" -> cleanup)
     }
     // 3 decimals keeps the single JSON line compact enough that all 84+
     // entries survive any downstream line truncation (full doubles tripled
     // the line length for sub-millisecond precision the bench doesn't have)
     def fmt(v: Double): String = // ROOT locale: '.' decimal point always
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val all = results ++ ivfSplit ++ incSplit ++ morSplit
+    val all = results ++ etlSplit ++ ivfSplit ++ incSplit ++ morSplit
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    val failed = results.count(_._2 < 0)
+    // total covers the declared queries (pipeline_etl via its split's main
+    // entry); the auxiliary *_cleanup/_build/_probe/_base/_delta entries are
+    // diagnostics, not additional queries
+    val mains = results ++ etlSplit.filter(_._1 == "pipeline_etl")
+    val total = mains.filter(_._2 >= 0).map(_._2).sum
+    val failed = mains.count(_._2 < 0)
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
     // The capture downstream keeps only the TAIL of stdout, so the head of
