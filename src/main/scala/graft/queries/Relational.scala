@@ -21,6 +21,25 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Epoch-MICROsecond view of the events `ts` column, adaptive to how the
+    * parquet stores it (the driver has shipped both encodings across
+    * rounds): nanosecond INT64 surfaces as LongType under
+    * `nanosAsLong` → exact integer `div 1000`; microsecond
+    * TIMESTAMP/TIMESTAMP_NTZ → `unix_micros` (NTZ cast through the UTC
+    * session, so the naive value is read as UTC — identical to DuckDB's
+    * `epoch_us(ts)` on the same file). Both paths yield the exact epoch
+    * micros the oracle sees; integer arithmetic throughout (epoch longs
+    * exceed 2^53, double division is unsafe).
+    */
+  private[queries] def epochMicros(df: DataFrame, field: String = "ts"): org.apache.spark.sql.Column =
+    df.schema(field).dataType match {
+      case LongType          => expr(s"$field div 1000")
+      case TimestampType     => unix_micros(col(field))
+      case TimestampNTZType  => unix_micros(col(field).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.$field: unsupported type $other (expected nano-long or timestamp)")
+    }
+
   /** q1: pricing summary (TPC-H Q1 shape) — the grain/aggregate audit
     * pattern (A1/A3). One partial+final hash aggregate over 6 groups;
     * map-side combine collapses everything before the shuffle, so the
@@ -69,12 +88,17 @@ object Relational {
     * codegen'd projection.
     */
   def q4ValidationSplit(spark: SparkSession, dir: String): DataFrame = {
+    // ts spec adapts to the parquet encoding (see epochMicros): nano-long
+    // files validate as long, micro-timestamp files as timestamp
+    val tsSpec = t(spark, dir, "events").schema("ts").dataType match {
+      case LongType => ColumnSpec.long("ts", nullable = false)
+      case _        => ColumnSpec.timestamp("ts", nullable = false)
+    }
     val source = SourceConfig(
       name = "events", filePattern = "events*.parquet", sourceType = "parquet",
       columns = Seq(
         ColumnSpec.long("event_id", nullable = false),
-        // ts reads as epoch-nano long (see GraftSession nanosAsLong note)
-        ColumnSpec.long("ts", nullable = false),
+        tsSpec,
         ColumnSpec.long("user_id", nullable = false),
         ColumnSpec(name = "event_type", dataType = StringType, nullable = false,
           check = Some(("unknown event_type",
@@ -246,14 +270,15 @@ object Relational {
     * join: the classic point-in-time-correctness operator (feature lookup
     * at label time) expressed so each user's timeline is a contiguous
     * sorted run per task — linear at any scale, no join explosion.
-    * Gaps are reported in MICROseconds: the parquet stores nanos, but
-    * DuckDB's TIMESTAMP truncates to micros on read, so the oracle can only
-    * see micro precision — both sides truncate identically (int64 div).
+    * Gaps are reported in MICROseconds — DuckDB's TIMESTAMP is
+    * micro-valued, so both sides compute on the identical epoch-micros
+    * view (see [[epochMicros]]).
     */
   def q13AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val events = t(spark, dir, "events")
+    val ev = events
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), expr("ts div 1000").as("tus"),
+      .select(col("event_id"), epochMicros(events).as("tus"),
         col("user_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -279,12 +304,12 @@ object Relational {
   def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 1800L * 1000000L // 30 min in micros
     val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    val sessions = t(spark, dir, "events")
-      // micro precision (`ts div 1000`): DuckDB's TIMESTAMP truncates the
-      // parquet nanos to micros on read, so gap/duration comparisons must
-      // truncate identically on this side; integer `div` keeps it exact
-      // (epoch longs exceed 2^53, double division is unsafe)
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+    val events = t(spark, dir, "events")
+    val sessions = events
+      // micro precision (epochMicros): DuckDB's TIMESTAMP is micro-valued,
+      // so gap/duration comparisons must use the identical truncation on
+      // this side; integer arithmetic keeps it exact
+      .select(col("user_id"), epochMicros(events).as("tus"), col("event_id"))
       .withColumn("new_s",
         when(col("tus") - lag("tus", 1).over(byUser) > gapUs || lag("tus", 1)
           .over(byUser).isNull, 1L).otherwise(0L))
@@ -350,10 +375,14 @@ object Relational {
     * conditional counts — same single-shuffle plan as the CASE oracle.
     */
   def q17PivotDayOfWeek(spark: SparkSession, dir: String): DataFrame = {
-    // integer `div`: epoch-nano ts > 2^53 makes double division unsafe at
-    // day boundaries; `div` is exact int64 like the oracle's `//`
-    val dow = (expr("ts div 86400000000000") + 4) % 7
-    t(spark, dir, "events")
+    // integer `div`: epoch longs > 2^53 make double division unsafe at day
+    // boundaries; `div` is exact int64 like the oracle's `//`. Day index on
+    // MICROS (86_400e6 per day) — the oracle's epoch_ns // 86400e9 agrees
+    // because nanos = micros * 1000 exactly.
+    val events = t(spark, dir, "events")
+    val dow = (expr("tus div 86400000000") + 4) % 7
+    events
+      .select(col("event_type"), epochMicros(events).as("tus"))
       .select(col("event_type"), dow.as("dow"))
       .groupBy("event_type")
       .pivot("dow", 0L to 6L)
@@ -411,15 +440,16 @@ object Relational {
   /** q22: window FRAME — 3-event moving average of value per user in
     * (ts, event_id) order, rolled up globally. The frame is ROWS-based so
     * both engines accumulate the identical operand sequence; one shuffle on
-    * user_id, per-partition sorted scan. Order by the MICRO-truncated ts
-    * (`ts div 1000`, like q13/q14): the oracle sees microsecond timestamps,
-    * so ordering raw nanos would tie-break sub-microsecond collisions by
-    * nanos where DuckDB falls through to event_id.
+    * user_id, per-partition sorted scan. Order by the MICRO-precision ts
+    * ([[epochMicros]], like q13/q14) so tie-breaks fall through to
+    * event_id exactly as the oracle's do.
     */
   def q22MovingAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-2, 0)
-    t(spark, dir, "events")
+      .orderBy(col("tus"), col("event_id")).rowsBetween(-2, 0)
+    val events = t(spark, dir, "events")
+    events
+      .withColumn("tus", epochMicros(events))
       .withColumn("mov", round(avg("value").over(w), 4))
       .agg(count(lit(1)).as("n_windows"),
         round(max("mov"), 4).as("max_moving_avg"),
@@ -453,13 +483,14 @@ object Relational {
     * probe row is bounded by two buckets, where the naive `user_id` equi
     * join + filter would pair every purchase with EVERY click of that user
     * (unbounded per-user blowup at scale). Micro-precision timestamps
-    * (`ts div 1000`) for the same oracle-parity reason as q13/q14.
+    * ([[epochMicros]]) for the same oracle-parity reason as q13/q14.
     */
   def q24RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val winUs = 60L * 1000000L // 60 s in micros
-    val ev = t(spark, dir, "events")
+    val events = t(spark, dir, "events")
+    val ev = events
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"))
+        epochMicros(events).as("tus"))
     // `div` = integer division on longs: `floor(tus / winUs)` would go
     // through double division, exact only below 2^53 µs — the banding proof
     // relies on integer bucket arithmetic, so make it exact by construction
