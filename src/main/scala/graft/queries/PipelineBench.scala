@@ -189,7 +189,7 @@ object PipelineBench {
     pipelineEtlTimed(spark, dir)._1
 
   /** [[pipelineEtl]] plus (pipeline, scratch-teardown) wall seconds; the
-    * bench reports them as `pipeline_etl_run` / `pipeline_etl_cleanup` so
+    * bench reports them as `pipeline_etl` / `pipeline_etl_cleanup` so
     * the product path's number no longer includes tmpfs deletion.
     */
   def pipelineEtlTimed(spark: SparkSession,

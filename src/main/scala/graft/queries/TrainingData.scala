@@ -245,6 +245,21 @@ object TrainingData {
     materializeAndRelease(result, e)
   }
 
+  /** Memoized brute-force ground truth for the recall family: the four
+    * recall queries ([[simLshRecall]], [[simIvfRecall]],
+    * [[simTruncatedRecall]], [[simQuantizedRecall]]) each measure a
+    * different approximation against the SAME exact top-5, and recomputing
+    * the O(N·corpus) all-pairs scan per query spent ~18 s of the round-9
+    * bench on redundant ground truth. The result is a driver-local frame of
+    * ~5·ProbeN rows ([[materializeAndRelease]] collects it), so memoizing
+    * holds kilobytes, not cluster blocks. The bench keeps the fresh cost
+    * visible through its own `sim_topk_bruteforce` entry, which always
+    * recomputes.
+    */
+  private def bruteforceTopk(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute("sim_bruteforce", spark, dir)(
+      simTopkBruteforce(spark, dir))
+
   /** LSH-bucketed ANN: 6 deterministic random hyperplanes -> 6-bit sign
     * bucket per vector; queries MULTI-PROBE every bucket within Hamming
     * radius 2 of their own (22 of 64 buckets), which lifts recall on this
@@ -362,7 +377,7 @@ object TrainingData {
     // exact side is already a materialized ~5N-row local frame (the
     // brute-force query collects its own result), so only the truncated
     // ranking below does cluster work here; O(N·corpus), N fixed
-    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
     val t = normalized(spark, dir)
       .select(col("vec_id"), vecNormalize(slice(col("nv"), 1, 16)).as("tv"))
       .cache()
@@ -397,7 +412,7 @@ object TrainingData {
     */
   def simQuantizedRecall(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNormalize}
-    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
     val e = embs(spark, dir).select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
     // Per-dimension [lo, hi] as ONE aggregate pass over the intact arrays
@@ -500,7 +515,7 @@ object TrainingData {
     * operands are); rows-only (the hyperplanes are engine-seeded).
     */
   def simLshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
     val approx = simTopkLsh(spark, dir).select("query_id", "neighbor_id")
       .withColumn("_hit", lit(1))
     // one pass: a left join marks hits, a single aggregate produces total,
@@ -523,7 +538,7 @@ object TrainingData {
     * pick nprobe is itself verified.
     */
   def simIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = simTopkBruteforce(spark, dir).select("query_id", "neighbor_id")
+    val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
     val approx = simTopkIvf(spark, dir).select("query_id", "neighbor_id")
       .withColumn("_hit", lit(1))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
@@ -997,35 +1012,33 @@ object TrainingData {
       .orderBy("cluster_size")
   }
 
-  /** Compute-once memo of the propagated label frame per sf dir:
+  /** Compute-once memo of the propagated label frame per (session, dir):
     * [[dupClusters]] and [[dupClusterSizes]] are two small rollups over ONE
     * label frame, but each recomputed the edge join + propagation from
     * scratch — 5.3 s combined in the round-8 bench for a shared 5-line
     * difference. The label frame is localCheckpoint-materialized by the
     * propagation loop (and tiny: only docs with >= 1 near-dup edge), so
-    * holding it per dir is cheap; the testdata under a dir is immutable, so
-    * the memo can never serve stale labels. The bench times the propagation
-    * itself through [[dupClusterLabelsFresh]] as its own entry.
+    * holding it per dir is cheap; see [[DirMemo]] for the session-keying
+    * and eviction contract. The bench times the propagation itself through
+    * [[dupClusterLabelsFresh]] as its own `dup_cluster_labels` entry, so
+    * the graph work stays visible round-over-round.
     */
-  private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def sharedClusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val cached = labelsMemo.get(dir)
-    if (cached != null) cached else dupClusterLabelsFresh(spark, dir)
-  }
+  private def sharedClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute("dup_labels", spark, dir)(freshLabels(spark, dir))
 
   /** Force a fresh propagation (replacing the memo): the bench's
     * `dup_cluster_labels` entry, so the graph work stays visible
     * round-over-round instead of hiding inside whichever rollup ran first.
     */
   private[graft] def dupClusterLabelsFresh(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    DirMemo.putFresh("dup_labels", spark, dir, freshLabels(spark, dir))
+
+  private def freshLabels(spark: SparkSession, dir: String): DataFrame = {
     val (labels, edges) = dupClusterLabels(spark, dir)
     // labels is eagerly checkpointed by the propagation loop; the edge
     // cache only existed to keep the iterative joins cheap
     edges.unpersist()
-    labelsMemo.put(dir, labels)
     labels
   }
 
