@@ -56,6 +56,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
     "dedup_simhash" -> (TrainingData.dedupSimhash _),
     "dedup_embedding_cosine" -> (TrainingData.dedupEmbeddingCosine _),
+    "dedup_embedding_banded" -> (TrainingData.dedupEmbeddingBanded _),
+    "dedup_banded_recall" -> (TrainingData.dedupBandedRecall _),
     "sim_topk_bruteforce" -> (TrainingData.simTopkBruteforce _),
     "sim_topk_lsh" -> (TrainingData.simTopkLsh _),
     "sim_topk_ivf" -> (TrainingData.simTopkIvf _),
@@ -533,6 +535,74 @@ object SparkEntry {
         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM exact x LEFT JOIN iapprox a
         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin,
+    "dedup_embedding_banded" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |assign2 AS (SELECT vec_id, cent_id band FROM ranked WHERE rn <= 2),
+        |kept AS (SELECT band FROM assign2 GROUP BY band HAVING count(*) <= 1000),
+        |banded AS (SELECT a.vec_id, a.band FROM assign2 a JOIN kept USING (band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id doc_a, b.vec_id doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |   round(list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i])), 4) cos
+        |  FROM pairs
+        |  JOIN norm x ON x.vec_id = doc_a
+        |  JOIN norm y ON y.vec_id = doc_b),
+        |dropped AS (SELECT DISTINCT doc_b FROM scored WHERE cos >= 0.4)
+        |SELECT (SELECT count(*) FROM e) AS n_vecs,
+        | (SELECT count(*) FROM cents) AS n_centroids,
+        | (SELECT count(*) FROM scored) AS candidate_pairs,
+        | (SELECT count(*) FROM scored WHERE cos >= 0.4) AS dup_pairs,
+        | (SELECT count(*) FROM dropped) AS n_dropped,
+        | (SELECT count(*) FROM e) - (SELECT count(*) FROM dropped) AS n_kept""".stripMargin,
+    "dedup_banded_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |assign2 AS (SELECT vec_id, cent_id band FROM ranked WHERE rn <= 2),
+        |kept AS (SELECT band FROM assign2 GROUP BY band HAVING count(*) <= 1000),
+        |banded AS (SELECT a.vec_id, a.band FROM assign2 a JOIN kept USING (band)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id doc_a, b.vec_id doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
+        |bpairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN norm x ON x.vec_id = doc_a
+        |  JOIN norm y ON y.vec_id = doc_b
+        |  WHERE round(list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i])), 4) >= 0.4),
+        |exact AS (
+        |  SELECT x.vec_id doc_a, y.vec_id doc_b
+        |  FROM norm x JOIN norm y ON x.vec_id < y.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i])), 4) >= 0.4)
+        |SELECT (SELECT count(*) FROM exact) AS exact_pairs,
+        | (SELECT count(*) FROM exact JOIN bpairs USING (doc_a, doc_b)) AS banded_hits,
+        | round((SELECT count(*) FROM exact JOIN bpairs USING (doc_a, doc_b)) * 1.0 /
+        |   (SELECT count(*) FROM exact), 4) AS recall""".stripMargin,
     "sim_topk_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -49,6 +49,32 @@ object VectorIndex {
       .select(col("vec_id"), col("best.cent_id").as("bucket"),
         col("best.nv").as("nv"))
 
+  /** Top-2 multi-assignment: each vector's TWO nearest centroids, as two
+    * chained [[assign]]-style argmin passes — the second excludes the
+    * first's bucket, so it yields exactly rank 2 of
+    * `row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id)`.
+    * Each pass is a map-side-combined `min_by`, so 2 rows per vector cross
+    * the shuffles (the window form ships the full n x c scored pairs).
+    * Multi-assignment is the candidate-generation lever for bucketed
+    * near-dup: a pair straddling a centroid boundary still shares its
+    * second-choice bucket, where single-assignment silently drops it.
+    */
+  private[graft] def assignTop2(e: DataFrame, cents: DataFrame): DataFrame = {
+    val first = assign(e, cents)
+    val second = first
+      .withColumnRenamed("bucket", "first_bucket")
+      .crossJoin(broadcast(cents))
+      .filter(col("cent_id") =!= col("first_bucket"))
+      .select(col("vec_id"),
+        struct((-round(vecDot(col("nv"), col("cv")), 4)).as("neg_csim"),
+          col("cent_id"), col("nv")).as("scored"))
+      .groupBy("vec_id")
+      .agg(min(col("scored")).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("bucket"),
+        col("best.nv").as("nv"))
+    first.union(second)
+  }
+
   /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors.
     *
     * A REBUILD into a previously compacted index must also retire the

@@ -202,6 +202,88 @@ object TrainingData {
     graft.operators.Similarity.allPairsAboveThreshold(
       normalized(spark, dir), threshold = 0.4)
 
+  /** Bucketed (banded) embedding near-dup — the 100 TB DEFAULT for which
+    * [[dedupEmbeddingCosine]] is the small-sf verifier. Candidate
+    * generation routes through IVF centroid buckets
+    * ([[graft.operators.VectorIndex.assignTop2]]): every vector lands in
+    * its top-2 nearest centroid buckets (multi-probe catches pairs that
+    * straddle a boundary), candidates are pairs sharing a bucket (skew cap
+    * 1000 like the MinHash bands), and only candidates pay the exact
+    * cosine. With centroids sampled at 1-in-50, expected bucket size stays
+    * ~100 regardless of corpus scale, so total pair work is O(n·bucket),
+    * not O(n²) — the shuffle key is the bucket, fine-grained and
+    * cap-guarded. Centroids are DATA (`vec_id % 50 == 3`), so the whole
+    * candidate set — and therefore every count here — is
+    * oracle-reproducible; at a real 100 TB deployment the sample swaps for
+    * [[embKmeans]] centroids with no shape change. dup_pairs vs the exact
+    * query's pair count is the measured recall of the routing.
+    */
+  def dedupEmbeddingBanded(spark: SparkSession, dir: String): DataFrame = {
+    val e = normalized(spark, dir).cache()
+    val cents = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val pairs = bandedScoredPairs(e, cents)
+    val dropped = pairs.filter(col("cos") >= 0.4).select("doc_b").distinct()
+    val result = e.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(cents.agg(count(lit(1)).as("n_centroids")))
+      .crossJoin(pairs.agg(count(lit(1)).as("candidate_pairs"),
+        count(when(col("cos") >= 0.4, 1)).as("dup_pairs")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .select(col("n_vecs"), col("n_centroids"), col("candidate_pairs"),
+        col("dup_pairs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"))
+    materializeAndRelease(result, e)
+  }
+
+  /** The banded candidate set, exactly scored: top-2 centroid buckets per
+    * vector, bucket-keyed pair join (1000-cap skew guard), rounded cosine
+    * per surviving candidate, distinct per pair. Shared by
+    * [[dedupEmbeddingBanded]] (the rollup) and [[dedupBandedRecall]] (the
+    * quality measurement).
+    */
+  private def bandedScoredPairs(e: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val banded = graft.operators.VectorIndex.assignTop2(e, cents)
+      .select(col("vec_id").as("doc_id"), col("bucket").as("band"), col("nv"))
+    // multi-band duplicates (a pair sharing BOTH probe buckets) fall to the
+    // distinct over (ids, rounded cos) — re-scoring the dot per band beats
+    // a distinct shuffle of the vectors (prunedBandPairs contract)
+    prunedBandPairs(banded, Seq("nv"))
+      .select(col("doc_a"), col("doc_b"),
+        round(vecDot(col("nv_a"), col("nv_b")), 4).as("cos"))
+      .distinct()
+  }
+
+  /** Measured recall of the banded routing against the exact all-pairs
+    * verifier ([[dedupEmbeddingCosine]]) — the "approximate operators ship
+    * with their measured quality" rule applied to the dedup default, same
+    * shape as [[simIvfRecall]]. On THIS corpus the number is low (~0.4-0.6):
+    * the synthetic embeddings are near-uniform, so almost every pair above
+    * the 0.4 threshold sits at 0.4-0.5 cosine — barely-similar noise pairs
+    * in the regime where bucket routing is provably weak. Real near-dup
+    * corpora concentrate dup pairs at 0.9+ cosine, where top-2 routing
+    * recall approaches 1; this query is exactly the instrument a deployment
+    * uses to pick nprobe/centroid density before trusting the banded
+    * default, and it is fully oracle-checked (both operands data-derived).
+    */
+  def dedupBandedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupEmbeddingCosine(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val e = normalized(spark, dir).cache()
+    val cents = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val banded = bandedScoredPairs(e, cents)
+      .filter(col("cos") >= 0.4)
+      .select("doc_a", "doc_b").withColumn("_hit", lit(1))
+    val result = exact.join(banded, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        count(col("_hit")).as("banded_hits"))
+      .select(col("exact_pairs"), col("banded_hits"),
+        round(col("banded_hits").cast(DoubleType) / col("exact_pairs"), 4)
+          .as("recall"))
+    materializeAndRelease(result, e)
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Deterministic FIXED-SIZE probe set shared by every similarity/recall

@@ -325,6 +325,27 @@ class PlanSpec extends AnyFunSuite {
     } finally d.unpersist()
   }
 
+  test("dedup_embedding_banded: top-2 assignment is two argmin passes, " +
+    "pair join keyed on the bucket") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("nv"))
+    val cents = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val p = plan(graft.operators.VectorIndex.assignTop2(e, cents))
+    // each pass min_by-combines map-side: one row per vector crosses each
+    // shuffle, never the n x c scored pairs (the window form's failure)
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      "assignment must partially aggregate before the exchange")
+    assert(!p.contains("Window"), "top-2 must not rank n x c rows")
+    // centroid scoring broadcasts the tiny centroid side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must broadcast")
+  }
+
   test("dedup_prefix: fingerprint-keyed partial agg, no pairwise join") {
     val p = plan(graft.queries.TrainingData.dedupPrefix(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
