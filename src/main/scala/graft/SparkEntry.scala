@@ -391,6 +391,100 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 64), i ->
+        |    ('0x' || substr(md5('lshp_' || p || '_' || i), 1, 8))::BIGINT
+        |      / 2147483648.0 - 1.0) cl
+        |  FROM range(0, 6) t(p)),
+        |bkt AS (
+        |  SELECT n.vec_id,
+        |   CAST(sum(CASE WHEN round(list_sum(list_transform(
+        |       range(1, len(n.nv) + 1), i -> n.nv[i] * pl.cl[i])), 4) >= 0
+        |     THEN (1 << pl.p) ELSE 0 END) AS BIGINT) bkt
+        |  FROM norm n CROSS JOIN planes pl GROUP BY n.vec_id),
+        |masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 3, 5, 9, 17, 33,
+        |  6, 10, 18, 34, 12, 20, 36, 24, 40, 48]) m),
+        |qprobe AS (
+        |  SELECT q.vec_id query_id, xor(b.bkt, m.m) bkt
+        |  FROM qids q JOIN bkt b ON b.vec_id = q.vec_id CROSS JOIN masks m),
+        |scored AS (
+        |  SELECT p.query_id, nb.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(qn.nv) + 1),
+        |     i -> qn.nv[i] * dn.nv[i])), 4) sim
+        |  FROM qprobe p
+        |  JOIN bkt nb ON nb.bkt = p.bkt AND nb.vec_id <> p.query_id
+        |  JOIN norm qn ON qn.vec_id = p.query_id
+        |  JOIN norm dn ON dn.vec_id = nb.vec_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_lsh_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |bscored AS (
+        |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
+        |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
+        |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+        |  FROM e q JOIN qids ON q.vec_id = qids.vec_id
+        |  JOIN e b ON b.vec_id <> q.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM bscored) t
+        |  WHERE rank <= 5),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 64), i ->
+        |    ('0x' || substr(md5('lshp_' || p || '_' || i), 1, 8))::BIGINT
+        |      / 2147483648.0 - 1.0) cl
+        |  FROM range(0, 6) t(p)),
+        |bkt AS (
+        |  SELECT n.vec_id,
+        |   CAST(sum(CASE WHEN round(list_sum(list_transform(
+        |       range(1, len(n.nv) + 1), i -> n.nv[i] * pl.cl[i])), 4) >= 0
+        |     THEN (1 << pl.p) ELSE 0 END) AS BIGINT) bkt
+        |  FROM norm n CROSS JOIN planes pl GROUP BY n.vec_id),
+        |masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 3, 5, 9, 17, 33,
+        |  6, 10, 18, 34, 12, 20, 36, 24, 40, 48]) m),
+        |qprobe AS (
+        |  SELECT q.vec_id query_id, xor(b.bkt, m.m) bkt
+        |  FROM qids q JOIN bkt b ON b.vec_id = q.vec_id CROSS JOIN masks m),
+        |lscored AS (
+        |  SELECT p.query_id, nb.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(qn.nv) + 1),
+        |     i -> qn.nv[i] * dn.nv[i])), 4) sim
+        |  FROM qprobe p
+        |  JOIN bkt nb ON nb.bkt = p.bkt AND nb.vec_id <> p.query_id
+        |  JOIN norm qn ON qn.vec_id = p.query_id
+        |  JOIN norm dn ON dn.vec_id = nb.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |    FROM lscored) t
+        |  WHERE rank <= 5)
+        |SELECT (SELECT count(*) FROM exact) AS exact_pairs,
+        | (SELECT count(*) FROM exact JOIN approx USING (query_id, neighbor_id)) AS lsh_hits,
+        | round((SELECT count(*) FROM exact JOIN approx USING (query_id, neighbor_id)) * 1.0 /
+        |   (SELECT count(*) FROM exact), 4) AS recall""".stripMargin,
     "sim_truncated_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -342,7 +342,24 @@ object TrainingData {
     DirMemo.getOrCompute("sim_bruteforce", spark, dir)(
       simTopkBruteforce(spark, dir))
 
-  /** LSH-bucketed ANN: 6 deterministic random hyperplanes -> 6-bit sign
+  /** md5-seeded hyperplane component: plane `p`, dimension `i` maps to a
+    * uniform value in [-1, 1) derived from the first 8 hex chars of
+    * `md5("lshp_<p>_<i>")`. Engine-neutral pseudo-randomness (the
+    * [[simhashMd5Fps]] trick applied to plane generation): DuckDB computes
+    * the identical component as
+    * `('0x' || substr(md5(...), 1, 8))::BIGINT / 2147483648.0 - 1.0`
+    * — division by 2^31 is exact in IEEE double, so both engines hold the
+    * same plane bit-for-bit and the whole LSH index becomes
+    * oracle-reproducible.
+    */
+  private def md5PlaneComponent(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lshp_${p}_${i}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) / 2147483648.0 - 1.0
+  }
+
+  /** LSH-bucketed ANN: 6 deterministic md5-seeded hyperplanes -> 6-bit sign
     * bucket per vector; queries MULTI-PROBE every bucket within Hamming
     * radius 2 of their own (22 of 64 buckets), which lifts recall on this
     * near-uniform data from 4% (single probe — top-neighbor angles here are
@@ -350,19 +367,21 @@ object TrainingData {
     * two thirds of the candidates; real embedding corpora with tight
     * neighbor angles get high recall at radius 0-1. At 100 TB the bucket
     * key is the shuffle key and each bucket is an independent task.
-    * Approximate by construction -> rows-only check; measured against the
-    * exact baseline by [[simLshRecall]].
+    * The planes derive from md5 ([[md5PlaneComponent]]) and the sign test
+    * runs on the ROUNDED projection, so the index, the candidates, and the
+    * ranking are all DuckDB-reproducible — the approximate operator is
+    * fully oracle-checked, with its quality measured by [[simLshRecall]].
     */
   def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
-    val planes: Seq[Seq[Double]] = {
-      val rnd = new scala.util.Random(42)
-      Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
-    }
+    val planes: Seq[Seq[Double]] =
+      Seq.tabulate(6)(p => Seq.tabulate(64)(i => md5PlaneComponent(p, i)))
     def bucket(v: Column): Column =
       planes.zipWithIndex.map { case (p, i) =>
         val plane = array(p.map(lit): _*)
-        when(vecDot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+        // rounded projection: both engines compare the identical 4-decimal
+        // value, so a sign flip needs a true value change, not an fp ulp
+        when(round(vecDot(v, plane), 4) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
 
     val e = normalized(spark, dir)
@@ -593,8 +612,9 @@ object TrainingData {
 
   /** Recall of the LSH ANN against the exact brute-force top-5: the
     * "measure, don't guess" companion to [[simTopkLsh]] — approximate
-    * operators ship with their measured quality. Deterministic (both
-    * operands are); rows-only (the hyperplanes are engine-seeded).
+    * operators ship with their measured quality. Both operands are
+    * deterministic and md5-derivable, so the recall itself is
+    * oracle-checked.
     */
   def simLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
