@@ -32,7 +32,11 @@ object Retry {
 
 /** Environment-driven engine configuration (reference src/settings.py:23-143:
   * ENV_STATE selects a dev/test/prod prefix for every setting). Settings
-  * resolve as `GRAFT_<ENV-STATE>_<KEY>` then `GRAFT_<KEY>` then default.
+  * resolve as `GRAFT_<ENV-STATE>_<KEY>` then `GRAFT_<KEY>` then default,
+  * and every resolved value then passes through [[Secrets.resolve]] —
+  * a `secret://<scheme>/<ref>` value is replaced by the secret it names
+  * (reference settings.py:27-47 resolve_secrets), so DB/SMTP credentials
+  * reach the engine without living in plain env vars.
   */
 final case class GraftConfig(
     dropDirectory: String,
@@ -59,10 +63,12 @@ object GraftConfig {
     val state = env.getOrElse("GRAFT_ENV_STATE", "dev").toUpperCase
     def get(key: String, default: String): String =
       env.get(s"GRAFT_${state}_$key").orElse(env.get(s"GRAFT_$key"))
+        .map(Secrets.resolve(_, env))
         .getOrElse(default)
     def opt(key: String): Option[String] =
       env.get(s"GRAFT_${state}_$key").orElse(env.get(s"GRAFT_$key"))
         .filter(_.nonEmpty)
+        .map(Secrets.resolve(_, env))
     GraftConfig(
       dropDirectory = get("DROP_DIRECTORY", "drop"),
       archiveDirectory = get("ARCHIVE_DIRECTORY", "archive"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{GraftConfig, MissingHeaderError, Retry}
+import graft.core.{GraftConfig, MissingHeaderError, Retry, Secrets}
 import graft.run.WebhookNotifier
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -8,6 +8,35 @@ import java.net.InetSocketAddress
 import java.util.concurrent.atomic.AtomicInteger
 
 class OrchestrationSpec extends AnyFunSuite {
+
+  test("secrets: secret:// config values route through the resolver seam") {
+    // env scheme (the offline default): the value names another variable
+    val env = Map(
+      "GRAFT_SMTP_HOST" -> "secret://env/SMTP_HOST_SECRET",
+      "SMTP_HOST_SECRET" -> "smtp.internal.example",
+      "GRAFT_FROM_EMAIL" -> "etl@example.com")
+    val cfg = GraftConfig.load(env)
+    assert(cfg.smtpHost.contains("smtp.internal.example"),
+      "secret://env/NAME must resolve through the load-time env map")
+    // non-secret values pass through untouched
+    assert(cfg.fromEmail.contains("etl@example.com"))
+    // a registered custom scheme resolves (the aws/azure/gcp plug point,
+    // reference settings.py:27-47)
+    Secrets.register("testvault", ref => s"resolved:$ref")
+    assert(GraftConfig.load(Map("GRAFT_DATA_TEAM_EMAIL" ->
+        "secret://testvault/team-email"))
+      .dataTeamEmail.contains("resolved:team-email"))
+    // unknown scheme fails at LOAD time with the registration hint — a
+    // literal secret:// string must never flow into a credential field
+    val err = intercept[IllegalArgumentException] {
+      GraftConfig.load(Map("GRAFT_SMTP_HOST" -> "secret://nosuch/x"))
+    }
+    assert(err.getMessage.contains("no resolver registered"))
+    // env scheme with a missing target variable also fails loudly
+    intercept[IllegalArgumentException] {
+      GraftConfig.load(Map("GRAFT_SMTP_HOST" -> "secret://env/UNSET_VAR"))
+    }
+  }
 
   test("retry: transient errors retried with backoff, then succeed") {
     val calls = new AtomicInteger(0)
