@@ -32,7 +32,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // nanosecond-precision parquet timestamps surface as epoch-nano longs
       // (Spark cannot represent TIMESTAMP(NANOS); the long preserves full
-      // precision and ordering)
+      // precision and ordering). Micro-precision files are unaffected and
+      // read as TIMESTAMP[_NTZ]; query-side event-time arithmetic adapts to
+      // whichever type arrives (queries/Relational.epochMicros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }
