@@ -135,6 +135,7 @@ object SparkEntry {
     "source_overlap" -> (TrainingData.sourceOverlap _),
     "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
     "dedup_spans" -> (TrainingData.dedupSpans _),
+    "dedup_paragraphs" -> (TrainingData.dedupParagraphs _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -1960,6 +1961,25 @@ object SparkEntry {
         | round(avg(nrm), 4) AS avg_norm,
         | round(avg(CAST(nz AS DOUBLE) / 64), 4) AS avg_density
         |FROM dc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, (len(w) + 15) // 16),
+        |    i -> md5(array_to_string(w[i*16+1 : i*16+16], ' ')))) h
+        |  FROM d),
+        |cc AS (SELECT h, count(*) n FROM c GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, count(*) nch, count(CASE WHEN n > 1 THEN 1 END) dup
+        |  FROM c JOIN cc USING (h) GROUP BY 1)
+        |SELECT count(*) AS n_docs,
+        | CAST(sum(nch) AS BIGINT) AS total_chunks,
+        | (SELECT count(*) FROM cc) AS distinct_chunks,
+        | count(CASE WHEN dup * 2 > nch THEN 1 END) AS docs_over_half,
+        | round(avg(CAST(dup AS DOUBLE) / nch), 4) AS avg_dup_frac
+        |FROM pd""".stripMargin,
     "dedup_spans" ->
       """WITH s AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') l FROM documents),

@@ -1748,6 +1748,46 @@ object TrainingData {
         .as("dup_rate"))
   }
 
+  /** Paragraph-level dedup with per-document attrition — the
+    * CCNet/Dolma-style operator that dedups at sub-document granularity
+    * and DROPS documents that are mostly duplicated content. The synthetic
+    * corpus has no newline structure, so "paragraph" here is a
+    * non-overlapping 16-token chunk; on a real corpus the splitter swaps
+    * for `split(text, "\n\n")` with no change to the plan shape. A chunk
+    * instance is duplicated iff its md5 occurs more than once in the
+    * corpus; per-doc attrition is the duplicated fraction of its chunks,
+    * and docs past 1/2 are what a paragraph-deduper removes. Scale: one
+    * explode to (doc, chunk-hash), a chunk-hash-keyed count (map-side
+    * partials, 16-byte keys), a hash-keyed join-back, and a doc-keyed
+    * rollup — every shuffle key is fine-grained, nothing is pairwise.
+    */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        // (size+15) div 16 chunks; integer `div`, slice clamps the tail
+        "transform(sequence(0, int((size(w) + 15) div 16) - 1), " +
+          "i -> md5(concat_ws(' ', slice(w, i * 16 + 1, 16))))")).as("h"))
+      .cache()
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("n"))
+    val perDoc = chunks.join(counts, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nch"),
+        count(when(col("n") > 1, 1)).as("dup"))
+    val result = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum("nch").as("total_chunks"),
+        // integer comparison (dup*2 > nch), not a float threshold
+        count(when(col("dup") * 2 > col("nch"), 1)).as("docs_over_half"),
+        round(avg(col("dup").cast(DoubleType) / col("nch")), 4)
+          .as("avg_dup_frac"))
+      .crossJoin(chunks.agg(countDistinct(col("h")).as("distinct_chunks")))
+      .select(col("n_docs"), col("total_chunks"), col("distinct_chunks"),
+        col("docs_over_half"), col("avg_dup_frac"))
+    materializeAndRelease(result, chunks)
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick): every token
     * hashes to one of 64 dimensions with a hash-derived ±1 sign (sign bit
     * taken ABOVE the dimension bits so they decorrelate), votes sum per

@@ -273,6 +273,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - dup.toDouble / distinct) < 1e-3)
   }
 
+  test("dedup_paragraphs: chunk accounting consistent, attrition bounded") {
+    val Array(r) = TrainingData.dedupParagraphs(spark, sf).collect()
+    val (nDocs, total, distinct, overHalf) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val avgFrac = r.getDouble(4)
+    assert(nDocs > 0L)
+    assert(distinct <= total, "distinct chunks cannot exceed instances")
+    // every doc contributes >= 1 chunk (non-empty text guard)
+    assert(total >= nDocs)
+    assert(overHalf <= nDocs)
+    assert(avgFrac >= 0.0 && avgFrac <= 1.0)
+    // a corpus with no duplicated chunks has zero attrition everywhere
+    if (distinct == total) assert(overHalf == 0L && avgFrac == 0.0)
+  }
+
   test("text_hash_embedding: all docs featurized, density in (0,1]") {
     val rows = TrainingData.textHashEmbedding(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === 500L)
