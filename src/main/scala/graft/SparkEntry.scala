@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_simhash_banded" -> (TrainingData.dedupSimhashBanded _),
     "dup_clusters" -> (TrainingData.dupClusters _),
     "dup_cluster_sizes" -> (TrainingData.dupClusterSizes _),
+    "dedup_keep_best" -> (TrainingData.dedupKeepBest _),
     "emb_centroids" -> (TrainingData.embCentroids _),
     "contamination_check" -> (TrainingData.contaminationCheck _),
     "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
@@ -151,6 +152,53 @@ object SparkEntry {
     s"CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) >= 0" +
       s" THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+
+  /** Shared recursive-CTE prefix reproducing TrainingData.dupClusterLabels
+    * (MinHash bands -> Jaccard-verified edges -> transitive closure ->
+    * min-label per vertex) — the `labels(id, lbl)` relation the three
+    * cluster oracles (dup_clusters, dup_cluster_sizes, dedup_keep_best)
+    * roll up differently.
+    */
+  private val dupLabelsCte: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id,
+      |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
+      |u AS (
+      |  SELECT doc_id, list_distinct(list_transform(sh, x ->
+      |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+      |  FROM s),
+      |sig AS (
+      |  SELECT doc_id, ids,
+      |   list_transform(range(0, 16), i ->
+      |     list_aggregate(list_transform(ids, x ->
+      |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+      |  FROM u),
+      |bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+      |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+      |    CAST(sg[2*b+2] AS VARCHAR))) band
+      |  FROM sig),
+      |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+      |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+      |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id
+      |            JOIN u ub ON cand.doc_b = ub.doc_id
+      |  WHERE round(CAST(len(list_intersect(ua.ids, ub.ids)) AS DOUBLE) /
+      |    (len(ua.ids) + len(ub.ids) - len(list_intersect(ua.ids, ub.ids))), 4) >= 0.2),
+      |bi AS (
+      |  SELECT doc_a sv, doc_b dv FROM edges
+      |  UNION ALL SELECT doc_b, doc_a FROM edges),
+      |verts AS (SELECT DISTINCT sv v FROM bi),
+      |reach(a, b) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT reach.a, bi.dv FROM reach JOIN bi ON reach.b = bi.sv),
+      |labels AS (SELECT a id, min(b) lbl FROM reach GROUP BY a)""".stripMargin
 
   /** DuckDB oracle SQL per query (omitted for xxhash64-based and
     * approximate operators -> driver records a rows-only check).
@@ -1548,90 +1596,32 @@ object SparkEntry {
         |SELECT CAST(n.label AS BIGINT) AS label, cnt.n_vecs, n.dim, n.centroid_norm
         |FROM n JOIN cnt ON n.label = cnt.label ORDER BY 1""".stripMargin,
     "dup_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
-        |u AS (
-        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
-        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
-        |  FROM s),
-        |sig AS (
-        |  SELECT doc_id, ids,
-        |   list_transform(range(0, 16), i ->
-        |     list_aggregate(list_transform(ids, x ->
-        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
-        |  FROM u),
-        |bands AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
-        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
-        |    CAST(sg[2*b+2] AS VARCHAR))) band
-        |  FROM sig),
-        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
-        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id
-        |            JOIN u ub ON cand.doc_b = ub.doc_id
-        |  WHERE round(CAST(len(list_intersect(ua.ids, ub.ids)) AS DOUBLE) /
-        |    (len(ua.ids) + len(ub.ids) - len(list_intersect(ua.ids, ub.ids))), 4) >= 0.2),
-        |bi AS (
-        |  SELECT doc_a sv, doc_b dv FROM edges
-        |  UNION ALL SELECT doc_b, doc_a FROM edges),
-        |verts AS (SELECT DISTINCT sv v FROM bi),
-        |reach(a, b) AS (
-        |  SELECT v, v FROM verts
-        |  UNION
-        |  SELECT reach.a, bi.dv FROM reach JOIN bi ON reach.b = bi.sv),
-        |labels AS (SELECT a id, min(b) lbl FROM reach GROUP BY a),
+      s"""$dupLabelsCte,
         |sizes AS (SELECT lbl, count(*) sz FROM labels GROUP BY lbl)
         |SELECT count(*) AS n_clusters,
         | CAST(sum(sz) AS BIGINT) AS docs_in_clusters,
         | CAST(max(sz) AS BIGINT) AS max_cluster_size
         |FROM sizes""".stripMargin,
+    "dedup_keep_best" ->
+      s"""$dupLabelsCte,
+        |toks AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) nt
+        |  FROM documents),
+        |m AS (SELECT lbl, labels.id, nt
+        |      FROM labels JOIN toks ON labels.id = toks.doc_id),
+        |r AS (SELECT lbl, id, nt,
+        |       row_number() OVER (PARTITION BY lbl ORDER BY nt DESC, id) rn
+        |      FROM m)
+        |SELECT count(DISTINCT lbl) AS n_clusters,
+        | count(*) AS docs_in_clusters,
+        | count(CASE WHEN rn > 1 THEN 1 END) AS docs_dropped,
+        | round(avg(CASE WHEN rn = 1 THEN CAST(nt AS DOUBLE) END), 2)
+        |   AS avg_kept_tokens,
+        | round(avg(CASE WHEN rn > 1 THEN CAST(nt AS DOUBLE) END), 2)
+        |   AS avg_dropped_tokens
+        |FROM r""".stripMargin,
     "dup_cluster_sizes" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
-        |u AS (
-        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
-        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
-        |  FROM s),
-        |sig AS (
-        |  SELECT doc_id, ids,
-        |   list_transform(range(0, 16), i ->
-        |     list_aggregate(list_transform(ids, x ->
-        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
-        |  FROM u),
-        |bands AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
-        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
-        |    CAST(sg[2*b+2] AS VARCHAR))) band
-        |  FROM sig),
-        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
-        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand JOIN u ua ON cand.doc_a = ua.doc_id
-        |            JOIN u ub ON cand.doc_b = ub.doc_id
-        |  WHERE round(CAST(len(list_intersect(ua.ids, ub.ids)) AS DOUBLE) /
-        |    (len(ua.ids) + len(ub.ids) - len(list_intersect(ua.ids, ub.ids))), 4) >= 0.2),
-        |bi AS (
-        |  SELECT doc_a sv, doc_b dv FROM edges
-        |  UNION ALL SELECT doc_b, doc_a FROM edges),
-        |verts AS (SELECT DISTINCT sv v FROM bi),
-        |reach(a, b) AS (
-        |  SELECT v, v FROM verts
-        |  UNION
-        |  SELECT reach.a, bi.dv FROM reach JOIN bi ON reach.b = bi.sv),
-        |labels AS (SELECT a id, min(b) lbl FROM reach GROUP BY a),
+      s"""$dupLabelsCte,
         |sizes AS (SELECT lbl, count(*) sz FROM labels GROUP BY lbl)
         |SELECT sz AS cluster_size, count(*) AS n_clusters
         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,

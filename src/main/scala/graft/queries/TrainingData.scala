@@ -1153,6 +1153,36 @@ object TrainingData {
     labels
   }
 
+  /** Cluster-aware representative selection — the operator that makes dup
+    * clustering ACTIONABLE: within every near-dup cluster
+    * ([[sharedClusterLabels]], memoized), keep exactly one document by the
+    * keep-longest policy (most tokens, doc_id tiebreak — the standard
+    * keep-best heuristic when no quality model is trusted; swapping in a
+    * model score changes one ORDER BY). Pairwise dedup drops over-delete
+    * chains (A~B, B~C, drop B and C loses content C had and B lacked);
+    * cluster-keyed selection is the correct form. Scale: labels frame is
+    * edge-only docs (small), the token-count join is doc-keyed, and the
+    * per-cluster ranking windows over clusters of bounded size.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = sharedClusterLabels(spark, dir)
+    val toks = docs(spark, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("nt"))
+    val member = labels.join(toks, labels("id") === toks("doc_id"))
+      .select(col("label"), col("doc_id"), col("nt"))
+    val w = Window.partitionBy("label").orderBy(col("nt").desc, col("doc_id"))
+    member.withColumn("rn", row_number().over(w))
+      .agg(
+        countDistinct(col("label")).as("n_clusters"),
+        count(lit(1)).as("docs_in_clusters"),
+        count(when(col("rn") > 1, 1)).as("docs_dropped"),
+        round(avg(when(col("rn") === 1, col("nt").cast(DoubleType))), 2)
+          .as("avg_kept_tokens"),
+        round(avg(when(col("rn") > 1, col("nt").cast(DoubleType))), 2)
+          .as("avg_dropped_tokens"))
+  }
+
   /** MinHash-banded candidate edges -> Jaccard-verified -> min-label
     * propagation to convergence: the (labels, cached edges) pair behind
     * [[dupClusters]] / [[dupClusterSizes]]. Callers release the edge cache

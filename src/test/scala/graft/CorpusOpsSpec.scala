@@ -273,6 +273,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - dup.toDouble / distinct) < 1e-3)
   }
 
+  test("dedup_keep_best: one survivor per cluster, counts consistent") {
+    val Array(r) = TrainingData.dedupKeepBest(spark, sf).collect()
+    val (nClusters, inClusters, dropped) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nClusters > 0L)
+    // keep-one policy: survivors == clusters, dropped == members - clusters
+    assert(dropped === inClusters - nClusters)
+    // every cluster has >= 2 members (singletons never enter the edge set)
+    assert(inClusters >= 2 * nClusters)
+    // counts must agree with the cluster rollup over the same shared labels
+    val Array(c) = TrainingData.dupClusters(spark, sf).collect()
+    assert(c.getLong(0) === nClusters && c.getLong(1) === inClusters)
+  }
+
   test("dedup_paragraphs: chunk accounting consistent, attrition bounded") {
     val Array(r) = TrainingData.dedupParagraphs(spark, sf).collect()
     val (nDocs, total, distinct, overHalf) =
