@@ -137,6 +137,7 @@ object SparkEntry {
     "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
     "dedup_spans" -> (TrainingData.dedupSpans _),
     "dedup_paragraphs" -> (TrainingData.dedupParagraphs _),
+    "text_novelty" -> (TrainingData.textNovelty _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -1951,6 +1952,28 @@ object SparkEntry {
         | round(avg(nrm), 4) AS avg_norm,
         | round(avg(CAST(nz AS DOUBLE) / 64), 4) AS avg_density
         |FROM dc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x),
+        |ex AS (SELECT doc_id, unnest(ids) id FROM d),
+        |fo AS (SELECT id, min(doc_id) first_doc FROM ex GROUP BY 1),
+        |pd AS (
+        |  SELECT ex.doc_id, count(*) n_grams,
+        |   count(CASE WHEN fo.first_doc = ex.doc_id THEN 1 END) novel
+        |  FROM ex JOIN fo USING (id) GROUP BY 1),
+        |nv AS (SELECT doc_id, CAST(novel AS DOUBLE) / n_grams novelty FROM pd)
+        |SELECT count(*) AS n_docs,
+        | round(avg(novelty), 4) AS avg_novelty,
+        | count(CASE WHEN novelty < 0.5 THEN 1 END) AS docs_low_novelty,
+        | round(min(novelty), 4) AS min_novelty
+        |FROM nv""".stripMargin,
     "dedup_paragraphs" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w

@@ -1778,6 +1778,42 @@ object TrainingData {
         .as("dup_rate"))
   }
 
+  /** Per-document n-gram NOVELTY in ingestion order (doc_id as the
+    * arrival proxy): a 5-gram belongs to the document that saw it first,
+    * and a doc's novelty is the fraction of its distinct 5-grams it owns.
+    * The instrument behind dedup-priority decisions — low-novelty
+    * documents are boilerplate arriving after their content already
+    * exists, exactly what ordering-aware dedup keeps last in line — and
+    * the corpus-level memorization-pressure gauge (avg novelty falling
+    * round-over-round means the stream is re-crawling itself). Docs with
+    * fewer than 5 tokens have no 5-grams and drop out on both sides by
+    * construction. Scale: one explode to distinct (doc, gram-id), a
+    * gram-keyed min aggregate (map-side partials), a gram-keyed join-back,
+    * a doc-keyed rollup — fine-grained keys throughout, nothing pairwise.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    // cached: the exploded gram frame feeds both the first-owner aggregate
+    // and the join-back probe side
+    val d = docs(spark, dir)
+      .select(col("doc_id"), explode(shingleIds(col("text"), 5)).as("id"))
+      .cache()
+    val firstOwner = d.groupBy("id").agg(min("doc_id").as("first_doc"))
+    val perDoc = d.join(firstOwner, Seq("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("novel"))
+      .withColumn("novelty",
+        col("novel").cast(DoubleType) / col("n_grams"))
+    val result = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg("novelty"), 4).as("avg_novelty"),
+      count(when(col("novelty") < 0.5, 1)).as("docs_low_novelty"),
+      round(min("novelty"), 4).as("min_novelty"))
+    materializeAndRelease(result, d)
+  }
+
   /** Paragraph-level dedup with per-document attrition — the
     * CCNet/Dolma-style operator that dedups at sub-document granularity
     * and DROPS documents that are mostly duplicated content. The synthetic

@@ -273,6 +273,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - dup.toDouble / distinct) < 1e-3)
   }
 
+  test("text_novelty: bounded fractions, first doc fully novel") {
+    val Array(r) = TrainingData.textNovelty(spark, sf).collect()
+    val (nDocs, lowNovelty) = (r.getLong(0), r.getLong(2))
+    val (avgNov, minNov) = (r.getDouble(1), r.getDouble(3))
+    assert(nDocs > 0L)
+    assert(avgNov > 0.0 && avgNov <= 1.0)
+    assert(minNov >= 0.0 && minNov <= avgNov)
+    assert(lowNovelty <= nDocs)
+    // the lowest doc_id owns every gram it has — novelty 1.0 exists, so
+    // the average can only be dragged below 1 by genuine duplication
+    if (lowNovelty == 0L) assert(minNov >= 0.5)
+  }
+
   test("dedup_keep_best: one survivor per cluster, counts consistent") {
     val Array(r) = TrainingData.dedupKeepBest(spark, sf).collect()
     val (nClusters, inClusters, dropped) =
