@@ -346,6 +346,40 @@ class PlanSpec extends AnyFunSuite {
       "centroids must broadcast")
   }
 
+  test("dedup_paragraphs: chunk-hash keyed aggregation, no pairwise join") {
+    // plan of the pre-materialization pipeline: hash count + join-back
+    import org.apache.spark.sql.functions._
+    val chunks = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, int((size(w) + 15) div 16) - 1), " +
+          "i -> md5(concat_ws(' ', slice(w, i * 16 + 1, 16))))")).as("h"))
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("n"))
+    val p = plan(chunks.join(counts, Seq("h"))
+      .groupBy("doc_id").agg(count(when(col("n") > 1, 1)).as("dup")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "chunk dedup is hash-keyed, never pairwise")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "chunk counts must partially aggregate map-side")
+  }
+
+  test("text_novelty: gram-keyed min aggregate with map-side partials") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.shingleIds(col("text"), 5))
+          .as("id"))
+    val fo = d.groupBy("id").agg(min("doc_id").as("first_doc"))
+    val p = plan(d.join(fo, Seq("id")).groupBy("doc_id")
+      .agg(count(when(col("first_doc") === col("doc_id"), 1)).as("novel")))
+    assert(!p.contains("CartesianProduct"),
+      "first-owner attribution is a gram-keyed equi join")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      "first-owner min must combine map-side")
+  }
+
   test("dedup_prefix: fingerprint-keyed partial agg, no pairwise join") {
     val p = plan(graft.queries.TrainingData.dedupPrefix(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
