@@ -138,6 +138,7 @@ object SparkEntry {
     "dedup_spans" -> (TrainingData.dedupSpans _),
     "dedup_paragraphs" -> (TrainingData.dedupParagraphs _),
     "text_novelty" -> (TrainingData.textNovelty _),
+    "rag_retrieval" -> (TrainingData.ragRetrieval _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -1952,6 +1953,49 @@ object SparkEntry {
         | round(avg(nrm), 4) AS avg_norm,
         | round(avg(CAST(nz AS DOUBLE) / 64), 4) AS avg_density
         |FROM dc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rag_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |   unnest(range(0, CAST(floor((len(toks) - 1) / 48.0) AS BIGINT) + 1)) ci,
+        |   toks
+        |  FROM base),
+        |ct AS (
+        |  SELECT doc_id, ci,
+        |   unnest(toks[CAST(ci*48+1 AS BIGINT) : CAST(ci*48+64 AS BIGINT)]) w
+        |  FROM ch),
+        |hd AS (SELECT doc_id, ci,
+        |  ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 dim,
+        |  (((('0x' || substr(md5(w), 1, 15))::BIGINT >> 6) & 1) * 2 - 1) sgn
+        | FROM ct),
+        |pd AS (SELECT doc_id, ci, dim, CAST(sum(sgn) AS BIGINT) s
+        |       FROM hd GROUP BY 1, 2, 3 HAVING sum(sgn) <> 0),
+        |norms AS (SELECT doc_id, ci, sqrt(sum(s * s)) nrm
+        |          FROM pd GROUP BY 1, 2 HAVING sqrt(sum(s * s)) > 0),
+        |qdocs AS (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 8),
+        |qd AS (SELECT p.doc_id q_doc, dim, s qs
+        |       FROM pd p JOIN qdocs q ON p.doc_id = q.doc_id WHERE ci = 0),
+        |qn AS (SELECT n.doc_id q_doc, nrm qnrm
+        |       FROM norms n JOIN qdocs q ON n.doc_id = q.doc_id WHERE ci = 0),
+        |dots AS (
+        |  SELECT qd.q_doc, pd.doc_id, pd.ci, CAST(sum(pd.s * qd.qs) AS BIGINT) dot
+        |  FROM pd JOIN qd USING (dim) WHERE pd.doc_id <> qd.q_doc
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.q_doc, d.doc_id, d.ci,
+        |   round(d.dot / (n.nrm * q.qnrm), 4) sim
+        |  FROM dots d
+        |  JOIN norms n ON n.doc_id = d.doc_id AND n.ci = d.ci
+        |  JOIN qn q ON q.q_doc = d.q_doc)
+        |SELECT q_doc, rank, chunk_doc, chunk_idx, sim FROM (
+        |  SELECT q_doc, doc_id chunk_doc, ci chunk_idx, sim,
+        |   row_number() OVER (PARTITION BY q_doc ORDER BY sim DESC, doc_id, ci) rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY q_doc, rank""".stripMargin,
     "text_novelty" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1882,6 +1882,75 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Composed RAG retrieval chain — the end-to-end shape a
+    * retrieval-augmented pipeline runs over a corpus, built entirely from
+    * the engine's own operators: 64-token/48-stride chunking
+    * ([[windowChunking]] geometry) -> feature-hash chunk embeddings
+    * ([[textHashEmbedding]] hashing trick, 64 dims, md5-derived ±1 signs)
+    * -> sparse cosine top-3 chunk retrieval for a fixed md5-ordered
+    * 8-query probe batch. Everything is md5-deterministic, so the WHOLE
+    * chain — chunk boundaries, embeddings, scores, ranking — is
+    * oracle-checked, not just the pieces.
+    *
+    * Scale: the sparse dot is a dim-keyed join against the BROADCAST query
+    * dims (≤ 8 x 64 rows), so each corpus chunk-dim row does O(queries)
+    * work with no corpus-side shuffle beyond the (doc, chunk, dim)
+    * aggregation; norms and dots group on fine-grained chunk keys. Swap
+    * the probe batch for a query stream and the corpus side for the
+    * persisted IVF postings and this becomes the serving path
+    * ([[graft.operators.VectorIndex]]).
+    */
+  def ragRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir)
+      .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+    val chunkTok = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          floor((size(col("toks")).cast(LongType) - lit(1L)) / lit(48L))
+            .cast(LongType))).as("ci"),
+        col("toks"))
+      .select(col("doc_id"), col("ci"),
+        explode(expr("slice(toks, int(ci * 48 + 1), 64)")).as("w"))
+    val h = h60(col("w"))
+    // sparse chunk embedding: only non-zero dims are materialized (cached:
+    // feeds norms, the query side, and the corpus side of the dot)
+    val dims = chunkTok
+      .select(col("doc_id"), col("ci"), (h % 64).as("dim"),
+        (shiftright(h, 6).bitwiseAND(lit(1L)) * 2 - 1).as("sgn"))
+      .groupBy("doc_id", "ci", "dim").agg(sum("sgn").as("s"))
+      .filter(col("s") =!= 0)
+      .cache()
+    val norms = dims.groupBy("doc_id", "ci")
+      .agg(sqrt(sum(col("s") * col("s"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val qdocs = docs(spark, dir).select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id")).limit(8)
+    val qdims = dims.filter(col("ci") === 0)
+      .join(broadcast(qdocs), Seq("doc_id"))
+      .select(col("doc_id").as("q_doc"), col("dim"), col("s").as("qs"))
+    val qnorms = norms.filter(col("ci") === 0)
+      .join(broadcast(qdocs), Seq("doc_id"))
+      .select(col("doc_id").as("q_doc"), col("nrm").as("qnrm"))
+    val dots = dims.join(broadcast(qdims), Seq("dim"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .groupBy("q_doc", "doc_id", "ci")
+      .agg(sum(col("s") * col("qs")).as("dot"))
+    val scored = dots
+      .join(norms, Seq("doc_id", "ci"))
+      .join(broadcast(qnorms), Seq("q_doc"))
+      .select(col("q_doc"), col("doc_id"), col("ci"),
+        round(col("dot") / (col("nrm") * col("qnrm")), 4).as("sim"))
+    val w = Window.partitionBy("q_doc")
+      .orderBy(col("sim").desc, col("doc_id"), col("ci"))
+    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_doc"), col("rank"), col("doc_id").as("chunk_doc"),
+        col("ci").as("chunk_idx"), col("sim"))
+      .orderBy("q_doc", "rank")
+    materializeAndRelease(result, dims)
+  }
+
   // ------------------------------------- mixture / sharding / chunking ops
 
   /** Temperature-scaled source mixture (the GPT-3/LLaMA-style data-mixture

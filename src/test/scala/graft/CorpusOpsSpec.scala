@@ -273,6 +273,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - dup.toDouble / distinct) < 1e-3)
   }
 
+  test("rag_retrieval: 3 ranked hits per query, no self-retrieval") {
+    val rows = TrainingData.ragRetrieval(spark, sf).collect()
+    assert(rows.length === 8 * 3, "8 probe queries x top-3 chunks")
+    rows.groupBy(_.getLong(0)).foreach { case (q, hits) =>
+      assert(hits.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // a query never retrieves chunks of its own document
+      assert(hits.forall(_.getLong(2) != q))
+      // ranking is by descending similarity
+      val sims = hits.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
   test("text_novelty: bounded fractions, first doc fully novel") {
     val Array(r) = TrainingData.textNovelty(spark, sf).collect()
     val (nDocs, lowNovelty) = (r.getLong(0), r.getLong(2))
