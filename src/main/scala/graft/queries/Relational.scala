@@ -31,7 +31,7 @@ object Relational {
     * micros the oracle sees; integer arithmetic throughout (epoch longs
     * exceed 2^53, double division is unsafe).
     */
-  private[queries] def epochMicros(df: DataFrame, field: String = "ts"): org.apache.spark.sql.Column =
+  private[graft] def epochMicros(df: DataFrame, field: String = "ts"): org.apache.spark.sql.Column =
     df.schema(field).dataType match {
       case LongType          => expr(s"$field div 1000")
       case TimestampType     => unix_micros(col(field))

@@ -15,6 +15,51 @@ import scala.util.Random
 class PropertiesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("epochMicros adapts to nano-long, timestamp, and NTZ ts columns") {
+    // guards the round-9 failure mode in BOTH directions: the driver has
+    // shipped events.ts as nano-INT64 and as micro-timestamp across rounds,
+    // and every event-time query must yield identical epoch micros either
+    // way (the testdata only ever exercises one encoding at a time)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val nanos = 1234567890123456789L
+    val micros = nanos / 1000L
+    val longDf = Seq(nanos).toDF("ts")
+    assert(longDf.select(graft.queries.Relational.epochMicros(longDf))
+      .head.getLong(0) === micros)
+    val tsDf = Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    assert(tsDf.select(graft.queries.Relational.epochMicros(tsDf))
+      .head.getLong(0) === micros)
+    val ntzDf = tsDf.select(col("ts")
+      .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+    assert(ntzDf.select(graft.queries.Relational.epochMicros(ntzDf))
+      .head.getLong(0) === micros, "NTZ must read as UTC (session tz)")
+    // an unsupported encoding fails loudly at plan time, not with a wrong
+    // silent epoch
+    val strDf = Seq("2020-01-01").toDF("ts")
+    intercept[IllegalArgumentException] {
+      graft.queries.Relational.epochMicros(strDf)
+    }
+  }
+
+  test("oracle coverage contract: every oracle names a declared query; " +
+    "rows-only set is exactly the documented four") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val orphans = oracles -- queries
+    assert(orphans.isEmpty,
+      s"oracle entries without a query (typo'd key silently skews the " +
+        s"correctness gate): $orphans")
+    // a new query without an oracle silently downgrades to a rows-only
+    // check — this pin forces that decision to be explicit
+    assert((queries -- oracles) === Set("dedup_simhash",
+      "q19_approx_distinct", "q25_approx_quantile", "text_heavy_hitters"),
+      "rows-only set changed: update this pin only for genuinely " +
+        "engine-internal operators (hash/sketch internals)")
+  }
+
   test("row hash is invariant to column declaration order (sorted-field hashing)") {
     val sp = spark
     import sp.implicits._
