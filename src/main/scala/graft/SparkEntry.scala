@@ -87,6 +87,7 @@ object SparkEntry {
     "dup_clusters" -> (TrainingData.dupClusters _),
     "dup_cluster_sizes" -> (TrainingData.dupClusterSizes _),
     "dedup_keep_best" -> (TrainingData.dedupKeepBest _),
+    "dup_cluster_examples" -> (TrainingData.dupClusterExamples _),
     "emb_centroids" -> (TrainingData.embCentroids _),
     "contamination_check" -> (TrainingData.contaminationCheck _),
     "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
@@ -1604,6 +1605,15 @@ object SparkEntry {
         | CAST(sum(sz) AS BIGINT) AS docs_in_clusters,
         | CAST(max(sz) AS BIGINT) AS max_cluster_size
         |FROM sizes""".stripMargin,
+    "dup_cluster_examples" ->
+      s"""$dupLabelsCte,
+        |m AS (SELECT lbl, labels.id, d.source
+        |      FROM labels JOIN documents d ON labels.id = d.doc_id)
+        |SELECT lbl AS cluster_label, count(*) AS cluster_size,
+        | count(DISTINCT source) AS n_sources,
+        | string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        |FROM m GROUP BY lbl
+        |ORDER BY cluster_size DESC, cluster_label LIMIT 5""".stripMargin,
     "dedup_keep_best" ->
       s"""$dupLabelsCte,
         |toks AS (

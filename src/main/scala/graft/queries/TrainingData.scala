@@ -1153,6 +1153,27 @@ object TrainingData {
     labels
   }
 
+  /** Top-5 duplicate clusters as a REVIEW QUEUE (the dup-cluster analogue
+    * of [[contaminationTopdocs]] and q3's dup-grain examples): largest
+    * clusters first, with member count and the sorted distinct sources the
+    * cluster spans — cross-source clusters are usually syndication or
+    * mirror sites, single-source ones template boilerplate, and that
+    * distinction drives which dedup policy applies. Label-keyed
+    * aggregation over the shared memoized label frame; top-5 is a
+    * TakeOrdered, never a global sort.
+    */
+  def dupClusterExamples(spark: SparkSession, dir: String): DataFrame = {
+    val labels = sharedClusterLabels(spark, dir)
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    labels.join(d, labels("id") === d("doc_id"))
+      .groupBy(col("label").as("cluster_label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", sort_array(collect_set(col("source")))).as("sources"))
+      .orderBy(col("cluster_size").desc, col("cluster_label"))
+      .limit(5)
+  }
+
   /** Cluster-aware representative selection — the operator that makes dup
     * clustering ACTIONABLE: within every near-dup cluster
     * ([[sharedClusterLabels]], memoized), keep exactly one document by the

@@ -300,6 +300,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     if (lowNovelty == 0L) assert(minNov >= 0.5)
   }
 
+  test("dup_cluster_examples: top-5 by size, source list consistent") {
+    val rows = TrainingData.dupClusterExamples(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
+      "descending cluster size")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L, "clusters have >= 2 members")
+      val listed = r.getString(3).split(',')
+      assert(listed.length.toLong === r.getLong(2),
+        "sources string lists exactly n_sources entries")
+      assert(listed.sorted.sameElements(listed), "sources sorted")
+    }
+  }
+
   test("dedup_keep_best: one survivor per cluster, counts consistent") {
     val Array(r) = TrainingData.dedupKeepBest(spark, sf).collect()
     val (nClusters, inClusters, dropped) =
