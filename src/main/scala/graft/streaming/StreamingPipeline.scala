@@ -346,6 +346,30 @@ object StreamingPipeline {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming paragraph-level dedup — the streaming twin of the batch
+    * `dedup_paragraphs` operator, with the dedup unit dropped from the
+    * document to the 16-token chunk: a chunk survives iff its md5 was not
+    * seen within the watermark horizon, so a mostly-duplicated document
+    * simply contributes few surviving chunks (the Dolma paragraph-dedup
+    * semantics applied to an unbounded feed). Output is the novel-chunk
+    * stream (doc_id, ts, chunk_idx, chunk_hash) — downstream either
+    * reassembles kept content or counts per-doc survivors against the
+    * batch operator's attrition threshold. State holds ONLY 16-byte chunk
+    * keys and the watermark evicts them, so state is bounded by horizon ×
+    * chunk rate, never corpus size.
+    */
+  def streamingParagraphDedup(docs: DataFrame,
+                              lateness: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        "transform(sequence(0, int((size(w) + 15) div 16) - 1), " +
+          "i -> md5(concat_ws(' ', slice(w, i * 16 + 1, 16))))"))
+        .as(Seq("chunk_idx", "chunk_hash")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("chunk_hash")
+
   /** Stream-stream inner join with bounded state: attribute each purchase
     * to the same user's click at most `attribution` earlier. BOTH sides are
     * watermarked and the join condition carries the time bound, so Spark

@@ -380,6 +380,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "first copy of each content survives; re-deliveries within watermark drop")
   }
 
+  test("streaming paragraph dedup: duplicated chunks drop, novel chunks survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val kept = StreamingPipeline.streamingParagraphDedup(df, "1 hour")
+    val q = kept.writeStream.format("memory").queryName("parastream")
+      .outputMode(OutputMode.Append()).start()
+    // 20 tokens -> chunks [w0..w15], [w16..w19]
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    mem.addData((Timestamp.valueOf("2026-01-01 10:00:00"), 1L, base))
+    q.processAllAvailable()
+    // doc 2 re-sends doc 1's first chunk verbatim plus 16 new tokens:
+    // its first chunk is a duplicate, its second is novel
+    val partial = ((0 until 16).map(i => s"w$i") ++
+      (0 until 16).map(i => s"x$i")).mkString(" ")
+    mem.addData((Timestamp.valueOf("2026-01-01 10:05:00"), 2L, partial))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select doc_id, chunk_idx from parastream order by doc_id, chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    q.stop()
+    assert(rows === Seq((1L, 0), (1L, 1), (2L, 1)),
+      "doc 1 keeps both chunks; doc 2 keeps only its novel second chunk")
+  }
+
   test("streaming near-dup: identical content flags against earlier doc, distinct passes") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
