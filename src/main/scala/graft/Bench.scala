@@ -163,7 +163,12 @@ object Bench {
     // memoized label frame (DirMemo), so their entries report rollup cost
     // only; this entry times the label propagation itself FRESH each rep,
     // keeping the graph work visible round-over-round
-    val labelsSplit = if (only.exists(!_("dup_clusters"))) Seq.empty else
+    // gated on its OWN name so SPARK_GRAFT_ONLY=dup_cluster_labels works;
+    // dup_clusters still pulls it in (shared memoized label frame)
+    val labelsSplit =
+      if (only.exists(o => !o("dup_cluster_labels") && !o("dup_clusters")))
+        Seq.empty
+      else
       Seq("dup_cluster_labels" -> bestOf {
         graft.queries.TrainingData.dupClusterLabelsFresh(spark, sfDir).count()
         ()

@@ -37,18 +37,27 @@ object Secrets {
   def register(scheme: String, resolver: Resolver): Unit =
     resolvers.put(scheme, resolver)
 
+  /** Remove a registered resolver; a removed `env` falls back to the
+    * built-in environment-map handler.
+    */
+  def unregister(scheme: String): Unit =
+    resolvers.remove(scheme)
+
   /** Resolve `value` if it is a `secret://` URI; pass anything else
     * through untouched. `env` is the environment map the caller loads
     * config from (injected for testability, like [[GraftConfig.load]]).
     */
   def resolve(value: String, env: Map[String, String] = sys.env): String =
     value match {
-      case SecretUri("env", ref) =>
-        env.getOrElse(ref, throw new IllegalArgumentException(
-          s"secret://env/$ref: environment variable $ref is not set"))
+      // Registered resolvers take precedence over the built-in `env`
+      // handler, so Secrets.register("env", ...) overrides rather than
+      // being silently shadowed.
       case SecretUri(scheme, ref) =>
         resolvers.get(scheme) match {
           case Some(r) => r(ref)
+          case None if scheme == "env" =>
+            env.getOrElse(ref, throw new IllegalArgumentException(
+              s"secret://env/$ref: environment variable $ref is not set"))
           case None => throw new IllegalArgumentException(
             s"secret://$scheme/$ref: no resolver registered for scheme " +
               s"'$scheme'. Register one at startup: " +

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.SparkContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-keyed compute-once memo for per-dir derived frames (propagated
@@ -10,10 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ~18 s of redundant brute-force top-k across the four recall queries in
   * round 9).
   *
-  * Keys include the owning [[SparkContext]], so a second SparkSession in
-  * the same JVM (test suites, embedded use) never receives a frame whose
-  * checkpoint/cache blocks belong to a stopped session — lookups from a
-  * new context simply miss and recompute. Entries from stopped contexts
+  * Keys include the owning [[SparkSession]] (not just its SparkContext:
+  * a DataFrame is resolved against the session that built it — UDF
+  * registrations, conf — so sibling sessions sharing one context via
+  * `spark.newSession` must not share memo hits). A second session in the
+  * same JVM (test suites, embedded use) simply misses and recomputes.
+  * Entries whose underlying context is stopped
   * are purged opportunistically on every access, and [[clear]] gives
   * long-running services / bench teardown an explicit eviction point, so
   * blocks are never pinned for the JVM lifetime.
@@ -23,11 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object DirMemo {
   private val m =
-    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   private def purgeStopped(): Unit = {
     val it = m.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
   }
 
   /** Memoized `compute` under (session, kind, dir); `kind` namespaces the
@@ -36,7 +37,7 @@ private[graft] object DirMemo {
   def getOrCompute(kind: String, spark: SparkSession, dir: String)
                   (compute: => DataFrame): DataFrame = {
     purgeStopped()
-    val key = (spark.sparkContext, kind, dir)
+    val key = (spark, kind, dir)
     val cached = m.get(key)
     if (cached != null) cached
     else {
@@ -52,12 +53,12 @@ private[graft] object DirMemo {
   def putFresh(kind: String, spark: SparkSession, dir: String,
                value: DataFrame): DataFrame = {
     purgeStopped()
-    m.put((spark.sparkContext, kind, dir), value)
+    m.put((spark, kind, dir), value)
     value
   }
 
   def invalidate(kind: String, spark: SparkSession, dir: String): Unit =
-    m.remove((spark.sparkContext, kind, dir))
+    m.remove((spark, kind, dir))
 
   /** Drop every entry. Checkpoint/cache blocks behind evicted frames are
     * released lazily by Spark's ContextCleaner once the frames are

@@ -30,10 +30,20 @@ object Relational {
     * `epoch_us(ts)` on the same file). Both paths yield the exact epoch
     * micros the oracle sees; integer arithmetic throughout (epoch longs
     * exceed 2^53, double division is unsafe).
+    *
+    * Nano-long path uses FLOOR division (shiftright on the sign-adjusted
+    * value via `floor`-style CASE), not `div`: `div` truncates toward
+    * zero, which disagrees with DuckDB's floor-based micro truncation for
+    * pre-1970 (negative) timestamps. Post-1970 data the two agree; the
+    * floor form is correct for both signs.
     */
   private[graft] def epochMicros(df: DataFrame, field: String = "ts"): org.apache.spark.sql.Column =
     df.schema(field).dataType match {
-      case LongType          => expr(s"$field div 1000")
+      case LongType          =>
+        // floor-div by 1000: (x - ((x % 1000) + 1000) % 1000) / 1000 is
+        // exact integer math; equivalently CASE on sign. Keep it one
+        // expression so it stays codegen'd.
+        expr(s"($field - ((($field % 1000) + 1000) % 1000)) div 1000")
       case TimestampType     => unix_micros(col(field))
       case TimestampNTZType  => unix_micros(col(field).cast(TimestampType))
       case other => throw new IllegalArgumentException(

@@ -361,6 +361,11 @@ object StreamingPipeline {
   def streamingParagraphDedup(docs: DataFrame,
                               lateness: String = "1 hour"): DataFrame =
     docs
+      // same null/empty guard as the batch twin (dedupParagraphs): an
+      // empty doc would otherwise emit one md5('') chunk that dedups
+      // against every other empty doc in the horizon, silently dropping
+      // later empty docs from the novel-chunk stream
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("ts"),
         split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), col("ts"), posexplode(expr(

@@ -36,6 +36,16 @@ class OrchestrationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftConfig.load(Map("GRAFT_SMTP_HOST" -> "secret://env/UNSET_VAR"))
     }
+    // a registered 'env' resolver OVERRIDES the built-in handler (registry
+    // is consulted first), and unregistering restores the built-in
+    try {
+      Secrets.register("env", ref => s"custom:$ref")
+      assert(GraftConfig.load(Map("GRAFT_SMTP_HOST" -> "secret://env/HOST"))
+        .smtpHost.contains("custom:HOST"))
+    } finally Secrets.unregister("env")
+    assert(GraftConfig.load(Map(
+        "GRAFT_SMTP_HOST" -> "secret://env/H2", "H2" -> "builtin.example"))
+      .smtpHost.contains("builtin.example"))
   }
 
   test("retry: transient errors retried with backoff, then succeed") {

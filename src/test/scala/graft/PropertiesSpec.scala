@@ -36,6 +36,12 @@ class PropertiesSpec extends AnyFunSuite {
       .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
     assert(ntzDf.select(graft.queries.Relational.epochMicros(ntzDf))
       .head.getLong(0) === micros, "NTZ must read as UTC (session tz)")
+    // pre-1970 (negative) nano epochs use FLOOR division, matching
+    // DuckDB's floor-based truncation of negative timestamps: -1500 ns is
+    // -2 us, not the toward-zero -1
+    val negDf = Seq(-1500L, -1000L, -1L, 999L).toDF("ts")
+    assert(negDf.select(graft.queries.Relational.epochMicros(negDf))
+      .collect().map(_.getLong(0)).toSeq === Seq(-2L, -1L, -1L, 0L))
     // an unsupported encoding fails loudly at plan time, not with a wrong
     // silent epoch
     val strDf = Seq("2020-01-01").toDF("ts")
