@@ -54,8 +54,11 @@ object SparkEntry {
     "dedup_exact" -> (TrainingData.dedupExact _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
-    "dedup_simhash" -> (TrainingData.dedupSimhash _),
-    "dedup_embedding_cosine" -> (TrainingData.dedupEmbeddingCosine _),
+    // dedup_simhash (the unsuffixed default) is the BANDED md5 form — the
+    // scale path; the brute pair-scan verifiers live under *_verify
+    "dedup_simhash" -> (TrainingData.dedupSimhashBanded _),
+    "dedup_simhash_verify" -> (TrainingData.dedupSimhash _),
+    "dedup_embedding_cosine_verify" -> (TrainingData.dedupEmbeddingCosine _),
     "dedup_embedding_banded" -> (TrainingData.dedupEmbeddingBanded _),
     "dedup_banded_recall" -> (TrainingData.dedupBandedRecall _),
     "sim_topk_bruteforce" -> (TrainingData.simTopkBruteforce _),
@@ -83,7 +86,6 @@ object SparkEntry {
     "sample_stratified" -> (TrainingData.sampleStratified _),
     "text_ngrams" -> (TrainingData.textNgrams _),
     "dedup_simhash_md5" -> (TrainingData.dedupSimhashMd5 _),
-    "dedup_simhash_banded" -> (TrainingData.dedupSimhashBanded _),
     "dup_clusters" -> (TrainingData.dupClusters _),
     "dup_cluster_sizes" -> (TrainingData.dupClusterSizes _),
     "dedup_keep_best" -> (TrainingData.dedupKeepBest _),
@@ -354,6 +356,23 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         | round(quantile_cont(o_totalprice, 0.99), 2) AS p99
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // error-band oracles (sim_lsh_recall pattern): the sketch values are
+    // engine-internal, so the query emits exact columns plus in-band
+    // booleans; the oracle recomputes the exact side and pins the booleans
+    // to 1 — a sketch regression turns the row red
+    "q19_approx_distinct" ->
+      """SELECT count(*) AS n_events,
+        | count(DISTINCT user_id) AS exact_users,
+        | CAST(0.06 AS DOUBLE) AS rel_err_bound,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM events""".stripMargin,
+    "q25_approx_quantile" ->
+      """SELECT count(*) AS n_orders,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+        | round(quantile_cont(o_totalprice, 0.99), 2) AS exact_p99,
+        | CAST(1 AS BIGINT) AS p50_in_band,
+        | CAST(1 AS BIGINT) AS p99_in_band
+        |FROM orders""".stripMargin,
     "q17_pivot_dow" ->
       """SELECT event_type,
         | count(CASE WHEN dow = 0 THEN 1 END) AS d0,
@@ -414,7 +433,7 @@ object SparkEntry {
         |SELECT count(*) AS candidate_pairs,
         | CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
         |FROM verified""".stripMargin,
-    "dedup_embedding_cosine" ->
+    "dedup_embedding_cosine_verify" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings)
@@ -1216,6 +1235,20 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
         |      FROM documents) x
         |GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
+    // CMS heavy hitters, error-band graded: rank/token/exact recomputed
+    // relationally; the CMS never-undercount and eps*N-overestimate
+    // theorems arrive as booleans pinned to 1
+    "text_heavy_hitters" ->
+      """SELECT
+        |  CAST(row_number() OVER (ORDER BY exact_count DESC, token)
+        |    AS BIGINT) AS "rank",
+        |  token, exact_count,
+        |  CAST(1 AS BIGINT) AS overest_nonneg,
+        |  CAST(1 AS BIGINT) AS overest_in_band
+        |FROM (SELECT t AS token, count(*) AS exact_count
+        |      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
+        |            FROM documents) x
+        |      GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 10) y""".stripMargin,
     "text_ngrams" ->
       """SELECT ngram, count(*) AS df FROM (
         |  SELECT unnest(list_distinct(list_transform(range(1, len(l)),
@@ -1239,7 +1272,7 @@ object SparkEntry {
         | CAST(sum(CASE WHEN d <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS within_16,
         | CAST(min(d) AS BIGINT) AS min_hamming
         |FROM p""".stripMargin,
-    "dedup_simhash_banded" ->
+    "dedup_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t

@@ -526,47 +526,62 @@ object Relational {
   }
 
   /** q25: sketch-based quantiles — approx_percentile (a positional sketch
-    * with bounded rank error) beside the exact interpolated percentile,
-    * with the measured relative error per quantile. Same scale argument as
-    * q19: the sketch merges map-side in fixed memory where the exact form
-    * must sort or multi-pass; shipping both makes the trade measurable.
-    * Sketch internals are engine-specific -> rows-only check.
+    * with bounded rank error) GRADED against the exact interpolated
+    * percentile in-query, the sim_lsh_recall pattern: the sketch value
+    * itself is engine-internal, but "the sketch's element sits within the
+    * declared rank band" is a theorem the exact side can check. With
+    * accuracy 1000 the guaranteed rank error is 1/1000; the check brackets
+    * each approx value between the exact interpolated percentiles at
+    * q±0.005 (5x the guarantee — an element at rank n(q±0.001) always
+    * falls inside the q±0.005 value bracket). The oracle recomputes
+    * n_orders and both exact percentiles and pins the in-band booleans to
+    * 1, so a sketch regression flips the row red. Scale: the sketch merges
+    * map-side in fixed memory where the exact form must sort or
+    * multi-pass; shipping both makes the trade measurable.
     */
   def q25ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
-    def relErr(ex: org.apache.spark.sql.Column,
-               ap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(abs(ap.cast(DoubleType) - ex) / ex, 4)
+    def within(ap: org.apache.spark.sql.Column,
+               lo: org.apache.spark.sql.Column,
+               hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (ap.cast(DoubleType) >= lo && ap.cast(DoubleType) <= hi).cast(LongType)
     t(spark, dir, "orders")
       .agg(count(lit(1)).as("n_orders"),
         expr("percentile(o_totalprice, 0.5)").as("ex50"),
         expr("percentile(o_totalprice, 0.99)").as("ex99"),
+        expr("percentile(o_totalprice, 0.495)").as("lo50"),
+        expr("percentile(o_totalprice, 0.505)").as("hi50"),
+        expr("percentile(o_totalprice, 0.985)").as("lo99"),
+        expr("percentile(o_totalprice, 0.995)").as("hi99"),
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
         expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"))
       .select(col("n_orders"),
         round(col("ex50"), 2).as("exact_p50"),
-        round(col("ap50"), 2).as("approx_p50"),
-        relErr(col("ex50"), col("ap50")).as("rel_err_p50"),
         round(col("ex99"), 2).as("exact_p99"),
-        round(col("ap99"), 2).as("approx_p99"),
-        relErr(col("ex99"), col("ap99")).as("rel_err_p99"))
+        within(col("ap50"), col("lo50"), col("hi50")).as("p50_in_band"),
+        within(col("ap99"), col("lo99"), col("hi99")).as("p99_in_band"))
   }
 
   /** q19: sketch-based distinct counting — approx_count_distinct (HLL++)
-    * beside the exact count, with the measured relative error (the
-    * "approximate operators ship with their measured quality" rule). At
+    * GRADED against the exact count in-query (the sim_lsh_recall pattern:
+    * the HLL register contents are engine-specific, but "the estimate is
+    * within the declared error band" is checkable from the exact side).
+    * The emitted `within_bound` boolean asserts relative error <= 3x the
+    * configured rsd (0.02 -> bound 0.06); the oracle recomputes n_events
+    * and the exact distinct count and pins the boolean to 1, so an
+    * estimator regression turns the row red instead of invisible. At
     * 100 TB the sketch IS the plan: fixed-size HLL buffers merge map-side
     * and shuffle a few KB per partition, where an exact countDistinct
-    * shuffles every distinct key before it can count. Rows-only check: HLL
-    * register contents are engine-specific.
+    * shuffles every distinct key before it can count.
     */
   def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-      .select(col("n_events"), col("exact_users"), col("approx_users"),
-        round(abs(col("approx_users") - col("exact_users"))
-          .cast(DoubleType) / col("exact_users"), 4).as("rel_err"))
+      .select(col("n_events"), col("exact_users"),
+        lit(0.06).as("rel_err_bound"),
+        (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+          col("exact_users") <= 0.06).cast(LongType).as("within_bound"))
 
   /** q26: correlated scalar subquery — customers above their own nation's
     * average balance, written in the CORRELATED form (the way analysts

@@ -164,11 +164,13 @@ object TrainingData {
       spark.sparkContext.parallelize(rows, 1), small.schema)
   }
 
-  /** SimHash near-dup: 64-bit per-doc fingerprint (narrow map, no explode),
-    * then pair counts within a Hamming radius. xxhash64-based -> engine
-    * internal, rows-only correctness check (no SQL oracle). The brute pair
-    * scan here is the small-sf verifier; at scale, band the 64 bits into
-    * 4x16-bit keys and bucket-join like MinHash.
+  /** SimHash near-dup VERIFIER (registered as `dedup_simhash_verify`):
+    * 64-bit per-doc fingerprint (narrow map, no explode), then brute
+    * pair counts within a Hamming radius. xxhash64-based -> engine
+    * internal, rows-only correctness check (no SQL oracle). Quadratic BY
+    * DESIGN — the small-sf ground truth for the banded form; the
+    * registered default `dedup_simhash` is [[dedupSimhashBanded]], whose
+    * bucket-join scales.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"),
@@ -194,9 +196,12 @@ object TrainingData {
     embs(spark, dir).select(col("vec_id"), vecNormalize(v).as("nv"))
   }
 
-  /** Embedding-cosine near-dup: all pairs with similarity >= 0.4 (the data's
-    * top ~0.05%). Pre-normalized vectors + codegen'd dot, rounded for
-    * cross-engine parity. Small-sf verifier for the LSH-ANN scale path below.
+  /** Embedding-cosine near-dup VERIFIER (registered as
+    * `dedup_embedding_cosine_verify`): all pairs with similarity >= 0.4
+    * (the data's top ~0.05%). Pre-normalized vectors + codegen'd dot,
+    * rounded for cross-engine parity. Quadratic BY DESIGN — the small-sf
+    * ground truth [[dedupBandedRecall]] grades against (memoized in
+    * DirMemo); the registered default is [[dedupEmbeddingBanded]].
     */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.allPairsAboveThreshold(
@@ -1069,10 +1074,11 @@ object TrainingData {
     * pairs, verified by exact Hamming distance <= 15. By pigeonhole every
     * pair within Hamming 15 of the FULL fingerprint collides in >= 1 of
     * twice as many bands — with 4 bands the guarantee covers distance <= 3,
-    * and band collisions recall most of the rest; this is the documented
-    * scale path of [[dedupSimhash]] (bucket key = shuffle key, work scales
-    * with collisions, not n^2) made fully oracle-checkable by the md5
-    * basis. Same skew cap as the MinHash LSH band join.
+    * and band collisions recall most of the rest; this is the scale path
+    * (bucket key = shuffle key, work scales with collisions, not n^2) made
+    * fully oracle-checkable by the md5 basis, and therefore the REGISTERED
+    * DEFAULT `dedup_simhash` ([[dedupSimhash]] is its brute `_verify`
+    * twin). Same skew cap as the MinHash LSH band join.
     */
   def dedupSimhashBanded(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2236,14 +2242,18 @@ object TrainingData {
     materializeAndRelease(result, e, withNv)
   }
 
-  /** Heavy hitters through Spark's built-in Count-Min sketch beside the
-    * exact answer: the sketch (a few KB of counters) builds with map-side
-    * merges — the 100 TB path where an exact groupBy must shuffle every
-    * distinct token — and the exact counts grade it, reporting each top
-    * token's overestimate ("approximate operators ship with their measured
-    * quality", like q19/sim_lsh_recall). CMS merge is counter addition —
-    * commutative — so the estimates are deterministic under any partition
-    * order, but register layouts are engine-internal: rows-only check.
+  /** Heavy hitters through Spark's built-in Count-Min sketch GRADED
+    * against the exact answer in-query (the sim_lsh_recall pattern): the
+    * CMS register layout is engine-internal, but its two theorems — the
+    * estimate never undercounts, and the overestimate is bounded by
+    * eps * N (eps = 0.001, N = total token instances) — are checkable from
+    * the exact side, so each top token ships those checks as booleans the
+    * oracle pins to 1 (the exact rank/token/count columns it recomputes
+    * relationally). A sketch regression turns the row red instead of
+    * invisible. Scale: the sketch (a few KB of counters) builds with
+    * map-side merges — the 100 TB path where an exact groupBy must shuffle
+    * every distinct token; CMS merge is counter addition — commutative —
+    * so the estimates are deterministic under any partition order.
     */
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     // cached: the sketch build and the exact grading counts are two driver
@@ -2252,11 +2262,14 @@ object TrainingData {
     val toks = docs(spark, dir).select(explode(F.tokens(col("text"))).as("w"))
       .cache()
     // eps 0.001 / conf 0.99 -> width 2000 x depth 7 longs ≈ 110 KB of
-    // counters — fixed-size regardless of corpus scale
-    val sketchBytes = toks
+    // counters — fixed-size regardless of corpus scale. Total count rides
+    // the same aggregate row, so grading adds no extra pass.
+    val head = toks
       .agg(count_min_sketch(col("w"), lit(0.001d), lit(0.99d), lit(42))
-        .as("s"))
-      .head().getAs[Array[Byte]](0)
+        .as("s"), count(lit(1)).as("n"))
+      .head()
+    val sketchBytes = head.getAs[Array[Byte]](0)
+    val totalTokens = head.getLong(1)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     val topExact = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
@@ -2264,13 +2277,16 @@ object TrainingData {
     toks.unpersist()
     val sp = spark
     import sp.implicits._
+    val epsN = 0.001 * totalTokens
     topExact.toSeq.zipWithIndex.map { case (r, i) =>
       val (w, exact) = (r.getString(0), r.getLong(1))
       // the SQL aggregate added UTF8String bytes; String probes hash the
       // identical UTF-8 byte sequence
       val est = cms.estimateCount(w)
-      (i + 1L, w, exact, est, est - exact)
-    }.toDF("rank", "token", "exact_count", "est_count", "overestimate")
+      (i + 1L, w, exact,
+        if (est >= exact) 1L else 0L,
+        if (est - exact <= epsN) 1L else 0L)
+    }.toDF("rank", "token", "exact_count", "overest_nonneg", "overest_in_band")
   }
 
   /** Exact top-10 tokens by corpus frequency — the oracle-checkable side of

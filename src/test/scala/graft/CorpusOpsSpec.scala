@@ -247,9 +247,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     val exacts = rows.map(_.getLong(2)).toSeq
     assert(exacts === exacts.sortBy(-_), "ranked by exact count desc")
     rows.foreach { r =>
-      // CMS overestimates or is exact, never under
-      assert(r.getLong(4) >= 0L, s"undercount for token ${r.getString(1)}")
-      assert(r.getLong(3) === r.getLong(2) + r.getLong(4))
+      // CMS overestimates or is exact, never under; overestimate <= eps*N
+      assert(r.getLong(3) === 1L, s"undercount for token ${r.getString(1)}")
+      assert(r.getLong(4) === 1L, s"overestimate beyond eps*N for ${r.getString(1)}")
     }
   }
 
@@ -257,10 +257,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     val Array(r) = graft.queries.Relational
       .q25ApproxQuantile(spark, sf).collect()
     assert(r.getLong(0) === 1500L, "orders at sf0.001")
-    // accuracy 1000 over 1.5k rows: generous but nonzero tolerance
-    assert(r.getDouble(3) < 0.05, "p50 rel err")
-    assert(r.getDouble(6) < 0.05, "p99 rel err")
-    assert(r.getDouble(1) <= r.getDouble(4), "p50 <= p99")
+    assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p99")
+    // accuracy 1000: both sketch values inside the q±0.005 value bracket
+    assert(r.getLong(3) === 1L, "p50 in band")
+    assert(r.getLong(4) === 1L, "p99 in band")
   }
 
   test("dedup_spans: duplicated subset of distinct, rate consistent") {

@@ -26,6 +26,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "scan must prune unused columns")
   }
 
+  test("every registered dedup default is scale-safe: no cartesian or " +
+    "nested-loop join in the plan") {
+    // the quadratic ground-truth scans are registered under *_verify and
+    // the recall measurements (*_recall) grade against them by design;
+    // every OTHER registered dedup query is a production default whose
+    // plan must never contain an all-pairs join shape. A refactor that
+    // reintroduces one (e.g. an inequality self-join) fails here, not at
+    // 100x the data.
+    val defaults = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("dedup_") && !n.endsWith("_verify") &&
+        !n.endsWith("_recall"))
+    assert(defaults.nonEmpty)
+    defaults.foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"$name: cartesian product in a registered default")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: nested-loop join in a registered default")
+    }
+  }
+
   test("q10: all three dimension joins broadcast, no sort-merge join") {
     val p = plan(Relational.q10RegionRevenue(spark, sf))
     // formatted explain mentions each node in the tree and detail sections
@@ -124,8 +145,8 @@ class PlanSpec extends AnyFunSuite {
   test("q19 approx distinct: measured error within the configured rsd band") {
     val r = Relational.q19ApproxDistinct(spark, sf).head()
     assert(r.getLong(1) > 0)
-    assert(r.getDouble(3) < 0.1,
-      s"HLL rsd=0.02 must land well under 10%, got ${r.getDouble(3)}")
+    assert(r.getLong(3) === 1L,
+      "HLL rsd=0.02 must land inside the 3x-rsd (0.06) band")
   }
 
   test("knn_label_agreement: nearest neighbor is an argmin aggregate, no window") {
