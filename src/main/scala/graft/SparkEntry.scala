@@ -1875,15 +1875,22 @@ object SparkEntry {
         |a1 AS (SELECT vec_id, cent_id FROM (
         |        SELECT *, row_number() OVER (PARTITION BY vec_id
         |          ORDER BY dist2, cent_id) rn FROM d1) WHERE rn = 1),
-        |w AS (SELECT a1.vec_id, a1.cent_id, nv.nv FROM a1 JOIN nv USING (vec_id)),
+        |w AS (SELECT a1.vec_id, a1.cent_id,
+        |        (row_number() OVER (PARTITION BY a1.cent_id
+        |           ORDER BY a1.vec_id) - 1) // 256 sub,
+        |        nv.nv
+        |      FROM a1 JOIN nv USING (vec_id)),
         |pairs AS (
         |  SELECT b.vec_id vec_b,
         |   round(list_sum(list_transform(range(1, len(a.nv) + 1),
         |     i -> a.nv[i] * b.nv[i])), 4) cos
-        |  FROM w a JOIN w b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+        |  FROM w a JOIN w b ON a.cent_id = b.cent_id AND a.sub = b.sub
+        |   AND a.vec_id < b.vec_id),
         |dropped AS (SELECT DISTINCT vec_b FROM pairs WHERE cos >= 0.4)
         |SELECT (SELECT count(*) FROM e) AS n_vecs,
         | (SELECT count(DISTINCT cent_id) FROM a1) AS n_clusters,
+        | (SELECT count(*) FROM (SELECT cent_id FROM a1 GROUP BY cent_id
+        |    HAVING count(*) > 256) o) AS n_oversize,
         | (SELECT count(*) FROM pairs) AS n_pairs,
         | (SELECT count(*) FROM pairs WHERE cos >= 0.4) AS n_dup_pairs,
         | (SELECT count(*) FROM dropped) AS n_dropped,

@@ -2201,14 +2201,27 @@ object TrainingData {
     * near-duplicates WITHIN each cluster and drop the higher vec_id of
     * every duplicate pair. Clustering is what makes embedding dedup scale:
     * the quadratic pairing only ever sees one cluster's members (the
-    * shuffle key is the cluster id), never the full corpus — at 100 TB,
-    * cluster sizes are bounded by the centroid count, and a skew cap on
-    * degenerate clusters mirrors the LSH band guard. Data-derived
-    * centroids keep the whole operator oracle-reproducible.
+    * shuffle key is the cluster id), never the full corpus. Cluster sizes
+    * are ~constant in expectation (centroid count scales with n), but a
+    * degenerate/skewed cluster would still be quadratic in ITS size — so
+    * clusters above `cap` members are re-split by deterministic rank into
+    * sub-buckets of at most `cap` (row_number over vec_id, `div cap`),
+    * putting a HARD bound on every join key's fan-out: no key ever pairs
+    * more than cap members, cap²/2 work, regardless of skew. The re-split
+    * trades cross-sub-bucket pairs inside an oversized cluster for that
+    * bound (the SemDeDup cluster-size-cap move); `n_oversize` reports how
+    * many clusters were split so the trade is visible, and the rank rule
+    * is exactly mirrored in the DuckDB oracle. Data-derived centroids
+    * keep the whole operator oracle-reproducible.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticCapped(spark, dir, 256)
+
+  private[graft] def dedupSemanticCapped(spark: SparkSession, dir: String,
+                                         cap: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{vecDot, vecNormalize}
+    import org.apache.spark.sql.expressions.Window
     val v = col("embedding").cast(ArrayType(DoubleType))
     val e = embs(spark, dir).select(col("vec_id"), v.as("v"),
         vecNormalize(v).as("nv"))
@@ -2219,25 +2232,31 @@ object TrainingData {
     // cached: the assignment argmin feeds both sides of the within-cluster
     // self-join AND the cluster count — uncached it would re-run the
     // broadcast cross-join argmin for each
+    val rn = row_number()
+      .over(Window.partitionBy("cent_id").orderBy("vec_id"))
     val withNv = kmeansAssign(e.select("vec_id", "v", "vv"), cents)
       .select("vec_id", "cent_id")
       .join(e.select("vec_id", "nv"), Seq("vec_id"))
+      // rank-based sub-bucket: a hard <= cap members per (cent_id, sub)
+      // key (a hash split would only bound in expectation)
+      .withColumn("sub", floor((rn - lit(1)) / lit(cap)))
       .cache()
-    def side(s: String) = withNv.select(col("cent_id"),
+    def side(s: String) = withNv.select(col("cent_id"), col("sub"),
       col("vec_id").as(s"vec$s"), col("nv").as(s"nv$s"))
-    val pairs = side("_a").join(side("_b"), Seq("cent_id"))
+    val pairs = side("_a").join(side("_b"), Seq("cent_id", "sub"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_b"),
         round(vecDot(col("nv_a"), col("nv_b")), 4).as("cos"))
     val dropped = pairs.filter(col("cos") >= 0.4).select("vec_b").distinct()
     val result = e.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(withNv.select("cent_id").distinct()
-        .agg(count(lit(1)).as("n_clusters")))
+      .crossJoin(withNv.groupBy("cent_id").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          count(when(col("sz") > cap, 1)).as("n_oversize")))
       .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
         count(when(col("cos") >= 0.4, 1)).as("n_dup_pairs")))
       .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-      .select(col("n_vecs"), col("n_clusters"), col("n_pairs"),
-        col("n_dup_pairs"), col("n_dropped"),
+      .select(col("n_vecs"), col("n_clusters"), col("n_oversize"),
+        col("n_pairs"), col("n_dup_pairs"), col("n_dropped"),
         (col("n_vecs") - col("n_dropped")).as("n_kept"))
     materializeAndRelease(result, e, withNv)
   }

@@ -231,14 +231,34 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("dedup_semantic: counts consistent, dropped bounded by dup pairs") {
     val Array(r) = TrainingData.dedupSemantic(spark, sf).collect()
-    val (nVecs, nClusters, nPairs, nDup, nDropped, nKept) =
+    val (nVecs, nClusters, nOversize, nPairs, nDup, nDropped, nKept) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5))
+        r.getLong(5), r.getLong(6))
     assert(nVecs === 500L)
     assert(nClusters > 0L && nClusters <= 5L, "every 100th vector seeds")
+    assert(nOversize <= nClusters)
     assert(nDup <= nPairs)
     assert(nDropped <= nDup, "a vec dropped once per distinct pair at most")
     assert(nKept === nVecs - nDropped)
+  }
+
+  test("dedup_semantic: cluster-size cap re-splits oversized clusters and " +
+    "hard-bounds pair work") {
+    // 500 vecs over <= 5 clusters: cap 16 forces every cluster to split
+    val Array(capped) = TrainingData
+      .dedupSemanticCapped(spark, sf, cap = 16).collect()
+    val Array(uncapped) = TrainingData
+      .dedupSemanticCapped(spark, sf, cap = 1 << 20).collect()
+    assert(capped.getLong(2) > 0L, "cap 16 must flag oversized clusters")
+    assert(uncapped.getLong(2) === 0L)
+    // re-splitting only REMOVES cross-sub-bucket pairs, never adds
+    assert(capped.getLong(3) < uncapped.getLong(3))
+    assert(capped.getLong(4) <= uncapped.getLong(4))
+    // hard bound: k members over buckets of <= 16 yields at most
+    // ceil(k/16) * C(16,2) pairs per cluster; 500 vecs -> < 32 buckets
+    // of C(16,2) = 120 pairs
+    assert(capped.getLong(3) <= 32L * 120L,
+      s"pair work must be capped, got ${capped.getLong(3)}")
   }
 
   test("text_heavy_hitters: CMS estimate never undercounts, top-10 exact order") {
