@@ -1308,12 +1308,15 @@ object SparkEntry {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
         |        FROM documents) x),
         |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
-        |train_ids AS (SELECT DISTINCT id FROM ex WHERE split = 'train'),
+        |tdf AS (SELECT id, count(*) df FROM ex WHERE split = 'train'
+        |        GROUP BY 1),
+        |train_ids AS (SELECT id FROM tdf WHERE df <= 10000),
         |contaminated AS (
         |  SELECT DISTINCT doc_id FROM ex
         |  WHERE split = 'eval' AND id IN (SELECT id FROM train_ids))
         |SELECT
         | (SELECT count(*) FROM d WHERE split = 'eval') AS n_eval,
+        | (SELECT count(*) FROM tdf WHERE df > 10000) AS n_heavy_grams,
         | (SELECT count(*) FROM contaminated) AS n_contaminated,
         | round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE) /
         |   (SELECT count(*) FROM d WHERE split = 'eval'), 4) AS contamination_rate""".stripMargin,
@@ -1330,7 +1333,9 @@ object SparkEntry {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
         |        FROM documents) x),
         |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
-        |train_ids AS (SELECT DISTINCT id FROM ex WHERE split = 'train'),
+        |train_ids AS (SELECT id FROM (
+        |  SELECT id, count(*) df FROM ex WHERE split = 'train' GROUP BY 1)
+        |  WHERE df <= 10000),
         |hits AS (
         |  SELECT doc_id, count(*) AS n_grams,
         |   count(*) FILTER (id IN (SELECT id FROM train_ids)) AS n_hit
@@ -1971,12 +1976,15 @@ object SparkEntry {
     "source_overlap" ->
       """WITH s AS (
         |  SELECT source, regexp_split_to_array(trim(text), '\s+') l FROM documents),
-        |g AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |gd AS (SELECT source, unnest(list_distinct(list_transform(
         |    list_distinct(list_transform(range(1, len(l) - 3),
         |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
         |           l[i+3] || ' ' || l[i+4])),
         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647))) id
         |  FROM s),
+        |fdf AS (SELECT id, count(*) df FROM gd GROUP BY 1),
+        |g AS (SELECT DISTINCT source, id FROM gd
+        |      WHERE id IN (SELECT id FROM fdf WHERE df <= 10000)),
         |sz AS (SELECT source, count(*) sz FROM g GROUP BY 1),
         |cm AS (SELECT a.source src_a, b.source src_b, count(*) common_grams
         |  FROM g a JOIN g b ON a.id = b.id AND a.source < b.source

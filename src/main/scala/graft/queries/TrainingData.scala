@@ -1605,16 +1605,31 @@ object TrainingData {
     * shares ANY 5-gram with ANY train document (the n-gram-overlap decontam
     * check run before every eval). Composition of the deterministic hash
     * split with [[graft.functions.ShingleIds]]: one explode to (doc, 5-gram
-    * id), a distinct train-side id set, and a LEFT SEMI join on the id —
+    * id), a df-capped train-side id set, and a LEFT SEMI join on the id —
     * the shuffle key is the shingle id, so the check scales with corpus
     * size, never pairwise. md5-based ids keep the DuckDB oracle bit-exact.
+    *
+    * HEAVY-GRAM GUARD: grams appearing in more than `cap` train documents
+    * (stopword-like boilerplate) are excluded from the evidence set — the
+    * standard contamination-index move. They are non-discriminative (they
+    * flag everything) AND at real-corpus skew they concentrate one shuffle
+    * key with millions of rows; dropping them bounds per-key fan-out by
+    * cap. The default (10000) never triggers on the testdata, the DuckDB
+    * oracle mirrors the identical HAVING cap, and the excluded-gram count
+    * ships as the `n_heavy_grams` column so the trade is visible in every
+    * result row.
     */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame =
+    contaminationCheckCapped(spark, dir, 10000)
+
+  private[graft] def contaminationCheckCapped(spark: SparkSession,
+                                              dir: String,
+                                              cap: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.shingleIds
     val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
       .otherwise("eval")
-    // cached: the 5-gram projection feeds the train-id set, the eval
+    // cached: the 5-gram projection feeds the train-df set, the eval
     // explode, and the eval count — three subplans that would each re-run
     // the shingle extraction over the whole corpus
     val d = docs(spark, dir)
@@ -1623,21 +1638,26 @@ object TrainingData {
       .cache()
     val exploded = d.select(col("doc_id"), col("split"),
       explode(col("ids")).as("id"))
-    // no .distinct() on the train side: LEFT SEMI already dedups its build
-    // side semantically, and a pre-distinct would shuffle the full exploded
-    // train-id set TWICE (distinct exchange + join exchange) for no gain
-    val trainIds = exploded.filter(col("split") === "train").select("id")
+    // per-gram train document frequency: shingleIds dedups within a doc,
+    // so the row count per id IS the df. The groupBy both dedups the
+    // semi-join build side and carries the cap.
+    val trainDf = exploded.filter(col("split") === "train")
+      .groupBy("id").agg(count(lit(1)).as("df"))
+      .cache()
+    val trainIds = trainDf.filter(col("df") <= cap).select("id")
     val evalDocs = d.filter(col("split") === "eval")
     val contaminated = exploded.filter(col("split") === "eval")
       .join(trainIds, Seq("id"), "left_semi")
       .select("doc_id").distinct()
     materializeAndRelease(
       evalDocs.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(trainDf.agg(
+          count(when(col("df") > cap, 1)).as("n_heavy_grams")))
         .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
-        .select(col("n_eval"), col("n_contaminated"),
+        .select(col("n_eval"), col("n_heavy_grams"), col("n_contaminated"),
           round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4)
             .as("contamination_rate")),
-      d)
+      d, trainDf)
   }
 
   /** Per-label embedding centroids: position-explode -> (label, pos) mean ->
@@ -1754,16 +1774,34 @@ object TrainingData {
     * "new" source adds anything). The self-join key is the gram id, so
     * per-gram fan-out is bounded by the source count (tiny), never
     * pairwise over documents; pair counts aggregate map-side.
+    *
+    * HEAVY-GRAM GUARD: grams in more than `cap` documents corpus-wide are
+    * dropped before the distinct/join — a stopword-like gram carries no
+    * provenance signal (every source shares it) and at real-corpus skew
+    * its id concentrates one shuffle key with millions of rows. The
+    * default (10000) never triggers on the testdata; the oracle mirrors
+    * the identical df filter, and the guard's behavior is pinned by a
+    * property test at cap=1 (every cross-doc gram dropped -> empty
+    * overlap matrix).
     */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapCapped(spark, dir, 10000)
+
+  private[graft] def sourceOverlapCapped(spark: SparkSession, dir: String,
+                                         cap: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.shingleIds
+    // (source, id) per DOCUMENT (shingleIds dedups within a doc), so the
+    // per-id row count is corpus document frequency; cached because it
+    // feeds the df cap and the distinct (source, gram) frame
+    val ex = docs(spark, dir)
+      .select(col("source"), explode(shingleIds(col("text"), 5)).as("id"))
+      .cache()
+    val kept = ex.groupBy("id").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("id")
     // cached: the distinct (source, gram) frame feeds the per-source sizes
     // and both sides of the pair join
-    val grams = docs(spark, dir)
-      .select(col("source"), explode(shingleIds(col("text"), 5)).as("id"))
-      .distinct()
-      .cache()
+    val grams = ex.join(kept, Seq("id"), "left_semi").distinct().cache()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
     val common = grams.select(col("source").as("src_a"), col("id"))
       .join(grams.select(col("source").as("src_b"), col("id")), Seq("id"))
@@ -1779,7 +1817,7 @@ object TrainingData {
           least(col("sz_a"), col("sz_b")), 4).as("containment"))
       .orderBy(col("containment").desc, col("src_a"), col("src_b"))
       .limit(10)
-    materializeAndRelease(result, grams)
+    materializeAndRelease(result, ex, grams)
   }
 
   /** Duplicated-span scan: distinct 10-token spans appearing in MORE than
@@ -2790,6 +2828,7 @@ object TrainingData {
   def contaminationTopdocs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.shingleIds
+    val cap = 10000 // same heavy-gram guard as contaminationCheck
     val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
       .otherwise("eval")
     val d = docs(spark, dir)
@@ -2797,7 +2836,11 @@ object TrainingData {
         shingleIds(col("text"), 5).as("ids"))
       .cache()
     val ex = d.select(col("doc_id"), col("split"), explode(col("ids")).as("id"))
-    val trainIds = ex.filter(col("split") === "train").select("id").distinct()
+    // df-capped evidence set (the groupBy dedups AND carries the cap —
+    // same heavy-gram guard + rationale as contaminationCheck)
+    val trainIds = ex.filter(col("split") === "train")
+      .groupBy("id").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("id")
       .withColumn("_hit", lit(1))
     val out = ex.filter(col("split") === "eval")
       .join(trainIds, Seq("id"), "left")

@@ -397,6 +397,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy-gram df guard: cap=1 drops every cross-doc gram from the " +
+    "overlap and contamination evidence") {
+    // every shared gram has df >= 2 by definition, so cap=1 must empty the
+    // overlap matrix — pins that the cap actually gates the join evidence
+    assert(TrainingData.sourceOverlapCapped(spark, sf, cap = 1)
+      .collect().isEmpty)
+    val Array(capped) = TrainingData
+      .contaminationCheckCapped(spark, sf, cap = 1).collect()
+    val Array(uncapped) = TrainingData
+      .contaminationCheckCapped(spark, sf, cap = Int.MaxValue).collect()
+    assert(uncapped.getLong(1) === 0L, "uncapped run flags no heavy grams")
+    assert(capped.getLong(1) > 0L, "cap=1 must flag df>=2 train grams")
+    assert(capped.getLong(2) <= uncapped.getLong(2),
+      "dropping evidence can only reduce contamination flags")
+  }
+
   test("text_pmi: top-15 ranked by ratio, min-count respected, words exist") {
     val rows = TrainingData.textPmi(spark, sf).collect()
     assert(rows.length === 15)
