@@ -140,6 +140,9 @@ object SparkEntry {
     "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
     "dedup_spans" -> (TrainingData.dedupSpans _),
     "dedup_paragraphs" -> (TrainingData.dedupParagraphs _),
+    // the streaming twin replayed over the corpus (AvailableNow) — its
+    // survivor set must equal the batch distinct-chunk set, oracle-checked
+    "dedup_paragraphs_stream" -> (TrainingData.dedupParagraphsStream _),
     "text_novelty" -> (TrainingData.textNovelty _),
     "rag_retrieval" -> (TrainingData.ragRetrieval _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
@@ -2095,6 +2098,21 @@ object SparkEntry {
         | count(CASE WHEN dup * 2 > nch THEN 1 END) AS docs_over_half,
         | round(avg(CAST(dup AS DOUBLE) / nch), 4) AS avg_dup_frac
         |FROM pd""".stripMargin,
+    // streaming equivalence: the novel-chunk stream keeps exactly one row
+    // per distinct chunk hash, so both rollup counts equal the batch
+    // distinct-chunk cardinality
+    "dedup_paragraphs_stream" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |c AS (
+        |  SELECT unnest(list_transform(range(0, (len(w) + 15) // 16),
+        |    i -> md5(array_to_string(w[i*16+1 : i*16+16], ' ')))) h
+        |  FROM d)
+        |SELECT count(DISTINCT h) AS n_novel_chunks,
+        | count(DISTINCT h) AS n_distinct_chunks
+        |FROM c""".stripMargin,
     "dedup_spans" ->
       """WITH s AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') l FROM documents),

@@ -1919,6 +1919,54 @@ object TrainingData {
     materializeAndRelease(result, chunks)
   }
 
+  /** Streaming↔batch paragraph-dedup EQUIVALENCE, oracle-checked: runs the
+    * real [[graft.streaming.StreamingPipeline.streamingParagraphDedup]]
+    * operator over the corpus with `Trigger.AvailableNow` (the standard
+    * streaming-correctness trick: a bounded replay through the genuine
+    * stateful plan), lands the novel-chunk stream in a parquet sink, and
+    * rolls it up to (rows, distinct chunk hashes). The streaming operator
+    * keeps exactly the FIRST instance of every chunk hash, so both counts
+    * must equal the batch [[dedupParagraphs]] distinct-chunk cardinality —
+    * which is what the DuckDB oracle recomputes relationally. Equality of
+    * the two counts also proves no duplicate emission, and since every
+    * emitted hash is an md5 of corpus content, cardinality match = set
+    * match. Chunk→doc attribution is intentionally NOT asserted (first
+    *-seen within a micro-batch is partition-order dependent); the chunk
+    * SURVIVOR SET is the semantic contract.
+    */
+  def dedupParagraphsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source wants a directory; glob-filter to the documents
+    // table only (the testdata dir holds every table side by side)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast(TimestampType))
+    val novel = graft.streaming.StreamingPipeline
+      .streamingParagraphDedup(src, "1 hour")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_parastream_").toFile
+    val q = novel.writeStream.format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rollup = spark.read.parquet(s"$tmp/data")
+      .agg(count(lit(1)).as("n_novel_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct_chunks"))
+    // materialize the 1-row aggregate, then drop the sink + checkpoint
+    val rows = rollup.collect().toSeq
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rollup.schema)
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick): every token
     * hashes to one of 64 dimensions with a hash-derived ±1 sign (sign bit
     * taken ABOVE the dimension bits so they decorrelate), votes sum per
