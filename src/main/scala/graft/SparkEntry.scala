@@ -1688,24 +1688,35 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') AND o_totalprice > 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS target_rows
         |FROM orders""".stripMargin,
+    // the delta carries injected failures (re-priced rows at key % 1000 = 0
+    // get a negative price): they divert to the DLQ below the 10% gate and
+    // their keys keep the base version, so dlq/update/target counters all
+    // shift by the corrupted count — recomputed relationally here
     "pipeline_incremental" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
-        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0)
+        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0),
+        |bad AS (SELECT * FROM d WHERE o_orderkey % 1000 = 0)
         |SELECT (SELECT count(*) FROM v) AS base_inserts,
         | (SELECT 2 * count(*) FROM d) AS delta_read,
+        | (SELECT count(*) FROM bad) AS delta_dlq_rows,
         | (SELECT count(*) FROM d) AS delta_inserts,
-        | (SELECT count(*) FROM d) AS delta_updates,
+        | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
+        |   AS delta_updates,
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,
     "pipeline_mor" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
-        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0)
+        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0),
+        |bad AS (SELECT * FROM d WHERE o_orderkey % 1000 = 0)
         |SELECT (SELECT count(*) FROM v) AS base_inserts,
         | (SELECT 2 * count(*) FROM d) AS delta_read,
+        | (SELECT count(*) FROM bad) AS delta_dlq_rows,
         | (SELECT count(*) FROM d) AS delta_inserts,
-        | (SELECT count(*) FROM d) AS delta_updates,
+        | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
+        |   AS delta_updates,
         | (SELECT 2 * count(*) FROM d) AS noop_read,
+        | (SELECT count(*) FROM bad) AS noop_dlq_rows,
         | CAST(0 AS BIGINT) AS noop_inserts,
         | CAST(0 AS BIGINT) AS noop_updates,
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,

@@ -37,6 +37,11 @@ object PipelineBench {
       ColumnSpec.timestamp("o_orderdate", nullable = false),
       ColumnSpec.string("o_orderpriority", maxLength = 15)),
     tableName = "orders_target",
+    // the incremental scenario's delta carries ~1-5% injected validation
+    // failures (the steady-state error rate a live feed actually has), so
+    // the gate must tolerate them: rate < 0.10 passes and the failed rows
+    // land in the DLQ — their cost is IN the benched delta publish
+    validationErrorThreshold = 0.10,
     grain = Seq("o_orderkey"),
     auditQuery = Some(
       """SELECT CASE WHEN SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) = COUNT(*)
@@ -78,10 +83,11 @@ object PipelineBench {
       incrementalScenario(spark, dir, OrdersSource, noopThird = false)
     val sp = spark
     import sp.implicits._
-    val df = Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
+    val df = Seq((base.publishInserts, inc.recordsRead,
+      inc.recordsFailedValidation, inc.publishInserts,
       inc.publishUpdates, targetRows))
-      .toDF("base_inserts", "delta_read", "delta_inserts", "delta_updates",
-        "target_rows")
+      .toDF("base_inserts", "delta_read", "delta_dlq_rows", "delta_inserts",
+        "delta_updates", "target_rows")
     (df, baseSecs, deltaSecs, cleanupSecs)
   }
 
@@ -116,22 +122,41 @@ object PipelineBench {
     val n = noop.getOrElse(sys.error("noop publish missing"))
     val sp = spark
     import sp.implicits._
-    val df = Seq((base.publishInserts, inc.recordsRead, inc.publishInserts,
-      inc.publishUpdates, n.recordsRead, n.publishInserts, n.publishUpdates,
-      targetRows))
-      .toDF("base_inserts", "delta_read", "delta_inserts", "delta_updates",
-        "noop_read", "noop_inserts", "noop_updates", "target_rows")
+    val df = Seq((base.publishInserts, inc.recordsRead,
+      inc.recordsFailedValidation, inc.publishInserts, inc.publishUpdates,
+      n.recordsRead, n.recordsFailedValidation, n.publishInserts,
+      n.publishUpdates, targetRows))
+      .toDF("base_inserts", "delta_read", "delta_dlq_rows", "delta_inserts",
+        "delta_updates", "noop_read", "noop_dlq_rows", "noop_inserts",
+        "noop_updates", "target_rows")
     (df, baseSecs, deltaSecs, cleanupSecs)
   }
 
   def pipelineMor(spark: SparkSession, dir: String): DataFrame =
     pipelineMorTimed(spark, dir)._1
 
+  /** `source` with its o_orderdate spec matched to the ON-DISK encoding
+    * (the shared [[graft.sources.SchemaProbe]] seam): if the driver
+    * re-encodes orders.o_orderdate the typed validation adapts instead of
+    * crashing the whole pipeline family — the same guard events.ts already
+    * has in q4.
+    */
+  private def adaptedToData(spark: SparkSession, dir: String,
+                            source: SourceConfig): SourceConfig = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    source.copy(columns = source.columns.map(c =>
+      if (c.name == "o_orderdate")
+        graft.sources.SchemaProbe.timestampSpec(orders, c.name,
+          nullable = c.nullable)
+      else c))
+  }
+
   private def incrementalScenario(spark: SparkSession, dir: String,
-      source: SourceConfig, noopThird: Boolean):
+      source0: SourceConfig, noopThird: Boolean):
       (graft.run.FileResult, graft.run.FileResult,
        Option[graft.run.FileResult], Long, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
+    val source = adaptedToData(spark, dir, source0)
     val work = Files.createTempDirectory("graft_bench_inc")
     val (result, cleanupSecs) = withTimedCleanup(work) {
     val drop = Files.createDirectories(work.resolve("drop"))
@@ -148,12 +173,20 @@ object PipelineBench {
     val baseSecs = (System.nanoTime() - tBase0) / 1e9
 
     // delta: valid orders with key % 100 == 0, re-priced (updates) plus the
-    // same rows under offset keys (inserts); keys beyond any SF's range
+    // same rows under offset keys (inserts); keys beyond any SF's range.
+    // Every 10th re-priced row (key % 1000 == 0) is CORRUPTED to a negative
+    // price: a real steady-state delta carries errors, and without them the
+    // benched delta publish never pays the DLQ write path. The corrupted
+    // rows fail the positive-price rule (below the 10% gate), divert to the
+    // DLQ, and leave their keys' base version untouched in the target —
+    // all of which the oracle recomputes relationally.
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val valid = orders.filter(col("o_orderstatus").isin("O", "F", "P") &&
       col("o_totalprice") > 0)
     val sel = valid.filter(col("o_orderkey") % 100 === 0)
-    val delta = sel.withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val delta = sel.withColumn("o_totalprice",
+        when(col("o_orderkey") % 1000 === 0, lit(-1.0))
+          .otherwise(col("o_totalprice") + 1.0))
       .unionByName(sel.withColumn("o_orderkey",
         col("o_orderkey") + 10000000000L))
     val deltaTmp = work.resolve("delta_tmp")
@@ -203,7 +236,8 @@ object PipelineBench {
       val store = new TableStore(spark, work.resolve("tables").toString)
       val files = new FileOps(spark.sparkContext.hadoopConfiguration,
         work.resolve("archive").toString, work.resolve("duplicates").toString)
-      val proc = new Processor(spark, new SourceRegistry(Seq(OrdersSource)),
+      val proc = new Processor(spark,
+        new SourceRegistry(Seq(adaptedToData(spark, dir, OrdersSource))),
         store, files, new CollectingNotifier, drop.toString)
       val result = proc.processFile(drop.resolve("orders_bench.parquet").toString)
         .getOrElse(sys.error("orders_bench.parquet did not match the source"))

@@ -21,43 +21,26 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Epoch-MICROsecond view of the events `ts` column, adaptive to how the
-    * parquet stores it (the driver has shipped both encodings across
-    * rounds): nanosecond INT64 surfaces as LongType under
-    * `nanosAsLong` → exact integer `div 1000`; microsecond
-    * TIMESTAMP/TIMESTAMP_NTZ → `unix_micros` (NTZ cast through the UTC
-    * session, so the naive value is read as UTC — identical to DuckDB's
-    * `epoch_us(ts)` on the same file). Both paths yield the exact epoch
-    * micros the oracle sees; integer arithmetic throughout (epoch longs
-    * exceed 2^53, double division is unsafe).
-    *
-    * Nano-long path uses FLOOR division (shiftright on the sign-adjusted
-    * value via `floor`-style CASE), not `div`: `div` truncates toward
-    * zero, which disagrees with DuckDB's floor-based micro truncation for
-    * pre-1970 (negative) timestamps. Post-1970 data the two agree; the
-    * floor form is correct for both signs.
+  /** Epoch-MICROsecond view of the events `ts` column — delegates to the
+    * shared encoding probe ([[graft.sources.SchemaProbe.epochMicros]],
+    * PropertiesSpec-pinned for the nano-long / timestamp / NTZ encodings
+    * the driver has shipped across rounds).
     */
   private[graft] def epochMicros(df: DataFrame, field: String = "ts"): org.apache.spark.sql.Column =
-    df.schema(field).dataType match {
-      case LongType          =>
-        // floor-div by 1000: (x - ((x % 1000) + 1000) % 1000) / 1000 is
-        // exact integer math; equivalently CASE on sign. Keep it one
-        // expression so it stays codegen'd.
-        expr(s"($field - ((($field % 1000) + 1000) % 1000)) div 1000")
-      case TimestampType     => unix_micros(col(field))
-      case TimestampNTZType  => unix_micros(col(field).cast(TimestampType))
-      case other => throw new IllegalArgumentException(
-        s"events.$field: unsupported type $other (expected nano-long or timestamp)")
-    }
+    graft.sources.SchemaProbe.epochMicros(df, field)
 
   /** q1: pricing summary (TPC-H Q1 shape) — the grain/aggregate audit
     * pattern (A1/A3). One partial+final hash aggregate over 6 groups;
     * map-side combine collapses everything before the shuffle, so the
     * exchange moves O(groups), not O(rows), at any scale.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li
+      // schema-probed: stays the bare pushable column unless the driver
+      // re-encodes l_shipdate (SchemaProbe.asTimestamp)
+      .filter(graft.sources.SchemaProbe.asTimestamp(li, "l_shipdate") <=
+        lit("1998-09-02").cast(TimestampType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
@@ -68,6 +51,7 @@ object Relational {
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** q2: grain-uniqueness audit (A1) — COUNT DISTINCT vs COUNT as a single
     * two-phase aggregate.
@@ -98,12 +82,10 @@ object Relational {
     * codegen'd projection.
     */
   def q4ValidationSplit(spark: SparkSession, dir: String): DataFrame = {
-    // ts spec adapts to the parquet encoding (see epochMicros): nano-long
+    // ts spec adapts to the parquet encoding (shared probe seam): nano-long
     // files validate as long, micro-timestamp files as timestamp
-    val tsSpec = t(spark, dir, "events").schema("ts").dataType match {
-      case LongType => ColumnSpec.long("ts", nullable = false)
-      case _        => ColumnSpec.timestamp("ts", nullable = false)
-    }
+    val tsSpec = graft.sources.SchemaProbe.timestampSpec(
+      t(spark, dir, "events"), "ts", nullable = false)
     val source = SourceConfig(
       name = "events", filePattern = "events*.parquet", sourceType = "parquet",
       columns = Seq(
@@ -245,11 +227,13 @@ object Relational {
     * join on orderkey (both huge: sort-merge, AQE-skew-safe), dimensions
     * broadcast. The flagship plan: one wide join + one aggregate.
     */
-  def q11NationRevenue(spark: SparkSession, dir: String): DataFrame =
+  def q11NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val odate = graft.sources.SchemaProbe.asTimestamp(ord, "o_orderdate")
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
-              col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(odate >= lit("1996-01-01").cast(TimestampType) &&
+              odate < lit("1997-01-01").cast(TimestampType))
       .join(broadcast(t(spark, dir, "customer")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")),
@@ -258,6 +242,7 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy("n_name")
+  }
 
   /** q12: window function — last event per user (ROW_NUMBER over a
     * user-partitioned, time-descending frame), rolled up by type. One
@@ -431,21 +416,24 @@ object Relational {
     * range filter stays a bare-column parquet predicate (row-group
     * pruning), with `year()` only applied post-scan to build the flags.
     */
-  def q21SetOps(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+  def q21SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ship = graft.sources.SchemaProbe.asTimestamp(li, "l_shipdate")
+    li
       // string-literal casts parse in the UTC session timezone (q1/q2
       // convention) — java.sql.Timestamp.valueOf would use the JVM default
       // tz and shift the year boundaries on non-UTC hosts
-      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
-        col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      .filter(ship >= lit("1995-01-01").cast(TimestampType) &&
+        ship < lit("1997-01-01").cast(TimestampType))
       .groupBy("l_orderkey")
       .agg(
-        max(when(year(col("l_shipdate")) === 1995, 1).otherwise(0)).as("in95"),
-        max(when(year(col("l_shipdate")) === 1996, 1).otherwise(0)).as("in96"))
+        max(when(year(ship) === 1995, 1).otherwise(0)).as("in95"),
+        max(when(year(ship) === 1996, 1).otherwise(0)).as("in96"))
       .agg(
         count(when(col("in95") === 1 && col("in96") === 1, 1)).as("both_years"),
         count(when(col("in95") === 1 && col("in96") === 0, 1)).as("only_1995"),
         count(when(col("in95") === 0 && col("in96") === 1, 1)).as("only_1996"))
+  }
 
   /** q22: window FRAME — 3-event moving average of value per user in
     * (ts, event_id) order, rolled up globally. The frame is ROWS-based so

@@ -50,6 +50,35 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("SchemaProbe: asTimestamp and timestampSpec adapt to every shipped " +
+    "encoding and fail loudly otherwise") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.sources.SchemaProbe
+    val micros = 1234567890123456L
+    val tsDf = Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).as("t"))
+    // timestamp passes through BARE (range predicates stay pushable)
+    assert(SchemaProbe.asTimestamp(tsDf, "t").toString === col("t").toString,
+      "no wrapping on the native encoding")
+    // nano-long and NTZ views land on the identical instant
+    val nanoDf = Seq(micros * 1000L).toDF("t")
+    assert(nanoDf.select(unix_micros(SchemaProbe.asTimestamp(nanoDf, "t")))
+      .head.getLong(0) === micros)
+    val ntzDf = tsDf.select(col("t").cast(TimestampNTZType).as("t"))
+    assert(ntzDf.select(unix_micros(SchemaProbe.asTimestamp(ntzDf, "t")))
+      .head.getLong(0) === micros)
+    // validation specs match the on-disk type (the q4 / pipeline guard)
+    assert(SchemaProbe.timestampSpec(nanoDf, "t").dataType === LongType)
+    assert(SchemaProbe.timestampSpec(tsDf, "t").dataType === TimestampType)
+    assert(SchemaProbe.timestampSpec(ntzDf, "t").dataType === TimestampType)
+    val strDf = Seq("x").toDF("t")
+    intercept[IllegalArgumentException] { SchemaProbe.asTimestamp(strDf, "t") }
+    intercept[IllegalArgumentException] { SchemaProbe.timestampSpec(strDf, "t") }
+  }
+
   test("oracle coverage contract: every oracle names a declared query; " +
     "rows-only set is exactly the documented one") {
     val queries = SparkEntry.queries.keySet
