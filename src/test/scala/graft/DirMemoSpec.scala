@@ -26,6 +26,26 @@ class DirMemoSpec extends AnyFunSuite {
     assert(computes === 3)
   }
 
+  test("sibling sessions sharing one context never share memo hits") {
+    DirMemo.clear()
+    var computes = 0
+    def frame(s: org.apache.spark.sql.SparkSession) = {
+      computes += 1; s.range(3).toDF("id")
+    }
+    val owner = spark
+    val a = DirMemo.getOrCompute("k", owner, "/d")(frame(owner))
+    // a DataFrame is resolved against the session that built it (conf,
+    // registrations) — a sibling via newSession must MISS and recompute
+    val sibling = owner.newSession()
+    val b = DirMemo.getOrCompute("k", sibling, "/d")(frame(sibling))
+    assert(computes === 2)
+    assert(!(a eq b))
+    assert(b.sparkSession eq sibling, "hit must belong to the caller's session")
+    // and each session still serves its own cached frame
+    assert(DirMemo.getOrCompute("k", owner, "/d")(fail("hit expected")) eq a)
+    DirMemo.clear()
+  }
+
   test("putFresh replaces the cached entry") {
     DirMemo.clear()
     val stale = DirMemo.getOrCompute("k", spark, "/d")(spark.range(1).toDF("id"))
