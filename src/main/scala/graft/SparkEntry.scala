@@ -143,6 +143,7 @@ object SparkEntry {
     // the streaming twin replayed over the corpus (AvailableNow) — its
     // survivor set must equal the batch distinct-chunk set, oracle-checked
     "dedup_paragraphs_stream" -> (TrainingData.dedupParagraphsStream _),
+    "dedup_exact_stream" -> (TrainingData.dedupExactStream _),
     "text_novelty" -> (TrainingData.textNovelty _),
     "rag_retrieval" -> (TrainingData.ragRetrieval _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
@@ -2124,6 +2125,12 @@ object SparkEntry {
         |SELECT count(DISTINCT h) AS n_novel_chunks,
         | count(DISTINCT h) AS n_distinct_chunks
         |FROM c""".stripMargin,
+    // document-level streaming equivalence: one survivor per distinct
+    // content hash
+    "dedup_exact_stream" ->
+      """SELECT count(DISTINCT md5(text)) AS n_kept,
+        | count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents""".stripMargin,
     "dedup_spans" ->
       """WITH s AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') l FROM documents),

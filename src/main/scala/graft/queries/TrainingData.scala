@@ -1919,6 +1919,43 @@ object TrainingData {
     materializeAndRelease(result, chunks)
   }
 
+  /** Streaming↔batch EXACT-dedup equivalence, oracle-checked — the
+    * document-level sibling of [[dedupParagraphsStream]] (same
+    * `Trigger.AvailableNow` replay through the genuine watermarked
+    * `dropDuplicatesWithinWatermark` state): the survivor stream must hold
+    * exactly one document per distinct content hash, so its row count and
+    * distinct-hash count both equal the batch [[dedupExact]] n_distinct —
+    * which the DuckDB oracle recomputes relationally.
+    */
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast(TimestampType))
+    val kept = graft.streaming.StreamingPipeline.streamingDedup(src, "1 hour")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dedupstream_").toFile
+    val q = kept.writeStream.format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rollup = spark.read.parquet(s"$tmp/data")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("content_hash")).as("n_distinct"))
+    val rows = rollup.collect().toSeq
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rollup.schema)
+  }
+
   /** Streaming↔batch paragraph-dedup EQUIVALENCE, oracle-checked: runs the
     * real [[graft.streaming.StreamingPipeline.streamingParagraphDedup]]
     * operator over the corpus with `Trigger.AvailableNow` (the standard
