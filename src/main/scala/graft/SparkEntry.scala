@@ -139,6 +139,7 @@ object SparkEntry {
     "source_overlap" -> (TrainingData.sourceOverlap _),
     "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
     "dedup_spans" -> (TrainingData.dedupSpans _),
+    "dedup_span_coverage" -> (TrainingData.dedupSpanCoverage _),
     "dedup_paragraphs" -> (TrainingData.dedupParagraphs _),
     // the streaming twin replayed over the corpus (AvailableNow) — its
     // survivor set must equal the batch distinct-chunk set, oracle-checked
@@ -2148,5 +2149,43 @@ object SparkEntry {
         | round(CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE) / count(*), 4)
         |   AS dup_rate
         |FROM f""".stripMargin,
+    // duplicated-span coverage: interval-union size via the identical
+    // running-max window; ids share dedup_spans' md5 basis
+    "dedup_span_coverage" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |sp AS (
+        |  SELECT source, doc_id, len(w) n_tokens, CAST(i AS BIGINT) pos,
+        |   ('0x' || substr(md5(array_to_string(w[i : i + 9], ' ')), 1, 15))::BIGINT
+        |     % 2147483647 id
+        |  FROM d, unnest(range(1, greatest(len(w) - 9, 0) + 1)) AS u(i)),
+        |dup AS (SELECT id FROM sp GROUP BY id
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |h AS (SELECT sp.* FROM sp JOIN dup USING (id)),
+        |seg AS (
+        |  SELECT source, doc_id, n_tokens,
+        |   greatest(pos + 9 - greatest(
+        |     coalesce(max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+        |     pos - 1), 0) c
+        |  FROM h),
+        |pd AS (SELECT source, doc_id, n_tokens, sum(c) covered
+        |       FROM seg GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, count(*) n_docs,
+        |         CAST(sum(len(w)) AS BIGINT) total_tokens
+        |        FROM d GROUP BY 1),
+        |agg AS (SELECT source, count(*) docs_with_dup_spans,
+        |         CAST(sum(covered) AS BIGINT) covered_tokens
+        |        FROM pd GROUP BY 1)
+        |SELECT tot.source, n_docs,
+        | coalesce(docs_with_dup_spans, 0) AS docs_with_dup_spans,
+        | coalesce(covered_tokens, 0) AS covered_tokens,
+        | total_tokens,
+        | round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / total_tokens, 4)
+        |   AS coverage_frac
+        |FROM tot LEFT JOIN agg USING (source)
+        |ORDER BY source""".stripMargin,
   )
 }

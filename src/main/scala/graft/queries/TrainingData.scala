@@ -1843,6 +1843,69 @@ object TrainingData {
         .as("dup_rate"))
   }
 
+  /** Duplicated-span COVERAGE: merge each document's duplicated 10-gram
+    * spans into maximal covered regions and report what fraction of its
+    * tokens sits inside cross-document repeated content — the
+    * exact-substring-dedup measurement (the Lee et al. "Deduplicating
+    * Training Data" shape: [[dedupSpans]] screens WHICH spans repeat; this
+    * operator says HOW MUCH of each document those repeats cover, which is
+    * the removal decision's actual input). A span is duplicated iff its
+    * 10-gram id occurs in MORE than one document (within-doc repetition is
+    * [[qualityRepetition]]'s job); covered positions are the interval
+    * union of [pos, pos+9] over a doc's duplicated spans, computed as one
+    * running-max window pass (per-row contribution = interval end minus
+    * the larger of running max end / own start, clamped at 0 — exact union
+    * size, no interval materialization).
+    *
+    * Scale: one positional explode (linear), a distinct-doc df count on
+    * the span id (map-side partials, the dedupSpans key), a semi-join on
+    * the id, and ONE window exchange on doc_id. Nothing pairwise; md5 ids
+    * keep the DuckDB oracle bit-exact.
+    */
+  def dedupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast(LongType))
+    // (doc, pos, id) per 10-gram span; same id basis as dedupSpans
+    val spans = d.select(col("source"), col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(w) - 9, 0)), " +
+            "i -> concat_ws(' ', slice(w, i, 10)))")).as(Seq("p0", "s")))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        (col("p0") + 1).cast(LongType).as("pos"),
+        (h60(col("s")) % 2147483647L).as("id"))
+      .cache()
+    val dupIds = spans.groupBy("id")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1).select("id")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = spans.join(dupIds, Seq("id"), "left_semi")
+      .withColumn("prev_end", coalesce(max(col("pos") + 9).over(w), lit(0L)))
+      .withColumn("c", greatest(
+        col("pos") + 9 - greatest(col("prev_end"), col("pos") - 1), lit(0L)))
+      .groupBy("source", "doc_id", "n_tokens")
+      .agg(sum("c").as("covered"))
+    val totals = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    val result = totals.join(
+        perDoc.groupBy("source").agg(
+          count(lit(1)).as("docs_with_dup_spans"),
+          sum("covered").as("covered_tokens")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("docs_with_dup_spans"), lit(0L)).as("docs_with_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("total_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+          col("total_tokens"), 4).as("coverage_frac"))
+      .orderBy("source")
+    materializeAndRelease(result, spans)
+  }
+
   /** Per-document n-gram NOVELTY in ingestion order (doc_id as the
     * arrival proxy): a 5-gram belongs to the document that saw it first,
     * and a doc's novelty is the fraction of its distinct 5-grams it owns.

@@ -397,6 +397,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_span_coverage: interval union merges overlapping dup spans " +
+    "exactly") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 2 share a 12-token run: three overlapping dup 10-gram
+    // spans each, whose union must count 12 covered tokens per doc (not
+    // 30); doc 3 is unique -> zero coverage
+    val run = (1 to 12).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run u1 u2 u3 u4", "en", "s1", 1L),
+      (2L, s"z1 z2 $run", "en", "s1", 1L),
+      (3L, (1 to 12).map(i => s"q$i").mkString(" "), "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spancov_")
+    docs.write.parquet(s"$dir/documents.parquet")
+    try {
+      val Array(r) = TrainingData.dedupSpanCoverage(spark, dir.toString)
+        .collect()
+      assert(r.getString(0) === "s1")
+      assert(r.getLong(1) === 3L, "n_docs")
+      assert(r.getLong(2) === 2L, "docs_with_dup_spans")
+      assert(r.getLong(3) === 24L, "12 covered tokens in each sharing doc")
+      assert(r.getLong(4) === 42L, "total tokens 16+14+12")
+      assert(r.getDouble(5) === 0.5714)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("heavy-gram df guard: cap=1 drops every cross-doc gram from the " +
     "overlap and contamination evidence") {
     // every shared gram has df >= 2 by definition, so cap=1 must empty the
