@@ -41,6 +41,8 @@ object SparkEntry {
     "q12_last_event_by_user" -> (Relational.q12LastEventByUser _),
     "q13_asof_join" -> (Relational.q13AsofJoin _),
     "q14_sessionize" -> (Relational.q14Sessionize _),
+    // the streaming session-window twin replayed over events — same oracle
+    "q14_sessionize_stream" -> (Relational.q14SessionizeStream _),
     "q15_rollup_revenue" -> (Relational.q15RollupRevenue _),
     "q16_percentiles" -> (Relational.q16Percentiles _),
     "q17_pivot_dow" -> (Relational.q17PivotDayOfWeek _),
@@ -324,6 +326,29 @@ object SparkEntry {
         |SELECT event_id, user_id, click_id, tus - click_tus AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q14_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) tus, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, tus, event_id,
+        |   CASE WHEN lag(tus) OVER win IS NULL
+        |         OR tus - lag(tus) OVER win > 1800000000 THEN 1 ELSE 0 END new_s
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) s_idx
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, s_idx, count(*) n_events,
+        |   (max(tus) - min(tus)) // 1000000 dur_sec
+        |  FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        | round(avg(n_events), 4) AS avg_events,
+        | CAST(max(n_events) AS BIGINT) AS max_events,
+        | round(avg(dur_sec), 2) AS avg_dur_sec
+        |FROM sess""".stripMargin,
+    // the streaming replay must land on the batch sessionization numbers
+    "q14_sessionize_stream" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) tus, event_id FROM events),
         |l AS (
         |  SELECT user_id, tus, event_id,

@@ -321,6 +321,50 @@ object Relational {
       round(avg("dur_sec"), 2).as("avg_dur_sec"))
   }
 
+  /** Streaming↔batch SESSIONIZATION equivalence, oracle-checked: replays
+    * the events table through the real watermarked
+    * [[graft.streaming.StreamingPipeline.sessionWindowStats]] operator
+    * (`Trigger.AvailableNow`, Complete output into a memory sink — append
+    * would withhold the tail sessions a bounded replay never watermarks
+    * past) and rolls the per-session rows up to q14's exact summary.
+    * Spark's `session_window` end is last-event + gap, so per-session
+    * duration subtracts the gap to land on the batch max-min definition;
+    * both engines then agree to the rounded digits, and the DuckDB oracle
+    * is [[q14Sessionize]]'s verbatim. The boundary case (events exactly
+    * one gap apart) merges in BOTH formulations — batch starts a new
+    * session only on strictly-greater gaps, and session_window merges a
+    * window starting at the previous window's end.
+    */
+  def q14SessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // encoding-adaptive: a nano-long ts replays identically (SchemaProbe)
+    val src = src0.withColumn("ts",
+      graft.sources.SchemaProbe.asTimestamp(src0, "ts"))
+    val sess = graft.streaming.StreamingPipeline
+      .sessionWindowStats(src, "30 minutes", "10 minutes")
+    val sink = "q14_sessionize_stream_sink"
+    val q = sess.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink)
+      .select(col("n_events"), expr(
+        "(unix_micros(session_end) - unix_micros(session_start)" +
+          " - 1800000000) div 1000000").as("dur_sec"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("n_events"), 4).as("avg_events"),
+        max("n_events").as("max_events"),
+        round(avg("dur_sec"), 2).as("avg_dur_sec"))
+    val rows = result.collect().toSeq
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
+  }
+
   /** q15: hierarchical rollup — revenue at (region, nation), region, and
     * grand-total grains in ONE pass (partial aggregation covers all three
     * levels before the shuffle). COALESCE labels the subtotal rows so the
