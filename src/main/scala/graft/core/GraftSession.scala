@@ -34,7 +34,7 @@ object GraftSession {
       // (Spark cannot represent TIMESTAMP(NANOS); the long preserves full
       // precision and ordering). Micro-precision files are unaffected and
       // read as TIMESTAMP[_NTZ]; query-side event-time arithmetic adapts to
-      // whichever type arrives (queries/Relational.epochMicros).
+      // whichever type arrives (sources/SchemaProbe).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }
