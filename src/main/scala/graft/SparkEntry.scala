@@ -142,6 +142,7 @@ object SparkEntry {
     "text_hash_embedding" -> (TrainingData.textHashEmbedding _),
     "dedup_spans" -> (TrainingData.dedupSpans _),
     "dedup_span_coverage" -> (TrainingData.dedupSpanCoverage _),
+    "text_winnow" -> (TrainingData.textWinnow _),
     "dedup_paragraphs" -> (TrainingData.dedupParagraphs _),
     // the streaming twin replayed over the corpus (AvailableNow) — its
     // survivor set must equal the batch distinct-chunk set, oracle-checked
@@ -2211,6 +2212,40 @@ object SparkEntry {
         | round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / total_tokens, 4)
         |   AS coverage_frac
         |FROM tot LEFT JOIN agg USING (source)
+        |ORDER BY source""".stripMargin,
+    // winnowing fingerprints: identical sliding-window min in DuckDB
+    "text_winnow" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |g AS (
+        |  SELECT source, doc_id, CAST(i AS BIGINT) pos,
+        |   ('0x' || substr(md5(array_to_string(w[i : i + 4], ' ')), 1, 15))::BIGINT
+        |     % 2147483647 id
+        |  FROM d, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS u(i)),
+        |mins AS (
+        |  SELECT source, doc_id, pos,
+        |   min(id) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT source, doc_id, fp FROM mins WHERE pos >= 4),
+        |gc AS (SELECT source, count(*) n_kgrams FROM g GROUP BY 1),
+        |fdf AS (SELECT fp, count(DISTINCT doc_id) df FROM fps GROUP BY 1),
+        |sh AS (
+        |  SELECT source, count(*) docs_with_shared_fp FROM (
+        |    SELECT DISTINCT source, doc_id FROM fps
+        |    WHERE fp IN (SELECT fp FROM fdf WHERE df > 1)) x
+        |  GROUP BY 1),
+        |fc AS (SELECT source, count(*) n_fingerprints FROM fps GROUP BY 1),
+        |nd AS (SELECT source, count(*) n_docs FROM d GROUP BY 1)
+        |SELECT nd.source, n_docs,
+        | coalesce(n_fingerprints, 0) AS n_fingerprints,
+        | round(CAST(coalesce(n_fingerprints, 0) AS DOUBLE) / n_kgrams, 4)
+        |   AS fp_density,
+        | coalesce(docs_with_shared_fp, 0) AS docs_with_shared_fp
+        |FROM nd JOIN gc USING (source)
+        |LEFT JOIN fc USING (source) LEFT JOIN sh USING (source)
         |ORDER BY source""".stripMargin,
   )
 }

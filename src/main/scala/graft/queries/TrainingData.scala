@@ -1906,6 +1906,65 @@ object TrainingData {
     materializeAndRelease(result, spans)
   }
 
+  /** Robust WINNOWING fingerprints (the MOSS algorithm, Schleimer et al.
+    * 2003): slide a window of 4 consecutive 5-gram hashes over each
+    * document and keep each window's MINIMUM — the fingerprint set every
+    * plagiarism/near-dup detector with a guarantee uses, because any
+    * shared run of at least w + k - 1 = 8 tokens is PROVABLY caught by at
+    * least one shared fingerprint, while storing only ~2/(w+1) of the
+    * k-gram hashes. Reported per source: fingerprint density (the ~0.4
+    * theoretical rate is the sanity check) and how many documents share a
+    * fingerprint with any other document — the recall-guaranteed candidate
+    * set a full near-dup pass would verify.
+    *
+    * Scale: one positional explode, ONE window exchange on doc_id for the
+    * sliding min (rows [-3, 0]), a distinct on (doc, fp), and a value-keyed
+    * df count — all linear, nothing pairwise; md5-derived ids keep the
+    * DuckDB oracle bit-exact with the identical window.
+    */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        split(trim(col("text")), "\\s+").as("w"))
+    val grams = d.select(col("source"), col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(w) - 4, 0)), " +
+            "i -> concat_ws(' ', slice(w, i, 5)))")).as(Seq("p0", "s")))
+      .select(col("source"), col("doc_id"),
+        (col("p0") + 1).cast(LongType).as("pos"),
+        (h60(col("s")) % 2147483647L).as("id"))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    // full windows only (pos >= 4): each selects the min of 4 hashes
+    val fps = grams
+      .withColumn("fp", min("id").over(win))
+      .filter(col("pos") >= 4)
+      .select(col("source"), col("doc_id"), col("fp"))
+      .distinct()
+      .cache()
+    val gramCounts = grams.groupBy("source").agg(
+      count(lit(1)).as("n_kgrams"))
+    val fpDf = fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+    val shared = fps.join(fpDf.filter(col("df") > 1).select("fp"),
+        Seq("fp"), "left_semi")
+      .select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("docs_with_shared_fp"))
+    val result = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(gramCounts, Seq("source"))
+      .join(fps.groupBy("source").agg(count(lit(1)).as("n_fingerprints")),
+        Seq("source"), "left")
+      .join(shared, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        round(coalesce(col("n_fingerprints"), lit(0L)).cast(DoubleType) /
+          col("n_kgrams"), 4).as("fp_density"),
+        coalesce(col("docs_with_shared_fp"), lit(0L))
+          .as("docs_with_shared_fp"))
+      .orderBy("source")
+    materializeAndRelease(result, fps)
+  }
+
   /** Per-document n-gram NOVELTY in ingestion order (doc_id as the
     * arrival proxy): a 5-gram belongs to the document that saw it first,
     * and a doc's novelty is the fraction of its distinct 5-grams it owns.

@@ -429,6 +429,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_winnow: a shared w+k-1 token run guarantees a shared " +
+    "fingerprint") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 2 share exactly 8 tokens (= w + k - 1 with w=4, k=5):
+    // the winnowing guarantee says at least one fingerprint must be
+    // shared; doc 3 is unique and must not be flagged
+    val run = (1 to 8).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 x3 x4 x5 $run", "en", "s1", 1L),
+      (2L, s"$run y1 y2 y3 y4 y5", "en", "s1", 1L),
+      (3L, (1 to 10).map(i => s"q$i").mkString(" "), "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_")
+    docs.write.parquet(s"$dir/documents.parquet")
+    try {
+      val Array(r) = TrainingData.textWinnow(spark, dir.toString).collect()
+      assert(r.getLong(1) === 3L, "n_docs")
+      assert(r.getLong(2) > 0L, "fingerprints selected")
+      assert(r.getLong(4) === 2L,
+        "exactly the two run-sharing docs carry a shared fingerprint")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("heavy-gram df guard: cap=1 drops every cross-doc gram from the " +
     "overlap and contamination evidence") {
     // every shared gram has df >= 2 by definition, so cap=1 must empty the
