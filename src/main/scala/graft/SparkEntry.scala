@@ -74,6 +74,8 @@ object SparkEntry {
     "text_quality" -> (TrainingData.textQuality _),
     "text_pii" -> (TrainingData.textPii _),
     "select_token_budget" -> (TrainingData.selectTokenBudget _),
+    // histogram-threshold scale path; must equal select_token_budget
+    "select_token_budget_hist" -> (TrainingData.selectTokenBudgetHist _),
     "quality_unigram_logprob" -> (TrainingData.qualityUnigramLogprob _),
     "source_kl_divergence" -> (TrainingData.sourceKlDivergence _),
     "text_zipf_slope" -> (TrainingData.textZipfSlope _),
@@ -889,6 +891,24 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "select_token_budget" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id, len(toks) AS ntok,
+        |   round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |     OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is' OR x = 'it')) AS DOUBLE)
+        |     / len(toks), 6) AS score
+        |  FROM (SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM documents) t),
+        |cum AS (
+        |  SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) c
+        |  FROM scored)
+        |SELECT source, count(*) AS n_selected,
+        | CAST(sum(ntok) AS BIGINT) AS tokens_selected,
+        | min(score) AS score_cutoff
+        |FROM cum WHERE c <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the histogram scale path admits the IDENTICAL set, so its oracle is
+    // select_token_budget's verbatim — the equivalence IS the check
+    "select_token_budget_hist" ->
       """WITH scored AS (
         |  SELECT source, doc_id, len(toks) AS ntok,
         |   round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'

@@ -717,6 +717,62 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** The 100 TB SCALE PATH for [[selectTokenBudget]], exactly equivalent
+    * by construction (and sharing its DuckDB oracle verbatim): the
+    * admission cumsum serializes one window per source — the documented
+    * skew point when one source holds billions of documents — so this
+    * variant locates the admission threshold with a SCORE HISTOGRAM
+    * first. Scores bucket at k/256 boundaries (multiplying a double by
+    * 256 is exact — an exponent shift — so floor(score*256) is
+    * bit-deterministic in both engines); per-(source, bucket) token
+    * totals (map-side partials, ~256 rows per source) and a tiny window
+    * over the bucket frame classify every bucket as fully-admitted,
+    * fully-rejected, or THE threshold bucket; only the threshold bucket's
+    * documents pay the per-doc cumsum. Bucket order respects score order,
+    * so the admitted set is IDENTICAL to the global cumsum's — the
+    * equivalence the shared oracle checks. The serial window thus runs
+    * over corpus/256 documents in expectation; a pathological
+    * single-bucket score distribution degrades gracefully to the exact
+    * path (re-split with a finer histogram if that ever matters).
+    */
+  def selectTokenBudgetHist(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000
+    val toks = F.tokens(col("text"))
+    val scored = docs(spark, dir).select(col("source"), col("doc_id"),
+        size(toks).as("ntok"),
+        round(F.stopwordCount(toks).cast(DoubleType) / size(toks), 6)
+          .as("score"))
+      .filter(col("ntok") > 0)
+      .withColumn("b",
+        least(floor(col("score") * 256), lit(255.0)).cast(LongType))
+      .cache()
+    val wB = Window.partitionBy("source").orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = scored.groupBy("source", "b")
+      .agg(sum("ntok").as("btok"))
+      .withColumn("cum_higher", coalesce(sum("btok").over(wB), lit(0L)))
+    val fullB = buckets.filter(col("cum_higher") + col("btok") <= budget)
+      .select("source", "b")
+    val threshB = buckets.filter(col("cum_higher") < budget &&
+        col("cum_higher") + col("btok") > budget)
+      .select(col("source"), col("b"), col("cum_higher"))
+    val wIn = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = scored.join(fullB, Seq("source", "b"), "left_semi")
+      .select("source", "ntok", "score")
+      .unionByName(scored.join(threshB, Seq("source", "b"))
+        .withColumn("cum_in", sum("ntok").over(wIn))
+        .filter(col("cum_higher") + col("cum_in") <= budget)
+        .select("source", "ntok", "score"))
+    val result = admitted.groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("ntok").cast(LongType).as("tokens_selected"),
+        min("score").as("score_cutoff"))
+      .orderBy("source")
+    materializeAndRelease(result, scored)
+  }
+
   /** Quality scoring per source: length, stopword ratio, punctuation ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

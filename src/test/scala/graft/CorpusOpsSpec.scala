@@ -429,6 +429,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("select_token_budget_hist: histogram threshold admits exactly the " +
+    "cumsum path's set") {
+    val exact = TrainingData.selectTokenBudget(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    val hist = TrainingData.selectTokenBudgetHist(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(hist === exact, "the scale path must be a pure plan change")
+  }
+
   test("text_winnow: a shared w+k-1 token run guarantees a shared " +
     "fingerprint") {
     val sp = spark
