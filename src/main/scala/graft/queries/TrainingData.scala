@@ -151,12 +151,23 @@ object TrainingData {
     materializeAndRelease(result, withIds)
   }
 
+  /** Test seam: while set, [[materializeAndRelease]] passes the lazy frame
+    * through (no collect, no unpersist), so plan-inspection tests assert
+    * on the REAL composed plan instead of the post-materialization local
+    * relation — the PlanSpec scale-safety pin would otherwise be vacuous
+    * for every materializing operator. Tests clear the Spark cache after,
+    * since the skipped unpersist leaves cached inputs pinned.
+    */
+  private[graft] val planOnly =
+    new scala.util.DynamicVariable[Boolean](false)
+
   /** Collect a SMALL aggregate result eagerly and unpersist its cached
     * inputs: returning a lazy plan over a cached frame would leak the cache
     * (the caller has no handle to release it) or recompute on unpersist.
     */
   private def materializeAndRelease(small: DataFrame,
                                     cached: DataFrame*): DataFrame = {
+    if (planOnly.value) return small
     val spark = small.sparkSession
     val rows = small.collect().toSeq
     cached.foreach(_.unpersist())

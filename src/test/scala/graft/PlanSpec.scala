@@ -34,17 +34,53 @@ class PlanSpec extends AnyFunSuite {
     // plan must never contain an all-pairs join shape. A refactor that
     // reintroduces one (e.g. an inequality self-join) fails here, not at
     // 100x the data.
+    // _stream entries replay through Structured Streaming (their batch
+    // return is a local rollup by construction); the batch-plan pin does
+    // not apply to them
     val defaults = SparkEntry.queries.keys.filter(n =>
       n.startsWith("dedup_") && !n.endsWith("_verify") &&
-        !n.endsWith("_recall"))
+        !n.endsWith("_recall") && !n.endsWith("_stream"))
     assert(defaults.nonEmpty)
-    defaults.foreach { name =>
-      val p = plan(SparkEntry.queries(name)(spark, sf))
-      assert(!p.contains("CartesianProduct"),
-        s"$name: cartesian product in a registered default")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$name: nested-loop join in a registered default")
+    // Catalyst-level audit, stronger than plan-string matching: every join
+    // in the optimized plan must either have a ONE-ROW side (the scalar
+    // crossJoin combiner pattern — bounded by construction) or carry an
+    // equi-join component (hash/merge-joinable, so work scales with
+    // matches). An inequality-only join of multi-row relations fails even
+    // when the test-scale planner would happily broadcast it.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    def hasEquiComponent(j: Join): Boolean = j.condition.exists { c =>
+      c.collect { case e: EqualTo => e }.exists { e =>
+        (e.left.references.subsetOf(j.left.outputSet) &&
+          e.right.references.subsetOf(j.right.outputSet)) ||
+        (e.left.references.subsetOf(j.right.outputSet) &&
+          e.right.references.subsetOf(j.left.outputSet))
+      }
     }
+    // an explicit broadcast() hint declares that side bounded-small BY
+    // DESIGN (centroid frames, probe batches): O(n x small) work, the
+    // legitimate cross-join shape. An unhinted cross join of multi-row
+    // relations stays forbidden.
+    def declaredSmall(j: Join): Boolean =
+      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+    defaults.foreach { name =>
+      // planOnly: materializing operators pass their REAL composed plan
+      // through instead of the post-collect local relation — without it
+      // this pin is vacuous exactly for the operators that matter
+      val df = graft.queries.TrainingData.planOnly.withValue(true) {
+        SparkEntry.queries(name)(spark, sf)
+      }
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.foreach { j =>
+        val scalarSide = j.left.maxRows.exists(_ <= 1) ||
+          j.right.maxRows.exists(_ <= 1)
+        assert(scalarSide || declaredSmall(j) || hasEquiComponent(j),
+          s"$name: ${j.joinType} join of multi-row relations without an " +
+            s"equi component or a declared broadcast side — all-pairs at scale")
+      }
+    }
+    spark.catalog.clearCache() // planOnly skips the operators' unpersists
   }
 
   test("q10: all three dimension joins broadcast, no sort-merge join") {
