@@ -150,6 +150,7 @@ object SparkEntry {
     // survivor set must equal the batch distinct-chunk set, oracle-checked
     "dedup_paragraphs_stream" -> (TrainingData.dedupParagraphsStream _),
     "dedup_exact_stream" -> (TrainingData.dedupExactStream _),
+    "quality_monitor_stream" -> (TrainingData.qualityMonitorStream _),
     "text_novelty" -> (TrainingData.textNovelty _),
     "rag_retrieval" -> (TrainingData.ragRetrieval _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
@@ -2178,6 +2179,24 @@ object SparkEntry {
       """SELECT count(DISTINCT md5(text)) AS n_kept,
         | count(DISTINCT md5(text)) AS n_distinct
         |FROM documents""".stripMargin,
+    // the streaming monitor's per-source stats recomputed relationally
+    "quality_monitor_stream" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, len(toks) n_tokens,
+        |   CASE WHEN len(toks) BETWEEN 5 AND 1000
+        |         AND len(list_filter(toks, x -> x = 'the' OR x = 'a'
+        |           OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'
+        |           OR x = 'is' OR x = 'it')) > 0
+        |        THEN 1.0 ELSE 0.0 END p
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | round(avg(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens,
+        | round(avg(p), 4) AS quality_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_spans" ->
       """WITH s AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') l FROM documents),

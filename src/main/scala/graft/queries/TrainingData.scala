@@ -2145,6 +2145,40 @@ object TrainingData {
       spark.sparkContext.parallelize(rows, 1), rollup.schema)
   }
 
+  /** Streaming↔batch QUALITY-MONITOR equivalence, oracle-checked: replays
+    * the corpus through the real watermarked windowed
+    * [[graft.streaming.StreamingPipeline.streamingQualityMonitor]]
+    * (constant event time -> one window per source; Complete output so the
+    * bounded replay emits it) and strips the window key. Every per-source
+    * stat the monitor computes — doc counts, token totals, the
+    * length/stopword gate rate — must equal DuckDB's relational
+    * recomputation over the same documents, proving the monitor's MATH,
+    * not just its plumbing.
+    */
+  def qualityMonitorStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast(TimestampType))
+    val mon = graft.streaming.StreamingPipeline
+      .streamingQualityMonitor(src)
+    val sink = "quality_monitor_stream_sink"
+    val q = mon.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink)
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("avg_tokens"), col("quality_rate"))
+      .orderBy("source")
+    val rows = result.collect().toSeq
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
+  }
+
   /** Streaming↔batch paragraph-dedup EQUIVALENCE, oracle-checked: runs the
     * real [[graft.streaming.StreamingPipeline.streamingParagraphDedup]]
     * operator over the corpus with `Trigger.AvailableNow` (the standard
