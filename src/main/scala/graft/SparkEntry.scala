@@ -153,6 +153,13 @@ object SparkEntry {
     "quality_monitor_stream" -> (TrainingData.qualityMonitorStream _),
     "text_novelty" -> (TrainingData.textNovelty _),
     "rag_retrieval" -> (TrainingData.ragRetrieval _),
+    // corpus reporting / fuzzy dedup / drift / semantic decontamination
+    "corpus_card" -> (TrainingData.corpusCard _),
+    "source_dup_matrix" -> (TrainingData.sourceDupMatrix _),
+    "drift_psi" -> (TrainingData.driftPsi _),
+    "dedup_fuzzy" -> (TrainingData.dedupFuzzy _),
+    "contamination_embedding" -> (TrainingData.contaminationEmbedding _),
+    "sim_topk_diversified" -> (TrainingData.simTopkDiversified _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -1347,6 +1354,201 @@ object SparkEntry {
         | count(CASE WHEN d <= 15 THEN 1 END) AS near_pairs,
         | CAST(min(d) AS BIGINT) AS min_hamming
         |FROM pairs""".stripMargin,
+    "corpus_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars, md5(text) h,
+        |   len(regexp_split_to_array(trim(text), '\s+')) n_tokens
+        |  FROM documents),
+        |main AS (
+        |  SELECT source, count(*) n_docs, count(DISTINCT h) n_distinct,
+        |   CAST(sum(n_chars) AS BIGINT) chars_total,
+        |   CAST(sum(n_tokens) AS BIGINT) tokens_total,
+        |   round(quantile_cont(n_tokens, 0.5), 1) tokens_p50,
+        |   round(quantile_cont(n_tokens, 0.9), 1) tokens_p90
+        |  FROM d GROUP BY source),
+        |lc AS (SELECT source, lang, count(*) lc FROM d GROUP BY source, lang),
+        |top AS (
+        |  SELECT source, lang top_lang, lc FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY source ORDER BY lc DESC, lang) rn FROM lc) t
+        |  WHERE rn = 1)
+        |SELECT m.source, m.n_docs, m.n_distinct,
+        | round(CAST(m.n_docs - m.n_distinct AS DOUBLE) / m.n_docs, 4) AS dup_rate,
+        | m.chars_total, m.tokens_total, m.tokens_p50, m.tokens_p90,
+        | t.top_lang,
+        | round(CAST(t.lc AS DOUBLE) / m.n_docs, 4) AS top_lang_share
+        |FROM main m JOIN top t USING (source)
+        |ORDER BY source""".stripMargin,
+    "source_dup_matrix" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+        |        FROM documents WHERE text IS NOT NULL) x),
+        |fp AS (
+        |  SELECT doc_id, CAST($simhashVoteSql AS BIGINT) fp
+        |  FROM tok GROUP BY doc_id),
+        |src AS (SELECT doc_id, source FROM documents WHERE text IS NOT NULL),
+        |banded AS (
+        |  SELECT f.doc_id, f.fp, s.source,
+        |   unnest(list_transform(range(0, 4),
+        |     b -> b * 32768 + ((fp >> (b * 15)) & 32767))) band
+        |  FROM fp f JOIN src s USING (doc_id)),
+        |ok AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT banded.* FROM banded JOIN ok USING (band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+        |   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) d,
+        |   least(a.source, b.source) src_a,
+        |   greatest(a.source, b.source) src_b
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT src_a AS source_a, src_b AS source_b,
+        | count(*) AS candidate_pairs,
+        | count(CASE WHEN d <= 15 THEN 1 END) AS near_pairs,
+        | CAST(min(d) AS BIGINT) AS min_hamming
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "drift_psi" ->
+      """WITH base AS (SELECT epoch_us(ts) ts_us, value FROM events),
+        |mid AS (
+        |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 mid FROM base),
+        |halves AS (
+        |  SELECT CASE WHEN ts_us <= (SELECT mid FROM mid)
+        |    THEN 'ref' ELSE 'cur' END half, value FROM base),
+        |bounds AS (
+        |  SELECT min(value) lo, (max(value) - min(value)) / 10.0 w
+        |  FROM halves WHERE half = 'ref'),
+        |binned AS (
+        |  SELECT half,
+        |   CASE WHEN (SELECT w FROM bounds) = 0 THEN 0
+        |    ELSE CAST(least(greatest(floor(
+        |      (value - (SELECT lo FROM bounds)) / (SELECT w FROM bounds)),
+        |      0), 9) AS BIGINT) END bin
+        |  FROM halves),
+        |counts AS (
+        |  SELECT bin, count(*) FILTER (WHERE half = 'ref') n_ref,
+        |   count(*) FILTER (WHERE half = 'cur') n_cur
+        |  FROM binned GROUP BY bin),
+        |filled AS (
+        |  SELECT s.bin, CAST(COALESCE(c.n_ref, 0) AS BIGINT) n_ref,
+        |   CAST(COALESCE(c.n_cur, 0) AS BIGINT) n_cur
+        |  FROM (SELECT unnest(range(10)) bin) s
+        |  LEFT JOIN counts c USING (bin)),
+        |tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) tr,
+        |        CAST(sum(n_cur) AS DOUBLE) tc FROM filled),
+        |pq AS (
+        |  SELECT bin, n_ref, n_cur,
+        |   (CAST(n_ref AS DOUBLE) + 0.5) / (tr + 5.0) p,
+        |   (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0) q
+        |  FROM filled, tot)
+        |SELECT bin, n_ref, n_cur,
+        | round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+        | round((p - q) * ln(p / q), 6) AS psi_contrib
+        |FROM pq ORDER BY bin""".stripMargin,
+    "dedup_fuzzy" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+        |        FROM documents WHERE text IS NOT NULL) x),
+        |fp AS (
+        |  SELECT doc_id, CAST($simhashVoteSql AS BIGINT) fp
+        |  FROM tok GROUP BY doc_id),
+        |pre AS (SELECT doc_id, substr(text, 1, 200) pre
+        |        FROM documents WHERE text IS NOT NULL),
+        |banded AS (
+        |  SELECT doc_id,
+        |   unnest(list_transform(range(0, 4),
+        |     b -> b * 32768 + ((fp >> (b * 15)) & 32767))) band
+        |  FROM fp),
+        |ok AS (SELECT band FROM banded GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT banded.* FROM banded JOIN ok USING (band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |   CAST(levenshtein(x.pre, y.pre) AS BIGINT) dist,
+        |   CASE WHEN greatest(length(x.pre), length(y.pre)) = 0 THEN 1.0
+        |    ELSE round(1.0 - CAST(levenshtein(x.pre, y.pre) AS DOUBLE) /
+        |      greatest(length(x.pre), length(y.pre)), 4) END sim_ratio
+        |  FROM cand
+        |  JOIN pre x ON x.doc_id = doc_a
+        |  JOIN pre y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, dist, sim_ratio FROM scored
+        |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
+    "contamination_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |assign2 AS (SELECT vec_id, cent_id band FROM ranked WHERE rn <= 2),
+        |tb AS (SELECT vec_id train_id, band FROM assign2 WHERE vec_id % 10 <> 7),
+        |kept AS (SELECT band FROM tb GROUP BY band HAVING count(*) <= 1000),
+        |tcap AS (SELECT tb.* FROM tb JOIN kept USING (band)),
+        |qb AS (SELECT vec_id eval_id, band FROM assign2 WHERE vec_id % 10 = 7),
+        |scored AS (
+        |  SELECT q.eval_id, t.train_id,
+        |   round(list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i])), 4) cos
+        |  FROM qb q JOIN tcap t USING (band)
+        |  JOIN norm x ON x.vec_id = q.eval_id
+        |  JOIN norm y ON y.vec_id = t.train_id),
+        |cand AS (SELECT DISTINCT eval_id, train_id FROM scored)
+        |SELECT
+        | (SELECT count(*) FROM norm WHERE vec_id % 10 = 7) AS n_eval,
+        | (SELECT count(*) FROM norm WHERE vec_id % 10 <> 7) AS n_train,
+        | (SELECT count(*) FROM cand) AS candidate_pairs,
+        | (SELECT count(DISTINCT eval_id) FROM scored WHERE cos >= 0.4)
+        |   AS n_contaminated,
+        | round(CAST((SELECT count(DISTINCT eval_id) FROM scored WHERE cos >= 0.4)
+        |   AS DOUBLE) / (SELECT count(*) FROM norm WHERE vec_id % 10 = 7), 4)
+        |   AS contamination_rate""".stripMargin,
+    "sim_topk_diversified" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT r.vec_id query_id, cent_id bucket FROM ranked r
+        |  JOIN qids ON r.vec_id = qids.vec_id WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.query_id, d.vec_id neighbor_id, q.bucket,
+        |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim
+        |  FROM qprobe q
+        |  JOIN buckets d ON q.bucket = d.bucket AND d.vec_id <> q.query_id
+        |  JOIN norm qn ON qn.vec_id = q.query_id
+        |  JOIN norm dn ON dn.vec_id = d.vec_id),
+        |dsel AS (
+        |  SELECT query_id, neighbor_id, bucket, sim FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id, bucket ORDER BY sim DESC, neighbor_id) cr
+        |    FROM scored) t WHERE cr = 1)
+        |SELECT query_id, rank, neighbor_id, cluster_id, sim FROM (
+        |  SELECT query_id, neighbor_id, bucket cluster_id, sim,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+        |  FROM dsel) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "contamination_check" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -444,7 +444,6 @@ object TrainingData {
     * bit-for-bit — an oracle-checked approximate index.
     */
   def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.vecDot
     // ONE normalization pass: the corpus frame feeds the assignment, the
     // probe scoring, and the query-vector lookup — cached, then released
     // once the (tiny) top-k result is materialized. The round-6 form
@@ -452,15 +451,32 @@ object TrainingData {
     // round); the cache plus the carry-nv argmin below restores the r5
     // wall time while keeping the map-side-combine shuffle shape.
     val e = normalized(spark, dir).cache()
+    val scored = ivfProbeScored(e)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+    materializeAndRelease(result, e)
+  }
+
+  /** The IVF probe-scoring stage shared by [[simTopkIvf]] and
+    * [[simTopkDiversified]]: centroid sample -> full-corpus top-1
+    * assignment (the SHARED argmin [[graft.operators.VectorIndex.assign]],
+    * also the persisted-index build path: min_by over (-csim, cent_id, nv)
+    * — identical tie semantics to the ranked-window form the oracle
+    * mirrors, but map-side-combined, one row per VECTOR crossing the
+    * shuffle WITH its vector, so no corpus join-back) -> top-2 probe
+    * buckets per query (window over the fixed-size query batch only) ->
+    * bucket equi-join + exact rounded cosine. Returns one row per scored
+    * candidate with the posting `bucket` retained (the diversified variant
+    * keys on it; the plain top-k drops it).
+    */
+  private def ivfProbeScored(e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
     val cents = e.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    // full-corpus assignment via the SHARED argmin
-    // ([[graft.operators.VectorIndex.assign]], also the persisted-index
-    // build path): min_by over (-csim, cent_id, nv) — identical tie
-    // semantics to the ranked-window form the oracle mirrors (highest
-    // cosine, lowest cent_id) but with map-side combine, one row per
-    // VECTOR crossing the shuffle WITH its vector, so no corpus join-back
-    // to recover neighbor vectors — one full-width shuffle instead of two
     val data = graft.operators.VectorIndex.assign(e, cents)
       .select(col("vec_id").as("neighbor_id"),
         col("bucket"), col("nv").as("nvv"))
@@ -476,15 +492,40 @@ object TrainingData {
       .filter(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("nv").as("qv"),
         col("cent_id").as("bucket"))
-    val scored = qProbe.join(data, Seq("bucket"))
+    qProbe.join(data, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
         round(vecDot(col("qv"), col("nvv")), 4).as("sim"))
+  }
+
+  /** Cluster-diversified ANN top-k — the retrieval-side diversification a
+    * RAG serving path applies so the context window isn't five copies of
+    * the same boilerplate neighborhood: at most ONE result per IVF
+    * cluster, then the usual top-5. Runs on the identical probe-scored
+    * candidate stream as [[simTopkIvf]] ([[ivfProbeScored]]); the
+    * diversification itself is one extra row_number over (query, cluster)
+    * — per-query work, no new corpus pass, same 100 TB shape as the plain
+    * top-k. (MMR with a tunable relevance/novelty trade is the continuous
+    * generalization; the cluster cap is its deterministic, fully
+    * oracle-checkable fixed point.)
+    */
+  def simTopkDiversified(spark: SparkSession, dir: String): DataFrame = {
+    val e = normalized(spark, dir).cache()
+    val scored = ivfProbeScored(e)
+    // best neighbor per (query, cluster): each neighbor carries exactly one
+    // top-1 assignment bucket, so this drops same-cluster runners-up
+    val perCluster = Window.partitionBy("query_id", "bucket")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val diversified = scored
+      .withColumn("cr", row_number().over(perCluster))
+      .filter(col("cr") === 1)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
+    val result = diversified
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "sim")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("bucket").as("cluster_id"), col("sim"))
       .orderBy("query_id", "rank")
     materializeAndRelease(result, e)
   }
@@ -3193,6 +3234,209 @@ object TrainingData {
           (col("n_docs").cast(DoubleType) / col("n_total")), 4)
           .as("oversample_alpha03"))
       .orderBy("lang")
+  }
+
+  // ------------------------- corpus reporting / fuzzy dedup / drift / decontam
+
+  /** Per-source corpus "datasheet" rollup — the Datasheets-for-Datasets
+    * table a curated release ships: document and distinct-text counts,
+    * exact-dup rate, char/token volume, token-count quantiles, and the
+    * dominant language with its share. ONE hash+token projection (cached)
+    * feeds both the per-source aggregate and the language mode; the mode
+    * is a per-(source, lang) count + window argmax, never a per-source
+    * collect. Everything aggregates hash-keyed on source — O(sources)
+    * output at any corpus size. Exact `percentile` swaps for
+    * approx_percentile at 100 TB (declared divergence, same note as
+    * [[lengthOutliers]]).
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"), col("lang"),
+        col("n_chars"), md5(col("text")).as("h"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .cache()
+    val main = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("h")).as("n_distinct"),
+      sum(col("n_chars")).as("chars_total"),
+      sum(col("n_tokens")).as("tokens_total"),
+      round(expr("percentile(n_tokens, 0.5D)"), 1).as("tokens_p50"),
+      round(expr("percentile(n_tokens, 0.9D)"), 1).as("tokens_p90"))
+    val langN = d.groupBy("source", "lang").agg(count(lit(1)).as("lc"))
+    val wl = Window.partitionBy("source").orderBy(col("lc").desc, col("lang"))
+    val topLang = langN.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc"))
+    val result = main.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round((col("n_docs") - col("n_distinct")).cast(DoubleType) /
+          col("n_docs"), 4).as("dup_rate"),
+        col("chars_total"), col("tokens_total"),
+        col("tokens_p50"), col("tokens_p90"), col("top_lang"),
+        round(col("lc").cast(DoubleType) / col("n_docs"), 4)
+          .as("top_lang_share"))
+      .orderBy("source")
+    materializeAndRelease(result, d)
+  }
+
+  /** Source-pair near-duplicate matrix: for every (unordered) source pair,
+    * how many banded-SimHash candidate pairs land across it and how many
+    * verify as near-dups (Hamming <= 15) — the provenance table that shows
+    * which feeds re-syndicate each other's content, and which sources are
+    * internally boilerplate-heavy (the diagonal). Reference pipelines
+    * audit exactly this before deciding which source "owns" a duplicate.
+    * Same 4×15-bit md5 SimHash bands + skew cap as [[dedupSimhashBanded]]
+    * — bucket-keyed join, work scales with collisions; the source labels
+    * ride the band join as payload, so no corpus join-back. Output is
+    * O(sources²) rows at any corpus size.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.simhashMd5
+    // one scan: the fingerprint and the source label come off the same
+    // projection (simhashMd5Fps would drop the payload column)
+    val base = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), simhashMd5(col("text")).as("fp"), col("source"))
+    val bandKeys = array((0 until 4).map(b =>
+      lit(b.toLong * 32768L) +
+        shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
+    val banded = base.select(col("doc_id"), col("fp"), col("source"),
+      explode(bandKeys).as("band"))
+    val pairs = prunedBandPairs(banded, Seq("fp", "source"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("d"),
+        least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b"))
+      .distinct()
+    pairs.groupBy(col("src_a").as("source_a"), col("src_b").as("source_b"))
+      .agg(count(lit(1)).as("candidate_pairs"),
+        count(when(col("d") <= 15, 1)).as("near_pairs"),
+        min("d").as("min_hamming"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Distribution drift between the two time halves of the event stream,
+    * as the Population Stability Index over 10 equal-width bins calibrated
+    * on the REFERENCE (first) half — the standard production-monitoring
+    * gate ("PSI > 0.2 ⇒ investigate") a data pipeline runs before trusting
+    * a new ingest window. Two O(1)-row aggregates (time midpoint, then
+    * reference min/max) broadcast into ONE binned count pass over the
+    * corpus; the PSI arithmetic runs on the 10-row bin frame. Laplace-style
+    * smoothing (+0.5 per bin) keeps ln finite for empty bins. All doubles
+    * are IEEE-identical across engines; ln agrees to the rounded 6 digits.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val p = s"$dir/events.parquet"
+    val e = fanOut(spark.read.parquet(p), p)
+    val base = e.select(Relational.epochMicros(e, "ts").as("ts_us"),
+      col("value")).cache()
+    val mid = base.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      .select(expr("t0 + (t1 - t0) DIV 2").as("mid"))
+    val halves = base.crossJoin(broadcast(mid))
+      .select(when(col("ts_us") <= col("mid"), lit("ref"))
+        .otherwise(lit("cur")).as("half"), col("value"))
+    val bounds = halves.filter(col("half") === "ref")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .select(col("lo"), ((col("hi") - col("lo")) / 10.0d).as("w"))
+    val binned = halves.crossJoin(broadcast(bounds))
+      .select(col("half"),
+        when(col("w") === 0.0d, lit(0L)).otherwise(
+          least(greatest(floor((col("value") - col("lo")) / col("w")),
+            lit(0.0d)), lit(9.0d)).cast(LongType)).as("bin"))
+      .groupBy("bin")
+      .agg(count(when(col("half") === "ref", 1)).as("n_ref"),
+        count(when(col("half") === "cur", 1)).as("n_cur"))
+    // full 0..9 spine: a bin empty on both sides must still report its
+    // smoothed contribution
+    val spine = spark.range(10).select(col("id").as("bin"))
+    val filled = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = filled.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val result = filled.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + lit(0.5d)) / (col("tr") + lit(5.0d))).as("p"),
+        ((col("n_cur") + lit(0.5d)) / (col("tc") + lit(5.0d))).as("q"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .as("psi_contrib"))
+      .orderBy("bin")
+    materializeAndRelease(result, base)
+  }
+
+  /** Fuzzy (edit-distance) near-dup: banded-SimHash candidate generation
+    * verified by Levenshtein distance on a 200-char prefix — the
+    * character-level fuzzy-matching family (OCR noise, small template
+    * edits) that token-set measures like Jaccard under-detect. Candidates
+    * come from the same 4×15-bit md5 SimHash bands as
+    * [[dedupSimhashBanded]] (bucket-keyed join, 1000-cap skew guard), so
+    * the quadratic edit-distance kernel only runs on band collisions —
+    * O(collisions · L²) with L capped at 200, never all-pairs. Reports the
+    * 10 closest candidate pairs (distance asc, id tiebreaks) with a
+    * normalized similarity ratio.
+    */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.simhashMd5
+    val base = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), simhashMd5(col("text")).as("fp"),
+        substring(col("text"), 1, 200).as("pre"))
+    val bandKeys = array((0 until 4).map(b =>
+      lit(b.toLong * 32768L) +
+        shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
+    val banded = base.select(col("doc_id"), col("pre"),
+      explode(bandKeys).as("band"))
+    val maxLen = greatest(length(col("pre_a")), length(col("pre_b")))
+    val pairs = prunedBandPairs(banded, Seq("pre"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pre_a"), col("pre_b")).cast(LongType).as("dist"),
+        when(maxLen === 0, lit(1.0d)).otherwise(
+          round(lit(1.0d) - levenshtein(col("pre_a"), col("pre_b"))
+            .cast(DoubleType) / maxLen, 4)).as("sim_ratio"))
+      .distinct()
+    pairs.orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
+  }
+
+  /** Embedding-level train/eval decontamination — the semantic cousin of
+    * the n-gram [[contaminationCheck]]: an eval item is contaminated if
+    * any train vector sits within cosine >= 0.4 of it. Candidates route
+    * through the same top-2 IVF centroid buckets as
+    * [[dedupEmbeddingBanded]] (centroids are data — `vec_id % 50 == 3`,
+    * all on the train side by construction — so the whole candidate set is
+    * oracle-reproducible); the train side of each bucket carries the
+    * 1000-cap skew guard. Work is O(n · bucket), the eval×train join key
+    * is the bucket — never an all-pairs scan. At a real deployment the
+    * threshold and the centroid sample are the tuning knobs; the companion
+    * n-gram check catches verbatim leaks, this catches paraphrase-level
+    * leaks.
+    */
+  def contaminationEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val e = normalized(spark, dir).cache()
+    val evalSide = e.filter(col("vec_id") % 10 === 7)
+    val trainSide = e.filter(col("vec_id") % 10 =!= 7)
+    val cents = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val tb = graft.operators.VectorIndex.assignTop2(trainSide, cents)
+      .select(col("vec_id").as("train_id"), col("bucket"), col("nv").as("tv"))
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("_bc") <= 1000).drop("_bc")
+    val qb = graft.operators.VectorIndex.assignTop2(evalSide, cents)
+      .select(col("vec_id").as("eval_id"), col("bucket"), col("nv").as("ev"))
+    val scored = qb.join(tb, Seq("bucket"))
+      .select(col("eval_id"), col("train_id"),
+        round(vecDot(col("ev"), col("tv")), 4).as("cos"))
+    val result = evalSide.agg(count(lit(1)).as("n_eval"))
+      .crossJoin(trainSide.agg(count(lit(1)).as("n_train")))
+      .crossJoin(scored.agg(
+        countDistinct(col("eval_id"), col("train_id")).as("candidate_pairs"),
+        countDistinct(when(col("cos") >= 0.4, col("eval_id")))
+          .as("n_contaminated")))
+      .select(col("n_eval"), col("n_train"), col("candidate_pairs"),
+        col("n_contaminated"),
+        round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4)
+          .as("contamination_rate"))
+    materializeAndRelease(result, e)
   }
 
   private type Column = org.apache.spark.sql.Column

@@ -747,4 +747,83 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) === rows.head.getLong(1)),
       "every dimension sees every vector")
   }
+
+  test("corpus_card: one row per source, consistent counts and quantiles") {
+    val rows = TrainingData.corpusCard(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    assert(rows.map(r => r.getLong(1)).sum === 500L, "sources partition docs")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_distinct <= n_docs")
+      val dupRate = r.getDouble(3)
+      assert(dupRate >= 0.0 && dupRate <= 1.0)
+      assert(r.getDouble(6) <= r.getDouble(7), "p50 <= p90")
+      val share = r.getDouble(9)
+      assert(share > 0.0 && share <= 1.0, "top_lang_share in (0,1]")
+    }
+  }
+
+  test("source_dup_matrix: unordered pairs, near subset of candidates") {
+    val rows = TrainingData.sourceDupMatrix(spark, sf).collect()
+    assert(rows.nonEmpty, "band collisions must exist on the dedup corpus")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "pair key is unordered")
+      assert(r.getLong(3) <= r.getLong(2), "near_pairs <= candidate_pairs")
+      assert(r.getLong(4) >= 0L, "min_hamming >= 0")
+    }
+  }
+
+  test("drift_psi: full 10-bin spine, counts partition events, finite psi") {
+    val rows = TrainingData.driftPsi(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L).toSeq)
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nEvents,
+      "ref + cur partition the event stream")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0, "smoothed p_ref")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0, "smoothed p_cur")
+      assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite,
+        "smoothing keeps every contribution finite")
+      assert(r.getDouble(5) >= -1e-9, "(p-q)*ln(p/q) is non-negative")
+    }
+  }
+
+  test("dedup_fuzzy: top-10 closest pairs, ordered, ratios in [0,1]") {
+    val rows = TrainingData.dedupFuzzy(spark, sf).collect()
+    assert(rows.length <= 10)
+    assert(rows.nonEmpty, "the dedup corpus has fuzzy candidates")
+    val dists = rows.map(_.getLong(2)).toSeq
+    assert(dists === dists.sorted, "ordered by distance asc")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "doc_a < doc_b")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("contamination_embedding: split partitions vectors, rate consistent") {
+    val r = TrainingData.contaminationEmbedding(spark, sf).collect().head
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r.getLong(0) + r.getLong(1) === nVecs, "eval + train partition")
+    assert(r.getLong(3) <= r.getLong(0), "contaminated <= eval")
+    val rate = r.getDouble(4)
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
+  test("sim_topk_diversified: clusters distinct per query, rank-1 matches IVF") {
+    val div = TrainingData.simTopkDiversified(spark, sf).collect()
+    val byQuery = div.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, g) =>
+      assert(g.length <= 5)
+      assert(g.map(_.getLong(3)).distinct.length === g.length,
+        s"query $q: at most one result per cluster")
+      val sims = g.sortBy(_.getLong(1)).map(_.getDouble(4)).toSeq
+      assert(sims === sims.sortBy(-_), "sim non-increasing in rank")
+    }
+    // the best overall candidate always survives cluster-dedup, so rank 1
+    // must agree with the plain IVF top-k
+    val ivfTop = TrainingData.simTopkIvf(spark, sf).collect()
+      .filter(_.getLong(1) === 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val divTop = div.filter(_.getLong(1) === 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(divTop === ivfTop, "rank-1 identical to the undiversified top-k")
+  }
 }

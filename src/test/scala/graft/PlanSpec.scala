@@ -39,7 +39,11 @@ class PlanSpec extends AnyFunSuite {
     // not apply to them
     val defaults = SparkEntry.queries.keys.filter(n =>
       n.startsWith("dedup_") && !n.endsWith("_verify") &&
-        !n.endsWith("_recall") && !n.endsWith("_stream"))
+        !n.endsWith("_recall") && !n.endsWith("_stream")) ++
+      // non-dedup operators whose candidate generation must stay banded /
+      // broadcast-bounded for the same reason
+      Seq("source_dup_matrix", "contamination_embedding",
+        "sim_topk_diversified", "corpus_card", "drift_psi")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
