@@ -160,6 +160,11 @@ object SparkEntry {
     "dedup_fuzzy" -> (TrainingData.dedupFuzzy _),
     "contamination_embedding" -> (TrainingData.contaminationEmbedding _),
     "sim_topk_diversified" -> (TrainingData.simTopkDiversified _),
+    // model-based quality filtering (NB classifier on weak labels, bigram
+    // LM scoring, BPE merge statistics)
+    "quality_nb_classifier" -> (TrainingData.qualityNbClassifier _),
+    "quality_bigram_logprob" -> (TrainingData.qualityBigramLogprob _),
+    "bpe_pair_stats" -> (TrainingData.bpePairStats _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -1549,6 +1554,88 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
         |  FROM dsel) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "quality_nb_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents WHERE text IS NOT NULL),
+        |lab AS (
+        |  SELECT doc_id, source, l,
+        |   (len(l) >= 20 AND len(l) <= 90
+        |    AND CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / len(l) >= 3.0
+        |    AND CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / len(l) <= 10.0
+        |    AND (CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END) >= 2
+        |    AND CAST(len(list_filter(l, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / len(l) >= 0.8) lbl
+        |  FROM d),
+        |dt AS (
+        |  SELECT doc_id, source, lbl, t token, count(*) k
+        |  FROM (SELECT doc_id, source, lbl, unnest(l) t FROM lab) x
+        |  GROUP BY 1, 2, 3, 4),
+        |ct AS (
+        |  SELECT token,
+        |   sum(CASE WHEN lbl THEN k ELSE 0 END) c_pass,
+        |   sum(CASE WHEN NOT lbl THEN k ELSE 0 END) c_fail
+        |  FROM dt GROUP BY token),
+        |tot AS (SELECT CAST(sum(c_pass) AS DOUBLE) np,
+        |        CAST(sum(c_fail) AS DOUBLE) nf,
+        |        CAST(count(*) AS DOUBLE) v FROM ct),
+        |pri AS (SELECT CAST(count(*) FILTER (WHERE lbl) AS DOUBLE) npd,
+        |        CAST(count(*) FILTER (WHERE NOT lbl) AS DOUBLE) nfd FROM lab),
+        |llr AS (
+        |  SELECT token,
+        |   ln((CAST(c_pass AS DOUBLE) + 1.0) / (np + v)) -
+        |   ln((CAST(c_fail AS DOUBLE) + 1.0) / (nf + v)) llr
+        |  FROM ct, tot),
+        |sc AS (
+        |  SELECT doc_id, source, lbl,
+        |   sum(CAST(k AS DOUBLE) * llr) + (SELECT ln(npd / nfd) FROM pri) score
+        |  FROM dt JOIN llr USING (token)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_docs,
+        | count(CASE WHEN lbl AND score > 0 THEN 1 END) AS n_tp,
+        | count(CASE WHEN NOT lbl AND score > 0 THEN 1 END) AS n_fp,
+        | count(CASE WHEN lbl AND NOT score > 0 THEN 1 END) AS n_fn,
+        | count(CASE WHEN NOT lbl AND NOT score > 0 THEN 1 END) AS n_tn,
+        | round(CAST(count(CASE WHEN lbl AND score > 0 THEN 1 END) +
+        |   count(CASE WHEN NOT lbl AND NOT score > 0 THEN 1 END) AS DOUBLE) /
+        |   count(*), 4) AS accuracy
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "quality_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents WHERE text IS NOT NULL),
+        |d2 AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
+        |db AS (
+        |  SELECT doc_id, w1, w2, count(*) k FROM (
+        |    SELECT doc_id, l[i] w1, l[i + 1] w2
+        |    FROM (SELECT doc_id, l, unnest(range(1, len(l))) i FROM d2) x) y
+        |  GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(k) cb FROM db GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cb) cu FROM cb GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) v FROM cu)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        | round(sum(CAST(k AS DOUBLE) * log10((CAST(cb AS DOUBLE) + 0.5) /
+        |   (CAST(cu AS DOUBLE) + 0.5 * v))) / CAST(sum(k) AS DOUBLE), 4)
+        |   AS avg_logprob
+        |FROM db JOIN cb USING (w1, w2) JOIN cu USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bpe_pair_stats" ->
+      """WITH wc AS (
+        |  SELECT t w, count(*) k FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
+        |    FROM documents WHERE text IS NOT NULL) x
+        |  GROUP BY t),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i, 2))) pair, k
+        |  FROM wc WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(k) AS BIGINT) AS freq
+        |FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
     "contamination_check" ->
       """WITH d AS (
         |  SELECT doc_id,

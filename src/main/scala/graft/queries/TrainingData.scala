@@ -3439,5 +3439,158 @@ object TrainingData {
     materializeAndRelease(result, e)
   }
 
+  // ------------------------------------------- model-based quality filtering
+
+  /** Shared Gopher-rule pass/fail expression over a token-array column —
+    * the weak label [[qualityNbClassifier]] trains against and the rules
+    * [[qualityGopher]] reports on (Rae et al. 2021 A1.1). Narrow HOFs
+    * only; no explode.
+    */
+  private def gopherPass(toks: Column): Column = {
+    val n = size(toks).cast(DoubleType)
+    val meanLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+      .cast(DoubleType) / n
+    val nStop = Seq("the", "a", "of", "and", "to")
+      .map(w => array_contains(toks, w).cast(IntegerType))
+      .reduce(_ + _)
+    val alphaFrac =
+      size(filter(toks, w => w.rlike("[a-z]"))).cast(DoubleType) / n
+    (n >= 20 && n <= 90) && (meanLen >= 3.0 && meanLen <= 10.0) &&
+      (nStop >= 2) && (alphaFrac >= 0.8)
+  }
+
+  /** Model-based quality classifier — the fastText-style filter every
+    * large pretraining pipeline runs (GPT-3 / LLaMA "quality classifier"
+    * stage), expressed relationally: train a Naive-Bayes bag-of-words
+    * model against a WEAK label (the Gopher structural screen,
+    * [[gopherPass]]), score every document by its token log-likelihood
+    * ratio + class prior, and report the per-source confusion between the
+    * learned model and the rules. In production the weak label comes from
+    * a curated seed set (e.g. reference-corpus pages); the training,
+    * scoring, and evaluation plumbing here is exactly that shape.
+    *
+    * Scale: ONE tokenize+explode collapsed to (doc, token, k) with
+    * map-side partials — that aggregate is the only corpus-sized shuffle;
+    * training counts are a vocabulary-sized rollup of it, scoring re-reads
+    * it through an equi-join on token (Zipf heads → AQE skew-join), and
+    * the confusion rollup is per-source. Add-1 smoothing keeps every
+    * log finite; no driver-side model object ever materializes — the
+    * "model" IS the llr frame.
+    */
+  def qualityNbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // cached: feeds the (doc, token, k) collapse AND the doc-count priors
+    // — without it the prior aggregate re-runs the corpus scan
+    val labeled = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        gopherPass(F.tokens(col("text"))).as("label"),
+        F.tokens(col("text")).as("toks"))
+      .cache()
+    val docTok = labeled
+      .select(col("doc_id"), col("source"), col("label"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "source", "label", "token")
+      .agg(count(lit(1)).as("k"))
+      .cache()
+    val classTok = docTok.groupBy("token").agg(
+      sum(when(col("label"), col("k")).otherwise(0L)).as("c_pass"),
+      sum(when(!col("label"), col("k")).otherwise(0L)).as("c_fail"))
+    val totals = classTok.agg(
+      sum("c_pass").cast(DoubleType).as("np"),
+      sum("c_fail").cast(DoubleType).as("nf"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    val priors = labeled.agg(
+      count(when(col("label"), 1)).cast(DoubleType).as("npd"),
+      count(when(!col("label"), 1)).cast(DoubleType).as("nfd"))
+    val llr = classTok.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (log((col("c_pass").cast(DoubleType) + 1.0d) / (col("np") + col("v"))) -
+          log((col("c_fail").cast(DoubleType) + 1.0d) / (col("nf") + col("v"))))
+          .as("llr"))
+    val scored = docTok.join(llr, Seq("token"))
+      .groupBy("doc_id", "source", "label")
+      .agg(sum(col("k").cast(DoubleType) * col("llr")).as("s"))
+      .crossJoin(broadcast(priors))
+      .select(col("source"), col("label"),
+        (col("s") + log(col("npd") / col("nfd"))).as("score"))
+    val result = scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("label") && col("score") > 0, 1)).as("n_tp"),
+      count(when(!col("label") && col("score") > 0, 1)).as("n_fp"),
+      count(when(col("label") && !(col("score") > 0), 1)).as("n_fn"),
+      count(when(!col("label") && !(col("score") > 0), 1)).as("n_tn"))
+      .withColumn("accuracy",
+        round((col("n_tp") + col("n_tn")).cast(DoubleType) / col("n_docs"), 4))
+      .orderBy("source")
+    materializeAndRelease(result, labeled, docTok)
+  }
+
+  /** Bigram-LM quality score — one Markov order up from
+    * [[qualityUnigramLogprob]], the closest SQL-expressible analogue of
+    * the KenLM-perplexity filter (CCNet): every document scored by the
+    * occurrence-weighted mean log10 P(w_i | w_{i-1}) under the corpus's
+    * own add-0.5-smoothed bigram model. Low scores flag unusually-worded
+    * documents (the drop candidates); the unigram score misses local
+    * word-order garbling that this catches.
+    *
+    * Scale: the (doc, w1, w2, k) collapse is the one corpus-sized shuffle
+    * (map-side partials); the bigram- and unigram-count tables are
+    * vocabulary-sized rollups of it; scoring is equi-joins on (w1, w2)
+    * and w1 (Zipf-head skew → AQE). Smoothing denominators broadcast as a
+    * 1-row frame. Documents under 2 tokens have no bigrams and are
+    * excluded by construction.
+    */
+  def qualityBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val docBi = base.select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .cache()
+    // history counts derive from the SAME bigram table (cu = Σ_w2 cb), so
+    // P(w2|w1) is the properly-normalized smoothed conditional AND the
+    // corpus is tokenized exactly once; V = distinct histories
+    val biCounts = docBi.groupBy("w1", "w2").agg(sum("k").as("cb"))
+    val uniCounts = biCounts.groupBy("w1").agg(sum("cb").as("cu"))
+    val vocab = uniCounts.agg(count(lit(1)).cast(DoubleType).as("v"))
+    val result = docBi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        round(sum(col("k").cast(DoubleType) *
+          log10((col("cb").cast(DoubleType) + 0.5d) /
+            (col("cu").cast(DoubleType) + col("v") * 0.5d))) /
+          sum("k"), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+    materializeAndRelease(result, docBi)
+  }
+
+  /** First-round BPE merge-pair statistics (Sennrich et al. 2016): the 20
+    * most frequent adjacent character pairs inside corpus tokens — the
+    * candidates the first merge of a BPE tokenizer build would pick, with
+    * the classic word-frequency compression: pairs are counted once per
+    * DISTINCT word and weighted by the word's corpus count, so the
+    * character-level pass runs over the vocabulary, not the corpus. After
+    * the one corpus-sized token count, everything is vocabulary-sized;
+    * iterating merges (re-pair + recount per round) keeps that property —
+    * this query exposes round 1, the shape of every round.
+    */
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val wordCounts = docs(spark, dir).filter(col("text").isNotNull)
+      .select(explode(F.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("k"))
+    wordCounts.filter(length(col("w")) >= 2)
+      .select(col("k"),
+        explode(expr("transform(sequence(1, length(w) - 1), " +
+          "i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("k").as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(20)
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -826,4 +826,47 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(divTop === ivfTop, "rank-1 identical to the undiversified top-k")
   }
+
+  test("quality_nb_classifier: confusion partitions docs, accuracy sane") {
+    val rows = TrainingData.qualityNbClassifier(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === 500L, "every doc is classified")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        === r.getLong(1), "tp+fp+fn+tn == n_docs")
+      val acc = r.getDouble(6)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // trained and evaluated on the same weak labels: the model must beat
+    // chance overall (it reproduces its own training signal)
+    val correct = rows.map(r => r.getLong(2) + r.getLong(5)).sum
+    assert(correct.toDouble / total > 0.5, "NB reproduces its weak labels")
+  }
+
+  test("quality_bigram_logprob: one row per multi-token doc, negative logprobs") {
+    val rows = TrainingData.qualityBigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L, "n_bigrams >= 1")
+      assert(r.getDouble(2) < 0.0, "smoothed conditional P < 1 everywhere")
+    }
+    // n_bigrams per doc == n_tokens - 1
+    import org.apache.spark.sql.functions._
+    val tokCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === tokCounts.size)
+    rows.foreach(r =>
+      assert(r.getLong(1) === tokCounts(r.getLong(0)) - 1L))
+  }
+
+  test("bpe_pair_stats: exactly top-20 two-char pairs, non-increasing") {
+    val rows = TrainingData.bpePairStats(spark, sf).collect()
+    assert(rows.length === 20)
+    val freqs = rows.map(_.getLong(1)).toSeq
+    assert(freqs === freqs.sortBy(-_), "ordered by frequency desc")
+    assert(rows.forall(_.getString(0).length === 2), "adjacent char pairs")
+  }
 }

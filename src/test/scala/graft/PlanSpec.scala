@@ -43,7 +43,8 @@ class PlanSpec extends AnyFunSuite {
       // non-dedup operators whose candidate generation must stay banded /
       // broadcast-bounded for the same reason
       Seq("source_dup_matrix", "contamination_embedding",
-        "sim_topk_diversified", "corpus_card", "drift_psi")
+        "sim_topk_diversified", "corpus_card", "drift_psi",
+        "quality_nb_classifier", "quality_bigram_logprob", "bpe_pair_stats")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
