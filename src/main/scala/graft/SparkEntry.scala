@@ -157,6 +157,11 @@ object SparkEntry {
     "corpus_card" -> (TrainingData.corpusCard _),
     "source_dup_matrix" -> (TrainingData.sourceDupMatrix _),
     "drift_psi" -> (TrainingData.driftPsi _),
+    // the streaming twin replayed over the current half (AvailableNow) —
+    // row-identical to drift_psi by construction, shares its oracle
+    "drift_psi_stream" -> (TrainingData.driftPsiStream _),
+    "q28_event_funnel" -> (Relational.q28EventFunnel _),
+    "q29_cohort_retention" -> (Relational.q29CohortRetention _),
     "dedup_fuzzy" -> (TrainingData.dedupFuzzy _),
     "contamination_embedding" -> (TrainingData.contaminationEmbedding _),
     "sim_topk_diversified" -> (TrainingData.simTopkDiversified _),
@@ -180,6 +185,49 @@ object SparkEntry {
     s"CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) >= 0" +
       s" THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+
+  /** Shared oracle for the PSI drift pair: `drift_psi` (batch) and
+    * `drift_psi_stream` (the AvailableNow replay through the streaming
+    * monitor) are row-identical by construction, so one relational
+    * recomputation checks both.
+    */
+  private val driftPsiSql: String =
+    """WITH base AS (SELECT epoch_us(ts) ts_us, value FROM events),
+      |mid AS (
+      |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 mid FROM base),
+      |halves AS (
+      |  SELECT CASE WHEN ts_us <= (SELECT mid FROM mid)
+      |    THEN 'ref' ELSE 'cur' END half, value FROM base),
+      |bounds AS (
+      |  SELECT min(value) lo, (max(value) - min(value)) / 10.0 w
+      |  FROM halves WHERE half = 'ref'),
+      |binned AS (
+      |  SELECT half,
+      |   CASE WHEN (SELECT w FROM bounds) = 0 THEN 0
+      |    ELSE CAST(least(greatest(floor(
+      |      (value - (SELECT lo FROM bounds)) / (SELECT w FROM bounds)),
+      |      0), 9) AS BIGINT) END bin
+      |  FROM halves),
+      |counts AS (
+      |  SELECT bin, count(*) FILTER (WHERE half = 'ref') n_ref,
+      |   count(*) FILTER (WHERE half = 'cur') n_cur
+      |  FROM binned GROUP BY bin),
+      |filled AS (
+      |  SELECT s.bin, CAST(COALESCE(c.n_ref, 0) AS BIGINT) n_ref,
+      |   CAST(COALESCE(c.n_cur, 0) AS BIGINT) n_cur
+      |  FROM (SELECT unnest(range(10)) bin) s
+      |  LEFT JOIN counts c USING (bin)),
+      |tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) tr,
+      |        CAST(sum(n_cur) AS DOUBLE) tc FROM filled),
+      |pq AS (
+      |  SELECT bin, n_ref, n_cur,
+      |   (CAST(n_ref AS DOUBLE) + 0.5) / (tr + 5.0) p,
+      |   (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0) q
+      |  FROM filled, tot)
+      |SELECT bin, n_ref, n_cur,
+      | round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+      | round((p - q) * ln(p / q), 6) AS psi_contrib
+      |FROM pq ORDER BY bin""".stripMargin
 
   /** Shared recursive-CTE prefix reproducing TrainingData.dupClusterLabels
     * (MinHash bands -> Jaccard-verified edges -> transitive closure ->
@@ -1411,43 +1459,36 @@ object SparkEntry {
         | count(CASE WHEN d <= 15 THEN 1 END) AS near_pairs,
         | CAST(min(d) AS BIGINT) AS min_hamming
         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "drift_psi" ->
-      """WITH base AS (SELECT epoch_us(ts) ts_us, value FROM events),
-        |mid AS (
-        |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 mid FROM base),
-        |halves AS (
-        |  SELECT CASE WHEN ts_us <= (SELECT mid FROM mid)
-        |    THEN 'ref' ELSE 'cur' END half, value FROM base),
-        |bounds AS (
-        |  SELECT min(value) lo, (max(value) - min(value)) / 10.0 w
-        |  FROM halves WHERE half = 'ref'),
-        |binned AS (
-        |  SELECT half,
-        |   CASE WHEN (SELECT w FROM bounds) = 0 THEN 0
-        |    ELSE CAST(least(greatest(floor(
-        |      (value - (SELECT lo FROM bounds)) / (SELECT w FROM bounds)),
-        |      0), 9) AS BIGINT) END bin
-        |  FROM halves),
-        |counts AS (
-        |  SELECT bin, count(*) FILTER (WHERE half = 'ref') n_ref,
-        |   count(*) FILTER (WHERE half = 'cur') n_cur
-        |  FROM binned GROUP BY bin),
-        |filled AS (
-        |  SELECT s.bin, CAST(COALESCE(c.n_ref, 0) AS BIGINT) n_ref,
-        |   CAST(COALESCE(c.n_cur, 0) AS BIGINT) n_cur
-        |  FROM (SELECT unnest(range(10)) bin) s
-        |  LEFT JOIN counts c USING (bin)),
-        |tot AS (SELECT CAST(sum(n_ref) AS DOUBLE) tr,
-        |        CAST(sum(n_cur) AS DOUBLE) tc FROM filled),
-        |pq AS (
-        |  SELECT bin, n_ref, n_cur,
-        |   (CAST(n_ref AS DOUBLE) + 0.5) / (tr + 5.0) p,
-        |   (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0) q
-        |  FROM filled, tot)
-        |SELECT bin, n_ref, n_cur,
-        | round(p, 6) AS p_ref, round(q, 6) AS p_cur,
-        | round((p - q) * ln(p / q), 6) AS psi_contrib
-        |FROM pq ORDER BY bin""".stripMargin,
+    "drift_psi" -> driftPsiSql,
+    "drift_psi_stream" -> driftPsiSql,
+    "q28_event_funnel" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) tus FROM events),
+        |v AS (SELECT user_id, min(tus) t_view FROM b
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT b.user_id, min(tus) t_click FROM b JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > t_view GROUP BY 1),
+        |p AS (SELECT b.user_id, min(tus) t_purchase FROM b JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > t_click GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM b) AS n_users,
+        | (SELECT count(*) FROM v) AS n_view,
+        | (SELECT count(*) FROM c) AS n_view_click,
+        | (SELECT count(*) FROM p) AS n_full_funnel,
+        | round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
+        |   (SELECT count(*) FROM v), 4) AS funnel_rate""".stripMargin,
+    "q29_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) cw FROM wk GROUP BY 1),
+        |sizes AS (SELECT cw, count(*) cohort_users FROM cohort GROUP BY 1),
+        |ret AS (
+        |  SELECT c.cw, w.wk - c.cw week_offset, count(DISTINCT w.user_id) n_active
+        |  FROM wk w JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT r.cw AS cohort_week, r.week_offset, r.n_active, s.cohort_users,
+        | round(CAST(r.n_active AS DOUBLE) / s.cohort_users, 4) AS retention
+        |FROM ret r JOIN sizes s USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH tok AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h

@@ -677,4 +677,65 @@ object Relational {
         min("k").as("min_k"),
         max("k").as("max_k"))
       .orderBy("event_type")
+
+  /** Ordered conversion funnel view → click → purchase: users counted at a
+    * stage only if they performed it strictly AFTER their entry into the
+    * previous stage (the product-analytics "ordered funnel", not the
+    * unordered per-type distinct count). Each stage is a per-user min-time
+    * aggregate chained through an equi-join on user_id — map-side-combined
+    * aggregations over fine-grained keys, no windows, no self-join
+    * explosion: stage N's frame never exceeds one row per surviving user.
+    * Micro-precision integer event times ([[epochMicros]]) keep the
+    * strict-after comparisons exact cross-engine.
+    */
+  def q28EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val base = e.select(col("user_id"), col("event_type"),
+      epochMicros(e).as("tus"))
+    val v = base.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t_view"))
+    val c = base.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("tus") > col("t_view"))
+      .groupBy("user_id").agg(min("tus").as("t_click"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("tus") > col("t_click"))
+      .groupBy("user_id").agg(min("tus").as("t_purchase"))
+    base.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        round(col("n_full_funnel").cast(DoubleType) / col("n_view"), 4)
+          .as("funnel_rate"))
+  }
+
+  /** Weekly cohort retention: users grouped by the epoch-week of their
+    * FIRST event; for each (cohort, week offset), how many of the cohort
+    * were active — the retention triangle every product warehouse
+    * publishes. Weeks are integer epoch-microsecond divisions (floor by
+    * 7-day micros), not calendar `date_trunc`, so both engines bucket
+    * identically with pure integer math (no week-start convention drift).
+    * Two fine-grained aggregates ((user) first-week, (user, week)
+    * activity) + an equi-join on user_id; output is
+    * O(cohorts × offsets) at any event volume.
+    */
+  def q29CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = t(spark, dir, "events")
+    val wk = e.select(col("user_id"), epochMicros(e).as("tus"))
+      .selectExpr("user_id", s"tus DIV ${weekUs}L AS wk")
+    val active = wk.distinct()
+    val cohort = active.groupBy("user_id").agg(min("wk").as("cw"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_users"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cw"))
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_users"),
+        round(col("n_active").cast(DoubleType) / col("cohort_users"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -3351,8 +3351,17 @@ object TrainingData {
     val filled = spine.join(binned, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    materializeAndRelease(psiFromFilled(filled), base)
+  }
+
+  /** PSI projection over a (bin, n_ref, n_cur) frame — the shared tail of
+    * [[driftPsi]] and its streaming twin [[driftPsiStream]], so both emit
+    * bit-identical smoothing/log arithmetic and ONE DuckDB oracle serves
+    * the pair.
+    */
+  private def psiFromFilled(filled: DataFrame): DataFrame = {
     val totals = filled.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
-    val result = filled.crossJoin(broadcast(totals))
+    filled.crossJoin(broadcast(totals))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         ((col("n_ref") + lit(0.5d)) / (col("tr") + lit(5.0d))).as("p"),
         ((col("n_cur") + lit(0.5d)) / (col("tc") + lit(5.0d))).as("q"))
@@ -3361,7 +3370,77 @@ object TrainingData {
         round((col("p") - col("q")) * log(col("p") / col("q")), 6)
           .as("psi_contrib"))
       .orderBy("bin")
-    materializeAndRelease(result, base)
+  }
+
+  /** Driver-side reference calibration for the streaming PSI twin: the
+    * time midpoint, the reference-half bin bounds, and the 10 reference
+    * bin counts. Three tiny aggregates over the event scan (1-row / 10-row
+    * collects — bounded by construction); a deployment would persist these
+    * once per calibration window rather than recompute per stream start.
+    */
+  private def driftRef(spark: SparkSession,
+                       dir: String): (Long, Double, Double, Array[Long]) = {
+    val p = s"$dir/events.parquet"
+    val e = fanOut(spark.read.parquet(p), p)
+    val base = e.select(Relational.epochMicros(e, "ts").as("ts_us"),
+      col("value"))
+    val mid = base.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      .selectExpr("t0 + (t1 - t0) DIV 2 AS mid").collect().head.getLong(0)
+    val ref = base.filter(col("ts_us") <= mid).cache()
+    val Array(lo, w) = ref.agg(min("value").as("lo"), max("value").as("hi"))
+      .selectExpr("lo", "(hi - lo) / 10.0 AS w").collect().head match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val binExpr = if (w == 0.0d) lit(0L) else
+      least(greatest(floor((col("value") - lit(lo)) / lit(w)), lit(0.0d)),
+        lit(9.0d)).cast(LongType)
+    val counts = ref.select(binExpr.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    ref.unpersist()
+    (mid, lo, w, (0 until 10).map(b => counts.getOrElse(b, 0L)).toArray)
+  }
+
+  /** Streaming↔batch PSI-drift equivalence, oracle-checked: replays the
+    * CURRENT half of the event stream through the real watermarked
+    * [[graft.streaming.StreamingPipeline.streamingDriftPsi]] operator
+    * (reference proportions calibrated offline by [[driftRef]], constant
+    * event time -> one window, Complete output over the bounded
+    * AvailableNow replay), then feeds the window's 10 bin counters through
+    * the SAME [[psiFromFilled]] tail as the batch operator — so the result
+    * must be row-identical to [[driftPsi]] and shares its DuckDB oracle
+    * verbatim. Proves the streaming monitor's binning and counting MATH,
+    * not just its plumbing.
+    */
+  def driftPsiStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val (mid, lo, w, nRef) = driftRef(spark, dir)
+    val tr = nRef.sum.toDouble
+    val refProps = (0 until 10).map(b => (nRef(b) + 0.5d) / (tr + 5.0d))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val srcRaw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val cur = srcRaw.filter(Relational.epochMicros(srcRaw, "ts") > lit(mid))
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast(TimestampType))
+    val mon = graft.streaming.StreamingPipeline
+      .streamingDriftPsi(cur, lo, w, refProps)
+    val sink = "drift_psi_stream_sink"
+    val q = mon.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val row = spark.table(sink).collect().head
+    spark.catalog.dropTempView(sink)
+    val nCur = (0 until 10).map(b => row.getAs[Long](s"n$b"))
+    val filled = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 10).map(b =>
+          org.apache.spark.sql.Row(b.toLong, nRef(b), nCur(b))), 1),
+      StructType(Seq(StructField("bin", LongType, nullable = false),
+        StructField("n_ref", LongType, nullable = false),
+        StructField("n_cur", LongType, nullable = false))))
+    psiFromFilled(filled)
   }
 
   /** Fuzzy (edit-distance) near-dup: banded-SimHash candidate generation

@@ -331,6 +331,50 @@ object StreamingPipeline {
         col("quality_rate"))
   }
 
+  /** Streaming PSI drift monitor — the streaming twin of the batch
+    * `drift_psi` operator: equal-width bin counts of the live `value`
+    * stream per event-time window, scored against REFERENCE bin
+    * proportions calibrated offline (they compile into the plan as 10
+    * literals — no stream-static join, no extra state). The bins are a
+    * FIXED 10-slot spine, so the per-window counters are 10 conditional
+    * counts inside ONE watermarked windowed aggregation and the PSI is a
+    * pure projection over those columns — Structured Streaming would
+    * reject a second stateful aggregation, and none is needed. State per
+    * open window: 10 longs; total state is bounded by window horizon ×
+    * lateness no matter the feed rate. Emits the raw counters alongside
+    * the smoothed PSI so downstream alerting can re-slice without
+    * replaying.
+    */
+  def streamingDriftPsi(events: DataFrame,
+                        refLo: Double,
+                        refW: Double,
+                        refProps: Seq[Double],
+                        windowLength: String = "1 hour",
+                        lateness: String = "10 minutes"): DataFrame = {
+    require(refProps.length == 10, "reference must carry 10 bin proportions")
+    val bin =
+      if (refW == 0.0d) lit(0L)
+      else least(greatest(floor((col("value") - lit(refLo)) / lit(refW)),
+        lit(0.0d)), lit(9.0d)).cast("long")
+    val aggs = (0 until 10).map(b =>
+      count(when(col("bin") === b, 1)).as(s"n$b"))
+    val counts = events
+      .withColumn("bin", bin)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    val total = (0 until 10).map(b => col(s"n$b")).reduce(_ + _)
+    val psi = (0 until 10).map { b =>
+      val q = (col(s"n$b").cast("double") + lit(0.5d)) /
+        (total.cast("double") + lit(5.0d))
+      val p = lit(refProps(b))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    counts.select((col("window.start").as("window_start") +:
+      (0 until 10).map(b => col(s"n$b"))) ++
+      Seq(total.cast("long").as("n_events"), round(psi, 6).as("psi")): _*)
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch `dedup_exact`
     * operator: a document is dropped when its content hash was already seen
     * within the watermark horizon. State holds ONLY the 16-byte md5 keys

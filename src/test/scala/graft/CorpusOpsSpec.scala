@@ -862,6 +862,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getLong(1) === tokCounts(r.getLong(0)) - 1L))
   }
 
+  test("drift_psi_stream: row-identical to the batch drift monitor") {
+    val batch = TrainingData.driftPsi(spark, sf).collect().toSeq
+    val stream = TrainingData.driftPsiStream(spark, sf).collect().toSeq
+    assert(stream === batch,
+      "AvailableNow replay through the streaming monitor equals batch PSI")
+  }
+
+  test("q28_event_funnel: stage counts are monotone non-increasing") {
+    val r = graft.queries.Relational.q28EventFunnel(spark, sf).collect().head
+    assert(r.getLong(0) >= r.getLong(1), "n_users >= n_view")
+    assert(r.getLong(1) >= r.getLong(2), "n_view >= n_view_click")
+    assert(r.getLong(2) >= r.getLong(3), "n_view_click >= n_full_funnel")
+    val rate = r.getDouble(4)
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
+  test("q29_cohort_retention: offset-0 retention is exactly 1 per cohort") {
+    val rows = graft.queries.Relational.q29CohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L, "week_offset >= 0")
+      assert(r.getLong(2) <= r.getLong(3), "active <= cohort size")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // every user is active in their own first week by definition
+    rows.filter(_.getLong(1) === 0L).foreach(r =>
+      assert(r.getLong(2) === r.getLong(3), "offset 0 retains the full cohort"))
+  }
+
   test("bpe_pair_stats: exactly top-20 two-char pairs, non-increasing") {
     val rows = TrainingData.bpePairStats(spark, sf).collect()
     assert(rows.length === 20)

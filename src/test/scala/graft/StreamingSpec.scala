@@ -489,4 +489,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(last.getLong(1) == 3 && last.getDouble(2) == 10.0)
   }
+
+  test("streaming PSI drift: fixed-spine bin counters, clamped bins, smoothed psi") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    // uniform reference over [0, 10) with bin width 1
+    val mon = StreamingPipeline.streamingDriftPsi(
+      df, refLo = 0.0, refW = 1.0, refProps = Seq.fill(10)(0.1))
+    val q = mon.writeStream.format("memory").queryName("psi_mon")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 9.5),
+      (Timestamp.valueOf("2026-01-01 10:06:00"), 9.7),
+      (Timestamp.valueOf("2026-01-01 10:07:00"), 42.0)) // clamps to bin 9
+    q.processAllAvailable()
+    // second micro-batch lands in the same open window (Complete output)
+    mem.addData((Timestamp.valueOf("2026-01-01 10:08:00"), 0.5))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from psi_mon").collect()
+    q.stop()
+    assert(rows.length == 1, "one open hour window")
+    val r = rows.head
+    assert(r.getAs[Long]("n9") == 3L, "out-of-range value clamps into bin 9")
+    assert(r.getAs[Long]("n0") == 1L)
+    assert(r.getAs[Long]("n_events") == 4L, "counters accumulate across batches")
+    val psi = r.getAs[Double]("psi")
+    assert(!psi.isNaN && psi > 0.1,
+      "stream concentrated in one bin must drift against a uniform reference")
+  }
 }
