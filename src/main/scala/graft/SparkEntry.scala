@@ -162,6 +162,10 @@ object SparkEntry {
     "drift_psi_stream" -> (TrainingData.driftPsiStream _),
     "q28_event_funnel" -> (Relational.q28EventFunnel _),
     "q29_cohort_retention" -> (Relational.q29CohortRetention _),
+    // data-quality family: column profiling, behavior transitions, FK audit
+    "profile_table" -> (Relational.profileTable _),
+    "q30_event_transitions" -> (Relational.q30EventTransitions _),
+    "q31_ref_integrity" -> (Relational.q31RefIntegrity _),
     "dedup_fuzzy" -> (TrainingData.dedupFuzzy _),
     "contamination_embedding" -> (TrainingData.contaminationEmbedding _),
     "sim_topk_diversified" -> (TrainingData.simTopkDiversified _),
@@ -228,6 +232,19 @@ object SparkEntry {
       | round(p, 6) AS p_ref, round(q, 6) AS p_cur,
       | round((p - q) * ln(p / q), 6) AS psi_contrib
       |FROM pq ORDER BY bin""".stripMargin
+
+  /** Per-column profile oracle generated from the SAME column list the
+    * Spark operator profiles ([[graft.queries.Relational.ProfileColumns]])
+    * so the two sides cannot drift.
+    */
+  private val profileTableSql: String =
+    graft.queries.Relational.ProfileColumns.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         | count(*) - count($c) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_value,
+         | CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   /** Shared recursive-CTE prefix reproducing TrainingData.dupClusterLabels
     * (MinHash bands -> Jaccard-verified edges -> transitive closure ->
@@ -1489,6 +1506,34 @@ object SparkEntry {
         | round(CAST(r.n_active AS DOUBLE) / s.cohort_users, 4) AS retention
         |FROM ret r JOIN sizes s USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "profile_table" -> profileTableSql,
+    "q30_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |   lag(event_type) OVER (
+        |     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) prev
+        |  FROM events),
+        |c AS (SELECT prev from_type, event_type to_type, count(*) n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, sum(n) n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | round(CAST(c.n AS DOUBLE) / f.n_from, 4) AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q31_ref_integrity" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem) AS n_lineitem,
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |   AS orphan_lineitems,
+        | (SELECT count(*) FROM orders) AS n_orders,
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |   AS orphan_orders,
+        | (SELECT count(*) FROM customer) AS n_customers,
+        | (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |   AS childless_customers""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH tok AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h

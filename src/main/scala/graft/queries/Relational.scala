@@ -738,4 +738,89 @@ object Relational {
           .as("retention"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Columns profiled by [[profileTable]] — shared with the oracle-SQL
+    * generator so the two sides can never drift.
+    */
+  private[graft] val ProfileColumns = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Deequ-style column profile of the orders table: per column, row
+    * count, null count, exact distinct count, and min/max rendered as
+    * strings — the data-profiling pass a warehouse runs on every new feed
+    * before wiring validation rules. ONE aggregation computes every
+    * column's stats (the multi-distinct plans as a single Expand+shuffle
+    * pass, rows × n_columns — the standard profiling trade); `stack`
+    * unpivots the 1-row result into the per-column report. At 100 TB swap
+    * the exact distincts for `approx_count_distinct` (declared
+    * divergence, same note as the percentile operators).
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = t(spark, dir, "orders")
+    val aggs = ProfileColumns.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast(StringType).as(s"min_$c"),
+      max(col(c)).cast(StringType).as(s"max_$c")))
+    val row = tbl.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = ProfileColumns.map(c =>
+      s"'$c', cnt_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    row.selectExpr("n_rows",
+        s"stack(${ProfileColumns.length}, $stackArgs) AS " +
+          "(column_name, n_present, n_distinct, min_value, max_value)")
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_present")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy("column_name")
+  }
+
+  /** Per-user event-type transition matrix (first-order Markov behavior
+    * model): count and row-normalized probability of every prev → next
+    * event-type pair within each user's time-ordered stream. The lag
+    * window shuffles once on user_id (fine-grained key, per-user sort);
+    * the matrix itself is O(types²) rows at any event volume — the
+    * behavioral-analytics table session-prediction and anomaly models
+    * start from.
+    */
+  def q30EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val seq = e.select(col("user_id"), epochMicros(e).as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .filter(col("prev").isNotNull)
+    val counts = seq
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    counts.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast(DoubleType) / col("n_from"), 4).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Referential-integrity audit across the warehouse's FK edges:
+    * lineitem→orders and orders→customer orphan counts plus childless
+    * customers — the DQ gate a pipeline runs before publishing a join
+    * product (an orphan rate > 0 means a partial load upstream). Anti
+    * joins are hash equi-joins on the key; every output is a scalar
+    * count, so the audit costs three key-projected scans at any scale.
+    */
+  def q31RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val orphanLi = li.join(o.select(col("o_orderkey").as("l_orderkey"))
+      .distinct(), Seq("l_orderkey"), "left_anti")
+    val orphanOrd = o.join(c.select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_anti")
+    val childless = c.join(o.select(col("o_custkey").as("c_custkey"))
+      .distinct(), Seq("c_custkey"), "left_anti")
+    li.agg(count(lit(1)).as("n_lineitem"))
+      .crossJoin(orphanLi.agg(count(lit(1)).as("orphan_lineitems")))
+      .crossJoin(o.agg(count(lit(1)).as("n_orders")))
+      .crossJoin(orphanOrd.agg(count(lit(1)).as("orphan_orders")))
+      .crossJoin(c.agg(count(lit(1)).as("n_customers")))
+      .crossJoin(childless.agg(count(lit(1)).as("childless_customers")))
+  }
 }

@@ -891,6 +891,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) === r.getLong(3), "offset 0 retains the full cohort"))
   }
 
+  test("profile_table: one row per column, primary key detected as unique") {
+    val rows = graft.queries.Relational.profileTable(spark, sf).collect()
+    assert(rows.length === graft.queries.Relational.ProfileColumns.length)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L, "n_nulls >= 0")
+      assert(r.getLong(3) <= r.getLong(1), "n_distinct <= n_rows")
+      assert(r.getString(4) != null && r.getString(5) != null)
+    }
+    val pk = byCol("o_orderkey")
+    assert(pk.getLong(3) === pk.getLong(1) - pk.getLong(2),
+      "o_orderkey is unique across present rows")
+  }
+
+  test("q30_event_transitions: probabilities sum to ~1 per from_type") {
+    val rows = graft.queries.Relational.q30EventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (ft, g) =>
+      val psum = g.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 0.01, s"$ft: row-normalized, got $psum")
+    }
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nEvents - nUsers,
+      "each user's k events yield k-1 transitions")
+  }
+
+  test("q31_ref_integrity: consistent TPC-H keys have zero orphans") {
+    val r = graft.queries.Relational.q31RefIntegrity(spark, sf).collect().head
+    assert(r.getLong(0) > 0L && r.getLong(2) > 0L && r.getLong(4) > 0L)
+    assert(r.getLong(1) === 0L, "no lineitem orphans")
+    assert(r.getLong(3) === 0L, "no order orphans")
+    assert(r.getLong(5) >= 0L)
+  }
+
   test("bpe_pair_stats: exactly top-20 two-char pairs, non-increasing") {
     val rows = TrainingData.bpePairStats(spark, sf).collect()
     assert(rows.length === 20)
