@@ -166,6 +166,8 @@ object SparkEntry {
     "profile_table" -> (Relational.profileTable _),
     "q30_event_transitions" -> (Relational.q30EventTransitions _),
     "q31_ref_integrity" -> (Relational.q31RefIntegrity _),
+    "q32_anomalous_hours" -> (Relational.q32AnomalousHours _),
+    "vocab_growth" -> (TrainingData.vocabGrowth _),
     "dedup_fuzzy" -> (TrainingData.dedupFuzzy _),
     "contamination_embedding" -> (TrainingData.contaminationEmbedding _),
     "sim_topk_diversified" -> (TrainingData.simTopkDiversified _),
@@ -1534,6 +1536,43 @@ object SparkEntry {
         | (SELECT count(*) FROM customer c WHERE NOT EXISTS
         |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
         |   AS childless_customers""".stripMargin,
+    "q32_anomalous_hours" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 hour_bucket, count(*) n_events
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT count(*) nh, sum(n_events) s1,
+        |      sum(n_events * n_events) s2 FROM h),
+        |z AS (
+        |  SELECT hour_bucket, n_events,
+        |   round((n_events - CAST(s1 AS DOUBLE) / nh) /
+        |     sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+        |       / (nh - 1)), 4) z
+        |  FROM h, s)
+        |SELECT hour_bucket, n_events, z, abs(z) >= 2.0 AS is_anomaly
+        |FROM z ORDER BY abs(z) DESC, hour_bucket LIMIT 5""".stripMargin,
+    "vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents WHERE text IS NOT NULL),
+        |fo AS (
+        |  SELECT t w, min(doc_id) first_doc
+        |  FROM (SELECT doc_id, unnest(l) t FROM d) x GROUP BY 1),
+        |n AS (SELECT count(*) n FROM d),
+        |spine AS (
+        |  SELECT i decile, (i * (SELECT n FROM n)) // 10 max_id
+        |  FROM (SELECT unnest(range(1, 11)) i) t),
+        |va AS (
+        |  SELECT decile, max_id,
+        |   count(CASE WHEN first_doc < max_id THEN 1 END) vocab_size
+        |  FROM fo CROSS JOIN spine GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT decile,
+        |   sum(CASE WHEN doc_id < max_id THEN len(l) END) cum_tokens
+        |  FROM d CROSS JOIN spine GROUP BY 1)
+        |SELECT va.decile, va.max_id AS docs_seen,
+        | CAST(COALESCE(ta.cum_tokens, 0) AS BIGINT) AS cum_tokens,
+        | va.vocab_size
+        |FROM va JOIN ta USING (decile) ORDER BY decile""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH tok AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
@@ -1545,7 +1584,7 @@ object SparkEntry {
         |pre AS (SELECT doc_id, substr(text, 1, 200) pre
         |        FROM documents WHERE text IS NOT NULL),
         |banded AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, fp,
         |   unnest(list_transform(range(0, 4),
         |     b -> b * 32768 + ((fp >> (b * 15)) & 32767))) band
         |  FROM fp),
@@ -1553,17 +1592,19 @@ object SparkEntry {
         |pb AS (SELECT banded.* FROM banded JOIN ok USING (band)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |scored AS (
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 8),
+        |lev AS (
         |  SELECT doc_a, doc_b,
         |   CAST(levenshtein(x.pre, y.pre) AS BIGINT) dist,
-        |   CASE WHEN greatest(length(x.pre), length(y.pre)) = 0 THEN 1.0
-        |    ELSE round(1.0 - CAST(levenshtein(x.pre, y.pre) AS DOUBLE) /
-        |      greatest(length(x.pre), length(y.pre)), 4) END sim_ratio
+        |   greatest(length(x.pre), length(y.pre)) ml
         |  FROM cand
         |  JOIN pre x ON x.doc_id = doc_a
         |  JOIN pre y ON y.doc_id = doc_b)
-        |SELECT doc_a, doc_b, dist, sim_ratio FROM scored
+        |SELECT doc_a, doc_b, dist,
+        | CASE WHEN ml = 0 THEN 1.0
+        |  ELSE round(1.0 - CAST(dist AS DOUBLE) / ml, 4) END sim_ratio
+        |FROM lev WHERE dist <= 60
         |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
     "contamination_embedding" ->
       """WITH e AS (

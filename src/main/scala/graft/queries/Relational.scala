@@ -823,4 +823,36 @@ object Relational {
       .crossJoin(c.agg(count(lit(1)).as("n_customers")))
       .crossJoin(childless.agg(count(lit(1)).as("childless_customers")))
   }
+
+  /** Hourly event-volume anomaly screen: every hour bucket z-scored
+    * against the all-hours count distribution, top-5 most anomalous hours
+    * reported with an |z| >= 2 flag — the volume-anomaly cousin of the
+    * PSI value-drift monitor (a dead crawler shard or a retry storm shows
+    * here first). The z statistics derive from EXACT integer sums
+    * (Σn, Σn² over hour counts), so every double is bit-identical
+    * cross-engine — no incremental-variance formula divergence. One
+    * corpus pass to hour counts (fine-grained integer key, map-side
+    * partials), O(hours) everything after; the top-5 is a TakeOrdered.
+    */
+  def q32AnomalousHours(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val hours = e.select(epochMicros(e).as("tus"))
+      .selectExpr("tus DIV 3600000000 AS hour_bucket")
+      .groupBy("hour_bucket").agg(count(lit(1)).as("n_events"))
+    val stats = hours.agg(
+      count(lit(1)).as("n_hours"),
+      sum("n_events").as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+    hours.crossJoin(broadcast(stats))
+      .select(col("hour_bucket"), col("n_events"),
+        (col("s1").cast(DoubleType) / col("n_hours")).as("mean"),
+        sqrt((col("s2").cast(DoubleType) -
+          col("s1").cast(DoubleType) * col("s1") / col("n_hours")) /
+          (col("n_hours") - 1)).as("sd"))
+      .select(col("hour_bucket"), col("n_events"),
+        round((col("n_events") - col("mean")) / col("sd"), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+      .orderBy(abs(col("z")).desc, col("hour_bucket"))
+      .limit(5)
+  }
 }

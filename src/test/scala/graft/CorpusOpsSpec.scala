@@ -928,6 +928,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) >= 0L)
   }
 
+  test("q32_anomalous_hours: top-5 by |z|, flag consistent with threshold") {
+    val rows = graft.queries.Relational.q32AnomalousHours(spark, sf).collect()
+    assert(rows.length === 5)
+    val zs = rows.map(r => math.abs(r.getDouble(2))).toSeq
+    assert(zs === zs.sortBy(-(_: Double)), "ordered by |z| desc")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) === (math.abs(r.getDouble(2)) >= 2.0))
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  test("vocab_growth: deciles monotone in docs, tokens, and vocabulary") {
+    val rows = TrainingData.vocabGrowth(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L).toSeq)
+    val docs = rows.map(_.getLong(1)).toSeq
+    val toks = rows.map(_.getLong(2)).toSeq
+    val vocab = rows.map(_.getLong(3)).toSeq
+    assert(docs === docs.sorted && toks === toks.sorted && vocab === vocab.sorted,
+      "cumulative curves are monotone non-decreasing")
+    assert(docs.last === 500L, "final decile covers the whole corpus")
+    assert(vocab.last > 0L && vocab.last <= toks.last,
+      "vocabulary bounded by token volume")
+    // sub-linear growth (Heaps): second-half vocab gain < first-half gain
+    assert(vocab(9) - vocab(4) < vocab(4),
+      "vocabulary growth decelerates on a fixed token distribution")
+  }
+
   test("bpe_pair_stats: exactly top-20 two-char pairs, non-increasing") {
     val rows = TrainingData.bpePairStats(spark, sf).collect()
     assert(rows.length === 20)
