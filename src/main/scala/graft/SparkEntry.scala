@@ -96,6 +96,9 @@ object SparkEntry {
     "dup_cluster_examples" -> (TrainingData.dupClusterExamples _),
     "emb_centroids" -> (TrainingData.embCentroids _),
     "contamination_check" -> (TrainingData.contaminationCheck _),
+    // eval stream vs static train grams (stream-static join, AvailableNow
+    // replay) — must equal the batch check, shares its oracle
+    "contamination_check_stream" -> (TrainingData.contaminationCheckStream _),
     "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
     "tfidf_top_terms" -> (TrainingData.tfidfTopTerms _),
     "quality_gate_dynamic" -> (TrainingData.qualityGateDynamic _),
@@ -191,6 +194,36 @@ object SparkEntry {
     s"CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) >= 0" +
       s" THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+
+  /** Shared oracle for the decontamination pair: `contamination_check`
+    * (batch) and `contamination_check_stream` (the stream-static
+    * AvailableNow replay) are row-identical by construction.
+    */
+  private val contaminationCheckSql: String =
+    """WITH d AS (
+        |  SELECT doc_id,
+        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x),
+        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
+        |tdf AS (SELECT id, count(*) df FROM ex WHERE split = 'train'
+        |        GROUP BY 1),
+        |train_ids AS (SELECT id FROM tdf WHERE df <= 10000),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM ex
+        |  WHERE split = 'eval' AND id IN (SELECT id FROM train_ids))
+        |SELECT
+        | (SELECT count(*) FROM d WHERE split = 'eval') AS n_eval,
+        | (SELECT count(*) FROM tdf WHERE df > 10000) AS n_heavy_grams,
+        | (SELECT count(*) FROM contaminated) AS n_contaminated,
+        | round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE) /
+        |   (SELECT count(*) FROM d WHERE split = 'eval'), 4) AS contamination_rate""".stripMargin
 
   /** Shared oracle for the PSI drift pair: `drift_psi` (batch) and
     * `drift_psi_stream` (the AvailableNow replay through the streaming
@@ -1763,31 +1796,8 @@ object SparkEntry {
         |SELECT pair, CAST(sum(k) AS BIGINT) AS freq
         |FROM p GROUP BY pair
         |ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
-    "contamination_check" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
-        |   list_distinct(list_transform(
-        |     list_distinct(list_transform(range(1, len(l) - 3),
-        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
-        |            l[i+3] || ' ' || l[i+4])),
-        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
-        |        FROM documents) x),
-        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
-        |tdf AS (SELECT id, count(*) df FROM ex WHERE split = 'train'
-        |        GROUP BY 1),
-        |train_ids AS (SELECT id FROM tdf WHERE df <= 10000),
-        |contaminated AS (
-        |  SELECT DISTINCT doc_id FROM ex
-        |  WHERE split = 'eval' AND id IN (SELECT id FROM train_ids))
-        |SELECT
-        | (SELECT count(*) FROM d WHERE split = 'eval') AS n_eval,
-        | (SELECT count(*) FROM tdf WHERE df > 10000) AS n_heavy_grams,
-        | (SELECT count(*) FROM contaminated) AS n_contaminated,
-        | round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE) /
-        |   (SELECT count(*) FROM d WHERE split = 'eval'), 4) AS contamination_rate""".stripMargin,
+    "contamination_check" -> contaminationCheckSql,
+    "contamination_check_stream" -> contaminationCheckSql,
     "contamination_topdocs" ->
       """WITH d AS (
         |  SELECT doc_id,

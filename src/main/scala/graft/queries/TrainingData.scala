@@ -3691,6 +3691,65 @@ object TrainingData {
       .limit(20)
   }
 
+  /** Streaming↔batch DECONTAMINATION equivalence, oracle-checked: the
+    * eval split replays as a stream through the real stream-static
+    * [[graft.streaming.StreamingPipeline.streamingContamination]] operator
+    * (train-gram evidence calibrated in batch with the same df cap as
+    * [[contaminationCheck]], constant event time -> one window, Complete
+    * output over the AvailableNow replay), then the per-doc hit counters
+    * roll up to the batch operator's exact (n_eval, n_heavy_grams,
+    * n_contaminated, rate) row — sharing `contamination_check`'s DuckDB
+    * oracle verbatim. n_eval comes from the static side (an eval doc too
+    * short to have any 5-gram emits no stream rows but still counts as
+    * scanned). Proves the stream-static join + counter MATH, not just the
+    * plumbing.
+    */
+  def contaminationCheckStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    val cap = 10000
+    val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+      .otherwise("eval")
+    val dB = docs(spark, dir)
+      .select(col("doc_id"), split.as("split"),
+        shingleIds(col("text"), 5).as("ids"))
+      .cache()
+    val trainDf = dB.filter(col("split") === "train")
+      .select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("df"))
+      .cache()
+    val nHeavy = trainDf.filter(col("df") > cap).count()
+    val nEval = dB.filter(col("split") === "eval").count()
+    // localCheckpoint: the static join side must not lazily re-run the
+    // corpus shingle scan once per micro-batch probe
+    val trainIds = trainDf.filter(col("df") <= cap).select("id")
+      .localCheckpoint()
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(h60(col("doc_id").cast(StringType)) % 100 >= 80)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast(TimestampType))
+    val mon = graft.streaming.StreamingPipeline
+      .streamingContamination(src, trainIds)
+    val sink = "contamination_stream_sink"
+    val q = mon.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nContaminated = spark.table(sink)
+      .filter(col("n_hits") > 0).select("doc_id").distinct().count()
+    spark.catalog.dropTempView(sink)
+    dB.unpersist(); trainDf.unpersist()
+    // same round() Column expression as the batch twin — no driver-side
+    // float formatting that could diverge from engine rounding
+    spark.createDataFrame(Seq((nEval, nHeavy, nContaminated)))
+      .toDF("n_eval", "n_heavy_grams", "n_contaminated")
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4))
+  }
+
   /** Vocabulary growth curve (Heaps' law instrument): distinct-token
     * vocabulary size and cumulative token volume at each decile of the
     * corpus in ingestion (doc_id) order — the corpus-health curve whose

@@ -375,6 +375,35 @@ object StreamingPipeline {
       Seq(total.cast("long").as("n_events"), round(psi, 6).as("psi")): _*)
   }
 
+  /** Streaming decontamination gate — the stream-STATIC join shape: eval
+    * documents flow as a stream, the train-side evidence (df-capped 5-gram
+    * ids, calibrated offline) is a static frame the join probes per
+    * micro-batch with NO streaming state of its own; the only state is the
+    * per-(window, doc) counter pair of the single watermarked aggregation
+    * downstream. This is how an always-on ingest checks arriving
+    * documents against a fixed training corpus before admission — the
+    * static side refreshes by swapping the frame at redeploy, not by
+    * streaming it. Left-outer keeps zero-hit docs so the gate reports
+    * scanned AND contaminated counts. State: one row per (window, eval
+    * doc) — bounded by the watermark horizon times doc rate, never by
+    * gram volume (grams collapse map-side into the two counters).
+    */
+  def streamingContamination(docs: DataFrame,
+                             trainIds: DataFrame,
+                             windowLength: String = "1 hour",
+                             lateness: String = "10 minutes"): DataFrame = {
+    import graft.functions.VectorFunctions.shingleIds
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(shingleIds(col("text"), 5)).as("id"))
+      .join(trainIds.withColumn("_hit", lit(1)), Seq("id"), "left_outer")
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hits"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_grams"), col("n_hits"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch `dedup_exact`
     * operator: a document is dropped when its content hash was already seen
     * within the watermark horizon. State holds ONLY the 16-byte md5 keys

@@ -490,6 +490,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last.getLong(1) == 3 && last.getDouble(2) == 10.0)
   }
 
+  test("streaming contamination: stream-static join flags docs sharing train grams") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.shingleIds
+    // static train evidence: the 5-gram ids of one known sentence
+    val trainIds = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(explode(shingleIds(col("text"), 5)).as("id"))
+      .distinct()
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val mon = StreamingPipeline.streamingContamination(df, trainIds)
+    val q = mon.writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      // contains the train 5-gram "alpha beta gamma delta epsilon"
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L,
+        "alpha beta gamma delta epsilon unrelated tail words here"),
+      // clean doc: same vocabulary, different order — no shared 5-gram
+      (Timestamp.valueOf("2026-01-01 10:01:00"), 2L,
+        "zeta epsilon delta gamma beta alpha reversed order words"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select doc_id, n_grams, n_hits from contam order by doc_id").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) > 0L, "doc 1 shares a train 5-gram")
+    assert(rows(1).getLong(2) === 0L,
+      "left-outer keeps the clean doc with zero hits")
+  }
+
   test("streaming PSI drift: fixed-spine bin counters, clamped bins, smoothed psi") {
     implicit val sqlCtx = spark.sqlContext
     val sp = spark
