@@ -177,6 +177,8 @@ object SparkEntry {
     // model-based quality filtering (NB classifier on weak labels, bigram
     // LM scoring, BPE merge statistics)
     "quality_nb_classifier" -> (TrainingData.qualityNbClassifier _),
+    "quality_nb_topfeatures" -> (TrainingData.qualityNbTopFeatures _),
+    "multimodal_join_profile" -> (TrainingData.multimodalJoinProfile _),
     "quality_bigram_logprob" -> (TrainingData.qualityBigramLogprob _),
     "bpe_pair_stats" -> (TrainingData.bpePairStats _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
@@ -1764,6 +1766,76 @@ object SparkEntry {
         |   count(CASE WHEN NOT lbl AND NOT score > 0 THEN 1 END) AS DOUBLE) /
         |   count(*), 4) AS accuracy
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "quality_nb_topfeatures" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l
+        |  FROM documents WHERE text IS NOT NULL),
+        |lab AS (
+        |  SELECT doc_id, l,
+        |   (len(l) >= 20 AND len(l) <= 90
+        |    AND CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / len(l) >= 3.0
+        |    AND CAST(list_sum(list_transform(l, w -> length(w))) AS DOUBLE) / len(l) <= 10.0
+        |    AND (CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END) >= 2
+        |    AND CAST(len(list_filter(l, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / len(l) >= 0.8) lbl
+        |  FROM d),
+        |dt AS (
+        |  SELECT doc_id, lbl, t token, count(*) k
+        |  FROM (SELECT doc_id, lbl, unnest(l) t FROM lab) x
+        |  GROUP BY 1, 2, 3),
+        |ct AS (
+        |  SELECT token,
+        |   sum(CASE WHEN lbl THEN k ELSE 0 END) c_pass,
+        |   sum(CASE WHEN NOT lbl THEN k ELSE 0 END) c_fail
+        |  FROM dt GROUP BY token),
+        |tot AS (SELECT CAST(sum(c_pass) AS DOUBLE) np,
+        |        CAST(sum(c_fail) AS DOUBLE) nf,
+        |        CAST(count(*) AS DOUBLE) v FROM ct)
+        |SELECT token, CAST(c_pass AS BIGINT) AS c_pass,
+        | CAST(c_fail AS BIGINT) AS c_fail,
+        | round(ln((CAST(c_pass AS DOUBLE) + 1.0) / (np + v)) -
+        |   ln((CAST(c_fail AS DOUBLE) + 1.0) / (nf + v)), 4) AS llr
+        |FROM ct, tot
+        |ORDER BY abs(ln((CAST(c_pass AS DOUBLE) + 1.0) / (np + v)) -
+        |  ln((CAST(c_fail AS DOUBLE) + 1.0) / (nf + v))) DESC, token
+        |LIMIT 20""".stripMargin,
+    "multimodal_join_profile" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+        |j AS (
+        |  SELECT b.bucket, d.lang, d.n_chars
+        |  FROM buckets b JOIN documents d ON d.doc_id = b.vec_id),
+        |main AS (
+        |  SELECT bucket, count(*) n_items,
+        |   round(avg(CAST(n_chars AS DOUBLE)), 2) avg_chars,
+        |   count(DISTINCT lang) n_langs
+        |  FROM j GROUP BY 1),
+        |lc AS (SELECT bucket, lang, count(*) lc FROM j GROUP BY 1, 2),
+        |top AS (
+        |  SELECT bucket, lang top_lang, lc FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY lc DESC, lang) rn2 FROM lc) t
+        |  WHERE rn2 = 1)
+        |SELECT m.bucket, m.n_items, m.avg_chars, m.n_langs, t.top_lang,
+        | round(CAST(t.lc AS DOUBLE) / m.n_items, 4) AS top_lang_share
+        |FROM main m JOIN top t USING (bucket) ORDER BY bucket""".stripMargin,
     "quality_bigram_logprob" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l

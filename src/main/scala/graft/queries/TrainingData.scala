@@ -3623,6 +3623,44 @@ object TrainingData {
     materializeAndRelease(result, labeled, docTok)
   }
 
+  /** NB-model interpretability report: the 20 tokens with the largest
+    * |log-likelihood ratio| in [[qualityNbClassifier]]'s trained model —
+    * what the quality filter actually keys on, the audit a curation team
+    * runs before trusting a learned gate (a top feature like a site
+    * boilerplate token flags leakage from weak label to model). Same
+    * training pipeline as the classifier (one tokenize collapse, one
+    * vocabulary rollup), no scoring join; the top-20 is a TakeOrdered
+    * over the vocabulary-sized llr frame. The llr doubles come from
+    * identical IEEE expression trees in both engines, so the |llr|
+    * ordering is bit-reproducible.
+    */
+  def qualityNbTopFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        gopherPass(F.tokens(col("text"))).as("label"),
+        F.tokens(col("text")).as("toks"))
+    val docTok = labeled
+      .select(col("doc_id"), col("label"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "label", "token")
+      .agg(count(lit(1)).as("k"))
+    val classTok = docTok.groupBy("token").agg(
+      sum(when(col("label"), col("k")).otherwise(0L)).as("c_pass"),
+      sum(when(!col("label"), col("k")).otherwise(0L)).as("c_fail"))
+    val totals = classTok.agg(
+      sum("c_pass").cast(DoubleType).as("np"),
+      sum("c_fail").cast(DoubleType).as("nf"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    classTok.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_pass"), col("c_fail"),
+        (log((col("c_pass").cast(DoubleType) + 1.0d) / (col("np") + col("v"))) -
+          log((col("c_fail").cast(DoubleType) + 1.0d) / (col("nf") + col("v"))))
+          .as("llr_raw"))
+      .orderBy(abs(col("llr_raw")).desc, col("token"))
+      .limit(20)
+      .select(col("token"), col("c_pass"), col("c_fail"),
+        round(col("llr_raw"), 4).as("llr"))
+  }
+
   /** Bigram-LM quality score — one Markov order up from
     * [[qualityUnigramLogprob]], the closest SQL-expressible analogue of
     * the KenLM-perplexity filter (CCNet): every document scored by the
@@ -3748,6 +3786,45 @@ object TrainingData {
       .toDF("n_eval", "n_heavy_grams", "n_contaminated")
       .withColumn("contamination_rate",
         round(col("n_contaminated").cast(DoubleType) / col("n_eval"), 4))
+  }
+
+  /** Cross-modal curation profile: embeddings joined to their id-aligned
+    * documents (vec_id = doc_id — the standard layout when one pipeline
+    * embeds the corpus it curates), rolled up per IVF centroid bucket:
+    * how large each embedding neighborhood is and what its TEXT looks
+    * like (char volume, language spread, dominant language). This is the
+    * joined-modality view a multimodal curation pass filters on — e.g.
+    * drop clusters whose captions are short or language-inconsistent.
+    * One broadcast-argmin assignment ([[graft.operators.VectorIndex
+    * .assign]]), one equi-join to the narrow doc projection, bucket-keyed
+    * rollups + a window argmax for the language mode — all fine-grained
+    * keys, output O(buckets).
+    */
+  def multimodalJoinProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = normalized(spark, dir)
+    val cents = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val assigned = graft.operators.VectorIndex.assign(e, cents)
+      .select(col("vec_id"), col("bucket"))
+    val d = docs(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"), col("n_chars"))
+    val joined = assigned.join(d, Seq("vec_id")).cache()
+    val main = joined.groupBy("bucket").agg(
+      count(lit(1)).as("n_items"),
+      round(avg(col("n_chars").cast(DoubleType)), 2).as("avg_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val langN = joined.groupBy("bucket", "lang").agg(count(lit(1)).as("lc"))
+    val wl = Window.partitionBy("bucket").orderBy(col("lc").desc, col("lang"))
+    val topLang = langN.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("lang").as("top_lang"), col("lc"))
+    val result = main.join(topLang, Seq("bucket"))
+      .select(col("bucket"), col("n_items"), col("avg_chars"),
+        col("n_langs"), col("top_lang"),
+        round(col("lc").cast(DoubleType) / col("n_items"), 4)
+          .as("top_lang_share"))
+      .orderBy("bucket")
+    materializeAndRelease(result, joined)
   }
 
   /** Vocabulary growth curve (Heaps' law instrument): distinct-token

@@ -955,6 +955,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       "vocabulary growth decelerates on a fixed token distribution")
   }
 
+  test("quality_nb_topfeatures: top-20 by |llr|, counts consistent") {
+    val rows = TrainingData.qualityNbTopFeatures(spark, sf).collect()
+    assert(rows.length === 20)
+    val absLlr = rows.map(r => math.abs(r.getDouble(3))).toSeq
+    assert(absLlr === absLlr.sortBy(-(_: Double)), "ordered by |llr| desc")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L)
+      assert(r.getLong(1) + r.getLong(2) > 0L, "feature seen at least once")
+    }
+  }
+
+  test("multimodal_join_profile: buckets partition joined items, shares sane") {
+    val rows = TrainingData.multimodalJoinProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nVecs,
+      "every embedding joins a doc (id-aligned) and lands in one bucket")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L, "at least one language per bucket")
+      val share = r.getDouble(5)
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
   test("bpe_pair_stats: exactly top-20 two-char pairs, non-increasing") {
     val rows = TrainingData.bpePairStats(spark, sf).collect()
     assert(rows.length === 20)

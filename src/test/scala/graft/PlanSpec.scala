@@ -46,7 +46,8 @@ class PlanSpec extends AnyFunSuite {
         "sim_topk_diversified", "corpus_card", "drift_psi",
         "quality_nb_classifier", "quality_bigram_logprob", "bpe_pair_stats",
         "vocab_growth", "q32_anomalous_hours", "profile_table",
-        "q30_event_transitions", "q31_ref_integrity")
+        "q30_event_transitions", "q31_ref_integrity",
+        "quality_nb_topfeatures", "multimodal_join_profile")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
