@@ -181,6 +181,26 @@ object SparkEntry {
     "multimodal_join_profile" -> (TrainingData.multimodalJoinProfile _),
     "quality_bigram_logprob" -> (TrainingData.qualityBigramLogprob _),
     "bpe_pair_stats" -> (TrainingData.bpePairStats _),
+    // Bloom prefilter for incremental dedup (bounded broadcast state; the
+    // no-false-negative contract and measured fp rate are oracle columns)
+    "dedup_bloom" -> (TrainingData.dedupBloom _),
+    // data-constrained mixing: exact water-filling token allocation
+    "mixture_epoch_schedule" -> (TrainingData.mixtureEpochSchedule _),
+    // recall@5 vs nprobe curve (candidates generated once, widest probe)
+    "sim_recall_curve" -> (TrainingData.simRecallCurve _),
+    // per-source chunk-df boilerplate surface (CCNet template removal)
+    "text_boilerplate" -> (TrainingData.textBoilerplate _),
+    // streaming twin of the Bloom probe (stream-static join, AvailableNow
+    // replay) — flagged count must equal the batch filter, oracle-checked
+    "dedup_bloom_stream" -> (TrainingData.dedupBloomStream _),
+    // near-dup rate vs cosine threshold (one band join, N curve points)
+    "dedup_threshold_sweep" -> (TrainingData.dedupThresholdSweep _),
+    // contamination rate vs n-gram size (4/5/6)
+    "contamination_gram_sweep" -> (TrainingData.contaminationGramSweep _),
+    // dedup-bias audit: quality stats for in-cluster vs unique docs
+    "dup_quality_calibration" -> (TrainingData.dupQualityCalibration _),
+    // length-sorted vs arrival-order packing (boundary-split savings)
+    "pack_sorted_compare" -> (TrainingData.packSortedCompare _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -282,6 +302,112 @@ object SparkEntry {
          | CAST(min($c) AS VARCHAR) AS min_value,
          | CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  /** Recall@5-vs-nprobe oracle: the shared candidate CTE carries the probe
+    * rank (`probe_rn`), and each curve point re-ranks the `probe_rn <= np`
+    * slice — generated per point from the same template so the three arms
+    * cannot drift from each other or from the Spark operator's
+    * filter-and-re-rank shape.
+    */
+  private val simRecallCurveSql: String = {
+    def arm(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS exact_pairs,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+         | FROM exact x LEFT JOIN (
+         |   SELECT query_id, neighbor_id FROM (
+         |     SELECT query_id, neighbor_id, row_number() OVER
+         |       (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+         |     FROM cand WHERE probe_rn <= $np) t
+         |   WHERE rank <= 5) a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
+        .stripMargin
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |qids AS (
+      |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      |scored AS (
+      |  SELECT q.vec_id query_id, b.vec_id neighbor_id,
+      |   round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * b.v[i])) /
+      |     (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]))) *
+      |      sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 4) sim
+      |  FROM e q JOIN qids ON q.vec_id = qids.vec_id
+      |  JOIN e b ON b.vec_id <> q.vec_id),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rank
+      |    FROM scored) t
+      |  WHERE rank <= 5),
+      |withnorm AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+      |norm AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+      |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+      |sims AS (
+      |  SELECT n.vec_id, c.cent_id,
+      |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+      |  FROM norm n CROSS JOIN cents c),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+      |  FROM sims),
+      |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+      |qprobe AS (
+      |  SELECT r.vec_id query_id, cent_id bucket, rn probe_rn FROM ranked r
+      |  JOIN qids ON r.vec_id = qids.vec_id WHERE rn <= 3),
+      |cand AS (
+      |  SELECT q.query_id, q.probe_rn, d.vec_id neighbor_id,
+      |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim
+      |  FROM qprobe q
+      |  JOIN buckets d ON q.bucket = d.bucket AND d.vec_id <> q.query_id
+      |  JOIN norm qn ON qn.vec_id = q.query_id
+      |  JOIN norm dn ON dn.vec_id = d.vec_id)
+      |SELECT * FROM (
+      |""".stripMargin +
+      (1 to 3).map(arm).mkString("\nUNION ALL\n") +
+      "\n) ORDER BY nprobe"
+  }
+
+  /** Contamination-vs-gram-size oracle: the per-n CTE chains are generated
+    * from one template (suffix = the gram size), so the three arms are the
+    * same capped semi-join at different shingle widths — exactly the Spark
+    * operator's shape — and cannot drift from each other.
+    */
+  private val contaminationGramSweepSql: String = {
+    def ctes(n: Int): String = {
+      val gram = (0 until n).map(o => s"l[i+$o]").mkString(" || ' ' || ")
+      s"""d$n AS (
+         |  SELECT doc_id,
+         |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
+         |   list_distinct(list_transform(
+         |     list_distinct(list_transform(range(1, len(l) - ${n - 2}),
+         |       i -> $gram)),
+         |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') l
+         |        FROM documents) x),
+         |ex$n AS (SELECT doc_id, split, unnest(ids) id FROM d$n),
+         |tdf$n AS (SELECT id, count(*) df FROM ex$n WHERE split = 'train'
+         |          GROUP BY 1),
+         |tids$n AS (SELECT id FROM tdf$n WHERE df <= 10000),
+         |cont$n AS (
+         |  SELECT DISTINCT doc_id FROM ex$n
+         |  WHERE split = 'eval' AND id IN (SELECT id FROM tids$n))"""
+        .stripMargin
+    }
+    def arm(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS gram_n,
+         | (SELECT count(*) FROM d$n WHERE split = 'eval') AS n_eval,
+         | (SELECT count(*) FROM tdf$n WHERE df > 10000) AS n_heavy_grams,
+         | (SELECT count(*) FROM cont$n) AS n_contaminated,
+         | round(CAST((SELECT count(*) FROM cont$n) AS DOUBLE) /
+         |   (SELECT count(*) FROM d$n WHERE split = 'eval'), 4)
+         |   AS contamination_rate""".stripMargin
+    "WITH " + Seq(4, 5, 6).map(ctes).mkString(",\n") + "\n" +
+      Seq(4, 5, 6).map(arm).mkString("\nUNION ALL\n") + "\nORDER BY gram_n"
+  }
 
   /** Shared recursive-CTE prefix reproducing TrainingData.dupClusterLabels
     * (MinHash bands -> Jaccard-verified edges -> transitive closure ->
@@ -2267,6 +2393,205 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS noop_inserts,
         | CAST(0 AS BIGINT) AS noop_updates,
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,
+    "dedup_bloom" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) h
+        |  FROM documents WHERE text IS NOT NULL),
+        |ex AS (SELECT * FROM d WHERE source = 'src0'),
+        |ba AS (SELECT * FROM d WHERE source <> 'src0'),
+        |seeds(s) AS (VALUES ('#0'), ('#1'), ('#2')),
+        |bits AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(h || s), 1, 15))::BIGINT % 1048576 pos
+        |  FROM ex CROSS JOIN seeds),
+        |probe AS (
+        |  SELECT doc_id, h,
+        |   ('0x' || substr(md5(h || s), 1, 15))::BIGINT % 1048576 pos
+        |  FROM ba CROSS JOIN seeds),
+        |flags AS (
+        |  SELECT p.doc_id, p.h, count(*) = count(b.pos) flagged
+        |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+        |  GROUP BY 1, 2),
+        |graded AS (
+        |  SELECT f.doc_id, f.flagged, eh.h IS NOT NULL is_dup
+        |  FROM flags f LEFT JOIN (SELECT DISTINCT h FROM ex) eh ON f.h = eh.h)
+        |SELECT (SELECT count(*) FROM ex) AS n_existing,
+        | count(*) AS n_batch,
+        | (SELECT count(*) FROM bits) AS n_slots_set,
+        | count(CASE WHEN flagged THEN 1 END) AS n_flagged,
+        | count(CASE WHEN is_dup THEN 1 END) AS n_true_dup,
+        | count(CASE WHEN flagged AND NOT is_dup THEN 1 END) AS n_false_pos,
+        | count(CASE WHEN NOT flagged AND is_dup THEN 1 END) AS n_false_neg,
+        | round(CAST(count(CASE WHEN flagged AND NOT is_dup THEN 1 END) AS DOUBLE)
+        |   / (count(*) - count(CASE WHEN is_dup THEN 1 END)), 4) AS fp_rate
+        |FROM graded""".stripMargin,
+    "mixture_epoch_schedule" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |   CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) w,
+        |   CAST(n_tokens AS DOUBLE) * 2.1 cap
+        |  FROM ps),
+        |t AS (
+        |  SELECT sum(CAST(n_tokens AS DOUBLE)) * 2.0 budget, sum(w) w_total
+        |  FROM w),
+        |cum AS (
+        |  SELECT source, w, cap, budget, w_total, cap / w ratio,
+        |   sum(cap) OVER (ORDER BY cap / w, source) - cap cumcap_prev,
+        |   sum(w) OVER (ORDER BY cap / w, source) - w cumw_prev,
+        |   lag(cap / w, 1, CAST('-infinity' AS DOUBLE))
+        |     OVER (ORDER BY cap / w, source) prev_ratio
+        |  FROM w, t),
+        |lam AS (
+        |  SELECT min(CASE WHEN
+        |     prev_ratio <= (budget - cumcap_prev) / (w_total - cumw_prev)
+        |     AND (budget - cumcap_prev) / (w_total - cumw_prev) <= ratio
+        |    THEN (budget - cumcap_prev) / (w_total - cumw_prev) END) lambda
+        |  FROM cum)
+        |SELECT source, n_tokens,
+        | round(cap, 1) AS cap_tokens,
+        | round(least(cap, lambda * w), 1) AS alloc_tokens,
+        | round(least(cap, lambda * w) / n_tokens, 4) AS epochs,
+        | coalesce(lambda * w, cap) >= cap AS capped
+        |FROM w, lam ORDER BY source""".stripMargin,
+    "sim_recall_curve" -> simRecallCurveSql,
+    // streaming equivalence: same filter bits, same k-hit rule — the
+    // flagged count must match the batch Bloom relationally
+    "dedup_bloom_stream" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) h
+        |  FROM documents WHERE text IS NOT NULL),
+        |ex AS (SELECT * FROM d WHERE source = 'src0'),
+        |ba AS (SELECT * FROM d WHERE source <> 'src0'),
+        |seeds(s) AS (VALUES ('#0'), ('#1'), ('#2')),
+        |bits AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(h || s), 1, 15))::BIGINT % 1048576 pos
+        |  FROM ex CROSS JOIN seeds),
+        |probe AS (
+        |  SELECT doc_id, h,
+        |   ('0x' || substr(md5(h || s), 1, 15))::BIGINT % 1048576 pos
+        |  FROM ba CROSS JOIN seeds),
+        |flags AS (
+        |  SELECT p.doc_id, count(*) = count(b.pos) flagged
+        |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+        |  GROUP BY 1)
+        |SELECT (SELECT count(*) FROM ex) AS n_existing,
+        | count(*) AS n_batch,
+        | (SELECT count(*) FROM bits) AS n_slots_set,
+        | count(CASE WHEN flagged THEN 1 END) AS n_flagged
+        |FROM flags""".stripMargin,
+    "dedup_threshold_sweep" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |assign2 AS (SELECT vec_id, cent_id band FROM ranked WHERE rn <= 2),
+        |kept AS (SELECT band FROM assign2 GROUP BY band HAVING count(*) <= 1000),
+        |banded AS (SELECT a.vec_id, a.band FROM assign2 a JOIN kept USING (band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id doc_a, b.vec_id doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |   round(list_sum(list_transform(range(1, len(x.nv)+1), i -> x.nv[i] * y.nv[i])), 4) cos
+        |  FROM pairs
+        |  JOIN norm x ON x.vec_id = doc_a
+        |  JOIN norm y ON y.vec_id = doc_b)
+        |SELECT CAST(th AS DOUBLE) AS threshold,
+        | (SELECT count(*) FROM e) AS n_vecs,
+        | (SELECT count(*) FROM scored) AS candidate_pairs,
+        | count(CASE WHEN cos >= th THEN 1 END) AS dup_pairs,
+        | count(DISTINCT CASE WHEN cos >= th THEN doc_b END) AS n_dropped,
+        | (SELECT count(*) FROM e) -
+        |   count(DISTINCT CASE WHEN cos >= th THEN doc_b END) AS n_kept
+        |FROM scored CROSS JOIN (VALUES (0.3), (0.4), (0.5)) t(th)
+        |GROUP BY th ORDER BY threshold""".stripMargin,
+    "contamination_gram_sweep" -> contaminationGramSweepSql,
+    // dedup-bias audit: the recursive label CTE is the shared cluster
+    // ground truth; the rollup compares cluster members to unique docs
+    "dup_quality_calibration" -> (dupLabelsCte +
+      """,
+        |ids AS (SELECT DISTINCT id FROM labels),
+        |scored AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) nt,
+        |   round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |     OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is' OR x = 'it')) AS DOUBLE)
+        |     / len(toks), 6) AS score
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM documents) t)
+        |SELECT ids.id IS NOT NULL AS in_dup_cluster,
+        | count(*) AS n_docs,
+        | round(avg(nt), 2) AS avg_tokens,
+        | round(avg(score), 4) AS avg_stop_ratio
+        |FROM scored LEFT JOIN ids ON scored.doc_id = ids.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "pack_sorted_compare" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n,
+        |   doc_id % 8 AS shard
+        |  FROM documents),
+        |a AS (SELECT shard, doc_id, n,
+        |       sum(n) OVER (PARTITION BY shard ORDER BY doc_id) cum FROM t),
+        |s AS (SELECT shard, doc_id, n,
+        |       sum(n) OVER (PARTITION BY shard ORDER BY n DESC, doc_id) cum
+        |      FROM t),
+        |ar AS (
+        |  SELECT shard, count(*) n_docs, CAST(sum(n) AS BIGINT) total_tokens,
+        |   CAST(floor((sum(n) + 255) / 256) AS BIGINT) n_sequences,
+        |   CAST(sum(CASE WHEN floor((cum - n) / 256) <> floor((cum - 1) / 256)
+        |        THEN 1 ELSE 0 END) AS BIGINT) boundary_arrival
+        |  FROM a GROUP BY 1),
+        |so AS (
+        |  SELECT shard,
+        |   CAST(sum(CASE WHEN floor((cum - n) / 256) <> floor((cum - 1) / 256)
+        |        THEN 1 ELSE 0 END) AS BIGINT) boundary_sorted
+        |  FROM s GROUP BY 1)
+        |SELECT ar.shard, n_docs, total_tokens, n_sequences,
+        | boundary_arrival, boundary_sorted,
+        | boundary_arrival - boundary_sorted AS boundary_saved
+        |FROM ar JOIN so USING (shard) ORDER BY shard""".stripMargin,
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, source,
+        |   unnest(list_transform(range(0, (len(w) + 15) // 16),
+        |    i -> md5(array_to_string(w[i*16+1 : i*16+16], ' ')))) h
+        |  FROM d),
+        |fdf AS (
+        |  SELECT source, h, count(*) df
+        |  FROM (SELECT DISTINCT source, h, doc_id FROM c) x GROUP BY 1, 2),
+        |fl AS (SELECT source, h FROM fdf WHERE df >= 2),
+        |pd AS (
+        |  SELECT c.source, c.doc_id, count(*) nch, count(fl.h) bp
+        |  FROM c LEFT JOIN fl ON c.source = fl.source AND c.h = fl.h
+        |  GROUP BY 1, 2),
+        |srcrep AS (
+        |  SELECT source, count(*) n_docs,
+        |   CAST(sum(nch) AS BIGINT) total_chunks,
+        |   CAST(sum(bp) AS BIGINT) bp_instances,
+        |   count(CASE WHEN bp > 0 THEN 1 END) affected_docs
+        |  FROM pd GROUP BY 1),
+        |ty AS (SELECT source, count(*) bp_chunk_types FROM fl GROUP BY 1)
+        |SELECT s.source, n_docs, total_chunks,
+        | CAST(coalesce(bp_chunk_types, 0) AS BIGINT) AS bp_chunk_types,
+        | bp_instances, affected_docs,
+        | round(CAST(bp_instances AS DOUBLE) / total_chunks, 4) AS bp_frac
+        |FROM srcrep s LEFT JOIN ty USING (source) ORDER BY source""".stripMargin,
     "mixture_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) n_docs, sqrt(count(*)) w_raw

@@ -1732,17 +1732,18 @@ object TrainingData {
 
   private[graft] def contaminationCheckCapped(spark: SparkSession,
                                               dir: String,
-                                              cap: Int): DataFrame = {
+                                              cap: Int,
+                                              gramN: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.shingleIds
     val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
       .otherwise("eval")
-    // cached: the 5-gram projection feeds the train-df set, the eval
+    // cached: the n-gram projection feeds the train-df set, the eval
     // explode, and the eval count — three subplans that would each re-run
     // the shingle extraction over the whole corpus
     val d = docs(spark, dir)
       .select(col("doc_id"), split.as("split"),
-        shingleIds(col("text"), 5).as("ids"))
+        shingleIds(col("text"), gramN).as("ids"))
       .cache()
     val exploded = d.select(col("doc_id"), col("split"),
       explode(col("ids")).as("id"))
@@ -3862,6 +3863,385 @@ object TrainingData {
         col("vocab_size"))
       .orderBy("decile")
     materializeAndRelease(result, d)
+  }
+
+  /** Relational Bloom-filter prefilter for incremental ingest dedup — the
+    * shuffle-free scale path beside the semi-join [[dedupIncremental]]:
+    * the EXISTING corpus (src0) is summarized as the distinct set of k=3
+    * md5-derived bit positions in an m = 2^20-slot filter, and each batch
+    * document is flagged "maybe seen" iff ALL of its k positions are set.
+    * The position set is bounded by m (~1M longs) NO MATTER the corpus
+    * size — at 100 TB it broadcasts as a handful of MB and the probe is a
+    * broadcast semi-join touching only the batch, where the exact-hash
+    * probe would shuffle an ever-growing corpus hash set every ingest.
+    * The Bloom contract is oracle-ASSERTED, not assumed: every true
+    * duplicate must be flagged (n_false_neg = 0 is a checked output
+    * column), false positives are counted and reported as the measured
+    * fp_rate (the knob that sizes m in production). All hashing is
+    * md5-of-hex-string arithmetic, so DuckDB rebuilds the identical
+    * filter bit-for-bit.
+    */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1L << 20
+    val k = 3
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .cache()
+    val existing = d.filter(col("source") === "src0")
+    val batch = d.filter(col("source") =!= "src0")
+    def positions(c: Column): Column =
+      array((0 until k).map(i => h60(concat(c, lit(s"#$i"))) % m): _*)
+    val bits = existing.select(explode(positions(col("h"))).as("pos"))
+      .distinct().cache()
+    val probed = batch
+      .select(col("doc_id"), col("h"), explode(positions(col("h"))).as("pos"))
+      .join(bits.withColumn("_set", lit(1)), Seq("pos"), "left")
+      .groupBy("doc_id", "h")
+      .agg((count(col("_set")) === count(lit(1))).as("flagged"))
+    val exact = batch.join(
+        existing.select("h").distinct().withColumn("_dup", lit(1)),
+        Seq("h"), "left")
+      .select(col("doc_id"), col("_dup").isNotNull.as("is_dup"))
+    val graded = probed.join(exact, Seq("doc_id"))
+    val result = graded.agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("flagged"), 1)).as("n_flagged"),
+        count(when(col("is_dup"), 1)).as("n_true_dup"),
+        count(when(col("flagged") && !col("is_dup"), 1)).as("n_false_pos"),
+        count(when(!col("flagged") && col("is_dup"), 1)).as("n_false_neg"))
+      .crossJoin(existing.agg(count(lit(1)).as("n_existing")))
+      .crossJoin(bits.agg(count(lit(1)).as("n_slots_set")))
+      .select(col("n_existing"), col("n_batch"), col("n_slots_set"),
+        col("n_flagged"), col("n_true_dup"), col("n_false_pos"),
+        col("n_false_neg"),
+        round((col("n_false_pos")).cast(DoubleType) /
+          (col("n_batch") - col("n_true_dup")), 4).as("fp_rate"))
+    materializeAndRelease(result, d, bits)
+  }
+
+  /** Token-budget allocation across sources with an epoch cap — the
+    * data-constrained-scaling mixing step (Muennighoff et al. 2023): given
+    * a training budget of `budgetMult`× the corpus tokens, allocate to
+    * each source proportionally to a sqrt-upsampling weight, but never
+    * repeat a source beyond `epochCap` epochs. Solved EXACTLY as capped
+    * proportional allocation (water-filling): the capped sources form a
+    * prefix of the cap/weight-ascending order, so a single window pass
+    * over the (tiny, one-row-per-source) table finds the unique lambda
+    * with `alloc_s = min(cap_s, lambda * w_s)` and `sum(alloc) = budget`
+    * — no iteration, no driver loop, and the identical closed form runs
+    * in the DuckDB oracle. Corpus work is one token-count aggregation;
+    * everything after is O(n_sources).
+    */
+  def mixtureEpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val epochCap = 2.1
+    val budgetMult = 2.0
+    val perSource = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"), size(F.tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast(DoubleType)))
+      .withColumn("cap", col("n_tokens").cast(DoubleType) * epochCap)
+    val totals = perSource.agg(
+      sum(col("n_tokens").cast(DoubleType)).as("t_total"),
+      sum("w").as("w_total"))
+    val byRatio = Window.orderBy(col("cap") / col("w"), col("source"))
+    val cum = perSource.crossJoin(broadcast(totals))
+      .withColumn("budget", col("t_total") * budgetMult)
+      .withColumn("ratio", col("cap") / col("w"))
+      .withColumn("cumcap_prev", sum("cap").over(byRatio) - col("cap"))
+      .withColumn("cumw_prev", sum("w").over(byRatio) - col("w"))
+      // lambda if every STRICTLY-smaller-ratio source is capped; valid at
+      // the unique row where it lands between the neighboring ratios
+      .withColumn("lambda_at",
+        (col("budget") - col("cumcap_prev")) / (col("w_total") - col("cumw_prev")))
+      .withColumn("prev_ratio",
+        lag("ratio", 1, Double.NegativeInfinity).over(byRatio))
+    val lambda = cum.agg(min(when(
+      col("prev_ratio") <= col("lambda_at") &&
+        col("lambda_at") <= col("ratio"), col("lambda_at"))).as("lambda"))
+    // null lambda = budget >= total cap: every source caps out
+    perSource.crossJoin(broadcast(lambda))
+      .select(col("source"), col("n_tokens"),
+        round(col("cap"), 1).as("cap_tokens"),
+        round(least(col("cap"), col("lambda") * col("w")), 1)
+          .as("alloc_tokens"),
+        round(least(col("cap"), col("lambda") * col("w")) /
+          col("n_tokens"), 4).as("epochs"),
+        (coalesce(col("lambda") * col("w"), col("cap")) >= col("cap"))
+          .as("capped"))
+      .orderBy("source")
+  }
+
+  /** IVF retrieval quality as a FUNCTION of nprobe (1..3): the recall@5
+    * curve a 100 TB deployment reads to pick its probe width, extending
+    * the single-point [[simIvfRecall]]. Candidates are generated ONCE at
+    * the widest probe with the probe rank carried; each curve point is a
+    * filter + re-rank over that cached candidate frame (small: queries ×
+    * probed buckets), so the corpus is scanned once, not once per point.
+    * Ground truth is the memoized [[bruteforceTopk]]. All operands are
+    * data-derived and md5-deterministic — the whole curve is
+    * oracle-checked. Recall must be non-decreasing in nprobe
+    * (CorpusOpsSpec pins it).
+    */
+  def simRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val maxProbe = 3
+    val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
+    val e = normalized(spark, dir).cache()
+    val cents = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val data = graft.operators.VectorIndex.assign(e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("nv").as("nvv"))
+    val qsims = e.join(broadcast(probeIds(e)), Seq("vec_id"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nv"), col("cent_id"),
+        round(vecDot(col("nv"), col("cv")), 4).as("csim"))
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val qProbe = qsims.withColumn("probe_rn", row_number().over(wProbe))
+      .filter(col("probe_rn") <= maxProbe)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"),
+        col("cent_id").as("bucket"), col("probe_rn"))
+    // each data vector lives in exactly one bucket and a query probes
+    // distinct buckets, so (query, neighbor) pairs are already unique
+    val cand = qProbe.join(data, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("probe_rn"), col("neighbor_id"),
+        round(vecDot(col("qv"), col("nvv")), 4).as("sim"))
+      .cache()
+    val w5 = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val points = (1 to maxProbe).map { np =>
+      val approx = cand.filter(col("probe_rn") <= np)
+        .withColumn("rank", row_number().over(w5))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("exact_pairs"),
+          count(col("_hit")).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("exact_pairs"), col("hits"),
+          round(col("hits").cast(DoubleType) / col("exact_pairs"), 4)
+            .as("recall"))
+    }
+    val result = points.reduce(_ unionAll _).orderBy("nprobe")
+    materializeAndRelease(result, e, cand)
+  }
+
+  /** Chunk-level boilerplate scan per source — the CCNet/template-removal
+    * move: a 16-token chunk (same md5 chunking as [[dedupParagraphs]])
+    * that appears in >= 2 DISTINCT documents of one source is template
+    * text (navigation, license headers, OCR furniture), and the report
+    * gives each source its boilerplate surface: how many chunk types are
+    * boilerplate, how many documents carry any, and the token-weighted
+    * fraction a strip pass would remove. Distinct-per-doc df first, so a
+    * chunk repeated WITHIN one doc (self-repetition, [[qualityRepetition]]'s
+    * business) never inflates df. The df cap is the production tuning knob
+    * (CCNet uses "shared across many shards"); 2 here is calibrated to the
+    * synthetic corpus so the flag path is exercised at every test sf
+    * (per-source df maxes at 2-4 on this data). Every shuffle keys on the 16-byte chunk
+    * hash or the source — fine-grained, map-side-combined, corpus-linear;
+    * the flagged set (df >= cap) is tiny and broadcast back.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val dfCap = 2
+    val chunks = docs(spark, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, int((size(w) + 15) div 16) - 1), " +
+          "i -> md5(concat_ws(' ', slice(w, i * 16 + 1, 16))))")).as("h"))
+      .cache()
+    val df = chunks.select("source", "h", "doc_id").distinct()
+      .groupBy("source", "h").agg(count(lit(1)).as("df"))
+    val flagged = df.filter(col("df") >= dfCap)
+      .select("source", "h").withColumn("_bp", lit(1))
+    val perDoc = chunks.join(broadcast(flagged), Seq("source", "h"), "left")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("nch"), count(col("_bp")).as("bp"))
+    val perSource = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nch").as("total_chunks"),
+        sum("bp").as("bp_instances"),
+        count(when(col("bp") > 0, 1)).as("affected_docs"))
+    val types = flagged.groupBy("source")
+      .agg(count(lit(1)).as("bp_chunk_types"))
+    val result = perSource.join(types, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_chunks"),
+        coalesce(col("bp_chunk_types"), lit(0L)).as("bp_chunk_types"),
+        col("bp_instances"), col("affected_docs"),
+        round(col("bp_instances").cast(DoubleType) / col("total_chunks"), 4)
+          .as("bp_frac"))
+      .orderBy("source")
+    materializeAndRelease(result, chunks)
+  }
+
+  /** Streaming↔batch Bloom-probe equivalence, oracle-checked: the batch
+    * corpus bit set ([[dedupBloom]]'s filter state) is built once and
+    * localCheckpointed, then the batch side of the corpus replays through
+    * the real watermarked
+    * [[graft.streaming.StreamingPipeline.streamingBloomProbe]]
+    * (stream-static left join, `Trigger.AvailableNow`, constant event
+    * time -> one window). The flagged count must equal the batch
+    * operator's `n_flagged` — the DuckDB oracle recomputes the identical
+    * filter relationally, proving the streaming probe's hashing and
+    * all-k-hit MATH, not just its plumbing.
+    */
+  def dedupBloomStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val m = 1L << 20
+    val k = 3
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .cache()
+    val existing = d.filter(col("source") === "src0")
+    def positions(c: Column): Column =
+      array((0 until k).map(i => h60(concat(c, lit(s"#$i"))) % m): _*)
+    // localCheckpoint: the static join side must not lazily re-run the
+    // corpus hash scan once per micro-batch probe
+    val bits = existing.select(explode(positions(col("h"))).as("pos"))
+      .distinct().localCheckpoint()
+    val nExisting = existing.count()
+    val nSlots = bits.count()
+    d.unpersist()
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("source") =!= "src0" && col("text").isNotNull)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast(TimestampType))
+    val mon = graft.streaming.StreamingPipeline
+      .streamingBloomProbe(src, bits, m, k)
+    val sink = "bloom_stream_sink"
+    val q = mon.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatch = spark.table(sink).count()
+    val nFlagged = spark.table(sink).filter(col("flagged")).count()
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(Seq((nExisting, nBatch, nSlots, nFlagged)))
+      .toDF("n_existing", "n_batch", "n_slots_set", "n_flagged")
+  }
+
+  /** Embedding near-dup rate as a FUNCTION of the cosine threshold
+    * (0.3 / 0.4 / 0.5) — the knob-tuning table for [[dedupEmbeddingBanded]]
+    * (whose fixed 0.4 is one row here): a production dedup rollout reads
+    * this curve to trade recall against over-deletion before committing a
+    * threshold. The banded candidate pipeline runs ONCE; every curve point
+    * is a conditional distinct-count inside the SAME single aggregation
+    * (`stack` unpivots the one-row result), so the sweep costs one band
+    * join no matter how many thresholds it reports.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(0.3, 0.4, 0.5)
+    val e = normalized(spark, dir).cache()
+    val cents = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      countDistinct(when(col("cos") >= t,
+        struct(col("doc_a"), col("doc_b")))).as(s"dp_$i"),
+      countDistinct(when(col("cos") >= t, col("doc_b"))).as(s"nd_$i")) }
+    val row = bandedScoredPairs(e, cents)
+      .agg(countDistinct(col("doc_a"), col("doc_b")).as("candidate_pairs"),
+        aggs: _*)
+      .crossJoin(e.agg(count(lit(1)).as("n_vecs")))
+    val stackArgs = thresholds.zipWithIndex.map { case (t, i) =>
+      s"CAST($t AS DOUBLE), dp_$i, nd_$i" }.mkString(", ")
+    val result = row.selectExpr("n_vecs", "candidate_pairs",
+        s"stack(${thresholds.length}, $stackArgs) AS " +
+          "(threshold, dup_pairs, n_dropped)")
+      .select(col("threshold"), col("n_vecs"), col("candidate_pairs"),
+        col("dup_pairs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"))
+      .orderBy("threshold")
+    materializeAndRelease(result, e)
+  }
+
+  /** Train/eval contamination rate as a FUNCTION of the n-gram size
+    * (4 / 5 / 6) — the sensitivity sweep for [[contaminationCheck]] (whose
+    * fixed 5-gram check is the middle row): shorter grams over-flag
+    * (common phrases), longer grams under-flag (miss paraphrase edits);
+    * the curve shows where the rate stabilizes, which is how a
+    * decontamination pipeline picks n before a release. Each arm is the
+    * identical capped semi-join machinery at a different shingle width —
+    * corpus-linear per arm, heavy-gram df cap carried throughout.
+    */
+  def contaminationGramSweep(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Seq(4, 5, 6).map { n =>
+      contaminationCheckCapped(spark, dir, 10000, n)
+        .select(lit(n.toLong).as("gram_n"), col("n_eval"),
+          col("n_heavy_grams"), col("n_contaminated"),
+          col("contamination_rate"))
+    }
+    arms.reduce(_ unionAll _).orderBy("gram_n")
+  }
+
+  /** Dedup-bias calibration audit: does near-dup-cluster membership
+    * correlate with document quality? Training-data dedup silently shifts
+    * the quality mix when duplicated content is systematically better or
+    * worse than unique content (mirrored reference pages vs spam farms) —
+    * this two-row table (in-cluster vs not: doc count, mean tokens, mean
+    * stopword ratio) is the check a curation pipeline runs before trusting
+    * "drop all dups" as quality-neutral. Composes the shared memoized
+    * cluster labels ([[sharedClusterLabels]] — edge-docs only, small)
+    * with a narrow per-doc score projection; one broadcast-sized left
+    * join, one 2-group aggregate, corpus-linear.
+    */
+  def dupQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val labels = sharedClusterLabels(spark, dir).select(col("id"))
+    val toks = F.tokens(col("text"))
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), size(toks).cast(LongType).as("nt"),
+        round(F.stopwordCount(toks).cast(DoubleType) / size(toks), 6)
+          .as("score"))
+    scored.join(labels.withColumn("_d", lit(1)),
+        scored("doc_id") === labels("id"), "left")
+      .groupBy(col("_d").isNotNull.as("in_dup_cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("nt"), 2).as("avg_tokens"),
+        round(avg("score"), 4).as("avg_stop_ratio"))
+      .orderBy("in_dup_cluster")
+  }
+
+  /** Length-sorted vs arrival-order sequence packing — the measured case
+    * for the length-sort trick: both packings concatenate each shard's
+    * documents into fixed 256-token sequences ([[packSequences]]'
+    * semantics), but sorting by length first packs like-sized documents
+    * together, cutting the number of documents SPLIT across a sequence
+    * boundary (truncation waste + cross-document attention pollution; the
+    * sequence count itself is order-invariant at ceil(total/L)). Two
+    * window cumsums per shard over the same narrow (doc_id, n) projection
+    * — the sort is per-shard on a fine-grained key, never global.
+    */
+  def packSortedCompare(spark: SparkSession, dir: String): DataFrame = {
+    val L = 256
+    val t = docs(spark, dir)
+      .select(col("doc_id"),
+        size(F.tokens(col("text"))).cast(LongType).as("n"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast(LongType))
+    def crossesOver(w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val cum = sum("n").over(w)
+      (floor((cum - col("n")) / L) =!= floor((cum - 1) / L)).cast(LongType)
+    }
+    val arrival = t
+      .withColumn("x",
+        crossesOver(Window.partitionBy("shard").orderBy("doc_id")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+        floor((sum("n") + L - 1) / L).cast(LongType).as("n_sequences"),
+        sum("x").as("boundary_arrival"))
+    val sorted = t
+      .withColumn("x", crossesOver(
+        Window.partitionBy("shard").orderBy(col("n").desc, col("doc_id"))))
+      .groupBy("shard").agg(sum("x").as("boundary_sorted"))
+    arrival.join(sorted, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("n_sequences"), col("boundary_arrival"), col("boundary_sorted"),
+        (col("boundary_arrival") - col("boundary_sorted"))
+          .as("boundary_saved"))
+      .orderBy("shard")
   }
 
   private type Column = org.apache.spark.sql.Column

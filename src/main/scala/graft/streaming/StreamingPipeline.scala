@@ -608,4 +608,36 @@ object StreamingPipeline {
           }
       }
   }
+
+  /** Streaming Bloom-filter probe — the continuous-ingest face of the
+    * batch relational Bloom prefilter
+    * ([[graft.queries.TrainingData.dedupBloom]]): each arriving document
+    * hashes to k md5-derived positions in an m-slot filter and
+    * stream-static left-joins the STATIC corpus bit set `bits` (bounded by
+    * m regardless of corpus size — the join side a 100 TB deployment
+    * broadcasts once and probes forever); a document is flagged "maybe
+    * seen" when ALL k positions hit. Watermarked per-window per-doc
+    * aggregation; state is one counter pair per in-flight document, and
+    * the Bloom no-false-negative contract carries over verbatim from the
+    * batch side (same hash family, same bit set).
+    */
+  def streamingBloomProbe(docs: DataFrame,
+                          bits: DataFrame,
+                          m: Long = 1L << 20,
+                          k: Int = 3,
+                          windowLength: String = "1 hour",
+                          lateness: String = "10 minutes"): DataFrame = {
+    val h = md5(col("text"))
+    val posArr = array((0 until k).map(i =>
+      conv(substring(md5(concat(h, lit(s"#$i"))), 1, 15), 16, 10)
+        .cast(LongType) % m): _*)
+    docs
+      .select(col("doc_id"), col("ts"), explode(posArr).as("pos"))
+      .join(bits.withColumn("_set", lit(1)), Seq("pos"), "left_outer")
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("_set")).as("n_hits"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        (col("n_hits") === col("n_pos")).as("flagged"))
+  }
 }

@@ -986,4 +986,139 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(freqs === freqs.sortBy(-_), "ordered by frequency desc")
     assert(rows.forall(_.getString(0).length === 2), "adjacent char pairs")
   }
+
+  test("dedup_bloom: no false negatives ever, accounting consistent") {
+    val r = TrainingData.dedupBloom(spark, sf).collect().head
+    val Seq(nExisting, nBatch, nSlots, nFlagged, nTrueDup, nFp, nFn) =
+      (0 to 6).map(r.getLong)
+    assert(nFn === 0L, "the Bloom contract: every true duplicate is flagged")
+    assert(nFlagged === nTrueDup + nFp, "flagged partitions into TP + FP")
+    assert(nSlots <= 3L * nExisting, "at most k positions per existing doc")
+    assert(nSlots >= 1L && nBatch > 0L)
+    val fpRate = r.getDouble(7)
+    assert(fpRate >= 0.0 && fpRate <= 1.0)
+  }
+
+  test("mixture_epoch_schedule: water-filling exhausts the budget or caps " +
+    "every source; allocations within cap") {
+    val rows = TrainingData.mixtureEpochSchedule(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val allocSum = rows.map(_.getDouble(3)).sum
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 0.1, "alloc never exceeds cap")
+      val epochs = r.getDouble(4)
+      assert(epochs > 0.0 && epochs <= 2.1 + 1e-9, "epochs within the cap")
+      if (r.getBoolean(5))
+        assert(math.abs(r.getDouble(3) - r.getDouble(2)) <= 0.1,
+          "capped sources sit exactly at cap")
+    }
+    val allCapped = rows.forall(_.getBoolean(5))
+    if (!allCapped)
+      assert(math.abs(allocSum - 2.0 * totalTokens) < 1.0,
+        "uncapped solution spends exactly the budget")
+  }
+
+  test("sim_recall_curve: recall non-decreasing in nprobe, pairs fixed") {
+    val rows = TrainingData.simRecallCurve(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getLong(1)).distinct.length === 1,
+      "same exact ground-truth pair count at every probe width")
+    val recalls = rows.map(_.getDouble(3)).toSeq
+    assert(recalls === recalls.sorted,
+      "widening the probe can only add candidates")
+    recalls.foreach(rc => assert(rc >= 0.0 && rc <= 1.0))
+  }
+
+  test("dedup_bloom_stream: flagged count equals the batch Bloom filter") {
+    val stream = TrainingData.dedupBloomStream(spark, sf).collect().head
+    val batch = TrainingData.dedupBloom(spark, sf).collect().head
+    assert(stream.getLong(0) === batch.getLong(0), "same existing corpus")
+    assert(stream.getLong(1) === batch.getLong(1), "same batch size")
+    assert(stream.getLong(2) === batch.getLong(2), "same bit set")
+    assert(stream.getLong(3) === batch.getLong(3),
+      "streaming probe flags exactly what the batch filter flags")
+  }
+
+  test("dedup_threshold_sweep: monotone in threshold, 0.4 row matches the " +
+    "registered banded default") {
+    val rows = TrainingData.dedupThresholdSweep(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.3, 0.4, 0.5))
+    assert(rows.map(_.getLong(2)).distinct.length === 1,
+      "one band join: same candidate set at every threshold")
+    val dups = rows.map(_.getLong(3)).toSeq
+    val dropped = rows.map(_.getLong(4)).toSeq
+    assert(dups === dups.sortBy(-_), "raising the bar can only drop pairs")
+    assert(dropped === dropped.sortBy(-_))
+    val banded = TrainingData.dedupEmbeddingBanded(spark, sf).collect().head
+    val mid = rows(1)
+    assert(mid.getLong(2) === banded.getLong(2) &&
+      mid.getLong(3) === banded.getLong(3) &&
+      mid.getLong(4) === banded.getLong(4),
+      "the 0.4 curve point IS dedup_embedding_banded's row")
+  }
+
+  test("contamination_gram_sweep: rate non-increasing in gram size; " +
+    "5-gram arm matches contamination_check") {
+    val rows = TrainingData.contaminationGramSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(4L, 5L, 6L))
+    assert(rows.map(_.getLong(1)).distinct.length === 1,
+      "same eval split at every width")
+    val rates = rows.map(_.getDouble(4)).toSeq
+    assert(rates === rates.sortBy(-(_: Double)),
+      "longer grams are strictly harder to share (no heavy grams here)")
+    val check = TrainingData.contaminationCheck(spark, sf).collect().head
+    assert(rows(1).getLong(3) === check.getLong(2),
+      "the n=5 arm IS contamination_check's count")
+  }
+
+  test("dup_quality_calibration: two-row partition of the corpus, cluster " +
+    "side matches dup_clusters membership") {
+    val rows = TrainingData.dupQualityCalibration(spark, sf).collect()
+    assert(rows.map(_.getBoolean(0)).toSeq === Seq(false, true))
+    assert(rows.map(_.getLong(1)).sum === 500L, "rows partition the corpus")
+    val clustered = TrainingData.dupClusters(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows(1).getLong(1) === clustered,
+      "in-cluster doc count equals the dup_clusters rollup")
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("pack_sorted_compare: sequence count order-invariant, boundary " +
+    "accounting bounded") {
+    val rows = TrainingData.packSortedCompare(spark, sf).collect()
+    assert(rows.length === 8)
+    val packed = TrainingData.packSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val shard = r.getLong(0)
+      assert(r.getLong(3) === packed(shard).getLong(3),
+        "ceil(total/L) sequences no matter the order")
+      assert(r.getLong(4) === packed(shard).getLong(4),
+        "arrival-order boundary count IS pack_sequences' count")
+      assert(r.getLong(5) >= 0L && r.getLong(5) < r.getLong(1),
+        "sorted packing still bounded by doc count")
+      assert(r.getLong(6) === r.getLong(4) - r.getLong(5))
+    }
+    assert(rows.map(_.getLong(6)).sum >= 0L,
+      "length-sorting never loses across the corpus")
+  }
+
+  test("text_boilerplate: every source reported, accounting consistent") {
+    val rows = TrainingData.textBoilerplate(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      val Seq(nDocs, total, types, insts, affected) = (1 to 5).map(r.getLong)
+      assert(nDocs > 0L && total >= nDocs, "at least one chunk per doc")
+      assert(insts >= 2L * types,
+        "every flagged chunk type has df >= 2 instances")
+      assert(affected <= nDocs && (insts == 0L) == (affected == 0L))
+      val frac = r.getDouble(6)
+      assert(frac >= 0.0 && frac < 1.0)
+    }
+    assert(rows.map(_.getLong(3)).sum > 0L,
+      "the df cap is calibrated to flag at least one chunk on this corpus")
+  }
 }
