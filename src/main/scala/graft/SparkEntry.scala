@@ -201,6 +201,10 @@ object SparkEntry {
     "dup_quality_calibration" -> (TrainingData.dupQualityCalibration _),
     // length-sorted vs arrival-order packing (boundary-split savings)
     "pack_sorted_compare" -> (TrainingData.packSortedCompare _),
+    // langid eval: full confusion matrix against the labeled lang column
+    "text_langid_confusion" -> (TrainingData.textLangidConfusion _),
+    // RFM quintile segmentation of the event stream (5x5 R-F grid)
+    "q33_rfm_segments" -> (Relational.q33RfmSegments _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -2536,6 +2540,46 @@ object SparkEntry {
         | round(avg(score), 4) AS avg_stop_ratio
         |FROM scored LEFT JOIN ids ON scored.doc_id = ids.id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "text_langid_confusion" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |   CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN len(list_intersect(list_distinct(toks),
+        |      ['der','die','und','nicht','das'])) > 0 THEN 'de'
+        |    WHEN len(list_intersect(list_distinct(toks),
+        |      ['el','los','las','una','pero'])) > 0 THEN 'es'
+        |    WHEN len(list_intersect(list_distinct(toks),
+        |      ['le','les','une','est','dans'])) > 0 THEN 'fr'
+        |    ELSE 'en' END predicted
+        |  FROM (SELECT lang, text, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM documents) x),
+        |c AS (SELECT lang, predicted, count(*) n FROM p GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) n_lang FROM c GROUP BY 1)
+        |SELECT c.lang, predicted, n,
+        | round(CAST(n AS DOUBLE) / n_lang, 4) AS rate
+        |FROM c JOIN t USING (lang) ORDER BY lang, predicted""".stripMargin,
+    "q33_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) last_tus, count(*) freq,
+        |   sum(value) monetary
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_tus) corpus_max FROM pu),
+        |sc AS (
+        |  SELECT user_id, freq, monetary,
+        |   CAST(floor((corpus_max - last_tus) / 86400000000) AS BIGINT)
+        |     recency_days
+        |  FROM pu, mx),
+        |nt AS (
+        |  SELECT *,
+        |   CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT)
+        |     r_score,
+        |   CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) f_score
+        |  FROM sc)
+        |SELECT r_score, f_score, count(*) AS n_users,
+        | round(avg(recency_days), 2) AS avg_recency_days,
+        | round(avg(freq), 2) AS avg_frequency,
+        | round(avg(monetary), 2) AS avg_monetary
+        |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pack_sorted_compare" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -855,4 +855,45 @@ object Relational {
       .orderBy(abs(col("z")).desc, col("hour_bucket"))
       .limit(5)
   }
+
+  /** RFM (recency / frequency / monetary) quintile segmentation of the
+    * event stream — the classic warehouse customer-value matrix: each
+    * user scored 1-5 on how recently they acted (5 = most recent, days
+    * against the corpus max event time), how often, and how much value
+    * they generated; reported as the 5x5 R×F grid with per-cell user
+    * counts and value averages. One corpus pass to the per-user rollup
+    * (fine-grained user key, map-side partials); the ntile windows run
+    * over the USER table — users ≪ events, the standard RFM trade. At
+    * billions of users swap the single-partition ntile for histogram
+    * quantile thresholds (the [[graft.queries.TrainingData.selectTokenBudgetHist]]
+    * move); the quintile semantics below stay the contract. Ties broken
+    * by user_id so both engines assign identical buckets; recency uses
+    * explicit floor() because Spark's integral cast truncates while
+    * DuckDB's rounds.
+    */
+  def q33RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val perUser = e.select(col("user_id"), epochMicros(e).as("tus"),
+        col("value"))
+      .groupBy("user_id")
+      .agg(max("tus").as("last_tus"), count(lit(1)).as("freq"),
+        sum("value").as("monetary"))
+    val maxTs = perUser.agg(max("last_tus").as("corpus_max"))
+    val scored = perUser.crossJoin(broadcast(maxTs))
+      .withColumn("recency_days",
+        floor((col("corpus_max") - col("last_tus")) / lit(86400000000L))
+          .cast(LongType))
+    val r = ntile(5).over(
+      Window.orderBy(col("recency_days").desc, col("user_id")))
+    val f = ntile(5).over(Window.orderBy(col("freq"), col("user_id")))
+    scored
+      .withColumn("r_score", r.cast(LongType))
+      .withColumn("f_score", f.cast(LongType))
+      .groupBy("r_score", "f_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg("recency_days"), 2).as("avg_recency_days"),
+        round(avg("freq"), 2).as("avg_frequency"),
+        round(avg("monetary"), 2).as("avg_monetary"))
+      .orderBy("r_score", "f_score")
+  }
 }

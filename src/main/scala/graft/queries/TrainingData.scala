@@ -4244,5 +4244,27 @@ object TrainingData {
       .orderBy("shard")
   }
 
+  /** Language-ID confusion matrix against the corpus's labeled `lang`
+    * column — the proper evaluation table behind [[textLangid]]'s
+    * per-prediction rollup: every (true lang, predicted) cell with its
+    * count and row-normalized rate. The diagonal is per-language recall;
+    * off-diagonal mass shows WHICH languages the n-gram heuristic
+    * confuses (the table that decides whether a language needs more
+    * marker words before the classifier gates real traffic). One
+    * fine-grained two-key aggregation + an O(langs) totals join — the
+    * matrix is O(langs²) rows at any corpus size.
+    */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("lang"),
+        F.langId(col("text"), F.tokens(col("text"))).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("lang").agg(sum("n").as("n_lang"))
+    counts.join(totals, Seq("lang"))
+      .select(col("lang"), col("predicted"), col("n"),
+        round(col("n").cast(DoubleType) / col("n_lang"), 4).as("rate"))
+      .orderBy("lang", "predicted")
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -1106,6 +1106,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       "length-sorting never loses across the corpus")
   }
 
+  test("text_langid_confusion: rows partition the corpus, rates sum to 1 " +
+    "per language, consistent with text_langid") {
+    val rows = TrainingData.textLangidConfusion(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === 500L)
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(math.abs(cells.map(_.getDouble(3)).sum - 1.0) < 0.001,
+        "row-normalized rates sum to 1 per true language")
+    }
+    val byPred = TrainingData.textLangid(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (pred, cells) =>
+      assert(cells.map(_.getLong(2)).sum === byPred(pred),
+        "column sums equal text_langid's per-prediction counts")
+    }
+  }
+
+  test("q33_rfm_segments: quintile grid partitions users, scores in 1..5") {
+    val rows = graft.queries.Relational.q33RfmSegments(spark, sf).collect()
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nUsers,
+      "every user lands in exactly one R-F cell")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 5L)
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 5L)
+      assert(r.getDouble(3) >= 0.0, "recency is non-negative")
+      assert(r.getDouble(4) >= 1.0, "every user has at least one event")
+    }
+    // frequency quintiles are ordered: avg frequency rises with f_score
+    val byF = rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+      .map { case (_, cells) =>
+        cells.map(c => c.getDouble(4) * c.getLong(2)).sum /
+          cells.map(_.getLong(2)).sum }
+    assert(byF === byF.sorted, "f_score 5 is the most frequent quintile")
+  }
+
   test("text_boilerplate: every source reported, accounting consistent") {
     val rows = TrainingData.textBoilerplate(spark, sf).collect()
     assert(rows.length === 20, "one row per source")

@@ -47,7 +47,10 @@ class PlanSpec extends AnyFunSuite {
         "quality_nb_classifier", "quality_bigram_logprob", "bpe_pair_stats",
         "vocab_growth", "q32_anomalous_hours", "profile_table",
         "q30_event_transitions", "q31_ref_integrity",
-        "quality_nb_topfeatures", "multimodal_join_profile")
+        "quality_nb_topfeatures", "multimodal_join_profile",
+        "mixture_epoch_schedule", "sim_recall_curve", "text_boilerplate",
+        "contamination_gram_sweep", "dup_quality_calibration",
+        "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
