@@ -205,6 +205,10 @@ object SparkEntry {
     "text_langid_confusion" -> (TrainingData.textLangidConfusion _),
     // RFM quintile segmentation of the event stream (5x5 R-F grid)
     "q33_rfm_segments" -> (Relational.q33RfmSegments _),
+    // binary-payload exact dedup per modality (digest-only shuffles)
+    "multimodal_dedup" -> (TrainingData.multimodalDedup _),
+    // per-source snapshot diff: added/removed/changed/unchanged
+    "corpus_snapshot_diff" -> (TrainingData.corpusSnapshotDiff _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -2580,6 +2584,48 @@ object SparkEntry {
         | round(avg(freq), 2) AS avg_frequency,
         | round(avg(monetary), 2) AS avg_monetary
         |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // payload = utf8 bytes of text, so md5(payload) == md5(text) and
+    // strlen(text) is the byte length on this ASCII corpus
+    "multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type,
+        |   md5(text) h, CAST(strlen(text) AS BIGINT) blen
+        |  FROM documents WHERE text IS NOT NULL),
+        |per AS (
+        |  SELECT media_type, h, count(*) k, min(blen) blen
+        |  FROM m GROUP BY 1, 2)
+        |SELECT media_type,
+        | CAST(sum(k) AS BIGINT) AS n_records,
+        | count(*) AS n_distinct,
+        | CAST(sum(k) - count(*) AS BIGINT) AS dup_records,
+        | CAST(sum(k * blen) AS BIGINT) AS total_bytes,
+        | CAST(sum(k * blen) - sum(blen) AS BIGINT) AS reclaimable_bytes
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |           WHERE text IS NOT NULL),
+        |prev AS (
+        |  SELECT doc_id, source,
+        |   md5(CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 100)
+        |       ELSE text END) h_prev
+        |  FROM d WHERE doc_id % 7 <> 0),
+        |curr AS (
+        |  SELECT doc_id, source source_c, md5(text) h_curr
+        |  FROM d WHERE doc_id % 11 <> 0),
+        |j AS (
+        |  SELECT coalesce(prev.source, curr.source_c) source,
+        |   h_prev, h_curr
+        |  FROM prev FULL OUTER JOIN curr USING (doc_id))
+        |SELECT source,
+        | count(h_prev) AS n_prev,
+        | count(h_curr) AS n_curr,
+        | count(CASE WHEN h_prev IS NULL THEN 1 END) AS added,
+        | count(CASE WHEN h_curr IS NULL THEN 1 END) AS removed,
+        | count(CASE WHEN h_prev IS NOT NULL AND h_curr IS NOT NULL
+        |       AND h_prev <> h_curr THEN 1 END) AS changed,
+        | count(CASE WHEN h_prev = h_curr THEN 1 END) AS unchanged
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "pack_sorted_compare" ->
       """WITH t AS (
         |  SELECT doc_id,

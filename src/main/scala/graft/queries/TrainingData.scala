@@ -4266,5 +4266,65 @@ object TrainingData {
       .orderBy("lang", "predicted")
   }
 
+  /** Exact dedup over MULTIMODAL payloads — the binary-column face of
+    * [[dedupExact]]: media records ([[Multimodal.documentsAsMedia]]'s
+    * opaque `binary` payloads) dedup by payload digest per modality, and
+    * the report adds the storage angle a media lake cares about:
+    * reclaimable bytes (total payload bytes minus one copy per distinct
+    * digest). Two-level aggregation — (modality, digest) first with
+    * map-side partials, then the per-modality rollup — so only 16-byte
+    * digests shuffle, NEVER the payloads; at 100 TB of media that is the
+    * whole ballgame.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.documentsAsMedia(
+      docs(spark, dir).filter(col("text").isNotNull)).toDF()
+    val per = media
+      .groupBy(col("media_type"), md5(col("payload")).as("h"))
+      .agg(count(lit(1)).as("k"),
+        min(length(col("payload"))).cast(LongType).as("blen"))
+    per.groupBy("media_type")
+      .agg(sum("k").as("n_records"),
+        count(lit(1)).as("n_distinct"),
+        (sum("k") - count(lit(1))).as("dup_records"),
+        sum(col("k") * col("blen")).as("total_bytes"),
+        (sum(col("k") * col("blen")) - sum("blen")).as("reclaimable_bytes"))
+      .orderBy("media_type")
+  }
+
+  /** Corpus snapshot diff — the training-data VERSIONING operator: given
+    * two crawl snapshots, report per source how many documents were
+    * added, removed, changed (content hash moved), and unchanged. The
+    * snapshots are simulated deterministically from the corpus (previous
+    * = drop `doc_id % 7 == 0`, with `% 5 == 0` docs carried as a
+    * truncated prior revision; current = drop `% 11 == 0`), but the
+    * operator is the real shape: a full-outer join of 16-byte digest
+    * projections on the id key — documents themselves never shuffle —
+    * with change detection as a digest comparison. The diff a pipeline
+    * publishes alongside each corpus release.
+    */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("text").isNotNull)
+    val prev = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 5 === 0, substring(col("text"), 1, 100))
+          .otherwise(col("text"))).as("h_prev"))
+    val curr = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source").as("source_c"),
+        md5(col("text")).as("h_curr"))
+    prev.join(curr, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_c")).as("src"),
+        col("h_prev"), col("h_curr"))
+      .groupBy(col("src").as("source"))
+      .agg(count(col("h_prev")).as("n_prev"),
+        count(col("h_curr")).as("n_curr"),
+        count(when(col("h_prev").isNull, 1)).as("added"),
+        count(when(col("h_curr").isNull, 1)).as("removed"),
+        count(when(col("h_prev").isNotNull && col("h_curr").isNotNull &&
+          col("h_prev") =!= col("h_curr"), 1)).as("changed"),
+        count(when(col("h_prev") === col("h_curr"), 1)).as("unchanged"))
+      .orderBy("source")
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -1142,6 +1142,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byF === byF.sorted, "f_score 5 is the most frequent quintile")
   }
 
+  test("multimodal_dedup: modalities partition the corpus, reclaimable " +
+    "bytes consistent") {
+    val rows = TrainingData.multimodalDedup(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    val globalDups = TrainingData.dedupExact(spark, sf).collect()
+      .head.getLong(2)
+    assert(rows.map(_.getLong(3)).sum <= globalDups,
+      "per-modality dedup can only find dups dedup_exact also sees")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+      assert(r.getLong(5) >= 0L &&
+        (r.getLong(3) == 0L) == (r.getLong(5) == 0L),
+        "bytes reclaimable exactly when duplicates exist")
+    }
+  }
+
+  test("corpus_snapshot_diff: per-source diff partitions both snapshots") {
+    val rows = TrainingData.corpusSnapshotDiff(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      val Seq(nPrev, nCurr, added, removed, changed, unchanged) =
+        (1 to 6).map(r.getLong)
+      assert(nCurr === added + changed + unchanged,
+        "current snapshot partitions into added/changed/unchanged")
+      assert(nPrev === removed + changed + unchanged,
+        "previous snapshot partitions into removed/changed/unchanged")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0L, "some docs are new in current")
+    assert(rows.map(_.getLong(4)).sum > 0L, "some docs were removed")
+    assert(rows.map(_.getLong(5)).sum > 0L, "some docs changed content")
+  }
+
   test("text_boilerplate: every source reported, accounting consistent") {
     val rows = TrainingData.textBoilerplate(spark, sf).collect()
     assert(rows.length === 20, "one row per source")

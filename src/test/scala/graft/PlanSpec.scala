@@ -50,7 +50,8 @@ class PlanSpec extends AnyFunSuite {
         "quality_nb_topfeatures", "multimodal_join_profile",
         "mixture_epoch_schedule", "sim_recall_curve", "text_boilerplate",
         "contamination_gram_sweep", "dup_quality_calibration",
-        "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments")
+        "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments",
+        "multimodal_dedup", "corpus_snapshot_diff")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
