@@ -209,6 +209,10 @@ object SparkEntry {
     "multimodal_dedup" -> (TrainingData.multimodalDedup _),
     // per-source snapshot diff: added/removed/changed/unchanged
     "corpus_snapshot_diff" -> (TrainingData.corpusSnapshotDiff _),
+    // radius query over the IVF-probed buckets (no per-query sort)
+    "sim_range_search" -> (TrainingData.simRangeSearch _),
+    // IVF bucket balance / imbalance health report
+    "emb_ivf_balance" -> (TrainingData.embIvfBalance _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -2584,6 +2588,67 @@ object SparkEntry {
         | round(avg(freq), 2) AS avg_frequency,
         | round(avg(monetary), 2) AS avg_monetary
         |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sim_range_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |qids AS (
+        |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT r.vec_id query_id, cent_id bucket FROM ranked r
+        |  JOIN qids ON r.vec_id = qids.vec_id WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT q.query_id, d.vec_id neighbor_id,
+        |   round(list_sum(list_transform(range(1, len(qn.nv)+1), i -> qn.nv[i] * dn.nv[i])), 4) sim
+        |  FROM qprobe q
+        |  JOIN buckets d ON q.bucket = d.bucket AND d.vec_id <> q.query_id
+        |  JOIN norm qn ON qn.vec_id = q.query_id
+        |  JOIN norm dn ON dn.vec_id = d.vec_id),
+        |m AS (
+        |  SELECT query_id, count(*) n_matches, max(sim) top_sim,
+        |   round(avg(sim), 4) avg_sim
+        |  FROM iscored WHERE sim >= 0.3 GROUP BY 1)
+        |SELECT qids.vec_id AS query_id,
+        | coalesce(n_matches, 0) AS n_matches, top_sim, avg_sim
+        |FROM qids LEFT JOIN m ON m.query_id = qids.vec_id
+        |ORDER BY query_id""".stripMargin,
+    "emb_ivf_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |withnorm AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
+        |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |sims AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
+        |  FROM norm n CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) rn
+        |  FROM sims),
+        |buckets AS (SELECT vec_id, cent_id bucket FROM ranked WHERE rn = 1),
+        |counts AS (SELECT bucket, count(*) n_vecs FROM buckets GROUP BY 1)
+        |SELECT (SELECT count(*) FROM cents) AS n_centroids,
+        | count(*) AS n_buckets,
+        | CAST(sum(n_vecs) AS BIGINT) AS n_assigned,
+        | max(n_vecs) AS max_bucket,
+        | min(n_vecs) AS min_bucket,
+        | round(CAST(max(n_vecs) AS DOUBLE) * count(*) / sum(n_vecs), 4)
+        |   AS imbalance
+        |FROM counts""".stripMargin,
     // payload = utf8 bytes of text, so md5(payload) == md5(text) and
     // strlen(text) is the byte length on this ASCII corpus
     "multimodal_dedup" ->

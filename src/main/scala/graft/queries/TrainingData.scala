@@ -4326,5 +4326,61 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Cosine RANGE search — the "every neighbor within a similarity
+    * radius" API beside the top-k family (dedup candidate pulls and
+    * recall-oriented retrieval want all matches, not the best k): the
+    * fixed probe batch routes through the SAME IVF top-2 probe stage as
+    * [[simTopkIvf]] ([[ivfProbeScored]]), then a radius filter replaces
+    * the rank window — no per-query sort at all, which is the point: at
+    * scale a range query is a filter + count over the probed buckets,
+    * strictly cheaper than top-k. Zero-match queries stay in the report
+    * (left join against the probe batch) because "nothing within 0.5" is
+    * the answer that matters for coverage monitoring. Radius 0.3 is
+    * calibrated to this corpus's cosine density (see dedupThresholdSweep).
+    */
+  def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val radius = 0.3
+    val e = normalized(spark, dir).cache()
+    val matches = ivfProbeScored(e).filter(col("sim") >= radius)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_matches"), max("sim").as("top_sim"),
+        round(avg("sim"), 4).as("avg_sim"))
+    val base = e.join(broadcast(probeIds(e)), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"))
+    val result = base.join(matches, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("top_sim"), col("avg_sim"))
+      .orderBy("query_id")
+    materializeAndRelease(result, e)
+  }
+
+  /** IVF index health report: per-bucket vector counts and the imbalance
+    * statistics an ANN deployment monitors (max/avg bucket ratio — skewed
+    * buckets are exactly the probes that blow the latency budget, and the
+    * signal to re-train centroids or re-split hot cells). One argmin
+    * assignment pass ([[graft.operators.VectorIndex.assign]], map-side
+    * combined) + an O(n_centroids) rollup; the per-bucket table is
+    * centroid-sized at any corpus scale.
+    */
+  def embIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = normalized(spark, dir).cache()
+    val cents = e.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
+    val counts = graft.operators.VectorIndex.assign(e, cents)
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    val result = counts.agg(
+        count(lit(1)).as("n_buckets"),
+        sum("n_vecs").as("n_assigned"),
+        max("n_vecs").as("max_bucket"),
+        min("n_vecs").as("min_bucket"))
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_centroids"))))
+      .select(col("n_centroids"), col("n_buckets"), col("n_assigned"),
+        col("max_bucket"), col("min_bucket"),
+        round(col("max_bucket").cast(DoubleType) * col("n_buckets") /
+          col("n_assigned"), 4).as("imbalance"))
+    materializeAndRelease(result, e)
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -1176,6 +1176,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).sum > 0L, "some docs changed content")
   }
 
+  test("sim_range_search: every probe reported, stats consistent with " +
+    "radius semantics") {
+    val rows = TrainingData.simRangeSearch(spark, sf).collect()
+    assert(rows.length === 32, "one row per probe query, zero-match included")
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      if (n === 0L) {
+        assert(r.isNullAt(2) && r.isNullAt(3), "no matches -> null stats")
+      } else {
+        assert(r.getDouble(2) >= 0.3, "top match within the radius")
+        assert(r.getDouble(3) >= 0.3 && r.getDouble(3) <= r.getDouble(2),
+          "avg bounded by radius and top")
+      }
+    }
+    assert(rows.map(_.getLong(1)).sum > 0L, "radius calibrated to match")
+  }
+
+  test("emb_ivf_balance: buckets partition the corpus, imbalance >= 1") {
+    val r = TrainingData.embIvfBalance(spark, sf).collect().head
+    val Seq(nCents, nBuckets, nAssigned, maxB, minB) =
+      (0 to 4).map(r.getLong)
+    assert(nBuckets <= nCents, "every bucket is a centroid")
+    assert(nAssigned === 500L, "every vector assigned exactly once")
+    assert(minB >= 1L && maxB >= minB)
+    assert(r.getDouble(5) >= 1.0, "imbalance is max/avg, floored at 1")
+  }
+
   test("text_boilerplate: every source reported, accounting consistent") {
     val rows = TrainingData.textBoilerplate(spark, sf).collect()
     assert(rows.length === 20, "one row per source")

@@ -51,7 +51,8 @@ class PlanSpec extends AnyFunSuite {
         "mixture_epoch_schedule", "sim_recall_curve", "text_boilerplate",
         "contamination_gram_sweep", "dup_quality_calibration",
         "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments",
-        "multimodal_dedup", "corpus_snapshot_diff")
+        "multimodal_dedup", "corpus_snapshot_diff", "sim_range_search",
+        "emb_ivf_balance")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
