@@ -213,6 +213,8 @@ object SparkEntry {
     "sim_range_search" -> (TrainingData.simRangeSearch _),
     // IVF bucket balance / imbalance health report
     "emb_ivf_balance" -> (TrainingData.embIvfBalance _),
+    // exact integer Spearman agreement between quality signals
+    "quality_metric_agreement" -> (TrainingData.qualityMetricAgreement _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -2588,6 +2590,42 @@ object SparkEntry {
         | round(avg(freq), 2) AS avg_frequency,
         | round(avg(monetary), 2) AS avg_monetary
         |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "quality_metric_agreement" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) nt,
+        |   round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |     OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is' OR x = 'it')) AS DOUBLE)
+        |     / len(toks), 6) AS stop_ratio
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM documents WHERE text IS NOT NULL) t),
+        |toks2 AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS c FROM toks2 GROUP BY 1),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks2),
+        |lp AS (
+        |  SELECT doc_id, round(avg(log10(c / n)), 4) AS avg_logprob
+        |  FROM toks2 JOIN counts USING (token) CROSS JOIN total
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT base.doc_id,
+        |   row_number() OVER (ORDER BY nt, base.doc_id) r_len,
+        |   row_number() OVER (ORDER BY stop_ratio, base.doc_id) r_stop,
+        |   row_number() OVER (ORDER BY avg_logprob, base.doc_id) r_lp
+        |  FROM base JOIN lp ON base.doc_id = lp.doc_id),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) n,
+        |   CAST(sum((r_len - r_stop) * (r_len - r_stop)) AS BIGINT) d_ls,
+        |   CAST(sum((r_len - r_lp) * (r_len - r_lp)) AS BIGINT) d_ll,
+        |   CAST(sum((r_stop - r_lp) * (r_stop - r_lp)) AS BIGINT) d_sl
+        |  FROM r)
+        |SELECT 'len_vs_logprob' AS metric_pair, n AS n_docs,
+        | round(1.0 - 6.0 * d_ll / (n * (n * n - 1)), 4) AS rho FROM s
+        |UNION ALL SELECT 'len_vs_stopword', n,
+        | round(1.0 - 6.0 * d_ls / (n * (n * n - 1)), 4) FROM s
+        |UNION ALL SELECT 'stopword_vs_logprob', n,
+        | round(1.0 - 6.0 * d_sl / (n * (n * n - 1)), 4) FROM s
+        |ORDER BY metric_pair""".stripMargin,
     "sim_range_search" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -4382,5 +4382,57 @@ object TrainingData {
     materializeAndRelease(result, e)
   }
 
+  /** Quality-filter AGREEMENT diagnostic: Spearman rank correlation
+    * between three per-document quality signals (token length, stopword
+    * ratio, corpus-unigram log-probability) — the check a curation
+    * pipeline runs before composing filters: signals that rank documents
+    * near-identically are redundant gates, signals that anti-correlate
+    * will fight each other in an ensemble. Computed as EXACT integer
+    * Spearman (`1 - 6·Σd²/(n·(n²-1))` over doc_id-tie-broken
+    * row_number ranks — a permutation, so the closed form applies and
+    * every intermediate is integer arithmetic, bit-identical across
+    * engines; no floating corr() whose co-moment order could diverge).
+    * One corpus pass per signal, three rank windows over the per-doc
+    * table, ONE aggregation for all three pairs. The global rank windows
+    * serialize on the doc table — at billions of docs switch to
+    * approximate percentile ranks; the rho semantics stay the contract.
+    */
+  def qualityMetricAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val toks = F.tokens(col("text"))
+    val base = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast(LongType).as("nt"),
+        round(F.stopwordCount(toks).cast(DoubleType) / size(toks), 6)
+          .as("stop_ratio"))
+    val docTok = docs(spark, dir)
+      .select(col("doc_id"), explode(F.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
+    val counts = docTok.groupBy("token").agg(sum("k").as("c"))
+    val total = counts.agg(sum("c").cast(DoubleType).as("n"))
+    val lp = docTok.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(sum(col("k") * log10(col("c") / col("n"))) / sum("k"), 4)
+        .as("avg_logprob"))
+    def rank(c: String) =
+      row_number().over(Window.orderBy(col(c), col("doc_id"))).cast(LongType)
+    val ranked = base.join(lp, Seq("doc_id"))
+      .withColumn("r_len", rank("nt"))
+      .withColumn("r_stop", rank("stop_ratio"))
+      .withColumn("r_lp", rank("avg_logprob"))
+    def d2(a: String, b: String) =
+      sum((col(a) - col(b)) * (col(a) - col(b)))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      d2("r_len", "r_stop").as("d_ls"),
+      d2("r_len", "r_lp").as("d_ll"),
+      d2("r_stop", "r_lp").as("d_sl"))
+    s.selectExpr("n",
+        "stack(3, 'len_vs_logprob', d_ll, 'len_vs_stopword', d_ls, " +
+          "'stopword_vs_logprob', d_sl) AS (metric_pair, d2)")
+      .select(col("metric_pair"), col("n").as("n_docs"),
+        round(lit(1.0) - lit(6.0) * col("d2") /
+          (col("n") * (col("n") * col("n") - 1)), 4).as("rho"))
+      .orderBy("metric_pair")
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -1203,6 +1203,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) >= 1.0, "imbalance is max/avg, floored at 1")
   }
 
+  test("quality_metric_agreement: three pairs, rho in [-1,1], exact " +
+    "integer Spearman is permutation-consistent") {
+    val rows = TrainingData.qualityMetricAgreement(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("len_vs_logprob", "len_vs_stopword", "stopword_vs_logprob"))
+    assert(rows.map(_.getLong(1)).distinct.toSeq === Seq(500L),
+      "every scored doc ranks in every signal")
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+  }
+
   test("text_boilerplate: every source reported, accounting consistent") {
     val rows = TrainingData.textBoilerplate(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
