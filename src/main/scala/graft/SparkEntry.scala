@@ -215,6 +215,8 @@ object SparkEntry {
     "emb_ivf_balance" -> (TrainingData.embIvfBalance _),
     // exact integer Spearman agreement between quality signals
     "quality_metric_agreement" -> (TrainingData.qualityMetricAgreement _),
+    // dense hour spine + zero-fill + forward-filled hourly value average
+    "q34_gap_fill" -> (Relational.q34GapFill _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -2590,6 +2592,23 @@ object SparkEntry {
         | round(avg(freq), 2) AS avg_frequency,
         | round(avg(monetary), 2) AS avg_monetary
         |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q34_gap_fill" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 hb, count(*) n,
+        |   round(avg(value), 4) av
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hb) lo, max(hb) hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) hb FROM b),
+        |j AS (
+        |  SELECT spine.hb, coalesce(n, 0) n_events, av,
+        |   h.hb IS NULL AS filled
+        |  FROM spine LEFT JOIN h ON spine.hb = h.hb)
+        |SELECT hb AS hour_bucket, CAST(n_events AS BIGINT) AS n_events,
+        | filled,
+        | last_value(av IGNORE NULLS) OVER (ORDER BY hb
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS avg_value_ffill
+        |FROM j ORDER BY hour_bucket""".stripMargin,
     "quality_metric_agreement" ->
       """WITH base AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) nt,

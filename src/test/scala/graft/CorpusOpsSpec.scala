@@ -1216,6 +1216,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q34_gap_fill: complete hour spine, gaps zero-filled and " +
+    "forward-filled from the last observed hour") {
+    val rows = graft.queries.Relational.q34GapFill(spark, sf).collect()
+    val hbs = rows.map(_.getLong(0))
+    assert(hbs.toSeq === (hbs.min to hbs.max).toSeq, "dense spine, no holes")
+    assert(rows.exists(_.getBoolean(2)), "sf0.001 has real gap hours")
+    assert(rows.head.getBoolean(2) === false,
+      "spine starts at an observed hour, so ffill never sees a leading null")
+    var lastSeen = Double.NaN
+    rows.foreach { r =>
+      if (!r.getBoolean(2)) lastSeen = r.getDouble(3)
+      else {
+        assert(r.getLong(1) === 0L, "gap hours have zero events")
+        assert(r.getDouble(3) === lastSeen,
+          "gap hours carry the last observed hourly average")
+      }
+    }
+  }
+
   test("text_boilerplate: every source reported, accounting consistent") {
     val rows = TrainingData.textBoilerplate(spark, sf).collect()
     assert(rows.length === 20, "one row per source")

@@ -52,7 +52,7 @@ class PlanSpec extends AnyFunSuite {
         "contamination_gram_sweep", "dup_quality_calibration",
         "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments",
         "multimodal_dedup", "corpus_snapshot_diff", "sim_range_search",
-        "emb_ivf_balance", "quality_metric_agreement")
+        "emb_ivf_balance", "quality_metric_agreement", "q34_gap_fill")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
