@@ -87,6 +87,7 @@ object SparkEntry {
     // corpus management (splits, sampling, n-gram stats, portable simhash,
     // duplicate clustering)
     "split_train_val" -> (TrainingData.splitTrainVal _),
+    "split_leakage" -> (TrainingData.splitLeakage _),
     "sample_stratified" -> (TrainingData.sampleStratified _),
     "text_ngrams" -> (TrainingData.textNgrams _),
     "dedup_simhash_md5" -> (TrainingData.dedupSimhashMd5 _),
@@ -100,6 +101,7 @@ object SparkEntry {
     // replay) — must equal the batch check, shares its oracle
     "contamination_check_stream" -> (TrainingData.contaminationCheckStream _),
     "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
+    "decontam_filter" -> (TrainingData.decontamFilter _),
     "tfidf_top_terms" -> (TrainingData.tfidfTopTerms _),
     "quality_gate_dynamic" -> (TrainingData.qualityGateDynamic _),
     "quality_repetition" -> (TrainingData.qualityRepetition _),
@@ -217,6 +219,7 @@ object SparkEntry {
     "quality_metric_agreement" -> (TrainingData.qualityMetricAgreement _),
     // dense hour spine + zero-fill + forward-filled hourly value average
     "q34_gap_fill" -> (Relational.q34GapFill _),
+    "q35_interarrival" -> (Relational.q35Interarrival _),
     // full product pipeline as a benchmarkable query (BASELINE comparison)
     "pipeline_etl" -> (PipelineBench.pipelineEtl _),
     // steady-state incremental publish: O(delta) bucketed merge into an
@@ -1515,6 +1518,65 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | round(avg(n_tokens), 2) AS avg_tokens
         |FROM kept""".stripMargin,
+    "split_leakage" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |              ELSE 'test' END split, h
+        |  FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 100 b, md5(text) h
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT h,
+        |   max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) in_train,
+        |   max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) in_val,
+        |   max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) in_test,
+        |   count(*) n_docs
+        |  FROM d GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        | CAST(sum(CASE WHEN in_train + in_val + in_test >= 2
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS leaked_texts,
+        | CAST(sum(CASE WHEN in_train = 1 AND in_val = 1
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS train_val,
+        | CAST(sum(CASE WHEN in_train = 1 AND in_test = 1
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS train_test,
+        | CAST(sum(CASE WHEN in_val = 1 AND in_test = 1
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS val_test,
+        | CAST(sum(CASE WHEN in_train + in_val + in_test >= 2
+        |   THEN n_docs ELSE 0 END) AS BIGINT) AS docs_in_leaked_texts
+        |FROM p""".stripMargin,
+    "decontam_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
+        |   CAST(len(l) AS BIGINT) n_tokens,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x),
+        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
+        |heavy AS (SELECT id FROM (
+        |  SELECT id, count(*) df FROM ex WHERE split = 'train' GROUP BY 1) t
+        |  WHERE df > 10000),
+        |evidence AS (
+        |  SELECT DISTINCT id FROM ex
+        |  WHERE split = 'eval' AND id NOT IN (SELECT id FROM heavy)),
+        |dropped AS (
+        |  SELECT DISTINCT doc_id FROM ex
+        |  WHERE split = 'train' AND id IN (SELECT id FROM evidence))
+        |SELECT d.source, count(*) AS n_train_docs,
+        | CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dropped,
+        | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT)
+        |   AS tokens_kept
+        |FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        |WHERE d.split = 'train'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "split_train_val" ->
       """SELECT split, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -2609,6 +2671,20 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS avg_value_ffill
         |FROM j ORDER BY hour_bucket""".stripMargin,
+    "q35_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |   CAST(tus - lag(tus) OVER (PARTITION BY user_id
+        |     ORDER BY tus, event_id) AS DOUBLE) / 1e6 gap_s
+        |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) tus
+        |        FROM events) e)
+        |SELECT event_type, count(*) AS n_gaps,
+        | round(avg(gap_s), 2) AS avg_gap_s,
+        | round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+        | round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
+        | round(max(gap_s), 2) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_metric_agreement" ->
       """WITH base AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) nt,

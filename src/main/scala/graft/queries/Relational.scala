@@ -928,4 +928,36 @@ object Relational {
         last("av", ignoreNulls = true).over(w).as("avg_value_ffill"))
       .orderBy("hour_bucket")
   }
+
+  /** Inter-arrival time distribution per event type — the latency/cadence
+    * profile behind rate anomaly detection and session-timeout tuning
+    * (q14's 30-min gap threshold is exactly a quantile of this
+    * distribution). Each gap is `ts - lag(ts)` within the user's own
+    * ordered event sequence, attributed to the CURRENT event's type
+    * ("time since this user's previous activity when a purchase
+    * happens"). The lag window partitions on user_id — millions of small
+    * independent partitions, never a global sort — and the exact
+    * percentiles aggregate per event_type (a handful of groups), so the
+    * only O(rows) exchange is the user-keyed window shuffle. Ties on ts
+    * break by event_id, keeping the gap sequence deterministic under any
+    * partitioning.
+    */
+  def q35Interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val gaps = e
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMicros(e).as("tus"))
+      .withColumn("prev_tus", lag("tus", 1).over(w))
+      .filter(col("prev_tus").isNotNull)
+      .select(col("event_type"),
+        ((col("tus") - col("prev_tus")).cast(DoubleType) / 1e6).as("gap_s"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap_s"), 2).as("avg_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 2).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 2).as("p90_gap_s"),
+        round(max("gap_s"), 2).as("max_gap_s"))
+      .orderBy("event_type")
+  }
 }

@@ -4434,5 +4434,93 @@ object TrainingData {
       .orderBy("metric_pair")
   }
 
+  /** Cross-split exact-text leakage audit — the eval-hygiene check that
+    * must gate every release: when the SAME text lands in two different
+    * [[splitTrainVal]] splits (the corpus has exact duplicates, and the
+    * id-hash split is content-blind by design), val/test scores are
+    * contaminated. Counts, per split pair, the distinct texts present on
+    * both sides plus the total documents those texts cover. Plan: one
+    * hash-aggregate keyed on md5(text) carrying three 0/1 split
+    * indicators via max() (map-side combine collapses each text's docs
+    * before the exchange), then a scalar rollup — O(distinct texts)
+    * through the only shuffle, no join at all. The content-keyed variant
+    * of this audit (near-dup leakage) is [[contaminationCheck]]; this one
+    * is the exact tier.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = h60(col("doc_id").cast(StringType)) % 100
+    val perText = docs(spark, dir)
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"),
+        md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(
+        max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+        max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"),
+        count(lit(1)).as("n_docs"))
+    val spans = col("in_train") + col("in_val") + col("in_test") >= 2
+    perText.agg(
+      count(lit(1)).as("n_distinct_texts"),
+      sum(when(spans, 1L).otherwise(0L)).as("leaked_texts"),
+      sum(when(col("in_train") === 1 && col("in_val") === 1, 1L)
+        .otherwise(0L)).as("train_val"),
+      sum(when(col("in_train") === 1 && col("in_test") === 1, 1L)
+        .otherwise(0L)).as("train_test"),
+      sum(when(col("in_val") === 1 && col("in_test") === 1, 1L)
+        .otherwise(0L)).as("val_test"),
+      sum(when(spans, col("n_docs")).otherwise(0L)).as("docs_in_leaked_texts"))
+  }
+
+  /** Eval-decontamination FILTER — the transform that applies
+    * [[contaminationCheck]]'s evidence in the training direction: a train
+    * document is dropped when it shares any 5-gram with any eval document
+    * (so the model never trains on eval content), reported as the
+    * post-filter corpus per source. The df cap excludes boilerplate grams
+    * (train-df > 10000) from evidence — without it one stopword-like gram
+    * drops the whole corpus AND concentrates one shuffle key. Plan: the
+    * shingle projection is computed once (cached, released after
+    * materialize); evidence = eval grams minus heavy grams (anti-join on
+    * the gram id); dropped train docs come from ONE left-semi join keyed
+    * on the gram id — df-capped fan-out per key, O(corpus grams) total,
+    * never doc×doc. The per-source rollup then aggregates O(docs) rows.
+    */
+  def decontamFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.shingleIds
+    val cap = 10000
+    val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+      .otherwise("eval")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split.as("split"),
+        shingleIds(col("text"), 5).as("ids"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .cache()
+    val exploded = d.select(col("doc_id"), col("split"),
+      explode(col("ids")).as("id"))
+    val trainGrams = exploded.filter(col("split") === "train")
+    val heavy = trainGrams.groupBy("id").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("id")
+    val evidence = exploded.filter(col("split") === "eval")
+      .select("id").distinct()
+      .join(heavy, Seq("id"), "left_anti")
+    val dropped = trainGrams
+      .join(evidence, Seq("id"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("_drop", lit(1L))
+    materializeAndRelease(
+      d.filter(col("split") === "train")
+        .join(dropped, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("_drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("_drop").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("_drop").isNull, col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source"),
+      d)
+  }
+
   private type Column = org.apache.spark.sql.Column
 }

@@ -31,6 +31,75 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(TrainingData.sampleStratified(spark, sf).collect().toSeq === rows.toSeq)
   }
 
+  test("split_leakage: pair counts bound the leaked set, docs cover it") {
+    val Array(r) = TrainingData.splitLeakage(spark, sf).collect()
+    val (nTexts, leaked) = (r.getLong(0), r.getLong(1))
+    val (tv, tt, vt, docs) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nTexts > 0L && leaked <= nTexts)
+    // every leaked text spans at least one pair; a text spanning all three
+    // splits counts in all three pairs, so the pair sum upper-bounds 3x
+    assert(leaked <= tv + tt + vt && tv + tt + vt <= 3 * leaked)
+    // a leaked text has >= 2 docs by definition
+    assert(docs >= 2 * leaked)
+    // this sf's 500 docs are all distinct (exact dups first appear at
+    // sf0.1), so zero leakage is the CORRECT answer here — the positive
+    // path is exercised by the crafted-dup fixture below
+    assert(leaked === 0L && docs === 0L)
+  }
+
+  test("split_leakage semantics: a text duplicated across splits is " +
+    "counted once, with all its docs") {
+    // crafted corpus: doc_ids whose h60 buckets land in different splits
+    // sharing one text + a unique text; write to a temp dir in the
+    // documents.parquet layout and run the REAL operator on it
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 200L)
+    val bucket = (i: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 15), 16) % 100
+    }
+    val train = ids.find(bucket(_) < 80).get
+    val test0 = ids.find(bucket(_) >= 90).get
+    val uniq = ids.find(i => bucket(i) < 80 && i != train).get
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    try {
+      import spark.implicits._
+      Seq((train, "shared text body"), (test0, "shared text body"),
+        (uniq, "only once"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val Array(r) = TrainingData.splitLeakage(spark, dir).collect()
+      assert(r.getLong(0) === 2L, "two distinct texts")
+      assert(r.getLong(1) === 1L, "one leaked text")
+      assert(r.getLong(3) === 1L, "train-test pair")
+      assert(r.getLong(2) === 0L && r.getLong(4) === 0L)
+      assert(r.getLong(5) === 2L, "both docs of the leaked text counted")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("decontam_filter: dropped + kept partition train, per source") {
+    val rows = TrainingData.decontamFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dropped, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dropped + kept === n, s"${r.getString(0)}: partition broken")
+      assert(r.getLong(4) >= 0L)
+    }
+    // eval grams exist in train (the corpus is one vocabulary): the gate
+    // must actually fire somewhere, else the op is vacuous
+    assert(rows.map(_.getLong(2)).sum > 0L, "filter dropped nothing")
+  }
+
   test("text_ngrams: exactly top-20, ordered by df desc then ngram") {
     val rows = TrainingData.textNgrams(spark, sf).collect()
     assert(rows.length === 20)

@@ -52,7 +52,8 @@ class PlanSpec extends AnyFunSuite {
         "contamination_gram_sweep", "dup_quality_calibration",
         "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments",
         "multimodal_dedup", "corpus_snapshot_diff", "sim_range_search",
-        "emb_ivf_balance", "quality_metric_agreement", "q34_gap_fill")
+        "emb_ivf_balance", "quality_metric_agreement", "q34_gap_fill",
+        "split_leakage", "decontam_filter", "q35_interarrival")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
@@ -456,5 +457,29 @@ class PlanSpec extends AnyFunSuite {
       "prefix dedup is O(n) hashing, never a pairwise comparison")
     assert(p.contains("partial_"),
       "fingerprint counts must partially aggregate map-side")
+  }
+
+  test("split_leakage: one text-hash aggregate, no join at all") {
+    val p = plan(graft.queries.TrainingData.splitLeakage(spark, sf))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "leakage audit is two aggregates, never a self-join")
+    assert(p.contains("partial_"),
+      "split indicators must combine map-side before the hash exchange")
+  }
+
+  test("q35_interarrival: user-partitioned window, no global event sort") {
+    val p = plan(Relational.q35Interarrival(spark, sf))
+    // the lag window shuffles on user_id and sorts WITHIN partitions
+    // (args "..., false, 0" = non-global); the only global sort allowed
+    // is the 5-row event_type ordering after aggregation
+    assert(p.contains("hashpartitioning(user_id"),
+      "lag window must shuffle on the user key")
+    assert(p.contains("NULLS FIRST], false, 0"),
+      "window sort must stay partition-local (global=false)")
+    assert(p.contains("partial_percentile"),
+      "exact percentiles must combine map-side before the group exchange")
+    assert(!p.contains("rangepartitioning(user_id") &&
+      !p.contains("rangepartitioning(tus"),
+      "no global sort of the event stream")
   }
 }
