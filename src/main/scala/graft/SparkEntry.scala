@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_exact" -> (TrainingData.dedupExact _),
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
+    "dedup_minhash_recall" -> (TrainingData.dedupMinhashRecall _),
     // dedup_simhash (the unsuffixed default) is the BANDED md5 form — the
     // scale path; the brute pair-scan verifiers live under *_verify
     "dedup_simhash" -> (TrainingData.dedupSimhashBanded _),
@@ -726,6 +727,52 @@ object SparkEntry {
         |SELECT count(*) AS candidate_pairs,
         | CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
         |FROM verified""".stripMargin,
+    "dedup_minhash_recall" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') l FROM documents)),
+        |u AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh, x ->
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, ids,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
+        |bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
+        |  FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 1000),
+        |pb AS (SELECT bands.* FROM bands JOIN ok USING (band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |gex AS (SELECT doc_id, unnest(ids) id FROM u),
+        |gok AS (SELECT id FROM gex GROUP BY id HAVING count(*) <= 1000),
+        |gpb AS (SELECT gex.* FROM gex JOIN gok USING (id)),
+        |tp AS (
+        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM gpb a JOIN gpb b ON a.id = b.id AND a.doc_id < b.doc_id),
+        |truth AS (
+        |  SELECT tp.doc_a, tp.doc_b
+        |  FROM tp JOIN u sa ON tp.doc_a = sa.doc_id
+        |          JOIN u sb ON tp.doc_b = sb.doc_id
+        |  WHERE CAST(len(list_intersect(sa.ids, sb.ids)) AS DOUBLE) /
+        |    (len(sa.ids) + len(sb.ids) - len(list_intersect(sa.ids, sb.ids)))
+        |    >= 0.2)
+        |SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+        | CAST(sum(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS lsh_hits,
+        | CASE WHEN count(*) = 0 THEN 1.0 ELSE
+        |   round(CAST(sum(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / count(*), 4) END AS recall
+        |FROM truth LEFT JOIN cand
+        |  ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b""".stripMargin,
     "dedup_embedding_cosine_verify" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -4434,6 +4434,46 @@ object TrainingData {
       .orderBy("metric_pair")
   }
 
+  /** Measured recall of the MinHash-LSH band scheme ([[dedupMinhashLsh]],
+    * 8 bands x 2 rows) against the TRUE Jaccard>=0.2 pair set — completes
+    * the measured-quality matrix for the MinHash family (the embedding
+    * family has [[dedupBandedRecall]]; LSH ANN has [[simLshRecall]]).
+    * Ground truth is itself sub-quadratic: J>=0.2 requires a shared
+    * shingle, so gram-keyed pair generation (df-capped like
+    * [[sourceOverlap]]) finds every true pair without an all-pairs scan —
+    * the df cap is shared with the oracle, so a heavy-gram-only pair is
+    * excluded identically on both sides. The theoretical candidate rate at
+    * J=0.2 with b=8,r=2 is 1-(1-J^2)^8 ~ 0.28, so a LOW measured recall
+    * near threshold is the honest, expected number — this query is how a
+    * deployment picks b/r for its threshold, with the answer verified.
+    */
+  def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
+    val withIds = docs(spark, dir).select(col("doc_id"),
+        shingleIds(col("text"), 2).as("ids"))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+      .cache()
+    // exact truth: pairs sharing >= 1 (df-capped) shingle, verified Jaccard
+    val gramBanded = withIds.select(col("doc_id"), col("ids"),
+      explode(col("ids")).as("band"))
+    val truth = prunedBandPairs(gramBanded, Seq("ids"))
+      .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
+      .select("doc_a", "doc_b").distinct()
+    // LSH candidates through the same machinery the dedup default uses
+    val lshBanded = withIds.select(col("doc_id"),
+      explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    val cand = lshCandidatePairs(lshBanded).withColumn("_hit", lit(1))
+    materializeAndRelease(
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("true_pairs"), count(col("_hit")).as("lsh_hits"))
+        .select(col("true_pairs"), col("lsh_hits"),
+          when(col("true_pairs") === 0, lit(1.0d)).otherwise(
+            round(col("lsh_hits").cast(DoubleType) / col("true_pairs"), 4))
+            .as("recall")),
+      withIds)
+  }
+
   /** Cross-split exact-text leakage audit — the eval-hygiene check that
     * must gate every release: when the SAME text lands in two different
     * [[splitTrainVal]] splits (the corpus has exact duplicates, and the
