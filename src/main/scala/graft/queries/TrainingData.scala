@@ -1018,6 +1018,44 @@ object TrainingData {
       withIds)
   }
 
+  /** Product path of the curation chain: the KEPT documents themselves,
+    * not just the stats — what `graft.run.Main --corpus` publishes to the
+    * warehouse. Same three stages and thresholds as [[curateCorpus]]
+    * (token-band quality gate -> exact dedup keeping the lowest doc_id ->
+    * MinHash-LSH near-dedup dropping the higher doc_id of every verified
+    * pair); kept as a separate plan because the stats twin prunes `text`
+    * out of its cache while this one must carry the full document to the
+    * writer. The cache feeds the band self-join and the final anti-join
+    * (two consumers); the caller owns the write action, so release is via
+    * session teardown (CLI) — at 100 TB this frame is the job's output
+    * scan, written once, not a long-lived cache.
+    */
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
+    val quality = docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
+    val exactKept = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"),
+        first("lang").as("lang"), first("source").as("source"),
+        first("n_tokens").as("n_tokens"))
+      .drop("h")
+    val withIds = exactKept
+      .withColumn("ids", shingleIds(col("text"), 2))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+      .cache()
+    val banded = withIds.select(col("doc_id"), col("ids"),
+      explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    val losers = prunedBandPairs(banded, Seq("ids"))
+      .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    withIds.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text", "lang", "source", "n_tokens")
+  }
+
   // -------------------------------------------- corpus management operators
 
   /** Portable 60-bit hash of a string column: md5 is bit-identical across

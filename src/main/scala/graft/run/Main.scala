@@ -10,6 +10,7 @@ import graft.store.TableStore
   * Usage:
   *   graft.run.Main --drop DIR --archive DIR --duplicates DIR --warehouse DIR
   *                  [--file NAME] [--jdbc URL]
+  *   graft.run.Main --corpus DIR --warehouse DIR   # corpus curation release
   *
   * Sources are registered in code (like the reference's src/sources/systems
   * package); [[DemoSources.registry]] ships the example `sales` source so
@@ -69,6 +70,21 @@ object Main {
         targetSink = targetSink,
         onProgress = progress.map(_.update _).getOrElse((_: Int, _: Int) => ()))
       opts.get("file") match {
+        case _ if opts.contains("corpus") =>
+          // --corpus DIR: run the training-data curation chain (token-band
+          // quality gate -> exact dedup -> MinHash-LSH near-dedup) over
+          // DIR/documents.parquet and publish the kept corpus + its
+          // per-source datasheet as versioned warehouse tables — the
+          // corpus-release path, driven by the same engine the queries use
+          val src = opts("corpus")
+          val read = spark.read.parquet(s"$src/documents.parquet").count()
+          val kept = graft.queries.TrainingData.curatedDocs(spark, src)
+          store.overwrite("corpus_docs", kept, partitionBy = Seq("source"))
+          val card = graft.queries.TrainingData.corpusCard(spark, src)
+          store.overwrite("corpus_card", card, partitionBy = Seq.empty)
+          val n = store.readIfExists("corpus_docs").map(_.count()).getOrElse(0L)
+          println(s"corpus: read=$read kept=$n dropped=${read - n} " +
+            s"tables=corpus_docs,corpus_card")
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the
           // Structured Streaming pipeline (checkpointed, exactly-once).

@@ -100,6 +100,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0L, "filter dropped nothing")
   }
 
+  test("curated_docs: kept frame matches curate_corpus stats and " +
+    "publishes as a versioned warehouse table") {
+    val kept = TrainingData.curatedDocs(spark, sf)
+    val Array(stats) = TrainingData.curateCorpus(spark, sf).collect()
+    // the product path and the stats twin are the same chain: counts agree
+    assert(kept.count() === stats.getLong(0))
+    assert(kept.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .collect()(0).getLong(0) === stats.getLong(1))
+    // survivors are unique by content (exact stage) and carry full docs
+    assert(kept.select("text").distinct().count() === kept.count())
+    assert(kept.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_tokens"))
+    // publish through the real store (what --corpus does)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      store.overwrite("corpus_docs", kept, partitionBy = Seq("source"))
+      val back = store.readIfExists("corpus_docs").get
+      assert(back.count() === stats.getLong(0))
+      // source-partitioned layout: a per-source read prunes to one dir
+      assert(back.filter(org.apache.spark.sql.functions.col("source") === "src0")
+        .count() > 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+    }
+    spark.catalog.clearCache() // curatedDocs' cache has no unpersist seam
+  }
+
   test("text_ngrams: exactly top-20, ordered by df desc then ngram") {
     val rows = TrainingData.textNgrams(spark, sf).collect()
     assert(rows.length === 20)
