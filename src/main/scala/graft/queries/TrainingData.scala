@@ -1056,6 +1056,49 @@ object TrainingData {
       .select("doc_id", "text", "lang", "source", "n_tokens")
   }
 
+  /** Incremental curation against an existing released corpus: curate the
+    * incoming directory ([[curatedDocs]] — the within-batch stages), then
+    * drop every batch document that exact- or near-duplicates something
+    * ALREADY in the corpus. Exact tier is a content-hash anti-join; the
+    * near-dup tier pre-filters the corpus side with a broadcast semi-join
+    * on the batch's band keys, so only corpus rows colliding with the
+    * (small) batch ever shuffle, then applies the standard 1000-doc band
+    * cap before the verify Jaccard — O(batch + collisions), the
+    * [[dedupIncremental]] shape as a product path. At persisted-index
+    * maturity the corpus band projection would come from a stored band
+    * table (the [[graft.operators.VectorIndex]] pattern) instead of a
+    * recompute; that changes the constant, not the shape.
+    */
+  def curatedDocsIncremental(spark: SparkSession, dir: String,
+                             corpus: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
+    val batch = curatedDocs(spark, dir)
+    val afterExact = batch.withColumn("h", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
+      .drop("h")
+    val bIds = afterExact
+      .withColumn("ids", shingleIds(col("text"), 2))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+      .cache()
+    val bBand = bIds.select(col("doc_id"), col("ids"),
+      explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+    val batchBands = bBand.select("band").distinct()
+    val cBand = corpus
+      .withColumn("ids", shingleIds(col("text"), 2))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+      .select(col("ids").as("ids_c"),
+        explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
+      .join(broadcast(batchBands), Seq("band"), "left_semi")
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= 1000).drop("_bc")
+    val losers = bBand.join(cBand, Seq("band"))
+      .filter(jaccardIds(col("ids"), col("ids_c")) >= 0.2)
+      .select("doc_id").distinct()
+    bIds.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text", "lang", "source", "n_tokens")
+  }
+
   // -------------------------------------------- corpus management operators
 
   /** Portable 60-bit hash of a string column: md5 is bit-identical across
@@ -3288,8 +3331,18 @@ object TrainingData {
     * approx_percentile at 100 TB (declared divergence, same note as
     * [[lengthOutliers]]).
     */
-  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("source"), col("lang"),
+  def corpusCard(spark: SparkSession, dir: String): DataFrame =
+    corpusCardFrames(docs(spark, dir))
+
+  /** [[corpusCard]] over an arbitrary documents frame — the released-corpus
+    * datasheet path (`--corpus` recomputes the card from the post-merge
+    * corpus, whose frame carries no n_chars column: derived from text).
+    */
+  def corpusCardFrames(docs0: DataFrame): DataFrame = {
+    val d0 =
+      if (docs0.columns.contains("n_chars")) docs0
+      else docs0.withColumn("n_chars", length(col("text")).cast(LongType))
+    val d = d0.select(col("source"), col("lang"),
         col("n_chars"), md5(col("text")).as("h"),
         size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .cache()

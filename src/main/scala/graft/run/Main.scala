@@ -74,17 +74,44 @@ object Main {
           // --corpus DIR: run the training-data curation chain (token-band
           // quality gate -> exact dedup -> MinHash-LSH near-dedup) over
           // DIR/documents.parquet and publish the kept corpus + its
-          // per-source datasheet as versioned warehouse tables — the
-          // corpus-release path, driven by the same engine the queries use
+          // datasheet as versioned warehouse tables. The publish goes
+          // through the SAME hash-guarded bucketed MERGE as ETL targets,
+          // so releases are incremental by construction: a re-release is
+          // all no-ops, and when a corpus already exists the batch is
+          // additionally deduped AGAINST it (exact + near-dup) before the
+          // merge — O(delta) corpus maintenance as a product path.
+          import org.apache.spark.sql.functions._
           val src = opts("corpus")
+          val cs = DemoSources.CorpusRelease
           val read = spark.read.parquet(s"$src/documents.parquet").count()
-          val kept = graft.queries.TrainingData.curatedDocs(spark, src)
-          store.overwrite("corpus_docs", kept, partitionBy = Seq("source"))
-          val card = graft.queries.TrainingData.corpusCard(spark, src)
-          store.overwrite("corpus_card", card, partitionBy = Seq.empty)
-          val n = store.readIfExists("corpus_docs").map(_.count()).getOrElse(0L)
-          println(s"corpus: read=$read kept=$n dropped=${read - n} " +
-            s"tables=corpus_docs,corpus_card")
+          val existing = store.readIfExists(cs.tableName)
+            .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
+          val kept = existing match {
+            case Some(cur) =>
+              graft.queries.TrainingData.curatedDocsIncremental(spark, src, cur)
+            case None => graft.queries.TrainingData.curatedDocs(spark, src)
+          }
+          // stage metadata the merge contract needs: V4 row hash over
+          // sorted model fields + lineage (the release dir is the "file")
+          val sortedFields = cs.columns.map(_.name).sorted
+          val stage = kept
+            .withColumn("etl_row_hash", xxhash64(concat_ws("|",
+              sortedFields.map(f =>
+                coalesce(col(f).cast("string"), lit(""))): _*)))
+            .withColumn("source_filename", lit(s"$src/documents.parquet"))
+            .withColumn("file_load_log_id", lit(0L))
+          val now = new java.sql.Timestamp(System.currentTimeMillis())
+          val counts = store.withTableLock(cs.tableName) {
+            store.mergeInPlace(cs.tableName, stage, cs, now)
+          }
+          val released = store.readIfExists(cs.tableName).get
+          store.overwrite("corpus_card",
+            graft.queries.TrainingData.corpusCardFrames(
+              released.select("doc_id", "text", "lang", "source", "n_tokens")),
+            partitionBy = Seq.empty)
+          val (ins, upd) = counts.getOrElse((0L, 0L))
+          println(s"corpus: read=$read inserts=$ins updates=$upd " +
+            s"corpus_rows=${released.count()} tables=corpus_docs,corpus_card")
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the
           // Structured Streaming pipeline (checkpointed, exactly-once).
@@ -259,6 +286,25 @@ object DemoSources {
       """SELECT CASE WHEN SUM(CASE WHEN price >= 0 THEN 1 ELSE 0 END) = COUNT(*)
         |THEN 1 ELSE 0 END AS price_non_negative FROM {table}""".stripMargin),
     formatOptions = ExcelOptions())
+
+  /** Corpus-release target for `--corpus`: the curated documents table,
+    * grain doc_id, published through the bucketed hash-guarded MERGE like
+    * any ETL target (a re-release is all no-ops; new docs are O(delta)
+    * inserts). Not in the drop-folder registry — it is driven by the
+    * --corpus mode, not by file matching.
+    */
+  val CorpusRelease: SourceConfig = SourceConfig(
+    name = "corpus",
+    filePattern = "documents*.parquet",
+    sourceType = "parquet",
+    columns = Seq(
+      ColumnSpec.long("doc_id", nullable = false),
+      ColumnSpec.string("text"),
+      ColumnSpec.string("lang"),
+      ColumnSpec.string("source"),
+      ColumnSpec.long("n_tokens")),
+    tableName = "corpus_docs",
+    grain = Seq("doc_id"))
 
   val registry = new SourceRegistry(Seq(Sales, LedgerJson, InventoryExcel))
 }

@@ -131,6 +131,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // curatedDocs' cache has no unpersist seam
   }
 
+  test("curated_docs incremental: re-release of the same dir yields zero " +
+    "new docs; novel docs survive, near-dups of the corpus are dropped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same dir against its own release: every batch survivor is exactly
+    // in the corpus already -> the exact tier drops all of them
+    val cur = TrainingData.curatedDocs(spark, sf)
+    assert(TrainingData.curatedDocsIncremental(spark, sf, cur).count() === 0L)
+    // crafted: corpus holds text T; batch brings a near-dup of T (one
+    // token changed -> bigram Jaccard far above 0.2) and a novel doc
+    val t = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val novel = (1 to 40).map(i => s"other$i").mkString(" ")
+    val corpus = Seq((900L, t, "en", "src0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    try {
+      Seq((1L, nearDup), (2L, novel)).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("src0").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val kept = TrainingData.curatedDocsIncremental(spark, dir, corpus)
+        .collect()
+      assert(kept.map(_.getLong(0)).toSeq === Seq(2L),
+        "near-dup of the corpus dropped, novel doc kept")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("text_ngrams: exactly top-20, ordered by df desc then ngram") {
     val rows = TrainingData.textNgrams(spark, sf).collect()
     assert(rows.length === 20)
