@@ -120,6 +120,22 @@ object Bench {
       else Seq("sim_topk_ivf_index_build" -> build,
         "sim_topk_ivf_index_probe" -> probe)
     }
+    // same split for the persisted MinHash dedup index: the one-time
+    // corpus build amortizes over probe batches, so probe regressions must
+    // be visible on their own
+    val mhSplit = if (only.exists(!_("dedup_index_novel"))) Seq.empty else {
+      var build = Double.MaxValue; var probe = Double.MaxValue
+      (1 to Reps).foreach { _ =>
+        try {
+          val (df, b, p) = graft.queries.TrainingData.dedupIndexNovelTimed(spark, sfDir)
+          df.count()
+          build = math.min(build, b); probe = math.min(probe, p)
+        } catch { case _: Throwable => () }
+      }
+      if (build == Double.MaxValue) Seq.empty
+      else Seq("dedup_index_novel_build" -> build,
+        "dedup_index_novel_probe" -> probe)
+    }
     // pipeline_incremental likewise conflates base-layout publish with the
     // O(delta) steady state; split entries keep the delta path trackable
     val incSplit = if (only.exists(!_("pipeline_incremental"))) Seq.empty else {
@@ -178,8 +194,8 @@ object Bench {
     // the line length for sub-millisecond precision the bench doesn't have)
     def fmt(v: Double): String = // ROOT locale: '.' decimal point always
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val all = results ++ etlSplit ++ ivfSplit ++ incSplit ++ morSplit ++
-      labelsSplit
+    val all = results ++ etlSplit ++ ivfSplit ++ mhSplit ++ incSplit ++
+      morSplit ++ labelsSplit
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total covers the declared queries (the three pipelines via their

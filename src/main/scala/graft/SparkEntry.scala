@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TrainingData.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (TrainingData.dedupMinhashLsh _),
     "dedup_minhash_recall" -> (TrainingData.dedupMinhashRecall _),
+    "dedup_index_novel" -> (TrainingData.dedupIndexNovel _),
     // dedup_simhash (the unsuffixed default) is the BANDED md5 form — the
     // scale path; the brute pair-scan verifiers live under *_verify
     "dedup_simhash" -> (TrainingData.dedupSimhashBanded _),
@@ -727,6 +728,53 @@ object SparkEntry {
         |SELECT count(*) AS candidate_pairs,
         | CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs
         |FROM verified""".stripMargin,
+    "dedup_index_novel" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) sh,
+        |   md5(text) h,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 100 < 80 is_corpus
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents)),
+        |u AS (
+        |  SELECT doc_id, h, is_corpus, list_distinct(list_transform(sh, x ->
+        |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, ids, h, is_corpus,
+        |   list_transform(range(0, 16), i ->
+        |     list_aggregate(list_transform(ids, x ->
+        |       (x * (2*i+1) + 1000003 * i) % 2147483647), 'min')) sg
+        |  FROM u),
+        |bands AS (
+        |  SELECT doc_id, ids, h, is_corpus,
+        |   unnest(list_transform(range(0, 8), b ->
+        |    CAST(b AS VARCHAR) || '#' || CAST(sg[2*b+1] AS VARCHAR) || '#' ||
+        |    CAST(sg[2*b+2] AS VARCHAR))) band
+        |  FROM sig),
+        |chash AS (SELECT DISTINCT h FROM u WHERE is_corpus),
+        |cb AS (SELECT band, ids FROM bands WHERE is_corpus),
+        |ok AS (SELECT band FROM cb GROUP BY 1 HAVING count(*) <= 1000),
+        |bb AS (
+        |  SELECT doc_id, band, ids FROM bands
+        |  WHERE NOT is_corpus AND h NOT IN (SELECT h FROM chash)),
+        |near AS (
+        |  SELECT DISTINCT bb.doc_id
+        |  FROM bb JOIN (SELECT cb.* FROM cb JOIN ok USING (band)) c
+        |    ON bb.band = c.band
+        |  WHERE CAST(len(list_intersect(bb.ids, c.ids)) AS DOUBLE) /
+        |    (len(bb.ids) + len(c.ids) - len(list_intersect(bb.ids, c.ids)))
+        |    >= 0.2),
+        |novel AS (
+        |  SELECT DISTINCT doc_id FROM bb
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM near))
+        |SELECT
+        | (SELECT count(*) FROM u WHERE is_corpus) AS n_corpus,
+        | (SELECT count(*) FROM u WHERE NOT is_corpus) AS n_batch,
+        | (SELECT count(*) FROM novel) AS n_novel,
+        | (SELECT count(*) FROM u WHERE NOT is_corpus) -
+        |   (SELECT count(*) FROM novel) AS n_dup_dropped""".stripMargin,
     "dedup_minhash_recall" ->
       """WITH s AS (
         |  SELECT doc_id,

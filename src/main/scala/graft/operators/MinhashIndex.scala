@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band index — build once over the released corpus,
+  * probe every incoming batch: the O(delta) incremental near-dup path.
+  *
+  * The frame-based incremental dedup
+  * ([[graft.queries.TrainingData.curatedDocsIncremental]]) re-shingles and
+  * re-signs the WHOLE corpus on every release — O(corpus) compute per
+  * delta, the cost this index removes. Bands and shingle-id arrays are
+  * computed once at build/append time and persisted; a probe reads
+  * postings only.
+  *
+  * Layout under `indexDir` (the [[VectorIndex]] idioms: versioned postings
+  * generations behind a `_POSTINGS` pointer, append segments, pointer-swap
+  * compaction):
+  *
+  *   - `hashes/`   — (doc_id, h): md5 content hashes, the exact-dup tier.
+  *     Tiny rows; the probe's anti-join shuffles hashes, never documents.
+  *   - `postings/` — (band, doc_id, ids) PARTITIONED BY bp =
+  *     pmod(xxhash64(band), 64) and sorted by band within partitions:
+  *     a probe collects its batch's <= 64 bp values for partition pruning,
+  *     and the in-file band ordering gives parquet row-group min/max
+  *     pushdown on the band equi-filter — small batches read a sliver of
+  *     the corpus postings. The ids array rides in the posting row (8x
+  *     storage for zero join-backs — the classic LSH index trade; store a
+  *     doc-keyed sidecar instead when storage dominates).
+  *
+  * Band scheme is the MinHash dedup family's (2-shingles, k=16 signature,
+  * 8 bands x 2 rows, md5-derived everywhere), so index results are
+  * DuckDB-oracle-reproducible like the inline operators.
+  */
+object MinhashIndex {
+  import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
+
+  val NumBandPartitions = 64
+
+  private def bp(band: Column): Column =
+    pmod(xxhash64(band), lit(NumBandPartitions.toLong)).cast("int")
+
+  /** (doc_id, h, ids, sig) projection of a documents frame — the per-doc
+    * work paid exactly once per document's life in the index.
+    */
+  private def signed(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), md5(col("text")).as("h"),
+        shingleIds(col("text"), 2).as("ids"))
+      .withColumn("sig", minhashSig(col("ids"), 16))
+  }
+
+  private def bandRows(signedDocs: DataFrame): DataFrame =
+    signedDocs.select(col("doc_id"), col("ids"),
+        explode(graft.functions.TextFunctions.bandKeys(col("sig"), 8, 2))
+          .as("band"))
+      .withColumn("bp", bp(col("band")))
+
+  /** Build the index from `(doc_id: long, text: string, ...)` documents.
+    * A rebuild retires the `_POSTINGS` pointer and old generations first
+    * (the [[VectorIndex.buildIvf]] contract — a stale pointer would make
+    * the rebuild invisible to probes).
+    */
+  def build(docs: DataFrame, indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_POSTINGS"), false)
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("postings"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val s = signed(docs).cache()
+    s.select("doc_id", "h").write.mode("overwrite")
+      .parquet(s"$indexDir/hashes")
+    bandRows(s)
+      .sortWithinPartitions("band")
+      .write.mode("overwrite").partitionBy("bp")
+      .parquet(s"$indexDir/postings")
+    s.unpersist()
+  }
+
+  /** Incremental maintenance: append a batch's hashes and postings —
+    * O(batch) work, no rebuild. Single writer at a time (the
+    * [[VectorIndex.appendIvf]] contract).
+    */
+  def append(docs: DataFrame, indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val s = signed(docs).cache()
+    s.select("doc_id", "h").write.mode("append")
+      .parquet(s"$indexDir/hashes")
+    bandRows(s)
+      .sortWithinPartitions("band")
+      .write.mode("append").partitionBy("bp")
+      .parquet(livePostingsDir(spark, indexDir))
+    s.unpersist()
+  }
+
+  /** The live postings generation (pointer file when compacted, the
+    * original `postings/` otherwise) — the [[VectorIndex.livePostingsDir]]
+    * idiom.
+    */
+  def livePostingsDir(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_POSTINGS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } else "postings"
+    s"$indexDir/$name"
+  }
+
+  /** Fold the append segments of a run of [[append]] micro-batches into
+    * one file per band partition, re-sorted for row-group pushdown, and
+    * publish with an atomic `_POSTINGS` pointer swap — superseded
+    * generation retained until the NEXT compaction so in-flight probes
+    * finish on intact files (the [[VectorIndex.compactIvf]] protocol).
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = livePostingsDir(spark, indexDir)
+    val liveName = live.substring(live.lastIndexOf('/') + 1)
+    val nextGen =
+      if (liveName == "postings") 1
+      else liveName.stripPrefix("postings_v").toInt + 1
+    val next = s"postings_v$nextGen"
+    spark.read.parquet(live)
+      .repartition(col("bp"))
+      .sortWithinPartitions("band")
+      .write.mode("overwrite").partitionBy("bp")
+      .parquet(s"$indexDir/$next")
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$nextGen")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("postings") &&
+        st.getPath.getName != next && st.getPath.getName != liveName)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Index health: distinct bands, biggest band (bounds probe tail latency
+    * AND candidate fan-out — the rebuild/re-shingle signal when boilerplate
+    * degenerates a band), and per-band skew.
+    */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val sizes = spark.read.parquet(livePostingsDir(spark, indexDir))
+      .groupBy("band").agg(count(lit(1)).as("sz"))
+    spark.read.parquet(s"$indexDir/hashes")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sizes.agg(
+        count(lit(1)).as("n_bands"),
+        max("sz").as("max_band"),
+        round(avg("sz"), 2).as("avg_band"),
+        round(max("sz") / avg("sz"), 2).as("skew_ratio")))
+  }
+
+  /** The batch documents NOT already in the indexed corpus: exact tier is
+    * an anti-join on the persisted content hashes; near-dup tier probes
+    * the postings — the batch's bp set prunes partitions, the band
+    * equi-join collides candidates, the standard 1000-doc band cap bounds
+    * degenerate-band fan-out, and a merge-scan Jaccard verifies. Returns
+    * the batch rows (original columns) that survive both tiers —
+    * O(batch + collisions) compute and a posting read bounded by pruning,
+    * with the corpus never re-shingled.
+    */
+  def novelDocs(spark: SparkSession, batch: DataFrame, indexDir: String,
+                jaccardThreshold: Double = 0.2,
+                maxBand: Int = 1000): DataFrame = {
+    // deliberately uncached: the signature projection feeds two subplans
+    // (band rows + survivor semi-join) and recomputes per consumer —
+    // O(batch) per pass, and a lazy return must not pin a cache it cannot
+    // release (bench reps would leak one per invocation)
+    val s = signed(batch.select("doc_id", "text"))
+    val hashes = spark.read.parquet(s"$indexDir/hashes")
+    val afterExact = s.join(hashes.select("h"), Seq("h"), "left_anti")
+    val bBand = bandRows(afterExact)
+    // bounded collect: at most NumBandPartitions distinct values
+    val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(livePostingsDir(spark, indexDir))
+      .filter(col("bp").isin(bps: _*))
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= maxBand)
+      .select(col("band"), col("ids").as("ids_c"))
+    val losers = bBand.join(postings, Seq("band"))
+      .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
+      .select("doc_id").distinct()
+    batch
+      .join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+}

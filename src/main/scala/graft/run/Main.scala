@@ -86,10 +86,25 @@ object Main {
           val read = spark.read.parquet(s"$src/documents.parquet").count()
           val existing = store.readIfExists(cs.tableName)
             .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
-          val kept = existing match {
-            case Some(cur) =>
+          // cross-release dedup prefers the persisted MinHash band index
+          // (probe = O(batch + collisions), corpus never re-shingled); a
+          // warehouse predating the index falls back to the frame-based
+          // incremental once and builds the index after this release. The
+          // index is a seen-content registry: content ever released stays
+          // a duplicate even if later updated away.
+          val idxDir = s"${req("warehouse")}/corpus_index"
+          val idxHashes = new org.apache.hadoop.fs.Path(s"$idxDir/hashes")
+          val idxExists = idxHashes
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxHashes)
+          val kept = (existing, idxExists) match {
+            case (Some(_), true) =>
+              graft.operators.MinhashIndex.novelDocs(spark,
+                graft.queries.TrainingData.curatedDocs(spark, src), idxDir)
+            case (Some(cur), false) =>
               graft.queries.TrainingData.curatedDocsIncremental(spark, src, cur)
-            case None => graft.queries.TrainingData.curatedDocs(spark, src)
+            case (None, _) =>
+              graft.queries.TrainingData.curatedDocs(spark, src)
           }
           // stage metadata the merge contract needs: V4 row hash over
           // sorted model fields + lineage (the release dir is the "file")
@@ -105,6 +120,15 @@ object Main {
             store.mergeInPlace(cs.tableName, stage, cs, now)
           }
           val released = store.readIfExists(cs.tableName).get
+          // index maintenance: O(batch) append of this release's new docs,
+          // or a one-time build over the released corpus for warehouses
+          // that predate the index
+          if (idxExists)
+            graft.operators.MinhashIndex.append(
+              kept.select("doc_id", "text"), idxDir)
+          else
+            graft.operators.MinhashIndex.build(
+              released.select("doc_id", "text"), idxDir)
           store.overwrite("corpus_card",
             graft.queries.TrainingData.corpusCardFrames(
               released.select("doc_id", "text", "lang", "source", "n_tokens")),

@@ -678,6 +678,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rerun.toSeq === rows.toSeq)
   }
 
+  test("minhash_index: append closes the novelty loop; layout is " +
+    "band-partitioned; compact preserves probe results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bucket = conv(
+      substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), (bucket < 80).as("is_corpus"))
+    val corpus = d.filter(col("is_corpus")).select("doc_id", "text")
+    val batch = d.filter(!col("is_corpus")).select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_t").toString
+    try {
+      graft.operators.MinhashIndex.build(corpus, idx)
+      // layout: hive bp= partitions, so probes prune
+      val parts = new java.io.File(s"$idx/postings").listFiles()
+        .filter(_.getName.startsWith("bp="))
+      assert(parts.length > 1, "postings must be hive-partitioned by bp")
+      val novel = graft.operators.MinhashIndex
+        .novelDocs(spark, batch, idx).collect()
+      assert(novel.nonEmpty && novel.length <= batch.count())
+      // exact tier: no novel doc's text may exist in the corpus
+      val novelIds = novel.map(_.getLong(0)).toSet
+      val corpusTexts = corpus.select("text").collect()
+        .map(_.getString(0)).toSet
+      val batchRows = batch.collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(batchRows.filter(r => novelIds(r._1))
+        .forall(r => !corpusTexts(r._2)))
+      // append the novel docs, re-probe the SAME batch: every batch doc is
+      // now either a dup of the corpus or exactly an appended doc -> zero
+      // novel on the second pass (the --corpus maintenance loop invariant)
+      val novelFrame = batch.join(novelIds.toSeq.toDF("doc_id"),
+        Seq("doc_id"), "left_semi")
+      graft.operators.MinhashIndex.append(novelFrame, idx)
+      assert(graft.operators.MinhashIndex
+        .novelDocs(spark, batch, idx).count() === 0L)
+      // compaction folds append segments behind the pointer without
+      // changing any answer
+      graft.operators.MinhashIndex.compact(spark, idx)
+      assert(new java.io.File(s"$idx/_POSTINGS").exists())
+      assert(graft.operators.MinhashIndex
+        .novelDocs(spark, batch, idx).count() === 0L)
+      val stats = graft.operators.MinhashIndex.indexStats(spark, idx)
+        .collect()(0)
+      assert(stats.getLong(0) === corpus.count() + novelIds.size)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
