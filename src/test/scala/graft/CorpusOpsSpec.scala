@@ -723,6 +723,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       val stats = graft.operators.MinhashIndex.indexStats(spark, idx)
         .collect()(0)
       assert(stats.getLong(0) === corpus.count() + novelIds.size)
+      // the scale lever: a probe's bp filter must plan as a PARTITION
+      // filter on the postings scan (directories skipped), not a data
+      // filter over a full scan
+      val live = graft.operators.MinhashIndex.livePostingsDir(spark, idx)
+      val pruned = spark.read.parquet(live).filter(col("bp").isin(0, 1, 2))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bp"),
+        "bp filter must prune postings partitions")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
