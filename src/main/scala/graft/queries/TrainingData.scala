@@ -1037,10 +1037,17 @@ object TrainingData {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
+    // text/n_tokens are constant within a hash group (first() safe); lang
+    // and source are NOT — exact dups across sources exist (that is what
+    // sourceOverlap measures), so the kept row's metadata must come from
+    // the kept doc_id: min_by pins it deterministically (first() could
+    // publish a chimera row and flip etl_row_hash between releases,
+    // breaking the re-release-is-noop merge contract)
     val exactKept = quality
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"), first("text").as("text"),
-        first("lang").as("lang"), first("source").as("source"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("source"), col("doc_id")).as("source"),
         first("n_tokens").as("n_tokens"))
       .drop("h")
     val withIds = exactKept

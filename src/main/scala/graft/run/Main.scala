@@ -97,7 +97,7 @@ object Main {
           val idxExists = idxHashes
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(idxHashes)
-          val kept = (existing, idxExists) match {
+          val kept = ((existing, idxExists) match {
             case (Some(_), true) =>
               graft.operators.MinhashIndex.novelDocs(spark,
                 graft.queries.TrainingData.curatedDocs(spark, src), idxDir)
@@ -105,7 +105,7 @@ object Main {
               graft.queries.TrainingData.curatedDocsIncremental(spark, src, cur)
             case (None, _) =>
               graft.queries.TrainingData.curatedDocs(spark, src)
-          }
+          }).persist() // two consumers: the MERGE stage and index maintenance
           // stage metadata the merge contract needs: V4 row hash over
           // sorted model fields + lineage (the release dir is the "file")
           val sortedFields = cs.columns.map(_.name).sorted
@@ -120,15 +120,19 @@ object Main {
             store.mergeInPlace(cs.tableName, stage, cs, now)
           }
           val released = store.readIfExists(cs.tableName).get
-          // index maintenance: O(batch) append of this release's new docs,
-          // or a one-time build over the released corpus for warehouses
-          // that predate the index
-          if (idxExists)
+          // index maintenance: O(batch) append of this release's new docs
+          // when BOTH the table and the index pre-existed; otherwise build
+          // fresh over the released corpus. A fresh table with a leftover
+          // index (corpus reset) must NOT append — the stale index would
+          // keep dead content registered as seen and double every
+          // re-released doc's postings.
+          if (existing.isDefined && idxExists)
             graft.operators.MinhashIndex.append(
               kept.select("doc_id", "text"), idxDir)
           else
             graft.operators.MinhashIndex.build(
               released.select("doc_id", "text"), idxDir)
+          kept.unpersist()
           store.overwrite("corpus_card",
             graft.queries.TrainingData.corpusCardFrames(
               released.select("doc_id", "text", "lang", "source", "n_tokens")),
