@@ -137,15 +137,18 @@ object TrainingData {
         graft.functions.VectorFunctions.minhashSig(col("ids"), k))
       .cache()
     val banded = withIds
-      .select(col("doc_id"), explode(F.bandKeys(col("sig"), bands, rows)).as("band"))
-    // candidate ids first (distinct on two longs — a tiny shuffle), id
-    // arrays joined back only for the surviving pairs
-    val cand = lshCandidatePairs(banded)
-    val result = cand
-      .join(broadcast(withIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"))), Seq("doc_a"))
-      .join(broadcast(withIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"))), Seq("doc_b"))
-      .select(graft.functions.VectorFunctions
-        .jaccardIds(col("ids_a"), col("ids_b")).as("j"))
+      .select(col("doc_id"), col("ids"),
+        explode(F.bandKeys(col("sig"), bands, rows)).as("band"))
+    // ids ride along as pair payload through the ONE band-key exchange (the
+    // same shape dedupMinhashRecall's truth tier uses): the Jaccard is
+    // recomputed per banded copy of a pair — cheap — and the distinct then
+    // shuffles only (doc_a, doc_b, j) scalar triples. No corpus-sized frame
+    // is ever broadcast or re-joined.
+    val result = prunedBandPairs(banded, Seq("ids"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.VectorFunctions
+          .jaccardIds(col("ids_a"), col("ids_b")).as("j"))
+      .distinct()
       .agg(count(lit(1)).as("candidate_pairs"),
         count(when(col("j") >= 0.2, 1)).as("verified_pairs"))
     materializeAndRelease(result, withIds)
@@ -236,7 +239,7 @@ object TrainingData {
     */
   def dedupEmbeddingBanded(spark: SparkSession, dir: String): DataFrame = {
     val e = normalized(spark, dir).cache()
-    val cents = e.filter(col("vec_id") % 50 === 3)
+    val cents = centroidPick(e, 50)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     // ONE pass over the banded candidate pipeline: all three distinct
     // counts fold into a single aggregation over narrow (id, id, cos)
@@ -295,7 +298,7 @@ object TrainingData {
         dedupEmbeddingCosine(spark, dir).localCheckpoint())
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val e = normalized(spark, dir).cache()
-    val cents = e.filter(col("vec_id") % 50 === 3)
+    val cents = centroidPick(e, 50)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val banded = bandedScoredPairs(e, cents)
       .filter(col("cos") >= 0.4)
@@ -326,6 +329,23 @@ object TrainingData {
     e.select(col("vec_id"))
       .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
       .limit(n)
+
+  /** Data-derived IVF centroid pick with a HARD count bound. The `% mod`
+    * filter keeps the pick oracle-reproducible, but alone it is
+    * corpus-PROPORTIONAL (1–2% of vectors) — and this frame is broadcast
+    * into every probe crossJoin, so at 100 TB it is an O(corpus)
+    * broadcast. The md5-ordered limit (the [[probeIds]] idiom,
+    * bit-reproducible in DuckDB) caps it at a fixed count: a no-op below
+    * the cap (every tested SF selects < 256 centroids), a deterministic
+    * subset beyond it, making the centroid broadcast O(1) in corpus size
+    * by construction. PlanSpec's hardened broadcast exemption requires
+    * exactly this: a hinted side must carry a Limit/Aggregate/Sample.
+    */
+  private def centroidPick(e: DataFrame, mod: Int,
+                           maxCents: Int = 4096): DataFrame =
+    e.filter(col("vec_id") % mod === 3)
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(maxCents)
 
   /** Brute-force cosine top-k: a fixed-N query batch against every vector,
     * ranked per query with a per-partition top-k (window over the query
@@ -475,7 +495,7 @@ object TrainingData {
     */
   private def ivfProbeScored(e: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
-    val cents = e.filter(col("vec_id") % 100 === 3)
+    val cents = centroidPick(e, 100)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val data = graft.operators.VectorIndex.assign(e, cents)
       .select(col("vec_id").as("neighbor_id"),
@@ -2755,7 +2775,7 @@ object TrainingData {
         vecNormalize(v).as("nv"))
       .withColumn("vv", vecDot(col("v"), col("v")))
       .cache()
-    val cents = e.filter(col("vec_id") % 100 === 3)
+    val cents = centroidPick(e, 100)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vv").as("cvv"))
     // cached: the assignment argmin feeds both sides of the within-cluster
     // self-join AND the cluster count — uncached it would re-run the
@@ -3665,7 +3685,7 @@ object TrainingData {
     val e = normalized(spark, dir).cache()
     val evalSide = e.filter(col("vec_id") % 10 === 7)
     val trainSide = e.filter(col("vec_id") % 10 =!= 7)
-    val cents = e.filter(col("vec_id") % 50 === 3)
+    val cents = centroidPick(e, 50)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val tb = graft.operators.VectorIndex.assignTop2(trainSide, cents)
       .select(col("vec_id").as("train_id"), col("bucket"), col("nv").as("tv"))
@@ -3953,7 +3973,7 @@ object TrainingData {
     */
   def multimodalJoinProfile(spark: SparkSession, dir: String): DataFrame = {
     val e = normalized(spark, dir)
-    val cents = e.filter(col("vec_id") % 100 === 3)
+    val cents = centroidPick(e, 100)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val assigned = graft.operators.VectorIndex.assign(e, cents)
       .select(col("vec_id"), col("bucket"))
@@ -4137,7 +4157,7 @@ object TrainingData {
     val maxProbe = 3
     val exact = bruteforceTopk(spark, dir).select("query_id", "neighbor_id")
     val e = normalized(spark, dir).cache()
-    val cents = e.filter(col("vec_id") % 100 === 3)
+    val cents = centroidPick(e, 100)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val data = graft.operators.VectorIndex.assign(e, cents)
       .select(col("vec_id").as("neighbor_id"), col("bucket"),
@@ -4287,7 +4307,7 @@ object TrainingData {
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val thresholds = Seq(0.3, 0.4, 0.5)
     val e = normalized(spark, dir).cache()
-    val cents = e.filter(col("vec_id") % 50 === 3)
+    val cents = centroidPick(e, 50)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
       countDistinct(when(col("cos") >= t,
@@ -4515,7 +4535,7 @@ object TrainingData {
     */
   def embIvfBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = normalized(spark, dir).cache()
-    val cents = e.filter(col("vec_id") % 100 === 3)
+    val cents = centroidPick(e, 100)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     val counts = graft.operators.VectorIndex.assign(e, cents)
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))

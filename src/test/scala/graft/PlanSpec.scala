@@ -71,13 +71,26 @@ class PlanSpec extends AnyFunSuite {
           e.right.references.subsetOf(j.left.outputSet))
       }
     }
-    // an explicit broadcast() hint declares that side bounded-small BY
-    // DESIGN (centroid frames, probe batches): O(n x small) work, the
-    // legitimate cross-join shape. An unhinted cross join of multi-row
-    // relations stays forbidden.
+    // an explicit broadcast() hint only exempts a side that is PROVABLY
+    // bounded by its own plan: the subtree must contain an Aggregate
+    // (one-row totals, groupBy centroids, distinct-ed keys), a Limit
+    // (probe batches, top-k vocab), or a Sample. A hint wrapped around a
+    // corpus-lineage projection no longer passes — that was the loophole
+    // dedup_minhash_lsh's full-corpus id-array broadcast slipped through
+    // in round 11. An unhinted cross join of multi-row relations stays
+    // forbidden either way.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Sample}
+    def boundedSubtree(p: LogicalPlan): Boolean =
+      // statically-known small row bound (Range spines, literal frames)
+      p.maxRows.exists(_ <= 100000) || p.collectFirst {
+        case _: Aggregate => (); case _: GlobalLimit => ()
+        case _: LocalLimit => (); case _: Sample => ()
+      }.isDefined
     def declaredSmall(j: Join): Boolean =
-      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
-        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+      (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+        boundedSubtree(j.left)) ||
+        (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+          boundedSubtree(j.right))
     defaults.foreach { name =>
       // planOnly: materializing operators pass their REAL composed plan
       // through instead of the post-collect local relation — without it
