@@ -504,9 +504,15 @@ object Relational {
     * this exact form for the verifier, same shape both ways.
     */
   def q23Ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(spark, dir, "orders")
-      .withColumn("q", ntile(4).over(w).cast(LongType))
+    // exact ntile without the global window's single-partition sort:
+    // distributed two-pass rank (RankOps scaladoc), then the tile is
+    // row-local arithmetic over (rank, total) — bit-identical output
+    val o = t(spark, dir, "orders")
+    val ranked = graft.operators.RankOps.withGlobalRank(
+      o, col("o_totalprice"), Seq(col("o_orderkey")), "_r")
+    ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("_n"))))
+      .withColumn("q", graft.operators.RankOps
+        .ntileFromRank(col("_r"), col("_n"), 4))
       .groupBy("q")
       .agg(count(lit(1)).as("n_orders"),
         round(min("o_totalprice"), 2).as("min_total"),
@@ -883,12 +889,17 @@ object Relational {
       .withColumn("recency_days",
         floor((col("corpus_max") - col("last_tus")) / lit(86400000000L))
           .cast(LongType))
-    val r = ntile(5).over(
-      Window.orderBy(col("recency_days").desc, col("user_id")))
-    val f = ntile(5).over(Window.orderBy(col("freq"), col("user_id")))
-    scored
-      .withColumn("r_score", r.cast(LongType))
-      .withColumn("f_score", f.cast(LongType))
+    // both ntiles via the distributed two-pass rank (no global-window
+    // single-partition sort over the per-user frame — unbounded at scale);
+    // recency desc = rank on the negated key, user_id tiebreak unchanged
+    import graft.operators.RankOps.{ntileFromRank, withGlobalRank}
+    val rankedR = withGlobalRank(scored,
+      negate(col("recency_days")), Seq(col("user_id")), "_rr")
+    val rankedRF = withGlobalRank(rankedR,
+      col("freq"), Seq(col("user_id")), "_rf")
+    rankedRF.crossJoin(broadcast(perUser.agg(count(lit(1)).as("_n"))))
+      .withColumn("r_score", ntileFromRank(col("_rr"), col("_n"), 5))
+      .withColumn("f_score", ntileFromRank(col("_rf"), col("_n"), 5))
       .groupBy("r_score", "f_score")
       .agg(count(lit(1)).as("n_users"),
         round(avg("recency_days"), 2).as("avg_recency_days"),

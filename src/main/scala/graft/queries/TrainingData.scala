@@ -936,8 +936,10 @@ object TrainingData {
     val counts = docs(spark, dir)
       .select(explode(F.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("rank",
-      row_number().over(Window.orderBy(col("c").desc, col("token"))))
+    // vocabulary-sized global window → distributed two-pass rank (exact
+    // same rank values, no single-partition vocabulary sort)
+    val ranked = graft.operators.RankOps.withGlobalRank(
+      counts, negate(col("c")), Seq(col("token")), "rank")
     ranked.agg(
       count(lit(1)).as("n_vocab"),
       round(regr_slope(log10(col("c")), log10(col("rank"))), 4).as("zipf_slope"),
@@ -1684,10 +1686,11 @@ object TrainingData {
     val V = 16
     val toks = docs(spark, dir)
       .select(col("lang"), explode(F.tokens(col("text"))).as("w"))
+    // top-V pick is orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-V, tiny merge) — not a global row_number window, which would
+    // single-partition-sort the whole vocabulary (the text_pmi idiom)
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("c").desc, col("w"))))
-      .filter(col("rk") <= V)
+      .orderBy(col("c").desc, col("w")).limit(V)
       .select(col("w"), lit(1L).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("lang")
@@ -4583,25 +4586,31 @@ object TrainingData {
       .groupBy("doc_id")
       .agg(round(sum(col("k") * log10(col("c") / col("n"))) / sum("k"), 4)
         .as("avg_logprob"))
-    def rank(c: String) =
-      row_number().over(Window.orderBy(col(c), col("doc_id"))).cast(LongType)
-    val ranked = base.join(lp, Seq("doc_id"))
-      .withColumn("r_len", rank("nt"))
-      .withColumn("r_stop", rank("stop_ratio"))
-      .withColumn("r_lp", rank("avg_logprob"))
+    // three EXACT doc-table-sized ranks via the distributed two-pass rank
+    // (RankOps) — the previous global row_number windows each forced an
+    // Exchange SinglePartition over every document; the cached join is
+    // scanned once per cut-point aggregate instead of recomputed
+    val joined = base.join(lp, Seq("doc_id")).cache()
+    val ranked = Seq(
+      ("nt", "r_len"), ("stop_ratio", "r_stop"), ("avg_logprob", "r_lp"))
+      .foldLeft(joined) { case (df, (k, out)) =>
+        graft.operators.RankOps.withGlobalRank(
+          df, col(k), Seq(col("doc_id")), out)
+      }
     def d2(a: String, b: String) =
       sum((col(a) - col(b)) * (col(a) - col(b)))
     val s = ranked.agg(count(lit(1)).as("n"),
       d2("r_len", "r_stop").as("d_ls"),
       d2("r_len", "r_lp").as("d_ll"),
       d2("r_stop", "r_lp").as("d_sl"))
-    s.selectExpr("n",
+    val result = s.selectExpr("n",
         "stack(3, 'len_vs_logprob', d_ll, 'len_vs_stopword', d_ls, " +
           "'stopword_vs_logprob', d_sl) AS (metric_pair, d2)")
       .select(col("metric_pair"), col("n").as("n_docs"),
         round(lit(1.0) - lit(6.0) * col("d2") /
           (col("n") * (col("n") * col("n") - 1)), 4).as("rho"))
       .orderBy("metric_pair")
+    materializeAndRelease(result, joined)
   }
 
   /** Measured recall of the MinHash-LSH band scheme ([[dedupMinhashLsh]],

@@ -110,6 +110,50 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // planOnly skips the operators' unpersists
   }
 
+  test("no registered default runs a partition-less window over " +
+    "unreduced data flow") {
+    // Window.orderBy with an empty PARTITION BY compiles to an Exchange
+    // SinglePartition + one-task sort of its whole input — acceptable
+    // only when every path from the window down to a leaf relation passes
+    // through a cardinality reducer (Aggregate / Limit / Sample) or the
+    // leaf itself is statically small (Range spines, literal frames).
+    // Exact full-table ranks must instead go through the distributed
+    // two-pass RankOps.withGlobalRank, whose only global window runs over
+    // a <=buckets-row aggregate. _verify twins are declared ground-truth
+    // scans; _stream entries return local rollups by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Sample, Window => LWindow}
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Sample => true
+      case l if l.children.isEmpty => l.maxRows.exists(_ <= 100000)
+      case other => other.children.forall(reduced)
+    }
+    // detector self-check: a raw global window over a table scan MUST be
+    // flagged (guards against the Window/maxRows API drifting under us)
+    val bad = spark.read.parquet(s"$sf/orders.parquet").withColumn("r",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")))
+    val badW = bad.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(badW.nonEmpty && !reduced(badW.head.child),
+      "window-pin self-check: raw global window not detected")
+    val names = SparkEntry.queries.keys
+      .filterNot(n => n.endsWith("_verify") || n.endsWith("_stream")).toSeq
+    names.foreach { name =>
+      val df = graft.queries.TrainingData.planOnly.withValue(true) {
+        SparkEntry.queries(name)(spark, sf)
+      }
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        assert(reduced(w.child),
+          s"$name: global (partition-less) window over unreduced input — " +
+            s"single-partition sort of the whole table at scale")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q10: all three dimension joins broadcast, no sort-merge join") {
     val p = plan(Relational.q10RegionRevenue(spark, sf))
     // formatted explain mentions each node in the tree and detail sections
