@@ -1737,6 +1737,22 @@ object SparkEntry {
         | CAST(sum(CASE WHEN d <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS within_16,
         | CAST(min(d) AS BIGINT) AS min_hamming
         |FROM p""".stripMargin,
+    "dedup_simhash_verify" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+        |        FROM documents) x),
+        |fp AS (
+        |  SELECT doc_id, CAST($simhashVoteSql AS BIGINT) fp
+        |  FROM tok GROUP BY doc_id),
+        |p AS (
+        |  SELECT CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) d
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT count(*) AS pairs,
+        | count(CASE WHEN d <= 8 THEN 1 END) AS within_8,
+        | count(CASE WHEN d <= 16 THEN 1 END) AS within_16,
+        | CAST(min(d) AS BIGINT) AS min_hamming
+        |FROM p""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT h

@@ -179,24 +179,25 @@ object TrainingData {
   }
 
   /** SimHash near-dup VERIFIER (registered as `dedup_simhash_verify`):
-    * 64-bit per-doc fingerprint (narrow map, no explode), then brute
-    * pair counts within a Hamming radius. xxhash64-based -> engine
-    * internal, rows-only correctness check (no SQL oracle). Quadratic BY
-    * DESIGN — the small-sf ground truth for the banded form; the
-    * registered default `dedup_simhash` is [[dedupSimhashBanded]], whose
-    * bucket-join scales.
+    * per-doc 60-bit md5 fingerprint ([[simhashMd5Fps]] — the SAME basis
+    * the banded default fingerprints, so this brute scan is its true
+    * ground truth), then brute pair counts within Hamming radii. The md5
+    * basis makes every count DuckDB-reproducible — the oracle recomputes
+    * the fingerprints and the full pair matrix exactly. Quadratic BY
+    * DESIGN — small-sf ground truth only; the registered default
+    * `dedup_simhash` is [[dedupSimhashBanded]], whose bucket-join scales.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"),
-      F.simhash(F.tokens(col("text"))).as("fp"))
-    val a = d.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    val fps = simhashMd5Fps(docs(spark, dir))
+    val a = fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .select(F.hamming(col("fp_a"), col("fp_b")).as("d"))
+      .select(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+        .cast(LongType).as("d"))
       .agg(count(lit(1)).as("pairs"),
         count(when(col("d") <= 8, 1)).as("within_8"),
         count(when(col("d") <= 16, 1)).as("within_16"),
-        min(col("d")).cast(LongType).as("min_hamming"))
+        min(col("d")).as("min_hamming"))
   }
 
   /** Embeddings with a pre-normalized double vector: norms are computed ONCE

@@ -88,13 +88,13 @@ class PropertiesSpec extends AnyFunSuite {
       s"oracle entries without a query (typo'd key silently skews the " +
         s"correctness gate): $orphans")
     // a new query without an oracle silently downgrades to a rows-only
-    // check — this pin forces that decision to be explicit. The sketch
-    // queries (q19/q25/text_heavy_hitters) are error-band graded in-query
-    // with the exact side oracle-checked; only the xxhash64-internal
-    // simhash verifier remains rows-only (its md5 twins are oracle-green)
-    assert((queries -- oracles) === Set("dedup_simhash_verify"),
-      "rows-only set changed: update this pin only for genuinely " +
-        "engine-internal operators (hash/sketch internals)")
+    // check — this pin forces that decision to be explicit. Since round
+    // 12 EVERY registered query has a full DuckDB oracle (the simhash
+    // verifier moved to the md5 fingerprint basis, closing the last
+    // rows-only row); the sketch queries (q19/q25/text_heavy_hitters) are
+    // error-band graded in-query with the exact side oracle-checked
+    assert((queries -- oracles) === Set.empty,
+      "rows-only set changed: every query needs an oracleSql entry")
   }
 
   test("row hash is invariant to column declaration order (sorted-field hashing)") {
