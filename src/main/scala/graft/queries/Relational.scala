@@ -963,12 +963,34 @@ object Relational {
       .filter(col("prev_tus").isNotNull)
       .select(col("event_type"),
         ((col("tus") - col("prev_tus")).cast(DoubleType) / 1e6).as("gap_s"))
-    gaps.groupBy("event_type")
+    // exact `percentile` buffers every group's values in an
+    // ObjectHashAggregate — unbounded per-group state at 100 TB. The
+    // registered form is approx_percentile (GK sketch, bounded state)
+    // graded in-query by RANK band, which is tie-robust: v is a valid
+    // p-quantile within eps iff count(<v)/n <= p+eps AND count(<=v)/n >=
+    // p-eps (value-band grading would need the exact percentile back).
+    // The oracle recomputes n/avg/max exactly and pins the flags at 1.
+    val eps = 0.01
+    val approx = gaps.groupBy("event_type").agg(
+      expr("approx_percentile(gap_s, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(gap_s, 0.9, 10000)").as("ap90"))
+    def frac(cmp: org.apache.spark.sql.Column) =
+      count(when(cmp, 1)).cast(DoubleType) / count(lit(1))
+    gaps.join(broadcast(approx), Seq("event_type"))
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),
         round(avg("gap_s"), 2).as("avg_gap_s"),
-        round(expr("percentile(gap_s, 0.5)"), 2).as("p50_gap_s"),
-        round(expr("percentile(gap_s, 0.9)"), 2).as("p90_gap_s"),
-        round(max("gap_s"), 2).as("max_gap_s"))
+        round(max("gap_s"), 2).as("max_gap_s"),
+        frac(col("gap_s") < col("ap50")).as("lt50"),
+        frac(col("gap_s") <= col("ap50")).as("le50"),
+        frac(col("gap_s") < col("ap90")).as("lt90"),
+        frac(col("gap_s") <= col("ap90")).as("le90"))
+      .select(col("event_type"), col("n_gaps"), col("avg_gap_s"),
+        col("max_gap_s"),
+        (col("lt50") <= 0.5 + eps && col("le50") >= 0.5 - eps)
+          .cast(LongType).as("p50_in_band"),
+        (col("lt90") <= 0.9 + eps && col("le90") >= 0.9 - eps)
+          .cast(LongType).as("p90_in_band"))
       .orderBy("event_type")
   }
 }
