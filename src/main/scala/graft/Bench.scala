@@ -109,15 +109,22 @@ object Bench {
     // path (the 100 TB steady state) is trackable round-over-round.
     val ivfSplit = if (only.exists(!_("sim_topk_ivf_index"))) Seq.empty else {
       var build = Double.MaxValue; var probe = Double.MaxValue
+      var lastErr: Throwable = null
       (1 to Reps).foreach { _ =>
         try {
           val (df, b, p) = graft.queries.TrainingData.simTopkIvfIndexTimed(spark, sfDir)
           df.count()
           build = math.min(build, b); probe = math.min(probe, p)
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable => lastErr = e }
       }
-      if (build == Double.MaxValue) Seq.empty
-      else Seq("sim_topk_ivf_index_build" -> build,
+      // a consistently failing split must SURFACE (stderr + -1 sentinel),
+      // not silently vanish from the JSON like an --only filter would
+      if (build == Double.MaxValue) {
+        System.err.println(s"bench split sim_topk_ivf_index failed all " +
+          s"reps: ${lastErr.getClass.getName}: ${lastErr.getMessage}")
+        Seq("sim_topk_ivf_index_build" -> -1.0,
+          "sim_topk_ivf_index_probe" -> -1.0)
+      } else Seq("sim_topk_ivf_index_build" -> build,
         "sim_topk_ivf_index_probe" -> probe)
     }
     // same split for the persisted MinHash dedup index: the one-time
@@ -125,15 +132,20 @@ object Bench {
     // be visible on their own
     val mhSplit = if (only.exists(!_("dedup_index_novel"))) Seq.empty else {
       var build = Double.MaxValue; var probe = Double.MaxValue
+      var lastErr: Throwable = null
       (1 to Reps).foreach { _ =>
         try {
           val (df, b, p) = graft.queries.TrainingData.dedupIndexNovelTimed(spark, sfDir)
           df.count()
           build = math.min(build, b); probe = math.min(probe, p)
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable => lastErr = e }
       }
-      if (build == Double.MaxValue) Seq.empty
-      else Seq("dedup_index_novel_build" -> build,
+      if (build == Double.MaxValue) {
+        System.err.println(s"bench split dedup_index_novel failed all " +
+          s"reps: ${lastErr.getClass.getName}: ${lastErr.getMessage}")
+        Seq("dedup_index_novel_build" -> -1.0,
+          "dedup_index_novel_probe" -> -1.0)
+      } else Seq("dedup_index_novel_build" -> build,
         "dedup_index_novel_probe" -> probe)
     }
     // pipeline_incremental likewise conflates base-layout publish with the

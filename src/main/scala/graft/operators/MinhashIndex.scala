@@ -38,6 +38,42 @@ object MinhashIndex {
 
   val NumBandPartitions = 64
 
+  /** Commit marker written as the LAST step of [[build]]/[[append]]. Its
+    * absence means a mutation crashed mid-flight (or the index predates
+    * the marker protocol) — the index may be half-synced (hashes without
+    * postings, or postings missing a batch) and must NOT be trusted;
+    * rebuild it from the released table. Orchestrators ([[invalidate]])
+    * remove the marker BEFORE the table merge they pair the index with,
+    * so a crash between merge-commit and index maintenance also reads as
+    * uncommitted on the next release.
+    */
+  val CommitMarker = "_COMMITTED"
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def isCommitted(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, CommitMarker)
+    fsFor(spark, p).exists(p)
+  }
+
+  /** Remove the commit marker (no-op when absent): call before any
+    * warehouse mutation the index must stay in sync with.
+    */
+  def invalidate(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, CommitMarker)
+    fsFor(spark, p).delete(p, false)
+    ()
+  }
+
+  private def markCommitted(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, CommitMarker)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write("committed".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def bp(band: Column): Column =
     pmod(xxhash64(band), lit(NumBandPartitions.toLong)).cast("int")
 
@@ -58,36 +94,63 @@ object MinhashIndex {
       .withColumn("bp", bp(col("band")))
 
   /** Build the index from `(doc_id: long, text: string, ...)` documents.
-    * A rebuild retires the `_POSTINGS` pointer and old generations first
-    * (the [[VectorIndex.buildIvf]] contract — a stale pointer would make
-    * the rebuild invisible to probes).
+    * A REBUILD is generation-first, never destructive-first: the new
+    * postings generation is fully written BEFORE the `_POSTINGS` pointer
+    * swings to it (the [[compact]] protocol), and superseded generations
+    * are deleted only once the new one is live — a crash mid-rebuild
+    * leaves the previous generation probe-able and, because the
+    * [[CommitMarker]] is removed first and re-written last, visibly
+    * uncommitted to orchestrators.
     */
   def build(docs: DataFrame, indexDir: String): Unit = {
     val spark = docs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "_POSTINGS"), false)
-    if (fs.exists(dir))
-      fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("postings"))
-        .foreach(st => fs.delete(st.getPath, true))
+    val fs = fsFor(spark, dir)
+    invalidate(spark, indexDir)
+    val oldGens =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("postings"))
+          .map(_.getPath.getName)
+      else Seq.empty
+    // fresh dir keeps the plain `postings` name; rebuilds version past the
+    // highest existing generation
+    val next =
+      if (oldGens.isEmpty) "postings"
+      else {
+        val maxGen = oldGens.map {
+          case "postings" => 0
+          case g => g.stripPrefix("postings_v").toInt
+        }.max
+        s"postings_v${maxGen + 1}"
+      }
     val s = signed(docs).cache()
-    s.select("doc_id", "h").write.mode("overwrite")
-      .parquet(s"$indexDir/hashes")
     bandRows(s)
       .sortWithinPartitions("band")
       .write.mode("overwrite").partitionBy("bp")
-      .parquet(s"$indexDir/postings")
+      .parquet(s"$indexDir/$next")
+    s.select("doc_id", "h").write.mode("overwrite")
+      .parquet(s"$indexDir/hashes")
+    if (next != "postings") swapPointer(spark, indexDir, next)
+    oldGens.filter(_ != next).foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
+    markCommitted(spark, indexDir)
     s.unpersist()
+    ()
   }
 
   /** Incremental maintenance: append a batch's hashes and postings —
     * O(batch) work, no rebuild. Single writer at a time (the
-    * [[VectorIndex.appendIvf]] contract).
+    * [[VectorIndex.appendIvf]] contract). Re-appending a doc_id whose
+    * content changed ADDS rows beside the old ones — the index is a
+    * seen-content registry by design (content ever released stays a
+    * duplicate), so superseded content is retained, not replaced;
+    * [[indexStats]] therefore counts DISTINCT doc_ids.
     */
   def append(docs: DataFrame, indexDir: String): Unit = {
     val spark = docs.sparkSession
+    invalidate(spark, indexDir)
     val s = signed(docs).cache()
     s.select("doc_id", "h").write.mode("append")
       .parquet(s"$indexDir/hashes")
@@ -95,7 +158,9 @@ object MinhashIndex {
       .sortWithinPartitions("band")
       .write.mode("append").partitionBy("bp")
       .parquet(livePostingsDir(spark, indexDir))
+    markCommitted(spark, indexDir)
     s.unpersist()
+    ()
   }
 
   /** The live postings generation (pointer file when compacted, the
@@ -136,13 +201,7 @@ object MinhashIndex {
       .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$nextGen")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    swapPointer(spark, indexDir, next)
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("postings") &&
@@ -150,15 +209,39 @@ object MinhashIndex {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** Atomic `_POSTINGS` pointer swing to generation `next`: write a temp
+    * pointer file, rename over the live one (FileContext rename with
+    * OVERWRITE — atomic on HDFS-semantics filesystems). Shared by
+    * [[build]] rebuilds and [[compact]].
+    */
+  private def swapPointer(spark: SparkSession, indexDir: String,
+                          next: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ()
+  }
+
   /** Index health: distinct bands, biggest band (bounds probe tail latency
     * AND candidate fan-out — the rebuild/re-shingle signal when boilerplate
-    * degenerates a band), and per-band skew.
+    * degenerates a band), and per-band skew. `n_docs` counts DISTINCT
+    * doc_ids: a doc_id re-appended with changed content holds one hash row
+    * per content version (the seen-content registry — [[append]] scaladoc),
+    * and [[compact]] deliberately does not garbage-collect superseded
+    * content.
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
     val sizes = spark.read.parquet(livePostingsDir(spark, indexDir))
       .groupBy("band").agg(count(lit(1)).as("sz"))
     spark.read.parquet(s"$indexDir/hashes")
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(countDistinct("doc_id").as("n_docs"))
       .crossJoin(sizes.agg(
         count(lit(1)).as("n_bands"),
         max("sz").as("max_band"),

@@ -92,11 +92,16 @@ object Main {
           // incremental once and builds the index after this release. The
           // index is a seen-content registry: content ever released stays
           // a duplicate even if later updated away.
+          // trust gate: the index's _COMMITTED marker, written as the
+          // LAST step of build/append and removed (below) before every
+          // merge. hashes/ existing is NOT enough — build writes hashes
+          // before postings, and the merge commits before index
+          // maintenance, so a crash can leave a half-synced index; an
+          // uncommitted index routes through the frame-based fallback and
+          // is rebuilt from the released table after this merge.
           val idxDir = s"${req("warehouse")}/corpus_index"
-          val idxHashes = new org.apache.hadoop.fs.Path(s"$idxDir/hashes")
-          val idxExists = idxHashes
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(idxHashes)
+          val idxExists =
+            graft.operators.MinhashIndex.isCommitted(spark, idxDir)
           val kept = ((existing, idxExists) match {
             case (Some(_), true) =>
               graft.operators.MinhashIndex.novelDocs(spark,
@@ -116,6 +121,11 @@ object Main {
             .withColumn("source_filename", lit(s"$src/documents.parquet"))
             .withColumn("file_load_log_id", lit(0L))
           val now = new java.sql.Timestamp(System.currentTimeMillis())
+          // drop the index's commit marker BEFORE the merge: a crash
+          // anywhere between here and the post-merge index maintenance
+          // leaves the index visibly uncommitted, so the next release
+          // falls back and rebuilds instead of trusting a stale index
+          graft.operators.MinhashIndex.invalidate(spark, idxDir)
           val counts = store.withTableLock(cs.tableName) {
             store.mergeInPlace(cs.tableName, stage, cs, now)
           }

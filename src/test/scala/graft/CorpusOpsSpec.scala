@@ -739,6 +739,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_index: commit marker gates trust; rebuild is " +
+    "generation-first; stats count distinct doc_ids") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinhashIndex
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_c").toString
+    try {
+      // build commits; invalidate retracts; append re-commits
+      MinhashIndex.build(d, idx)
+      assert(MinhashIndex.isCommitted(spark, idx))
+      MinhashIndex.invalidate(spark, idx)
+      assert(!MinhashIndex.isCommitted(spark, idx))
+      val extra = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" novel tail marker")).as("text"))
+      MinhashIndex.append(extra, idx)
+      assert(MinhashIndex.isCommitted(spark, idx))
+      // REBUILD: must write the new generation and swing the pointer, not
+      // delete-first — afterwards the live dir is a versioned generation
+      // and probes answer from it
+      MinhashIndex.build(d, idx)
+      assert(MinhashIndex.isCommitted(spark, idx))
+      val live = MinhashIndex.livePostingsDir(spark, idx)
+      assert(live.endsWith("postings_v1"),
+        s"rebuild must publish a fresh generation behind the pointer: $live")
+      assert(MinhashIndex.novelDocs(spark, d, idx).count() === 0L)
+      // re-appending a doc_id with CHANGED content adds a second hash row
+      // (seen-content registry); n_docs must still count documents
+      val changed = d.limit(5).select(col("doc_id"),
+        concat(col("text"), lit(" changed tail")).as("text"))
+      MinhashIndex.append(changed, idx)
+      val stats = MinhashIndex.indexStats(spark, idx).collect()(0)
+      assert(stats.getLong(0) === d.count(),
+        "indexStats n_docs must count distinct doc_ids, not hash rows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
