@@ -1053,7 +1053,17 @@ object TrainingData {
     * session teardown (CLI) — at 100 TB this frame is the job's output
     * scan, written once, not a long-lived cache.
     */
-  def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame =
+    curatedDocsWithIds(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_tokens")
+
+  /** [[curatedDocs]] with the batch's shingle ids and minhash signature
+    * still attached (`ids`, `sig`): the incremental fallback reuses them
+    * for its cross-corpus near-dup tier, so the batch is shingled exactly
+    * once per release whichever path runs.
+    */
+  private def curatedDocsWithIds(spark: SparkSession,
+                                 dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
     val quality = docs(spark, dir)
@@ -1083,7 +1093,6 @@ object TrainingData {
       .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
       .select(col("doc_b").as("doc_id")).distinct()
     withIds.join(losers, Seq("doc_id"), "left_anti")
-      .select("doc_id", "text", "lang", "source", "n_tokens")
   }
 
   /** Incremental curation against an existing released corpus: curate the
@@ -1103,14 +1112,13 @@ object TrainingData {
                              corpus: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
-    val batch = curatedDocs(spark, dir)
-    val afterExact = batch.withColumn("h", md5(col("text")))
+    // ids/sig arrive precomputed from the batch-internal dedup pass (the
+    // ONE shingle projection of the batch this release pays); the exact
+    // tier only filters rows, so they ride through the anti-join
+    val batch = curatedDocsWithIds(spark, dir)
+    val bIds = batch.withColumn("h", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
-    val bIds = afterExact
-      .withColumn("ids", shingleIds(col("text"), 2))
-      .withColumn("sig", minhashSig(col("ids"), 16))
-      .cache()
     val bBand = bIds.select(col("doc_id"), col("ids"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
     val batchBands = bBand.select("band").distinct()
