@@ -53,24 +53,50 @@ object Bench {
     // workload (GC pauses, page-cache misses, and CPU contention only ever
     // ADD time).
     val Reps = 3
+    // Contention self-diagnosis (round-11 advice: a machine-contended
+    // official artifact shipped 1.5x inflated with nothing in the JSON to
+    // say so). Per entry, the median/best spread estimates how much
+    // neighbor load polluted the reps — a deterministic workload's reps
+    // agree within ~10-20%; contention inflates some reps and not others.
+    // Entries over SpreadBound get up to ExtraReps additional runs (a
+    // later quiet rep usually recovers the true floor); whatever spread
+    // REMAINS is reported, and the run carries a self-describing
+    // `contended` flag plus loadavg samples so a dirty run is never
+    // mistaken for a regression.
+    val SpreadBound = 1.6
+    val ExtraReps = 2
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val spreads = scala.collection.mutable.ArrayBuffer[Double]()
+    def spreadOf(times: Seq[Double]): Double = {
+      val s = times.sorted
+      s(s.size / 2) / s.head
+    }
     // -1 sentinel when EVERY rep throws: a fast-failing query must be
     // visibly failed in the bench JSON, not recorded as a plausibly small
     // wall time (failures also never contribute to the total).
     def bestOf(f: => Unit): Double = {
-      var best = Double.MaxValue
-      var ok = false
-      (1 to Reps).foreach { _ =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      def rep(): Unit = {
         val t0 = System.nanoTime()
         try {
           f
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          ok = true
+          times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
         }
+        ()
       }
-      if (ok) best else -1.0
+      (1 to Reps).foreach(_ => rep())
+      var extra = 0
+      while (times.size >= 2 && spreadOf(times.toSeq) > SpreadBound &&
+        extra < ExtraReps) { rep(); extra += 1 }
+      if (times.isEmpty) -1.0
+      else {
+        if (times.size >= 2) spreads += spreadOf(times.toSeq)
+        times.min
+      }
     }
     // SPARK_GRAFT_ONLY=a,b,c: time just the named queries (local iteration
     // on one plan without paying the full 87-query sweep); unset = all.
@@ -231,8 +257,23 @@ object Bench {
     // release memoized label/ground-truth frames (long-running-service
     // hygiene; also proves the eviction path in every bench run)
     graft.queries.DirMemo.clear()
+    // run-level contention verdict: p90 of the per-entry residual spreads
+    // (after guard re-runs) over the bound, or a loaded machine at start —
+    // either way the artifact says so itself instead of needing a quiet
+    // re-run and an asterisk to interpret
+    val loadEnd = osBean.getSystemLoadAverage
+    val cores = Runtime.getRuntime.availableProcessors
+    val spreadP90 =
+      if (spreads.isEmpty) 1.0
+      else spreads.sorted.apply(
+        math.min(spreads.size - 1, (spreads.size * 9) / 10))
+    val contended = spreadP90 > SpreadBound ||
+      math.max(loadStart, loadEnd) > cores.toDouble / 2
+    val envJson = s""""contended":$contended,"spread_p90":${fmt(spreadP90)},""" +
+      s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+      s""""cores":$cores"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,$envJson}"""
     // The capture downstream keeps only the TAIL of stdout, so the head of
     // one long line gets truncated (rounds 1-7 lost the first ~8 query
     // entries every round). Persist the full JSON to a file truncation
@@ -243,7 +284,7 @@ object Bench {
     spark.stop()
     // Print after spark.stop()'s shutdown logging so nothing interleaves.
     println(full)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"failed":$failed,"queries_file":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"failed":$failed,"contended":$contended,"queries_file":"bench_out.json"}""")
     System.out.flush()
   }
 }
