@@ -1,0 +1,63 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× replication of an sf dir — the scale-rehearsal input
+  * generator: the shipped testdata tops out at sf0.1, so extending the
+  * measured scale band (index probes, `--corpus` releases, incremental
+  * publishes) needs a bigger corpus with the SAME statistical shape.
+  *
+  * Replica 0 is the source verbatim; replica i>0 applies a Caesar-shift-i
+  * substitution over both alphabet cases to `text`. A full substitution
+  * cipher maps every token to a token no other replica produces, so the
+  * replicas' shingle sets are pairwise DISJOINT — each replica contributes
+  * genuinely novel documents (no cross-replica near-dups) while token
+  * lengths, band-size distributions, and the source's internal duplicate
+  * structure are preserved exactly. doc_id / o_orderkey get per-replica
+  * offsets so keys stay unique.
+  *
+  * Usage: `runMain graft.SynthScale <srcSfDir> <outDir> [mult]`
+  * (writes `documents.parquet` and `orders.parquet`).
+  */
+object SynthScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val out = args(1)
+    val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def shifted(s: String, i: Int) = s.drop(i) + s.take(i)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until mult).map { i =>
+      val t =
+        if (i == 0) col("text")
+        else translate(col("text"), lower + upper,
+          shifted(lower, i) + shifted(upper, i))
+      docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        t.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val orderCopies = (0 until mult).map { i =>
+      orders.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 1000000000L))
+    }
+    orderCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    println(s"synth: wrote ${mult}x documents+orders from $src to $out")
+    spark.stop()
+  }
+}

@@ -533,8 +533,12 @@ class PlanSpec extends AnyFunSuite {
       "lag window must shuffle on the user key")
     assert(p.contains("NULLS FIRST], false, 0"),
       "window sort must stay partition-local (global=false)")
-    assert(p.contains("partial_percentile"),
-      "exact percentiles must combine map-side before the group exchange")
+    // bounded-state quantiles: the GK sketch partial-aggregates map-side;
+    // exact percentile (unbounded per-group value buffering) must be gone
+    assert(p.contains("partial_approx_percentile"),
+      "approx sketch must combine map-side before the group exchange")
+    assert(!p.contains("partial_percentile("),
+      "exact percentile must not buffer per-group values")
     assert(!p.contains("rangepartitioning(user_id") &&
       !p.contains("rangepartitioning(tus"),
       "no global sort of the event stream")
