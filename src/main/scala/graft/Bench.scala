@@ -186,7 +186,10 @@ object Bench {
           df.count()
           base = math.min(base, b); delta = math.min(delta, d)
           cleanup = math.min(cleanup, c)
-        } catch { case _: Throwable => () }
+        } catch {
+          case e: Throwable => System.err.println(
+            s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
       }
       if (base == Double.MaxValue) Seq("pipeline_incremental" -> -1.0)
       // headline = base + delta (the pipeline work), teardown separate
@@ -206,7 +209,10 @@ object Bench {
           df.count()
           base = math.min(base, b); delta = math.min(delta, d)
           cleanup = math.min(cleanup, c)
-        } catch { case _: Throwable => () }
+        } catch {
+          case e: Throwable => System.err.println(
+            s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
       }
       if (base == Double.MaxValue) Seq("pipeline_mor" -> -1.0)
       else Seq("pipeline_mor" -> (base + delta),

@@ -37,6 +37,22 @@ object SynthScale {
     val upper = lower.toUpperCase
     def shifted(s: String, i: Int) = s.drop(i) + s.take(i)
 
+    // testdata layout is one parquet FILE per table (consumers Files.copy
+    // them); write a single part and move it into place
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+                        table: String): Unit = {
+      val tmp = s"$out/_tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles.find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $table"))
+      val dest = new java.io.File(s"$out/$table.parquet")
+      if (dest.exists) { dest.delete(); () }
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dir.listFiles.foreach(_.delete()); dir.delete()
+      ()
+    }
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docCopies = (0 until mult).map { i =>
       val t =
@@ -46,16 +62,18 @@ object SynthScale {
       docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
         t.as("text"), col("lang"), col("source"), col("n_chars"))
     }
-    docCopies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    writeSingleFile(docCopies.reduce(_ unionByName _), "documents")
 
+    // 1e11 stride: far above any sf's key range AND disjoint from the
+    // +1e10 insert offset the incremental bench scenario adds (a 1e9
+    // stride put replica 10's range exactly on that offset — colliding
+    // grain keys made the 20x delta fail its grain audit)
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val orderCopies = (0 until mult).map { i =>
       orders.withColumn("o_orderkey",
-        col("o_orderkey") + lit(i.toLong * 1000000000L))
+        col("o_orderkey") + lit(i.toLong * 100000000000L))
     }
-    orderCopies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    writeSingleFile(orderCopies.reduce(_ unionByName _), "orders")
 
     println(s"synth: wrote ${mult}x documents+orders from $src to $out")
     spark.stop()

@@ -171,6 +171,10 @@ object PipelineBench {
     val base = proc.processFile(drop.resolve("orders_base.parquet").toString)
       .getOrElse(sys.error("orders_base.parquet did not match the source"))
     val baseSecs = (System.nanoTime() - tBase0) / 1e9
+    // a failed publish must FAIL the scenario, not time a no-op: a 20x
+    // rehearsal once recorded a 0-row "delta publish" as a plausible fast
+    // entry because the grain audit had rejected the whole file
+    require(base.success, s"base publish failed: ${base.errorName}")
 
     // delta: valid orders with key % 100 == 0, re-priced (updates) plus the
     // same rows under offset keys (inserts); keys beyond any SF's range.
@@ -202,6 +206,7 @@ object PipelineBench {
     val inc = proc.processFile(drop.resolve("orders_delta.parquet").toString)
       .getOrElse(sys.error("orders_delta.parquet did not match the source"))
     val deltaSecs = (System.nanoTime() - tDelta0) / 1e9
+    require(inc.success, s"delta publish failed: ${inc.errorName}")
 
     val noop = if (!noopThird) None else {
       Files.move(work.resolve("orders_noop.parquet"),
