@@ -891,13 +891,20 @@ object Relational {
           .cast(LongType))
     // both ntiles via the distributed two-pass rank (no global-window
     // single-partition sort over the per-user frame — unbounded at scale);
-    // recency desc = rank on the negated key, user_id tiebreak unchanged
+    // recency desc = rank on the negated key, user_id tiebreak unchanged.
+    // Each rank runs over its own narrow (user_id, key) projection and
+    // joins back on user_id — chaining them would re-derive the first
+    // rank inside the second's cut-point aggregate
     import graft.operators.RankOps.{ntileFromRank, withGlobalRank}
-    val rankedR = withGlobalRank(scored,
+    val rr = withGlobalRank(
+      scored.select(col("user_id"), col("recency_days")),
       negate(col("recency_days")), Seq(col("user_id")), "_rr")
-    val rankedRF = withGlobalRank(rankedR,
+      .select("user_id", "_rr")
+    val rf = withGlobalRank(scored.select(col("user_id"), col("freq")),
       col("freq"), Seq(col("user_id")), "_rf")
-    rankedRF.crossJoin(broadcast(perUser.agg(count(lit(1)).as("_n"))))
+      .select("user_id", "_rf")
+    scored.join(rr, Seq("user_id")).join(rf, Seq("user_id"))
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("_n"))))
       .withColumn("r_score", ntileFromRank(col("_rr"), col("_n"), 5))
       .withColumn("f_score", ntileFromRank(col("_rf"), col("_n"), 5))
       .groupBy("r_score", "f_score")

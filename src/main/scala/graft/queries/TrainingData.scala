@@ -4597,15 +4597,20 @@ object TrainingData {
         .as("avg_logprob"))
     // three EXACT doc-table-sized ranks via the distributed two-pass rank
     // (RankOps) — the previous global row_number windows each forced an
-    // Exchange SinglePartition over every document; the cached join is
-    // scanned once per cut-point aggregate instead of recomputed
+    // Exchange SinglePartition over every document. Each rank runs
+    // INDEPENDENTLY over a narrow (doc_id, metric) projection of the
+    // cached join and the rank columns equi-join back on doc_id: nesting
+    // them (fold) would re-derive every earlier rank inside each later
+    // rank's cut-point aggregate
     val joined = base.join(lp, Seq("doc_id")).cache()
     val ranked = Seq(
       ("nt", "r_len"), ("stop_ratio", "r_stop"), ("avg_logprob", "r_lp"))
-      .foldLeft(joined) { case (df, (k, out)) =>
+      .map { case (k, out) =>
         graft.operators.RankOps.withGlobalRank(
-          df, col(k), Seq(col("doc_id")), out)
-      }
+          joined.select(col("doc_id"), col(k)), col(k),
+          Seq(col("doc_id")), out)
+          .select("doc_id", out)
+      }.reduce(_.join(_, Seq("doc_id")))
     def d2(a: String, b: String) =
       sum((col(a) - col(b)) * (col(a) - col(b)))
     val s = ranked.agg(count(lit(1)).as("n"),
