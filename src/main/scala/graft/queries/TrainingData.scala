@@ -4647,12 +4647,18 @@ object TrainingData {
         shingleIds(col("text"), 2).as("ids"))
       .withColumn("sig", minhashSig(col("ids"), 16))
       .cache()
-    // exact truth: pairs sharing >= 1 (df-capped) shingle, verified Jaccard
+    // exact truth: pairs sharing >= 1 (df-capped) shingle, verified
+    // Jaccard — the recall family's shared-ground-truth pattern: memoized
+    // per (session, dir) and eagerly materialized, because the truth scan
+    // is a VERIFIER whose cost tracks the corpus's near-dup density (it
+    // tripled on one driver-regenerated corpus), not the LSH path this
+    // query measures
     val gramBanded = withIds.select(col("doc_id"), col("ids"),
       explode(col("ids")).as("band"))
-    val truth = prunedBandPairs(gramBanded, Seq("ids"))
-      .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
-      .select("doc_a", "doc_b").distinct()
+    val truth = DirMemo.getOrCompute("mh_truth_pairs", spark, dir)(
+      prunedBandPairs(gramBanded, Seq("ids"))
+        .filter(jaccardIds(col("ids_a"), col("ids_b")) >= 0.2)
+        .select("doc_a", "doc_b").distinct().localCheckpoint())
     // LSH candidates through the same machinery the dedup default uses
     val lshBanded = withIds.select(col("doc_id"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))

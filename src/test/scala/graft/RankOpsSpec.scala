@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.RankOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed two-pass rank must be BIT-IDENTICAL to the global
+  * window it replaces — that equivalence is what lets the rank/ntile
+  * rewrites keep their oracles without a _verify twin, so it gets pinned
+  * directly: randomized keys (with heavy ties and negatives), tiny and
+  * skewed inputs, and every ntile congruence class.
+  */
+class RankOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def windowRank(rows: Seq[(Long, Double)]): Map[Long, Long] =
+    rows.toDF("id", "k")
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  private def twoPassRank(rows: Seq[(Long, Double)],
+                          buckets: Int): Map[Long, Long] =
+    RankOps.withGlobalRank(rows.toDF("id", "k"), col("k"), Seq(col("id")),
+        "r", buckets)
+      .select("id", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("withGlobalRank equals the global row_number window on random " +
+    "keys with heavy ties") {
+    // keys from a SMALL pool → many ties, including across bucket cuts
+    val pool = Array(-3.5d, -1.0d, 0.0d, 0.25d, 7.0d, 7.0d)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 12) {
+      val n = rnd.nextInt(200)
+      val rows = (0 until n).map(i => (i.toLong, pool(rnd.nextInt(pool.length))))
+      val buckets = Seq(2, 7, 64)(trial % 3)
+      assert(twoPassRank(rows, buckets) === windowRank(rows),
+        s"trial=$trial n=$n buckets=$buckets")
+    }
+  }
+
+  test("withGlobalRank equals the window on distinct continuous keys") {
+    val rows = (0 until 173).map(i =>
+      (i.toLong, math.sin(i * 12.9898) * 43758.5453 % 13))
+    assert(twoPassRank(rows, 16) === windowRank(rows))
+  }
+
+  test("ntileFromRank reproduces SQL ntile for every n % k class") {
+    // n from k-1 (more tiles than rows) through several multiples
+    for (k <- Seq(2, 4, 5, 7); n <- Seq(1, k - 1, k, k + 1, 3 * k + 2, 40)) {
+      val df = spark.range(1, n + 1).toDF("r")
+      val viaWindow = df
+        .withColumn("q", ntile(k).over(Window.orderBy("r")).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaRank = df.withColumn("q",
+          RankOps.ntileFromRank(col("r"), lit(n.toLong), k))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaRank === viaWindow, s"n=$n k=$k")
+    }
+  }
+
+  test("the only global window in a withGlobalRank plan runs over the " +
+    "bounded offsets aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 97).cast("double").as("k"))
+    val ranked = RankOps.withGlobalRank(df, col("k"), Seq(col("id")), "r")
+    val globals = ranked.queryExecution.optimizedPlan.collect {
+      case w: LW if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty)
+    globals.foreach(w => assert(
+      w.child.collectFirst { case a: Aggregate => a }.isDefined,
+      "global window must sit on the per-bucket counts aggregate"))
+  }
+}
