@@ -98,6 +98,32 @@ object Bench {
         times.min
       }
     }
+    // Multi-timing variant of bestOf for the split runners: each rep
+    // yields a tuple of wall timings; the variance guard keys on each
+    // rep's TOTAL (the same contention signal), failures print and drop
+    // the rep, and the caller takes column-wise minimums. Empty result =
+    // every rep failed (the caller emits -1 sentinels).
+    def guardedReps(label: String)(parts: => Seq[Double]): Seq[Seq[Double]] = {
+      val all = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+      def rep(): Unit = {
+        try all += parts
+        catch {
+          case e: Throwable => System.err.println(s"bench rep failed " +
+            s"($label): ${e.getClass.getName}: ${e.getMessage}")
+        }
+        ()
+      }
+      (1 to Reps).foreach(_ => rep())
+      var extra = 0
+      def sums = all.map(_.sum).toSeq
+      while (all.size >= 2 && spreadOf(sums) > SpreadBound &&
+        extra < ExtraReps) { rep(); extra += 1 }
+      if (all.isEmpty)
+        System.err.println(s"bench split $label failed all reps")
+      else if (all.size >= 2) spreads += spreadOf(sums)
+      all.toSeq
+    }
+    def colMin(reps: Seq[Seq[Double]], i: Int): Double = reps.map(_(i)).min
     // SPARK_GRAFT_ONLY=a,b,c: time just the named queries (local iteration
     // on one plan without paying the full 87-query sweep); unset = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -116,108 +142,75 @@ object Bench {
         name -> bestOf { fn(spark, sfDir).count(); () }
       }
     val etlSplit = if (only.exists(!_("pipeline_etl"))) Seq.empty else {
-      var run = Double.MaxValue; var cleanup = Double.MaxValue
-      (1 to Reps).foreach { _ =>
-        try {
-          val (df, r, c) = graft.queries.PipelineBench.pipelineEtlTimed(spark, sfDir)
-          df.count()
-          run = math.min(run, r); cleanup = math.min(cleanup, c)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
-        }
+      val reps = guardedReps("pipeline_etl") {
+        val (df, r, c) = graft.queries.PipelineBench.pipelineEtlTimed(spark, sfDir)
+        df.count()
+        Seq(r, c)
       }
-      if (run == Double.MaxValue) Seq("pipeline_etl" -> -1.0)
-      else Seq("pipeline_etl" -> run, "pipeline_etl_cleanup" -> cleanup)
+      if (reps.isEmpty) Seq("pipeline_etl" -> -1.0)
+      else Seq("pipeline_etl" -> colMin(reps, 0),
+        "pipeline_etl_cleanup" -> colMin(reps, 1))
     }
     // sim_topk_ivf_index conflates the one-time index BUILD with the
     // steady-state PROBE; report them as separate entries too, so the probe
     // path (the 100 TB steady state) is trackable round-over-round.
     val ivfSplit = if (only.exists(!_("sim_topk_ivf_index"))) Seq.empty else {
-      var build = Double.MaxValue; var probe = Double.MaxValue
-      var lastErr: Throwable = null
-      (1 to Reps).foreach { _ =>
-        try {
-          val (df, b, p) = graft.queries.TrainingData.simTopkIvfIndexTimed(spark, sfDir)
-          df.count()
-          build = math.min(build, b); probe = math.min(probe, p)
-        } catch { case e: Throwable => lastErr = e }
-      }
       // a consistently failing split must SURFACE (stderr + -1 sentinel),
       // not silently vanish from the JSON like an --only filter would
-      if (build == Double.MaxValue) {
-        System.err.println(s"bench split sim_topk_ivf_index failed all " +
-          s"reps: ${lastErr.getClass.getName}: ${lastErr.getMessage}")
-        Seq("sim_topk_ivf_index_build" -> -1.0,
-          "sim_topk_ivf_index_probe" -> -1.0)
-      } else Seq("sim_topk_ivf_index_build" -> build,
-        "sim_topk_ivf_index_probe" -> probe)
+      val reps = guardedReps("sim_topk_ivf_index") {
+        val (df, b, p) = graft.queries.TrainingData.simTopkIvfIndexTimed(spark, sfDir)
+        df.count()
+        Seq(b, p)
+      }
+      if (reps.isEmpty) Seq("sim_topk_ivf_index_build" -> -1.0,
+        "sim_topk_ivf_index_probe" -> -1.0)
+      else Seq("sim_topk_ivf_index_build" -> colMin(reps, 0),
+        "sim_topk_ivf_index_probe" -> colMin(reps, 1))
     }
     // same split for the persisted MinHash dedup index: the one-time
     // corpus build amortizes over probe batches, so probe regressions must
     // be visible on their own
     val mhSplit = if (only.exists(!_("dedup_index_novel"))) Seq.empty else {
-      var build = Double.MaxValue; var probe = Double.MaxValue
-      var lastErr: Throwable = null
-      (1 to Reps).foreach { _ =>
-        try {
-          val (df, b, p) = graft.queries.TrainingData.dedupIndexNovelTimed(spark, sfDir)
-          df.count()
-          build = math.min(build, b); probe = math.min(probe, p)
-        } catch { case e: Throwable => lastErr = e }
+      val reps = guardedReps("dedup_index_novel") {
+        val (df, b, p) = graft.queries.TrainingData.dedupIndexNovelTimed(spark, sfDir)
+        df.count()
+        Seq(b, p)
       }
-      if (build == Double.MaxValue) {
-        System.err.println(s"bench split dedup_index_novel failed all " +
-          s"reps: ${lastErr.getClass.getName}: ${lastErr.getMessage}")
-        Seq("dedup_index_novel_build" -> -1.0,
-          "dedup_index_novel_probe" -> -1.0)
-      } else Seq("dedup_index_novel_build" -> build,
-        "dedup_index_novel_probe" -> probe)
+      if (reps.isEmpty) Seq("dedup_index_novel_build" -> -1.0,
+        "dedup_index_novel_probe" -> -1.0)
+      else Seq("dedup_index_novel_build" -> colMin(reps, 0),
+        "dedup_index_novel_probe" -> colMin(reps, 1))
     }
     // pipeline_incremental likewise conflates base-layout publish with the
     // O(delta) steady state; split entries keep the delta path trackable
     val incSplit = if (only.exists(!_("pipeline_incremental"))) Seq.empty else {
-      var base = Double.MaxValue; var delta = Double.MaxValue
-      var cleanup = Double.MaxValue
-      (1 to Reps).foreach { _ =>
-        try {
-          val (df, b, d, c) = graft.queries.PipelineBench
-            .pipelineIncrementalTimedFull(spark, sfDir)
-          df.count()
-          base = math.min(base, b); delta = math.min(delta, d)
-          cleanup = math.min(cleanup, c)
-        } catch {
-          case e: Throwable => System.err.println(
-            s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
-        }
+      val reps = guardedReps("pipeline_incremental") {
+        val (df, b, d, c) = graft.queries.PipelineBench
+          .pipelineIncrementalTimedFull(spark, sfDir)
+        df.count()
+        Seq(b, d, c)
       }
-      if (base == Double.MaxValue) Seq("pipeline_incremental" -> -1.0)
+      if (reps.isEmpty) Seq("pipeline_incremental" -> -1.0)
       // headline = base + delta (the pipeline work), teardown separate
-      else Seq("pipeline_incremental" -> (base + delta),
-        "pipeline_incremental_base" -> base,
-        "pipeline_incremental_delta" -> delta,
-        "pipeline_incremental_cleanup" -> cleanup)
+      else Seq(
+        "pipeline_incremental" -> (colMin(reps, 0) + colMin(reps, 1)),
+        "pipeline_incremental_base" -> colMin(reps, 0),
+        "pipeline_incremental_delta" -> colMin(reps, 1),
+        "pipeline_incremental_cleanup" -> colMin(reps, 2))
     }
     // pipeline_mor's split: the O(delta) upsert-segment publish, directly
     // comparable against pipeline_incremental_delta's copy-on-write rewrite
     val morSplit = if (only.exists(!_("pipeline_mor"))) Seq.empty else {
-      var base = Double.MaxValue; var delta = Double.MaxValue
-      var cleanup = Double.MaxValue
-      (1 to Reps).foreach { _ =>
-        try {
-          val (df, b, d, c) = graft.queries.PipelineBench.pipelineMorTimedFull(spark, sfDir)
-          df.count()
-          base = math.min(base, b); delta = math.min(delta, d)
-          cleanup = math.min(cleanup, c)
-        } catch {
-          case e: Throwable => System.err.println(
-            s"bench rep failed: ${e.getClass.getName}: ${e.getMessage}")
-        }
+      val reps = guardedReps("pipeline_mor") {
+        val (df, b, d, c) = graft.queries.PipelineBench.pipelineMorTimedFull(spark, sfDir)
+        df.count()
+        Seq(b, d, c)
       }
-      if (base == Double.MaxValue) Seq("pipeline_mor" -> -1.0)
-      else Seq("pipeline_mor" -> (base + delta),
-        "pipeline_mor_base" -> base, "pipeline_mor_delta" -> delta,
-        "pipeline_mor_cleanup" -> cleanup)
+      if (reps.isEmpty) Seq("pipeline_mor" -> -1.0)
+      else Seq("pipeline_mor" -> (colMin(reps, 0) + colMin(reps, 1)),
+        "pipeline_mor_base" -> colMin(reps, 0),
+        "pipeline_mor_delta" -> colMin(reps, 1),
+        "pipeline_mor_cleanup" -> colMin(reps, 2))
     }
     // the dup-cluster rollups (dup_clusters / dup_cluster_sizes) share one
     // memoized label frame (DirMemo), so their entries report rollup cost
