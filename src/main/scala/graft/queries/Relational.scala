@@ -205,14 +205,17 @@ object Relational {
       .select("o_orderkey", "o_totalprice")
       .limit(10)
 
-  /** q10: star-join rollup — orders x customer x nation x region. The three
-    * dimension tables are explicitly broadcast (they are tiny at every TPC
-    * scale factor), so the only movement of the fact table is the final
-    * 5-group aggregate.
+  /** q10: star-join rollup — orders x customer x nation x region.
+    * nation/region are FIXED-size (25/5 rows by schema) and carry explicit
+    * broadcast hints; customer GROWS with the scale factor, so its join is
+    * left to Spark's size-based auto-broadcast — a BroadcastHashJoin at
+    * every test SF (PlanSpec pins it), a shuffle join with AQE once
+    * customer outgrows the threshold on a real cluster. Hinting it would
+    * force a driver OOM at 100 TB.
     */
   def q10RegionRevenue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .join(broadcast(t(spark, dir, "customer")),
+      .join(t(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -224,8 +227,9 @@ object Relational {
       .orderBy("r_name")
 
   /** q11: multi-join revenue (TPC-H Q5 shape) — lineitem x orders shuffle
-    * join on orderkey (both huge: sort-merge, AQE-skew-safe), dimensions
-    * broadcast. The flagship plan: one wide join + one aggregate.
+    * join on orderkey (both huge: sort-merge, AQE-skew-safe); nation hints
+    * broadcast (fixed 25 rows), customer auto-broadcasts by size (see
+    * [[q10RegionRevenue]]). The flagship plan: one wide join + one aggregate.
     */
   def q11NationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val ord = t(spark, dir, "orders")
@@ -234,7 +238,7 @@ object Relational {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(odate >= lit("1996-01-01").cast(TimestampType) &&
               odate < lit("1997-01-01").cast(TimestampType))
-      .join(broadcast(t(spark, dir, "customer")),
+      .join(t(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
