@@ -229,6 +229,40 @@ object MinhashIndex {
     ()
   }
 
+  /** Part-file count of the live postings generation: every [[append]]
+    * lands new files into the same generation, so this is the small-file
+    * pressure gauge [[maybeCompact]] reads. One listStatus over ≤
+    * [[NumBandPartitions]] directories — O(64) RPCs at any corpus size.
+    */
+  def postingsFileCount(spark: SparkSession, indexDir: String): Long = {
+    val live = new org.apache.hadoop.fs.Path(
+      livePostingsDir(spark, indexDir))
+    val fs = fsFor(spark, live)
+    if (!fs.exists(live)) 0L
+    else fs.listStatus(live).toSeq.map { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("bp="))
+        fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")).toLong
+      else 0L
+    }.sum
+  }
+
+  /** Compaction policy for the steady-state release loop: fold the
+    * generation once append segments push the per-partition file count
+    * past `maxFilesPerPartition` (probe read fan-in and parquet footer
+    * overhead grow with file count, not data size — the classic
+    * small-file decay). Returns true when a compaction ran. The threshold
+    * is a count, not bytes, because each append adds up-to-one file per
+    * partition regardless of batch size.
+    */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+                   maxFilesPerPartition: Int = 8): Boolean = {
+    val over = postingsFileCount(spark, indexDir) >
+      maxFilesPerPartition.toLong * NumBandPartitions
+    if (over) compact(spark, indexDir)
+    over
+  }
+
   /** Index health: distinct bands, biggest band (bounds probe tail latency
     * AND candidate fan-out — the rebuild/re-shingle signal when boilerplate
     * degenerates a band), and per-band skew. `n_docs` counts DISTINCT

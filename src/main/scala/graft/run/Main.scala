@@ -136,10 +136,17 @@ object Main {
           // index (corpus reset) must NOT append — the stale index would
           // keep dead content registered as seen and double every
           // re-released doc's postings.
-          if (existing.isDefined && idxExists)
+          if (existing.isDefined && idxExists) {
             graft.operators.MinhashIndex.append(
               kept.select("doc_id", "text"), idxDir)
-          else
+            // steady-state hygiene: every append adds files to the live
+            // postings generation; fold it once small-file pressure
+            // passes the policy bound (pointer-swap publish, in-flight
+            // probes keep the superseded generation)
+            if (graft.operators.MinhashIndex.maybeCompact(spark, idxDir))
+              System.err.println("corpus index: compacted postings " +
+                "generation (small-file bound reached)")
+          } else
             graft.operators.MinhashIndex.build(
               released.select("doc_id", "text"), idxDir)
           kept.unpersist()

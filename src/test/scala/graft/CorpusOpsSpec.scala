@@ -781,6 +781,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_index: maybeCompact folds the generation only past the " +
+    "small-file bound, and answers are unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinhashIndex
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(40)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_f").toString
+    try {
+      MinhashIndex.build(d, idx)
+      val f0 = MinhashIndex.postingsFileCount(spark, idx)
+      assert(f0 > 0)
+      // under the bound: no fold
+      assert(!MinhashIndex.maybeCompact(spark, idx,
+        maxFilesPerPartition = 1000))
+      // grow small-file pressure with appends of novel docs
+      (1 to 3).foreach { i =>
+        MinhashIndex.append(d.select(
+          (col("doc_id") + i * 1000000L).as("doc_id"),
+          concat(col("text"), lit(s" novel-$i suffix token")).as("text")),
+          idx)
+      }
+      val fGrown = MinhashIndex.postingsFileCount(spark, idx)
+      assert(fGrown > f0, "appends must add part files")
+      // force the bound: fold must run, shrink files, keep answers
+      val before = MinhashIndex.novelDocs(spark, d, idx).count()
+      assert(MinhashIndex.maybeCompact(spark, idx, maxFilesPerPartition = 0))
+      assert(MinhashIndex.postingsFileCount(spark, idx) < fGrown)
+      assert(MinhashIndex.novelDocs(spark, d, idx).count() === before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
