@@ -234,31 +234,35 @@ object MinhashIndex {
     * pressure gauge [[maybeCompact]] reads. One listStatus over ≤
     * [[NumBandPartitions]] directories — O(64) RPCs at any corpus size.
     */
-  def postingsFileCount(spark: SparkSession, indexDir: String): Long = {
+  private def perPartitionFiles(spark: SparkSession,
+                                indexDir: String): Seq[Long] = {
     val live = new org.apache.hadoop.fs.Path(
       livePostingsDir(spark, indexDir))
     val fs = fsFor(spark, live)
-    if (!fs.exists(live)) 0L
-    else fs.listStatus(live).toSeq.map { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith("bp="))
-        fs.listStatus(st.getPath)
-          .count(f => f.getPath.getName.endsWith(".parquet")).toLong
-      else 0L
-    }.sum
+    if (!fs.exists(live)) Seq.empty
+    else fs.listStatus(live).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bp="))
+      .map(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")).toLong)
   }
 
+  def postingsFileCount(spark: SparkSession, indexDir: String): Long =
+    perPartitionFiles(spark, indexDir).sum
+
   /** Compaction policy for the steady-state release loop: fold the
-    * generation once append segments push the per-partition file count
-    * past `maxFilesPerPartition` (probe read fan-in and parquet footer
+    * generation once ANY bp directory's file count passes
+    * `maxFilesPerPartition` (probe read fan-in and parquet footer
     * overhead grow with file count, not data size — the classic
-    * small-file decay). Returns true when a compaction ran. The threshold
-    * is a count, not bytes, because each append adds up-to-one file per
-    * partition regardless of batch size.
+    * small-file decay). The gauge is the per-partition MAX, not the
+    * cross-partition total: small skewed appends concentrate files in the
+    * hot partitions long before the average moves. Returns true when a
+    * compaction ran. The threshold is a count, not bytes, because each
+    * append adds up-to-one file per partition regardless of batch size.
     */
   def maybeCompact(spark: SparkSession, indexDir: String,
                    maxFilesPerPartition: Int = 8): Boolean = {
-    val over = postingsFileCount(spark, indexDir) >
-      maxFilesPerPartition.toLong * NumBandPartitions
+    val per = perPartitionFiles(spark, indexDir)
+    val over = per.nonEmpty && per.max > maxFilesPerPartition.toLong
     if (over) compact(spark, indexDir)
     over
   }

@@ -246,6 +246,7 @@ object PipelineBench {
         store, files, new CollectingNotifier, drop.toString)
       val result = proc.processFile(drop.resolve("orders_bench.parquet").toString)
         .getOrElse(sys.error("orders_bench.parquet did not match the source"))
+      require(result.success, s"etl publish failed: ${result.errorName}")
       val targetRows = store.readIfExists(OrdersSource.tableName)
         .map(_.count()).getOrElse(0L)
       val sp = spark

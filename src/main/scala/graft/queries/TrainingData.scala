@@ -1112,9 +1112,13 @@ object TrainingData {
                              corpus: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
-    // ids/sig arrive precomputed from the batch-internal dedup pass (the
-    // ONE shingle projection of the batch this release pays); the exact
-    // tier only filters rows, so they ride through the anti-join
+    // ids/sig arrive precomputed from the batch-internal dedup pass — ONE
+    // shingle projection per plan branch (previously the batch was
+    // re-shingled from scratch on top of curatedDocs' own pass); the
+    // exact tier only filters rows, so they ride through the anti-join.
+    // Deliberately uncached (the novelDocs convention): a lazy return
+    // must not pin a cache the caller cannot release, so the 2-3 consumer
+    // branches each recompute the cheap narrow projection
     val batch = curatedDocsWithIds(spark, dir)
     val bIds = batch.withColumn("h", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")

@@ -94,11 +94,12 @@ object Main {
           // a duplicate even if later updated away.
           // trust gate: the index's _COMMITTED marker, written as the
           // LAST step of build/append and removed (below) before every
-          // merge. hashes/ existing is NOT enough — build writes hashes
-          // before postings, and the merge commits before index
-          // maintenance, so a crash can leave a half-synced index; an
-          // uncommitted index routes through the frame-based fallback and
-          // is rebuilt from the released table after this merge.
+          // merge. Any single dir existing is NOT enough — build/append
+          // write postings and hashes as separate steps, and the merge
+          // commits before index maintenance, so a crash can leave either
+          // half newer than the other; an uncommitted index routes
+          // through the frame-based fallback and is rebuilt from the
+          // released table after this merge.
           val idxDir = s"${req("warehouse")}/corpus_index"
           val idxExists =
             graft.operators.MinhashIndex.isCommitted(spark, idxDir)
