@@ -184,6 +184,19 @@ object Bench {
       else Seq("dedup_index_novel_build" -> colMin(reps, 0),
         "dedup_index_novel_probe" -> colMin(reps, 1))
     }
+    // same split for the persisted contamination index: eval-gram
+    // evidence builds once, the probe is the per-release steady state
+    val ctSplit = if (only.exists(!_("decontam_index"))) Seq.empty else {
+      val reps = guardedReps("decontam_index") {
+        val (df, b, p) = graft.queries.TrainingData.decontamIndexTimed(spark, sfDir)
+        df.count()
+        Seq(b, p)
+      }
+      if (reps.isEmpty) Seq("decontam_index_build" -> -1.0,
+        "decontam_index_probe" -> -1.0)
+      else Seq("decontam_index_build" -> colMin(reps, 0),
+        "decontam_index_probe" -> colMin(reps, 1))
+    }
     // pipeline_incremental likewise conflates base-layout publish with the
     // O(delta) steady state; split entries keep the delta path trackable
     val incSplit = if (only.exists(!_("pipeline_incremental"))) Seq.empty else {
@@ -234,7 +247,7 @@ object Bench {
     // the line length for sub-millisecond precision the bench doesn't have)
     def fmt(v: Double): String = // ROOT locale: '.' decimal point always
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val all = results ++ etlSplit ++ ivfSplit ++ mhSplit ++ incSplit ++
+    val all = results ++ etlSplit ++ ivfSplit ++ mhSplit ++ ctSplit ++ incSplit ++
       morSplit ++ labelsSplit
     val qs = all.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -104,6 +104,9 @@ object SparkEntry {
     "contamination_check_stream" -> (TrainingData.contaminationCheckStream _),
     "contamination_topdocs" -> (TrainingData.contaminationTopdocs _),
     "decontam_filter" -> (TrainingData.decontamFilter _),
+    // decontam_filter through the persisted eval-gram index — same split/
+    // cap/rollup, so it shares the inline filter's oracle
+    "decontam_index" -> (TrainingData.decontamIndex _),
     "tfidf_top_terms" -> (TrainingData.tfidfTopTerms _),
     "quality_gate_dynamic" -> (TrainingData.qualityGateDynamic _),
     "quality_repetition" -> (TrainingData.qualityRepetition _),
@@ -237,6 +240,44 @@ object SparkEntry {
     s"CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) >= 0" +
       s" THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+
+  /** Shared oracle for `decontam_filter` (inline) and `decontam_index`
+    * (persisted eval-gram index): same split, heavy-gram cap, and
+    * per-source rollup by construction.
+    */
+  private val decontamSql: String =
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
+        |   CAST(len(l) AS BIGINT) n_tokens,
+        |   list_distinct(list_transform(
+        |     list_distinct(list_transform(range(1, len(l) - 3),
+        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |            l[i+3] || ' ' || l[i+4])),
+        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') l
+        |        FROM documents) x),
+        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
+        |heavy AS (SELECT id FROM (
+        |  SELECT id, count(*) df FROM ex WHERE split = 'train' GROUP BY 1) t
+        |  WHERE df > 10000),
+        |evidence AS (
+        |  SELECT DISTINCT id FROM ex
+        |  WHERE split = 'eval' AND id NOT IN (SELECT id FROM heavy)),
+        |dropped AS (
+        |  SELECT DISTINCT doc_id FROM ex
+        |  WHERE split = 'train' AND id IN (SELECT id FROM evidence))
+        |SELECT d.source, count(*) AS n_train_docs,
+        | CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dropped,
+        | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT)
+        |   AS tokens_kept
+        |FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        |WHERE d.split = 'train'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared oracle for the decontamination pair: `contamination_check`
     * (batch) and `contamination_check_stream` (the stream-static
@@ -1639,39 +1680,8 @@ object SparkEntry {
         | CAST(sum(CASE WHEN in_train + in_val + in_test >= 2
         |   THEN n_docs ELSE 0 END) AS BIGINT) AS docs_in_leaked_texts
         |FROM p""".stripMargin,
-    "decontam_filter" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |     % 100 < 80 THEN 'train' ELSE 'eval' END split,
-        |   CAST(len(l) AS BIGINT) n_tokens,
-        |   list_distinct(list_transform(
-        |     list_distinct(list_transform(range(1, len(l) - 3),
-        |       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
-        |            l[i+3] || ' ' || l[i+4])),
-        |     x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)) ids
-        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') l
-        |        FROM documents) x),
-        |ex AS (SELECT doc_id, split, unnest(ids) id FROM d),
-        |heavy AS (SELECT id FROM (
-        |  SELECT id, count(*) df FROM ex WHERE split = 'train' GROUP BY 1) t
-        |  WHERE df > 10000),
-        |evidence AS (
-        |  SELECT DISTINCT id FROM ex
-        |  WHERE split = 'eval' AND id NOT IN (SELECT id FROM heavy)),
-        |dropped AS (
-        |  SELECT DISTINCT doc_id FROM ex
-        |  WHERE split = 'train' AND id IN (SELECT id FROM evidence))
-        |SELECT d.source, count(*) AS n_train_docs,
-        | CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_dropped,
-        | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_kept,
-        | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT)
-        |   AS tokens_kept
-        |FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
-        |WHERE d.split = 'train'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontam_filter" -> decontamSql,
+    "decontam_index" -> decontamSql,
     "split_train_val" ->
       """SELECT split, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

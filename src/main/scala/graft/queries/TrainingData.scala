@@ -4729,6 +4729,59 @@ object TrainingData {
     * on the gram id — df-capped fan-out per key, O(corpus grams) total,
     * never doc×doc. The per-source rollup then aggregates O(docs) rows.
     */
+  /** [[decontamFilter]] through the PERSISTED eval-gram index
+    * ([[graft.operators.ContamIndex]]) — the release-loop shape: eval
+    * suites are fixed, so their gram evidence is extracted once at build
+    * time and each training batch probes it (partition-pruned, O(batch +
+    * collisions)) instead of re-shingling the eval side per check. Same
+    * split, cap, and rollup as the inline filter, so the two share one
+    * oracle; build and probe are timed separately for the bench (the
+    * probe is the steady state). Scratch index lifecycle follows
+    * [[dedupIndexNovelTimed]].
+    */
+  def decontamIndex(spark: SparkSession, dir: String): DataFrame =
+    decontamIndexTimed(spark, dir)._1
+
+  def decontamIndexTimed(spark: SparkSession,
+                         dir: String): (DataFrame, Double, Double) = {
+    val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+      .otherwise("eval")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split.as("split"), col("text"),
+        size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .cache()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val idx = s"$warehouse/graft_scratch/ct_${java.util.UUID.randomUUID()}"
+    try {
+      val t0 = System.nanoTime()
+      graft.operators.ContamIndex.build(
+        d.filter(col("split") === "eval").select("doc_id", "text"), idx)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val train = d.filter(col("split") === "train")
+      val kept = graft.operators.ContamIndex.decontaminate(spark,
+          train.select("doc_id", "text"), idx)
+        .select(col("doc_id"), lit(1L).as("_keep"))
+      val result = materializeAndRelease(
+        train.join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train_docs"),
+            sum(when(col("_keep").isNull, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("_keep").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("_keep").isNotNull, col("n_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .orderBy("source"),
+        d)
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      (result, tBuild, tProbe)
+    } catch {
+      case err: Throwable => d.unpersist(blocking = false); throw err
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   def decontamFilter(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.shingleIds

@@ -817,6 +817,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contam_index: persisted probe reproduces the inline filter; " +
+    "gram partitions prune") {
+    import org.apache.spark.sql.functions._
+    // equivalence with the inline decontam_filter is the operator's
+    // correctness contract (they share one oracle)
+    val inline = TrainingData.decontamFilter(spark, sf).collect().toSeq
+    val indexed = TrainingData.decontamIndex(spark, sf).collect().toSeq
+    assert(indexed === inline,
+      "index path must return the inline filter's answers")
+    // the scale lever: a probe's gp filter must plan as a PARTITION
+    // filter on the evidence scan, not a data filter over a full scan
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ct_t").toString
+    try {
+      graft.operators.ContamIndex.build(d, idx)
+      val parts = new java.io.File(s"$idx/grams").listFiles()
+        .filter(_.getName.startsWith("gp="))
+      assert(parts.length > 1, "evidence must be hive-partitioned by gp")
+      val pruned = spark.read.parquet(s"$idx/grams")
+        .filter(col("gp").isin(0, 1, 2))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("gp"),
+        "gp filter must prune evidence partitions")
+      // a batch identical to the eval side must be fully dropped; a
+      // disjoint-vocabulary batch fully kept
+      assert(graft.operators.ContamIndex
+        .decontaminate(spark, d, idx).count() === 0L)
+      val novel = d.select(col("doc_id"),
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "bcdefghijklmnopqrstuvwxyza").as("text"))
+      assert(graft.operators.ContamIndex
+        .decontaminate(spark, novel, idx).count() === d.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq

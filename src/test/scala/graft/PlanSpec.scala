@@ -53,7 +53,8 @@ class PlanSpec extends AnyFunSuite {
         "pack_sorted_compare", "text_langid_confusion", "q33_rfm_segments",
         "multimodal_dedup", "corpus_snapshot_diff", "sim_range_search",
         "emb_ivf_balance", "quality_metric_agreement", "q34_gap_fill",
-        "split_leakage", "decontam_filter", "q35_interarrival")
+        "split_leakage", "decontam_filter", "decontam_index",
+        "q35_interarrival")
     assert(defaults.nonEmpty)
     // Catalyst-level audit, stronger than plan-string matching: every join
     // in the optimized plan must either have a ONE-ROW side (the scalar
