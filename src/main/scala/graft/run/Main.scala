@@ -103,7 +103,7 @@ object Main {
           val idxDir = s"${req("warehouse")}/corpus_index"
           val idxExists =
             graft.operators.MinhashIndex.isCommitted(spark, idxDir)
-          val kept = ((existing, idxExists) match {
+          val curated = (existing, idxExists) match {
             case (Some(_), true) =>
               graft.operators.MinhashIndex.novelDocs(spark,
                 graft.queries.TrainingData.curatedDocs(spark, src), idxDir)
@@ -111,6 +111,23 @@ object Main {
               graft.queries.TrainingData.curatedDocsIncremental(spark, src, cur)
             case (None, _) =>
               graft.queries.TrainingData.curatedDocs(spark, src)
+          }
+          // --eval DIR: decontaminate each release against a PERSISTED
+          // eval-gram index (graft.operators.ContamIndex) — built once
+          // from DIR/documents.parquet on first use, probed per release
+          // (partition-pruned, eval sets never re-shingled). A changed
+          // eval suite = delete <warehouse>/eval_index to rebuild.
+          val kept = (opts.get("eval") match {
+            case None => curated
+            case Some(evalDir) =>
+              val ctDir = s"${req("warehouse")}/eval_index"
+              val grams = new org.apache.hadoop.fs.Path(s"$ctDir/grams")
+              if (!grams.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration).exists(grams))
+                graft.operators.ContamIndex.build(
+                  spark.read.parquet(s"$evalDir/documents.parquet")
+                    .select("doc_id", "text"), ctDir)
+              graft.operators.ContamIndex.decontaminate(spark, curated, ctDir)
           }).persist() // two consumers: the MERGE stage and index maintenance
           // stage metadata the merge contract needs: V4 row hash over
           // sorted model fields + lineage (the release dir is the "file")
