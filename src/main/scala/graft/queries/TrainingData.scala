@@ -1063,10 +1063,21 @@ object TrainingData {
     * once per release whichever path runs.
     */
   private def curatedDocsWithIds(spark: SparkSession,
-                                 dir: String): DataFrame = {
+                                 dir: String): DataFrame =
+    curatedFrameWithIds(docs(spark, dir))
+
+  /** Frame-based curation surface for callers whose documents do not come
+    * from an sf dir (the streaming corpus release feeds micro-batches).
+    */
+  private[graft] def curatedFrame(docsDf: DataFrame): DataFrame =
+    curatedFrameWithIds(docsDf)
+      .select("doc_id", "text", "lang", "source", "n_tokens")
+
+  private[graft] def curatedFrameWithIds(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
-    val quality = docs(spark, dir)
+    val quality = docsDf
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         size(F.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") >= 30 && col("n_tokens") <= 200)
@@ -1109,7 +1120,12 @@ object TrainingData {
     * recompute; that changes the constant, not the shape.
     */
   def curatedDocsIncremental(spark: SparkSession, dir: String,
-                             corpus: DataFrame): DataFrame = {
+                             corpus: DataFrame): DataFrame =
+    curatedFrameIncremental(docs(spark, dir), corpus)
+
+  private[graft] def curatedFrameIncremental(batchDocs: DataFrame,
+                                             corpus: DataFrame): DataFrame = {
+    val spark = batchDocs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
     // ids/sig arrive precomputed from the batch-internal dedup pass — ONE
@@ -1119,7 +1135,7 @@ object TrainingData {
     // Deliberately uncached (the novelDocs convention): a lazy return
     // must not pin a cache the caller cannot release, so the 2-3 consumer
     // branches each recompute the cheap narrow projection
-    val batch = curatedDocsWithIds(spark, dir)
+    val batch = curatedFrameWithIds(batchDocs)
     val bIds = batch.withColumn("h", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")

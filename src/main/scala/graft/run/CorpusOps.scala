@@ -1,0 +1,122 @@
+package graft.run
+
+import graft.store.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The corpus-release core shared by the batch `--corpus` CLI mode and the
+  * streaming release ([[graft.streaming.StreamingPipeline
+  * .corpusReleaseStream]]): one call = one release of a raw documents
+  * frame into the warehouse —
+  *
+  *   quality gate → within-batch dedup → cross-release dedup (persisted
+  *   MinHash index when trusted, frame fallback otherwise) → optional
+  *   eval-gram decontamination → hash-guarded bucketed MERGE → index
+  *   maintenance (O(batch) append + small-file compaction, or rebuild) →
+  *   corpus_card datasheet.
+  *
+  * The release is idempotent END-TO-END: re-releasing content is all
+  * merge no-ops AND an empty index append (the probe drops everything the
+  * index has seen), which is what makes the streaming mode's replayed
+  * micro-batches (crash between sink commit and checkpoint) safe.
+  */
+object CorpusOps {
+
+  /** Releases `rawDocs` (doc_id, text, lang, source, n_chars — the
+    * documents schema) into `corpus_docs`/`corpus_card` under
+    * `warehouse`. Returns (inserts, updates, corpus_rows).
+    */
+  def release(spark: SparkSession, store: TableStore, warehouse: String,
+              rawDocs: DataFrame, sourceLabel: String,
+              evalDir: Option[String]): (Long, Long, Long) = {
+    val cs = DemoSources.CorpusRelease
+    val existing = store.readIfExists(cs.tableName)
+      .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
+    // cross-release dedup prefers the persisted MinHash band index
+    // (probe = O(batch + collisions), corpus never re-shingled); a
+    // warehouse predating the index falls back to the frame-based
+    // incremental once and builds the index after this release. The
+    // index is a seen-content registry: content ever released stays a
+    // duplicate even if later updated away.
+    // Trust gate: the index's _COMMITTED marker, written as the LAST
+    // step of build/append and removed (below) before every merge. Any
+    // single dir existing is NOT enough — build/append write postings
+    // and hashes as separate steps, and the merge commits before index
+    // maintenance, so a crash can leave either half newer than the
+    // other; an uncommitted index routes through the frame-based
+    // fallback and is rebuilt from the released table after this merge.
+    val idxDir = s"$warehouse/corpus_index"
+    val idxExists = graft.operators.MinhashIndex.isCommitted(spark, idxDir)
+    val curated = (existing, idxExists) match {
+      case (Some(_), true) =>
+        graft.operators.MinhashIndex.novelDocs(spark,
+          graft.queries.TrainingData.curatedFrame(rawDocs), idxDir)
+      case (Some(cur), false) =>
+        graft.queries.TrainingData.curatedFrameIncremental(rawDocs, cur)
+      case (None, _) =>
+        graft.queries.TrainingData.curatedFrame(rawDocs)
+    }
+    // evalDir: decontaminate the release against a PERSISTED eval-gram
+    // index (graft.operators.ContamIndex) — built once from
+    // DIR/documents.parquet on first use, probed per release
+    // (partition-pruned, eval sets never re-shingled). A changed eval
+    // suite = delete <warehouse>/eval_index to rebuild.
+    val kept = (evalDir match {
+      case None => curated
+      case Some(ed) =>
+        val ctDir = s"$warehouse/eval_index"
+        val grams = new org.apache.hadoop.fs.Path(s"$ctDir/grams")
+        if (!grams.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(grams))
+          graft.operators.ContamIndex.build(
+            spark.read.parquet(s"$ed/documents.parquet")
+              .select("doc_id", "text"), ctDir)
+        graft.operators.ContamIndex.decontaminate(spark, curated, ctDir)
+    }).persist() // two consumers: the MERGE stage and index maintenance
+    // stage metadata the merge contract needs: V4 row hash over sorted
+    // model fields + lineage (the release label is the "file")
+    val sortedFields = cs.columns.map(_.name).sorted
+    val stage = kept
+      .withColumn("etl_row_hash", xxhash64(concat_ws("|",
+        sortedFields.map(f =>
+          coalesce(col(f).cast("string"), lit(""))): _*)))
+      .withColumn("source_filename", lit(sourceLabel))
+      .withColumn("file_load_log_id", lit(0L))
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    // drop the index's commit marker BEFORE the merge: a crash anywhere
+    // between here and the post-merge index maintenance leaves the index
+    // visibly uncommitted, so the next release falls back and rebuilds
+    // instead of trusting a stale index
+    graft.operators.MinhashIndex.invalidate(spark, idxDir)
+    val counts = store.withTableLock(cs.tableName) {
+      store.mergeInPlace(cs.tableName, stage, cs, now)
+    }
+    val released = store.readIfExists(cs.tableName).get
+    // index maintenance: O(batch) append of this release's new docs when
+    // BOTH the table and the index pre-existed; otherwise build fresh
+    // over the released corpus. A fresh table with a leftover index
+    // (corpus reset) must NOT append — the stale index would keep dead
+    // content registered as seen and double every re-released doc's
+    // postings.
+    if (existing.isDefined && idxExists) {
+      graft.operators.MinhashIndex.append(
+        kept.select("doc_id", "text"), idxDir)
+      // steady-state hygiene: every append adds files to the live
+      // postings generation; fold it once small-file pressure passes the
+      // policy bound (pointer-swap publish, in-flight probes keep the
+      // superseded generation)
+      if (graft.operators.MinhashIndex.maybeCompact(spark, idxDir))
+        System.err.println("corpus index: compacted postings " +
+          "generation (small-file bound reached)")
+    } else
+      graft.operators.MinhashIndex.build(
+        released.select("doc_id", "text"), idxDir)
+    kept.unpersist()
+    store.overwrite("corpus_card",
+      graft.queries.TrainingData.corpusCardFrames(
+        released.select("doc_id", "text", "lang", "source", "n_tokens")),
+      partitionBy = Seq.empty)
+    val (ins, upd) = counts.getOrElse((0L, 0L))
+    (ins, upd, released.count())
+  }
+}

@@ -72,109 +72,36 @@ object Main {
       opts.get("file") match {
         case _ if opts.contains("corpus") =>
           // --corpus DIR: run the training-data curation chain (token-band
-          // quality gate -> exact dedup -> MinHash-LSH near-dedup) over
-          // DIR/documents.parquet and publish the kept corpus + its
-          // datasheet as versioned warehouse tables. The publish goes
-          // through the SAME hash-guarded bucketed MERGE as ETL targets,
-          // so releases are incremental by construction: a re-release is
-          // all no-ops, and when a corpus already exists the batch is
-          // additionally deduped AGAINST it (exact + near-dup) before the
-          // merge — O(delta) corpus maintenance as a product path.
-          import org.apache.spark.sql.functions._
+          // quality gate -> exact dedup -> MinHash-LSH near-dedup ->
+          // optional --eval decontamination) over DIR/documents.parquet
+          // and publish the kept corpus + its datasheet as versioned
+          // warehouse tables through the SAME hash-guarded bucketed MERGE
+          // as ETL targets — releases are incremental by construction
+          // (see graft.run.CorpusOps.release, the shared core).
+          // With --stream true, DIR is instead a FEED directory of
+          // document parquet files processed as checkpointed micro-batch
+          // releases (Trigger.AvailableNow): each run drains the backlog
+          // of files the checkpoint has not seen and exits; replayed
+          // batches are end-to-end no-ops (hash-guarded merge + index
+          // probe), so the release loop is exactly-once in effect.
           val src = opts("corpus")
-          val cs = DemoSources.CorpusRelease
-          val read = spark.read.parquet(s"$src/documents.parquet").count()
-          val existing = store.readIfExists(cs.tableName)
-            .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
-          // cross-release dedup prefers the persisted MinHash band index
-          // (probe = O(batch + collisions), corpus never re-shingled); a
-          // warehouse predating the index falls back to the frame-based
-          // incremental once and builds the index after this release. The
-          // index is a seen-content registry: content ever released stays
-          // a duplicate even if later updated away.
-          // trust gate: the index's _COMMITTED marker, written as the
-          // LAST step of build/append and removed (below) before every
-          // merge. Any single dir existing is NOT enough — build/append
-          // write postings and hashes as separate steps, and the merge
-          // commits before index maintenance, so a crash can leave either
-          // half newer than the other; an uncommitted index routes
-          // through the frame-based fallback and is rebuilt from the
-          // released table after this merge.
-          val idxDir = s"${req("warehouse")}/corpus_index"
-          val idxExists =
-            graft.operators.MinhashIndex.isCommitted(spark, idxDir)
-          val curated = (existing, idxExists) match {
-            case (Some(_), true) =>
-              graft.operators.MinhashIndex.novelDocs(spark,
-                graft.queries.TrainingData.curatedDocs(spark, src), idxDir)
-            case (Some(cur), false) =>
-              graft.queries.TrainingData.curatedDocsIncremental(spark, src, cur)
-            case (None, _) =>
-              graft.queries.TrainingData.curatedDocs(spark, src)
+          val wh = req("warehouse")
+          if (opts.contains("stream")) {
+            graft.streaming.StreamingPipeline.corpusReleaseStream(
+              spark, store, src, wh, opts.get("eval"),
+              checkpointDir = s"$wh/corpus_stream_checkpoint")
+              .awaitTermination()
+            val rows = store.readIfExists(
+              DemoSources.CorpusRelease.tableName).map(_.count()).getOrElse(0L)
+            println(s"corpus-stream: corpus_rows=$rows " +
+              s"tables=corpus_docs,corpus_card")
+          } else {
+            val raw = spark.read.parquet(s"$src/documents.parquet")
+            val (ins, upd, rows) = CorpusOps.release(spark, store, wh,
+              raw, s"$src/documents.parquet", opts.get("eval"))
+            println(s"corpus: read=${raw.count()} inserts=$ins " +
+              s"updates=$upd corpus_rows=$rows tables=corpus_docs,corpus_card")
           }
-          // --eval DIR: decontaminate each release against a PERSISTED
-          // eval-gram index (graft.operators.ContamIndex) — built once
-          // from DIR/documents.parquet on first use, probed per release
-          // (partition-pruned, eval sets never re-shingled). A changed
-          // eval suite = delete <warehouse>/eval_index to rebuild.
-          val kept = (opts.get("eval") match {
-            case None => curated
-            case Some(evalDir) =>
-              val ctDir = s"${req("warehouse")}/eval_index"
-              val grams = new org.apache.hadoop.fs.Path(s"$ctDir/grams")
-              if (!grams.getFileSystem(
-                  spark.sparkContext.hadoopConfiguration).exists(grams))
-                graft.operators.ContamIndex.build(
-                  spark.read.parquet(s"$evalDir/documents.parquet")
-                    .select("doc_id", "text"), ctDir)
-              graft.operators.ContamIndex.decontaminate(spark, curated, ctDir)
-          }).persist() // two consumers: the MERGE stage and index maintenance
-          // stage metadata the merge contract needs: V4 row hash over
-          // sorted model fields + lineage (the release dir is the "file")
-          val sortedFields = cs.columns.map(_.name).sorted
-          val stage = kept
-            .withColumn("etl_row_hash", xxhash64(concat_ws("|",
-              sortedFields.map(f =>
-                coalesce(col(f).cast("string"), lit(""))): _*)))
-            .withColumn("source_filename", lit(s"$src/documents.parquet"))
-            .withColumn("file_load_log_id", lit(0L))
-          val now = new java.sql.Timestamp(System.currentTimeMillis())
-          // drop the index's commit marker BEFORE the merge: a crash
-          // anywhere between here and the post-merge index maintenance
-          // leaves the index visibly uncommitted, so the next release
-          // falls back and rebuilds instead of trusting a stale index
-          graft.operators.MinhashIndex.invalidate(spark, idxDir)
-          val counts = store.withTableLock(cs.tableName) {
-            store.mergeInPlace(cs.tableName, stage, cs, now)
-          }
-          val released = store.readIfExists(cs.tableName).get
-          // index maintenance: O(batch) append of this release's new docs
-          // when BOTH the table and the index pre-existed; otherwise build
-          // fresh over the released corpus. A fresh table with a leftover
-          // index (corpus reset) must NOT append — the stale index would
-          // keep dead content registered as seen and double every
-          // re-released doc's postings.
-          if (existing.isDefined && idxExists) {
-            graft.operators.MinhashIndex.append(
-              kept.select("doc_id", "text"), idxDir)
-            // steady-state hygiene: every append adds files to the live
-            // postings generation; fold it once small-file pressure
-            // passes the policy bound (pointer-swap publish, in-flight
-            // probes keep the superseded generation)
-            if (graft.operators.MinhashIndex.maybeCompact(spark, idxDir))
-              System.err.println("corpus index: compacted postings " +
-                "generation (small-file bound reached)")
-          } else
-            graft.operators.MinhashIndex.build(
-              released.select("doc_id", "text"), idxDir)
-          kept.unpersist()
-          store.overwrite("corpus_card",
-            graft.queries.TrainingData.corpusCardFrames(
-              released.select("doc_id", "text", "lang", "source", "n_tokens")),
-            partitionBy = Seq.empty)
-          val (ins, upd) = counts.getOrElse((0L, 0L))
-          println(s"corpus: read=$read inserts=$ins updates=$upd " +
-            s"corpus_rows=${released.count()} tables=corpus_docs,corpus_card")
         case _ if opts.contains("stream") =>
           // streaming drop-folder mode: process the backlog through the
           // Structured Streaming pipeline (checkpointed, exactly-once).

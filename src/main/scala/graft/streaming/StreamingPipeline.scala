@@ -133,6 +133,46 @@ object StreamingPipeline {
     ()
   }
 
+  /** Continuous CORPUS release: document parquet files landing in
+    * `feedDir` stream through the full release chain
+    * ([[graft.run.CorpusOps.release]] — quality gate → within-batch dedup
+    * → cross-release dedup via the persisted MinHash index → optional
+    * eval-gram decontamination → hash-guarded bucketed MERGE → index
+    * append/compaction → datasheet) one checkpointed micro-batch at a
+    * time. Trigger.AvailableNow drains the backlog the checkpoint has
+    * not seen and stops, so each CLI invocation is one bounded catch-up
+    * run. Crash between sink commit and checkpoint commit replays the
+    * batch — safe, because a release is idempotent END-TO-END: replayed
+    * content is all merge no-ops and an empty index append (the probe
+    * drops everything the index has seen).
+    */
+  def corpusReleaseStream(
+      spark: SparkSession,
+      store: graft.store.TableStore,
+      feedDir: String,
+      warehouse: String,
+      evalDir: Option[String],
+      checkpointDir: String): StreamingQuery = {
+    // file-source schema must be declared up front; probe it from the
+    // feed's current files (the documents schema is stable per deployment)
+    val schema = spark.read.parquet(feedDir).schema
+    spark.readStream.schema(schema).parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (ins, upd, rows) = graft.run.CorpusOps.release(
+            spark, store, warehouse, batch,
+            sourceLabel = s"$feedDir@batch$batchId", evalDir = evalDir)
+          println(s"corpus-stream epoch=$batchId inserts=$ins " +
+            s"updates=$upd corpus_rows=$rows")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous drop-folder ingest with MERGE-publish: like
     * [[dropFolderStream]], but each micro-batch's valid rows merge-upsert
     * into a [[graft.store.TableStore]] target with the SAME hash-guarded

@@ -553,4 +553,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!psi.isNaN && psi > 0.1,
       "stream concentrated in one bin must drift against a uniform reference")
   }
+
+  test("corpus release stream: checkpointed micro-batch releases are " +
+    "incremental and replay-safe") {
+    import org.apache.spark.sql.functions._
+    val feed = tmp("corpus-feed")
+    val wh = tmp("corpus-wh")
+    val ckpt = tmp("corpus-ckpt")
+    val store = new graft.store.TableStore(spark, s"$wh/tables")
+    val sf = "/root/testdata/sf0.001"
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$feed/b1.parquet"))
+    def drain(): Unit =
+      graft.streaming.StreamingPipeline.corpusReleaseStream(
+        spark, store, feed, s"$wh/tables", None, ckpt).awaitTermination()
+    drain()
+    val cs = graft.run.DemoSources.CorpusRelease
+    val rows1 = store.readIfExists(cs.tableName).get.count()
+    assert(rows1 > 0)
+    assert(graft.operators.MinhashIndex.isCommitted(spark,
+      s"$wh/tables/corpus_index"))
+    // second drain with nothing new: corpus unchanged (checkpoint skips)
+    drain()
+    assert(store.readIfExists(cs.tableName).get.count() === rows1)
+    // a new feed file whose content near-duplicates the RELEASED corpus
+    // (one appended token on released docs — building from the raw sf
+    // docs instead would legitimately admit quality-boundary docs the
+    // gate rejected in epoch 0, which are novel to the index) must be
+    // fully dropped by the probe; cipher-translated rows must land
+    val base = store.readIfExists(cs.tableName).get
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+    val dup = base.select((col("doc_id") + 5000000L).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val novel = base.limit(40).select((col("doc_id") + 9000000L).as("doc_id"),
+      translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+        "bcdefghijklmnopqrstuvwxyza").as("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val tmp2 = tmp("corpus-b2")
+    dup.unionByName(novel).coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val part = new java.io.File(tmp2).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$feed/b2.parquet"))
+    drain()
+    val released = store.readIfExists(cs.tableName).get
+    assert(released.filter(col("doc_id") >= 9000000L).count() > 0,
+      "novel-content rows must be released")
+    assert(released.filter(col("doc_id") >= 5000000L &&
+      col("doc_id") < 9000000L).count() === 0,
+      "near-duplicate rows must be dropped by the index probe")
+  }
 }
