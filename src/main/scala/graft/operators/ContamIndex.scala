@@ -39,15 +39,67 @@ object ContamIndex {
     * Rebuild = overwrite (the eval suite changed); single writer at a
     * time, like the [[MinhashIndex]] contract.
     */
-  def build(evalDocs: DataFrame, indexDir: String, gramN: Int = 5): Unit = {
+  def build(evalDocs: DataFrame, indexDir: String, gramN: Int = 5): Unit =
+    writeGrams(evalDocs, indexDir, gramN, overwrite = true)
+
+  private def writeGrams(evalDocs: DataFrame, indexDir: String, gramN: Int,
+                         overwrite: Boolean): Unit = {
     graft.functions.VectorFunctions.register(evalDocs.sparkSession)
     evalDocs
       .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .distinct()
       .withColumn("gp", gp(col("id")))
       .sortWithinPartitions("id")
-      .write.mode("overwrite").partitionBy("gp")
+      .write.mode(if (overwrite) "overwrite" else "append").partitionBy("gp")
       .parquet(s"$indexDir/grams")
+  }
+
+  /** Eval suites ACCRETE (new benchmarks appear); each named suite folds
+    * in exactly once. `ingest` appends `suite`'s distinct grams when the
+    * suites manifest does not list it yet (builds fresh when the index
+    * does not exist) and records the suite afterwards. Duplicate gram
+    * rows across suites — or from a crash between the gram append and
+    * the manifest write (the suite re-ingests next call) — are harmless:
+    * the probe's evidence join is a left-semi, where multiplicity does
+    * not change the answer. Returns true when the suite was ingested.
+    */
+  def ingest(evalDocs: DataFrame, indexDir: String, suite: String,
+             gramN: Int = 5): Boolean = {
+    val spark = evalDocs.sparkSession
+    if (ingestedSuites(spark, indexDir).contains(suite)) false
+    else {
+      val grams = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
+      val exists = grams
+        .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(grams)
+      writeGrams(evalDocs, indexDir, gramN, overwrite = !exists)
+      recordSuite(spark, indexDir, suite)
+      true
+    }
+  }
+
+  /** The suites manifest: one ingested suite label per line. */
+  def ingestedSuites(spark: SparkSession, indexDir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_SUITES")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def recordSuite(spark: SparkSession, indexDir: String,
+                          suite: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_SUITES")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = ingestedSuites(spark, indexDir)
+    val out = fs.create(p, true)
+    try out.write((prior + suite).toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** The training-batch rows that survive decontamination: a batch doc is

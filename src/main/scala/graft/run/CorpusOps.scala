@@ -57,20 +57,26 @@ object CorpusOps {
         graft.queries.TrainingData.curatedFrame(rawDocs)
     }
     // evalDir: decontaminate the release against a PERSISTED eval-gram
-    // index (graft.operators.ContamIndex) — built once from
-    // DIR/documents.parquet on first use, probed per release
-    // (partition-pruned, eval sets never re-shingled). A changed eval
-    // suite = delete <warehouse>/eval_index to rebuild.
+    // index (graft.operators.ContamIndex). Comma-separated suites
+    // ACCRETE: each DIR/documents.parquet folds in exactly once (the
+    // _SUITES manifest tracks which), so new benchmarks join the
+    // evidence without rebuilding; a CHANGED suite under the same path =
+    // delete <warehouse>/eval_index to rebuild. Probes are
+    // partition-pruned; eval sets are never re-shingled.
     val kept = (evalDir match {
       case None => curated
       case Some(ed) =>
         val ctDir = s"$warehouse/eval_index"
-        val grams = new org.apache.hadoop.fs.Path(s"$ctDir/grams")
-        if (!grams.getFileSystem(
-            spark.sparkContext.hadoopConfiguration).exists(grams))
-          graft.operators.ContamIndex.build(
-            spark.read.parquet(s"$ed/documents.parquet")
-              .select("doc_id", "text"), ctDir)
+        // manifest check BEFORE touching the suite dir: an already-folded
+        // suite must not require its source files to still exist
+        val seen = graft.operators.ContamIndex.ingestedSuites(spark, ctDir)
+        ed.split(',').map(_.trim).filter(_.nonEmpty)
+          .filterNot(seen).foreach { suite =>
+            if (graft.operators.ContamIndex.ingest(
+                spark.read.parquet(s"$suite/documents.parquet")
+                  .select("doc_id", "text"), ctDir, suite))
+              System.err.println(s"eval index: ingested suite $suite")
+          }
         graft.operators.ContamIndex.decontaminate(spark, curated, ctDir)
     }).persist() // two consumers: the MERGE stage and index maintenance
     // stage metadata the merge contract needs: V4 row hash over sorted
@@ -91,7 +97,16 @@ object CorpusOps {
     val counts = store.withTableLock(cs.tableName) {
       store.mergeInPlace(cs.tableName, stage, cs, now)
     }
-    val released = store.readIfExists(cs.tableName).get
+    // a fully-filtered release against a VIRGIN warehouse (every doc
+    // quality-gated, deduped, or decontaminated away) creates no table at
+    // all — that is a valid outcome, not a crash: nothing to index, no
+    // datasheet to write
+    val releasedOpt = store.readIfExists(cs.tableName)
+    if (releasedOpt.isEmpty) {
+      kept.unpersist()
+      return (0L, 0L, 0L)
+    }
+    val released = releasedOpt.get
     // index maintenance: O(batch) append of this release's new docs when
     // BOTH the table and the index pre-existed; otherwise build fresh
     // over the released corpus. A fresh table with a leftover index

@@ -858,6 +858,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contam_index: suites accrete exactly once; evidence is the union") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ContamIndex
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = d.limit(20)
+    val b = d.orderBy(col("doc_id").desc).limit(20)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ct_s").toString
+    try {
+      assert(ContamIndex.ingest(a, idx, "suiteA"))
+      assert(!ContamIndex.ingest(a, idx, "suiteA"), "re-ingest must no-op")
+      assert(ContamIndex.ingest(b, idx, "suiteB"))
+      assert(ContamIndex.ingestedSuites(spark, idx) ===
+        Set("suiteA", "suiteB"))
+      // evidence is the UNION: docs from either suite are fully dropped
+      assert(ContamIndex.decontaminate(spark, a, idx).count() === 0L)
+      assert(ContamIndex.decontaminate(spark, b, idx).count() === 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
