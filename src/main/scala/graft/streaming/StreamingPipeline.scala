@@ -154,8 +154,19 @@ object StreamingPipeline {
       evalDir: Option[String],
       checkpointDir: String): StreamingQuery = {
     // file-source schema must be declared up front; probe it from the
-    // feed's current files (the documents schema is stable per deployment)
-    val schema = spark.read.parquet(feedDir).schema
+    // feed's current files (the documents schema is stable per
+    // deployment). An EMPTY feed (first run before any producer) must be
+    // a clean zero-batch drain, not an unable-to-infer-schema crash
+    val fd = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = fs.exists(fd) && fs.listStatus(fd)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    val schema =
+      if (hasFiles) spark.read.parquet(feedDir).schema
+      else StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
     spark.readStream.schema(schema).parquet(feedDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
