@@ -1068,12 +1068,19 @@ object TrainingData {
 
   /** Frame-based curation surface for callers whose documents do not come
     * from an sf dir (the streaming corpus release feeds micro-batches).
+    * `onCache` receives every frame the curation pipeline caches
+    * internally, so a LONG-LIVED caller (the streaming release loop —
+    * one curation per micro-batch, session never torn down) can
+    * unpersist them once its release materializes; dir-based query
+    * callers keep the default no-op (released at session teardown).
     */
-  private[graft] def curatedFrame(docsDf: DataFrame): DataFrame =
-    curatedFrameWithIds(docsDf)
+  private[graft] def curatedFrame(docsDf: DataFrame,
+      onCache: DataFrame => Unit = _ => ()): DataFrame =
+    curatedFrameWithIds(docsDf, onCache)
       .select("doc_id", "text", "lang", "source", "n_tokens")
 
-  private[graft] def curatedFrameWithIds(docsDf: DataFrame): DataFrame = {
+  private[graft] def curatedFrameWithIds(docsDf: DataFrame,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = docsDf.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
@@ -1098,6 +1105,7 @@ object TrainingData {
       .withColumn("ids", shingleIds(col("text"), 2))
       .withColumn("sig", minhashSig(col("ids"), 16))
       .cache()
+    onCache(withIds)
     val banded = withIds.select(col("doc_id"), col("ids"),
       explode(F.bandKeys(col("sig"), 8, 2)).as("band"))
     val losers = prunedBandPairs(banded, Seq("ids"))
@@ -1124,7 +1132,7 @@ object TrainingData {
     curatedFrameIncremental(docs(spark, dir), corpus)
 
   private[graft] def curatedFrameIncremental(batchDocs: DataFrame,
-                                             corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batchDocs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.{jaccardIds, minhashSig, shingleIds}
@@ -1135,7 +1143,7 @@ object TrainingData {
     // Deliberately uncached (the novelDocs convention): a lazy return
     // must not pin a cache the caller cannot release, so the 2-3 consumer
     // branches each recompute the cheap narrow projection
-    val batch = curatedFrameWithIds(batchDocs)
+    val batch = curatedFrameWithIds(batchDocs, onCache)
     val bIds = batch.withColumn("h", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")

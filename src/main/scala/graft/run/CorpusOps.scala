@@ -47,14 +47,21 @@ object CorpusOps {
     // fallback and is rebuilt from the released table after this merge.
     val idxDir = s"$warehouse/corpus_index"
     val idxExists = graft.operators.MinhashIndex.isCommitted(spark, idxDir)
+    // curation's internal caches are collected and released at the end of
+    // THIS release: the streaming loop runs one release per micro-batch
+    // in a never-torn-down session, so leaving them to session teardown
+    // would pin one cached batch per epoch forever
+    val internalCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val track: DataFrame => Unit = internalCaches += _
     val curated = (existing, idxExists) match {
       case (Some(_), true) =>
         graft.operators.MinhashIndex.novelDocs(spark,
-          graft.queries.TrainingData.curatedFrame(rawDocs), idxDir)
+          graft.queries.TrainingData.curatedFrame(rawDocs, track), idxDir)
       case (Some(cur), false) =>
-        graft.queries.TrainingData.curatedFrameIncremental(rawDocs, cur)
+        graft.queries.TrainingData.curatedFrameIncremental(
+          rawDocs, cur, track)
       case (None, _) =>
-        graft.queries.TrainingData.curatedFrame(rawDocs)
+        graft.queries.TrainingData.curatedFrame(rawDocs, track)
     }
     // evalDir: decontaminate the release against a PERSISTED eval-gram
     // index (graft.operators.ContamIndex). Comma-separated suites
@@ -104,6 +111,7 @@ object CorpusOps {
     val releasedOpt = store.readIfExists(cs.tableName)
     if (releasedOpt.isEmpty) {
       kept.unpersist()
+      internalCaches.foreach(_.unpersist())
       return (0L, 0L, 0L)
     }
     val released = releasedOpt.get
@@ -127,11 +135,17 @@ object CorpusOps {
       graft.operators.MinhashIndex.build(
         released.select("doc_id", "text"), idxDir)
     kept.unpersist()
-    store.overwrite("corpus_card",
-      graft.queries.TrainingData.corpusCardFrames(
-        released.select("doc_id", "text", "lang", "source", "n_tokens")),
-      partitionBy = Seq.empty)
+    internalCaches.foreach(_.unpersist())
     val (ins, upd) = counts.getOrElse((0L, 0L))
+    // the datasheet is an O(corpus) recompute — skip it when the release
+    // changed nothing (replayed/fully-deduped micro-batches would
+    // otherwise pay a full-corpus pass per no-op epoch); the row count
+    // itself is parquet-footer cheap
+    if (ins + upd > 0 || !store.exists("corpus_card"))
+      store.overwrite("corpus_card",
+        graft.queries.TrainingData.corpusCardFrames(
+          released.select("doc_id", "text", "lang", "source", "n_tokens")),
+        partitionBy = Seq.empty)
     (ins, upd, released.count())
   }
 }

@@ -86,7 +86,7 @@ object Main {
           // probe), so the release loop is exactly-once in effect.
           val src = opts("corpus")
           val wh = req("warehouse")
-          if (opts.contains("stream")) {
+          if (opts.get("stream").contains("true")) {
             graft.streaming.StreamingPipeline.corpusReleaseStream(
               spark, store, src, wh, opts.get("eval"),
               checkpointDir = s"$wh/corpus_stream_checkpoint")
