@@ -77,16 +77,36 @@ object VectorIndex {
 
   /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors.
     *
-    * A REBUILD into a previously compacted index must also retire the
-    * `_POSTINGS` pointer and the `postings_v*` generations it points at:
-    * probes resolve the live dir through the pointer, so leaving it in
-    * place would have them silently keep reading the stale generation and
-    * make the rebuild invisible. The pointer is deleted first (readers fall
-    * back to `postings/`, which the write below repopulates), then the
-    * orphaned generations.
+    * A REBUILD is generation-first (the [[graft.operators.MinhashIndex
+    * .build]] protocol): the new postings generation is fully written
+    * BEFORE the `_POSTINGS` pointer swings to it, and superseded
+    * generations are deleted only once the new one is live — probes
+    * resolve an intact generation at every instant, and a crash
+    * mid-rebuild leaves the previous index serving. (The centroids
+    * overwrite is the one remaining non-atomic step; it is tiny and the
+    * single-writer contract plus a re-run covers it.)
     */
   def buildIvf(embeddings: DataFrame, indexDir: String,
                centEvery: Int = 100, centOffset: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldGens =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("postings"))
+          .map(_.getPath.getName)
+      else Seq.empty
+    val next =
+      if (oldGens.isEmpty) "postings"
+      else {
+        val maxGen = oldGens.map {
+          case "postings" => 0
+          case g => g.stripPrefix("postings_v").toInt
+        }.max
+        s"postings_v${maxGen + 1}"
+      }
     val e = embeddings.select(col("vec_id"), col("nv"))
     val cents = e.filter(col("vec_id") % centEvery === centOffset)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
@@ -94,18 +114,32 @@ object VectorIndex {
     assign(e, cents)
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/postings")
-    val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dir.getFileSystem(
-      embeddings.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "_POSTINGS"), false)
-    fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("postings_v"))
-      .foreach(st => fs.delete(st.getPath, true))
+      .parquet(s"$indexDir/$next")
+    if (next != "postings") swapPointer(spark, indexDir, next)
+    oldGens.filter(_ != next).foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
     // a rebuild indexes a fresh corpus snapshot: stale tombstones from the
     // previous index's life must not mask rows of the new one
     fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
+    ()
+  }
+
+  /** Atomic `_POSTINGS` pointer swing (temp file + FileContext rename with
+    * OVERWRITE), shared by [[buildIvf]] rebuilds and [[compactIvf]].
+    */
+  private def swapPointer(spark: SparkSession, indexDir: String,
+                          next: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ()
   }
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING centroids
@@ -226,13 +260,7 @@ object VectorIndex {
       .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$nextGen")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    swapPointer(spark, indexDir, next)
     // reclaim generations older than the one just superseded
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&

@@ -947,6 +947,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("nv").as("qv"))
     val res = graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
     assert(res.count() == 3)
+    // REBUILD over the existing index is generation-first: the new
+    // generation publishes behind the pointer (never a delete-first
+    // window) and probes serve the full corpus from it
+    graft.operators.VectorIndex.buildIvf(e, idx)
+    val live = graft.operators.VectorIndex.livePostingsDir(spark, idx)
+    assert(live.endsWith("postings_v1"),
+      s"rebuild must publish a fresh generation behind the pointer: $live")
+    assert(spark.read.parquet(live).count() === e.count())
+    assert(graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
+      .count() === 3)
   }
 
   test("deleteIvf: tombstones hide vectors from probes; compact drops them") {
