@@ -13,12 +13,15 @@ import org.apache.spark.sql.types.LongType
   * batches against it. This operator persists the index as two parquet
   * tables under `indexDir`:
   *
-  *   - `centroids/` — (cent_id, cv): tiny, broadcast at probe time
-  *   - `postings/`  — (vec_id, nv) PARTITIONED BY bucket: the inverted
-  *     file. Partitioning is the scale lever — a probe touching `nprobe`
+  *   - `postings/` (or a `postings_vN/` generation behind the `_POSTINGS`
+  *     pointer) — (vec_id, nv) PARTITIONED BY bucket: the inverted file.
+  *     Partitioning is the scale lever — a probe touching `nprobe`
   *     buckets reads only those directories (partition pruning / dynamic
   *     partition pruning on the bucket join), i.e. ~nprobe/n_buckets of
-  *     the corpus instead of scanning it all.
+  *     the corpus instead of scanning it all. Each generation CONTAINS
+  *     its own `_centroids/` and `_tombstones/` (underscore dirs, ignored
+  *     by the bucket scans), so the pointer swing switches the complete
+  *     index state atomically.
   *
   * Determinism: centroids are the same `vec_id % centEvery == centOffset`
   * sample and the same rounded-cosine argmin as the inline query, so
@@ -78,13 +81,17 @@ object VectorIndex {
   /** Build the index from `(vec_id: long, nv: array<double>)` unit vectors.
     *
     * A REBUILD is generation-first (the [[graft.operators.MinhashIndex
-    * .build]] protocol): the new postings generation is fully written
-    * BEFORE the `_POSTINGS` pointer swings to it, and superseded
-    * generations are deleted only once the new one is live — probes
-    * resolve an intact generation at every instant, and a crash
-    * mid-rebuild leaves the previous index serving. (The centroids
-    * overwrite is the one remaining non-atomic step; it is tiny and the
-    * single-writer contract plus a re-run covers it.)
+    * .build]] protocol) and GENERATION-COMPLETE: centroids and tombstones
+    * live INSIDE each postings generation (underscore-prefixed subdirs,
+    * invisible to the bucket scans), so the single `_POSTINGS` pointer
+    * swing atomically switches postings + centroids + tombstones
+    * together. That closes three windows a shared-centroids layout has:
+    * probes pairing NEW centroids with the OLD generation's buckets
+    * during the O(corpus) rebuild, a crash leaving that corrupt pairing
+    * served, and a previous life's tombstones masking rows of the new
+    * index. The just-superseded generation is retained until the next
+    * rebuild/compaction (the [[compactIvf]] rule), so in-flight probes
+    * finish on intact files.
     */
   def buildIvf(embeddings: DataFrame, indexDir: String,
                centEvery: Int = 100, centOffset: Int = 3): Unit = {
@@ -98,6 +105,10 @@ object VectorIndex {
             st.getPath.getName.startsWith("postings"))
           .map(_.getPath.getName)
       else Seq.empty
+    val liveBefore =
+      if (oldGens.isEmpty) None
+      else Some(livePostingsDir(spark, indexDir)
+        .substring(indexDir.length + 1))
     val next =
       if (oldGens.isEmpty) "postings"
       else {
@@ -110,19 +121,25 @@ object VectorIndex {
     val e = embeddings.select(col("vec_id"), col("nv"))
     val cents = e.filter(col("vec_id") % centEvery === centOffset)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // postings first (the overwrite clears $next), THEN the generation's
+    // centroids under it — nothing references $next until the swing
     assign(e, cents)
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/$next")
+    cents.write.mode("overwrite").parquet(s"$indexDir/$next/_centroids")
     if (next != "postings") swapPointer(spark, indexDir, next)
-    oldGens.filter(_ != next).foreach(g =>
+    oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
-    // a rebuild indexes a fresh corpus snapshot: stale tombstones from the
-    // previous index's life must not mask rows of the new one
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
     ()
   }
+
+  /** The live generation's centroids — resolved through the SAME pointer
+    * as the postings, so a probe can never pair one generation's
+    * centroids with another's buckets.
+    */
+  def liveCentroidsDir(spark: SparkSession, indexDir: String): String =
+    s"${livePostingsDir(spark, indexDir)}/_centroids"
 
   /** Atomic `_POSTINGS` pointer swing (temp file + FileContext rename with
     * OVERWRITE), shared by [[buildIvf]] rebuilds and [[compactIvf]].
@@ -151,7 +168,7 @@ object VectorIndex {
     */
   def appendIvf(newEmbeddings: DataFrame, indexDir: String): Unit = {
     val spark = newEmbeddings.sparkSession
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = spark.read.parquet(liveCentroidsDir(spark, indexDir))
     val e = newEmbeddings.select(col("vec_id"), col("nv"))
     assign(e, cents)
       .select(col("vec_id"), col("bucket"), col("nv"))
@@ -188,16 +205,20 @@ object VectorIndex {
     * compact before re-adding a previously deleted id. Single writer at a
     * time, as for [[appendIvf]].
     */
-  def deleteIvf(ids: DataFrame, indexDir: String): Unit =
+  def deleteIvf(ids: DataFrame, indexDir: String): Unit = {
+    val spark = ids.sparkSession
     ids.select(col("vec_id").cast(LongType))
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .write.mode("append")
+      .parquet(s"${livePostingsDir(spark, indexDir)}/_tombstones")
+  }
 
   /** The tombstone set, or None when nothing was ever deleted (the common
     * case — probes then skip the anti-join entirely).
     */
   private def tombstones(spark: SparkSession,
                          indexDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${livePostingsDir(spark, indexDir)}/_tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
@@ -258,6 +279,11 @@ object VectorIndex {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/$next")
+    // the generation carries its own centroids (and, by folding the
+    // tombstones into the rewrite, starts with NONE): copy them over
+    // before the swing so the pointer switches a complete generation
+    spark.read.parquet(s"$live/_centroids")
+      .write.mode("overwrite").parquet(s"$indexDir/$next/_centroids")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
     swapPointer(spark, indexDir, next)
@@ -267,9 +293,9 @@ object VectorIndex {
         st.getPath.getName.startsWith("postings") &&
         st.getPath.getName != next && st.getPath.getName != liveName)
       .foreach(st => fs.delete(st.getPath, true))
-    // tombstones are folded into the new generation; clear them last
-    if (ts.isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    // tombstones were per-generation state of the superseded dir; the new
+    // generation starts clean by construction (nothing to clear)
+    ()
   }
 
   /** Top-k cosine neighbors for `(query_id: long, qv: array<double>)`
@@ -278,7 +304,7 @@ object VectorIndex {
     */
   def queryIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
                k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = spark.read.parquet(liveCentroidsDir(spark, indexDir))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id"))
     val probe = queries.crossJoin(broadcast(cents))

@@ -140,8 +140,11 @@ object CorpusOps {
     // the datasheet is an O(corpus) recompute — skip it when the release
     // changed nothing (replayed/fully-deduped micro-batches would
     // otherwise pay a full-corpus pass per no-op epoch); the row count
-    // itself is parquet-footer cheap
-    if (ins + upd > 0 || !store.exists("corpus_card"))
+    // itself is parquet-footer cheap. An index that was UNCOMMITTED at
+    // release start signals a prior crash mid-release — the card may be
+    // stale relative to the merged table, so that path always recomputes
+    // (self-healing, like the index rebuild it accompanies)
+    if (ins + upd > 0 || !idxExists || !store.exists("corpus_card"))
       store.overwrite("corpus_card",
         graft.queries.TrainingData.corpusCardFrames(
           released.select("doc_id", "text", "lang", "source", "n_tokens")),

@@ -102,11 +102,13 @@ object Main {
             println(s"corpus: read=${raw.count()} inserts=$ins " +
               s"updates=$upd corpus_rows=$rows tables=corpus_docs,corpus_card")
           }
-        case _ if opts.contains("stream") =>
+        case _ if opts.get("stream").exists(_ != "false") =>
           // streaming drop-folder mode: process the backlog through the
           // Structured Streaming pipeline (checkpointed, exactly-once).
           // --stream merge upserts each micro-batch into the target table;
-          // any other value splits to valid/dlq parquet sinks.
+          // any other value except "false" splits to valid/dlq parquet
+          // sinks ("--stream false" explicitly selects the batch sweep,
+          // consistent with the corpus branch's flag semantics).
           val wh = req("warehouse")
           if (opts("stream") == "merge") {
             // with --jdbc the micro-batch MERGE goes through the

@@ -156,7 +156,13 @@ object StreamingPipeline {
     // file-source schema must be declared up front; probe it from the
     // feed's current files (the documents schema is stable per
     // deployment). An EMPTY feed (first run before any producer) must be
-    // a clean zero-batch drain, not an unable-to-infer-schema crash
+    // a clean zero-batch drain, not an unable-to-infer-schema crash —
+    // the fallback below IS the documents feed contract (the corpus
+    // release model's file schema); a deployment whose feed deviates
+    // from it must not start its producer before the first file is
+    // visible to the schema probe (a mismatched file read under the
+    // declared schema nulls out by name and would be quality-gated away
+    // while the checkpoint marks it seen)
     val fd = new org.apache.hadoop.fs.Path(feedDir)
     val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasFiles = fs.exists(fd) && fs.listStatus(fd)

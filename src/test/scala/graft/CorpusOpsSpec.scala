@@ -929,7 +929,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     val postings = spark.read.parquet(s"$idx/postings")
     assert(postings.count() == e.count(), "all vectors present after append")
     // appended vectors sit in their nearest BASE-centroid bucket
-    val cents = spark.read.parquet(s"$idx/centroids")
+    val cents = spark.read.parquet(
+      graft.operators.VectorIndex.liveCentroidsDir(spark, idx))
     val expected = late.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         round(vecDot(col("nv"), col("cv")), 4).as("csim"))
@@ -987,11 +988,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.operators.VectorIndex.indexStats(spark, idx).head()
       .getAs[Long]("n_vectors") == total - 1)
 
-    // compaction drops the row physically and clears the tombstone set
+    // compaction drops the row physically; the NEW generation starts with
+    // no tombstones (they are per-generation state inside the live dir)
     graft.operators.VectorIndex.compactIvf(spark, idx)
-    assert(!new java.io.File(s"$idx/tombstones").exists(),
-      "compaction must clear folded-in tombstones")
     val live = graft.operators.VectorIndex.livePostingsDir(spark, idx)
+    assert(!new java.io.File(s"$live/_tombstones").exists(),
+      "the compacted generation must start with no tombstones")
     assert(spark.read.parquet(live)
       .filter(col("vec_id") === victim).count() == 0,
       "compacted postings must not contain the deleted row")
