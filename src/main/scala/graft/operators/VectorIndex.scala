@@ -131,15 +131,50 @@ object VectorIndex {
     if (next != "postings") swapPointer(spark, indexDir, next)
     oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
+    // a rebuild supersedes any legacy-layout shared state (pre
+    // generation-complete indexes kept centroids/tombstones at top level)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "centroids"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
     ()
   }
 
   /** The live generation's centroids — resolved through the SAME pointer
-    * as the postings, so a probe can never pair one generation's
-    * centroids with another's buckets.
+    * as the postings. NOTE: readers that also touch the postings or
+    * tombstones must resolve the pointer ONCE and derive every path from
+    * that one resolution ([[genCentroidsDir]]/[[genTombstonesDir]] over a
+    * single [[livePostingsDir]] call) — resolving per-component races a
+    * concurrent pointer swing into pairing two different generations.
     */
   def liveCentroidsDir(spark: SparkSession, indexDir: String): String =
-    s"${livePostingsDir(spark, indexDir)}/_centroids"
+    genCentroidsDir(spark, livePostingsDir(spark, indexDir))
+
+  /** Centroids path of a RESOLVED generation dir, with legacy fallback:
+    * indexes persisted before the generation-complete layout keep
+    * centroids at `<indexDir>/centroids` — readable until their next
+    * rebuild migrates them.
+    */
+  private def genCentroidsDir(spark: SparkSession, genDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$genDir/_centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) p.toString
+    else s"${genDir.substring(0, genDir.lastIndexOf('/'))}/centroids"
+  }
+
+  /** Tombstones of a RESOLVED generation dir (legacy fallback like
+    * [[genCentroidsDir]]), or None when nothing was ever deleted.
+    */
+  private def genTombstones(spark: SparkSession, indexDir: String,
+                            genDir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(genDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sets = Seq(s"$genDir/_tombstones", s"$indexDir/tombstones")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      .map(spark.read.parquet(_))
+    // a legacy index that received NEW per-generation deletes before its
+    // migrating rebuild/compaction honors BOTH sets (union, not shadow —
+    // shadowing would resurrect the legacy deletions)
+    sets.reduceOption(_ unionByName _)
+  }
 
   /** Atomic `_POSTINGS` pointer swing (temp file + FileContext rename with
     * OVERWRITE), shared by [[buildIvf]] rebuilds and [[compactIvf]].
@@ -168,12 +203,13 @@ object VectorIndex {
     */
   def appendIvf(newEmbeddings: DataFrame, indexDir: String): Unit = {
     val spark = newEmbeddings.sparkSession
-    val cents = spark.read.parquet(liveCentroidsDir(spark, indexDir))
+    val live = livePostingsDir(spark, indexDir)
+    val cents = spark.read.parquet(genCentroidsDir(spark, live))
     val e = newEmbeddings.select(col("vec_id"), col("nv"))
     assign(e, cents)
       .select(col("vec_id"), col("bucket"), col("nv"))
       .write.mode("append").partitionBy("bucket")
-      .parquet(livePostingsDir(spark, indexDir))
+      .parquet(live)
   }
 
   /** The live postings directory: named by the `_POSTINGS` pointer file
@@ -212,17 +248,6 @@ object VectorIndex {
       .parquet(s"${livePostingsDir(spark, indexDir)}/_tombstones")
   }
 
-  /** The tombstone set, or None when nothing was ever deleted (the common
-    * case — probes then skip the anti-join entirely).
-    */
-  private def tombstones(spark: SparkSession,
-                         indexDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"${livePostingsDir(spark, indexDir)}/_tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
-
   /** Index health: bucket-size distribution and skew ratio. The biggest
     * bucket bounds probe tail latency (every probe of that bucket scans it
     * whole); a skew ratio far above 1 means the centroids no longer fit the
@@ -231,9 +256,11 @@ object VectorIndex {
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
     // tombstoned rows are invisible to probes, so health stats must not
     // count them either (a skew ratio inflated by already-deleted vectors
-    // would trigger a pointless rebuild)
-    val sizes = tombstones(spark, indexDir)
-      .foldLeft(spark.read.parquet(livePostingsDir(spark, indexDir)))(
+    // would trigger a pointless rebuild). ONE pointer resolution for both
+    // components (see liveCentroidsDir note)
+    val live = livePostingsDir(spark, indexDir)
+    val sizes = genTombstones(spark, indexDir, live)
+      .foldLeft(spark.read.parquet(live))(
         (p, t) => p.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .groupBy("bucket").agg(count(lit(1)).as("sz"))
     sizes.agg(
@@ -273,7 +300,7 @@ object VectorIndex {
     // and the tombstone set is cleared AFTER the pointer swap commits (a
     // crash in between only means probes keep anti-joining a now-redundant
     // set — never resurrecting deleted rows)
-    val ts = tombstones(spark, indexDir)
+    val ts = genTombstones(spark, indexDir, live)
     ts.foldLeft(spark.read.parquet(live))(
         (p, t) => p.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .repartition(col("bucket"))
@@ -282,11 +309,16 @@ object VectorIndex {
     // the generation carries its own centroids (and, by folding the
     // tombstones into the rewrite, starts with NONE): copy them over
     // before the swing so the pointer switches a complete generation
-    spark.read.parquet(s"$live/_centroids")
+    spark.read.parquet(genCentroidsDir(spark, live))
       .write.mode("overwrite").parquet(s"$indexDir/$next/_centroids")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
     swapPointer(spark, indexDir, next)
+    // compaction migrates a legacy-layout index: its shared centroids and
+    // tombstones are folded into the new generation above, so the old
+    // top-level dirs retire with the swing
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "centroids"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
     // reclaim generations older than the one just superseded
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
@@ -304,7 +336,11 @@ object VectorIndex {
     */
   def queryIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
                k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(liveCentroidsDir(spark, indexDir))
+    // ONE pointer resolution for centroids + tombstones + postings: a
+    // concurrent rebuild/compaction swinging the pointer between
+    // per-component reads would pair two different generations
+    val live = livePostingsDir(spark, indexDir)
+    val cents = spark.read.parquet(genCentroidsDir(spark, live))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id"))
     val probe = queries.crossJoin(broadcast(cents))
@@ -316,8 +352,8 @@ object VectorIndex {
     // tombstoned vectors stay invisible until the next compaction; the
     // delete set is tiny relative to the corpus, so the anti-join
     // broadcasts — nothing corpus-sized moves for it
-    val postings = tombstones(spark, indexDir)
-      .foldLeft(spark.read.parquet(livePostingsDir(spark, indexDir)))(
+    val postings = genTombstones(spark, indexDir, live)
+      .foldLeft(spark.read.parquet(live))(
         (p, t) => p.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val scored = probe.join(postings, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -102,13 +102,15 @@ object Main {
             println(s"corpus: read=${raw.count()} inserts=$ins " +
               s"updates=$upd corpus_rows=$rows tables=corpus_docs,corpus_card")
           }
-        case _ if opts.get("stream").exists(_ != "false") =>
+        case _ if opts.get("stream").exists(v =>
+            v == "true" || v == "merge") =>
           // streaming drop-folder mode: process the backlog through the
           // Structured Streaming pipeline (checkpointed, exactly-once).
-          // --stream merge upserts each micro-batch into the target table;
-          // any other value except "false" splits to valid/dlq parquet
-          // sinks ("--stream false" explicitly selects the batch sweep,
-          // consistent with the corpus branch's flag semantics).
+          // --stream merge upserts each micro-batch into the target
+          // table; --stream true splits to valid/dlq parquet sinks. Any
+          // OTHER value (false, typos) falls through to the batch sweep —
+          // the same recognized-values-only rule as the corpus branch,
+          // so a typo can never silently select streaming mode.
           val wh = req("warehouse")
           if (opts("stream") == "merge") {
             // with --jdbc the micro-batch MERGE goes through the

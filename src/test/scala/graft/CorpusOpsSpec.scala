@@ -950,7 +950,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.count() == 3)
     // REBUILD over the existing index is generation-first: the new
     // generation publishes behind the pointer (never a delete-first
-    // window) and probes serve the full corpus from it
+    // window) and probes serve the full corpus from it. A vector deleted
+    // in the PREVIOUS index's life must be visible again after the
+    // rebuild — tombstones are per-generation state, and a rebuild is a
+    // new life over a fresh corpus snapshot
+    val victim = e.orderBy(col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    graft.operators.VectorIndex.deleteIvf(
+      spark.range(1).select(lit(victim).as("vec_id")), idx)
     graft.operators.VectorIndex.buildIvf(e, idx)
     val live = graft.operators.VectorIndex.livePostingsDir(spark, idx)
     assert(live.endsWith("postings_v1"),
@@ -958,6 +965,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(live).count() === e.count())
     assert(graft.operators.VectorIndex.queryIvf(spark, idx, q, k = 3)
       .count() === 3)
+    assert(graft.operators.VectorIndex.indexStats(spark, idx).head()
+      .getAs[Long]("n_vectors") === e.count(),
+      "pre-rebuild tombstones must not mask rows of the rebuilt index")
   }
 
   test("deleteIvf: tombstones hide vectors from probes; compact drops them") {
