@@ -173,17 +173,25 @@ object StreamingPipeline {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-    spark.readStream.schema(schema).parquet(feedDir)
+    spark.readStream.schema(schema)
+      // one feed FILE = one release epoch: per-drop provenance in the
+      // merge lineage (sourceLabel carries the batch id) and bounded
+      // per-epoch work — a backlog drains as a sequence of file-sized
+      // releases instead of one giant batch
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val t0 = System.nanoTime()
           val (ins, upd, rows) = graft.run.CorpusOps.release(
             spark, store, warehouse, batch,
             sourceLabel = s"$feedDir@batch$batchId", evalDir = evalDir)
-          println(s"corpus-stream epoch=$batchId inserts=$ins " +
-            s"updates=$upd corpus_rows=$rows")
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"corpus-stream epoch=$batchId inserts=$ins " +
+            f"updates=$upd corpus_rows=$rows wall=$wall%.1fs")
         }
         ()
       }
