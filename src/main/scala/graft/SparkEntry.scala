@@ -407,7 +407,7 @@ object SparkEntry {
       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
       |norm AS (
       |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-      |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+      |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
       |sims AS (
       |  SELECT n.vec_id, c.cent_id,
       |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -1099,7 +1099,7 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -1136,7 +1136,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -1170,7 +1170,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -1205,7 +1205,7 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |qids AS (
         |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |sims AS (
@@ -1239,7 +1239,7 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |qids AS (
         |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |sims AS (
@@ -1973,7 +1973,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -2010,7 +2010,7 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |qids AS (
         |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |sims AS (
@@ -2135,7 +2135,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -2687,7 +2687,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 50 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -2851,7 +2851,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -2885,7 +2885,7 @@ object SparkEntry {
         |withnorm AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) nrm FROM e),
         |norm AS (SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM withnorm),
-        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3),
+        |cents AS (SELECT vec_id cent_id, nv cv FROM norm WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |sims AS (
         |  SELECT n.vec_id, c.cent_id,
         |   round(list_sum(list_transform(range(1, len(n.nv)+1), i -> n.nv[i] * c.cv[i])), 4) csim
@@ -3166,7 +3166,7 @@ object SparkEntry {
         |n2 AS (SELECT vec_id, v,
         |        list_sum(list_transform(v, y -> y * y)) vv FROM e),
         |nv AS (SELECT vec_id, list_transform(v, x -> x / sqrt(vv)) nv FROM n2),
-        |c0 AS (SELECT vec_id cent_id, v cv, vv cvv FROM n2 WHERE vec_id % 100 = 3),
+        |c0 AS (SELECT vec_id cent_id, v cv, vv cvv FROM n2 WHERE vec_id % 100 = 3 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
         |d1 AS (
         |  SELECT a.vec_id, c.cent_id,
         |   round(a.vv + c.cvv - 2 * list_sum(list_transform(

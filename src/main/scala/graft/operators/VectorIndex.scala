@@ -31,6 +31,30 @@ import org.apache.spark.sql.types.LongType
 object VectorIndex {
   import graft.functions.VectorFunctions.vecDot
 
+  /** Hard count bound on every data-derived centroid pick — shared by
+    * [[buildIvf]] and the inline IVF queries
+    * ([[graft.queries.TrainingData]] `centroidPick`) so the built index,
+    * the inline query, and their common DuckDB oracle stay equivalent at
+    * EVERY scale (all three apply the same md5-ordered LIMIT; below the
+    * cap it is a no-op, beyond it all three select the identical subset).
+    */
+  val MaxCentroids = 4096
+
+  /** The deterministic centroid sample: the oracle-reproducible
+    * `vec_id % centEvery == centOffset` mod filter, capped at
+    * [[MaxCentroids]] via md5-ordered LIMIT (`ORDER BY
+    * md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096` in DuckDB). The mod
+    * filter alone is corpus-PROPORTIONAL (1-2% of vectors) and this frame
+    * is broadcast into every assignment crossJoin — the cap makes that
+    * broadcast O(1) in corpus size by construction.
+    */
+  private[graft] def centroidSample(e: DataFrame, centEvery: Int,
+                                    centOffset: Int): DataFrame =
+    e.filter(col("vec_id") % centEvery === centOffset)
+      .orderBy(md5(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+        col("vec_id"))
+      .limit(MaxCentroids)
+
   /** Nearest-centroid assignment as a `min_by` ARGMIN aggregation over the
     * orderable struct (-csim, cent_id, nv) — identical tie semantics to
     * `row_number() OVER (ORDER BY csim DESC, cent_id)` (highest cosine,
@@ -119,7 +143,11 @@ object VectorIndex {
         s"postings_v${maxGen + 1}"
       }
     val e = embeddings.select(col("vec_id"), col("nv"))
-    val cents = e.filter(col("vec_id") % centEvery === centOffset)
+    // capped pick ([[centroidSample]]): without the bound, the mod filter
+    // retains a corpus-proportional centroid frame that [[assign]]
+    // broadcasts — and the built index would diverge from the inline
+    // query + shared oracle once the uncapped sample crossed MaxCentroids
+    val cents = centroidSample(e, centEvery, centOffset)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
     // postings first (the overwrite clears $next), THEN the generation's
     // centroids under it — nothing references $next until the swing

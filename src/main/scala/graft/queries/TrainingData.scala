@@ -341,12 +341,13 @@ object TrainingData {
     * subset beyond it, making the centroid broadcast O(1) in corpus size
     * by construction. PlanSpec's hardened broadcast exemption requires
     * exactly this: a hinted side must carry a Limit/Aggregate/Sample.
+    * Delegates to [[graft.operators.VectorIndex.centroidSample]] (cap =
+    * `VectorIndex.MaxCentroids`) so the inline queries, the persisted
+    * index builder, and every shared DuckDB oracle select the identical
+    * centroid set at every scale.
     */
-  private def centroidPick(e: DataFrame, mod: Int,
-                           maxCents: Int = 4096): DataFrame =
-    e.filter(col("vec_id") % mod === 3)
-      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(maxCents)
+  private def centroidPick(e: DataFrame, mod: Int): DataFrame =
+    graft.operators.VectorIndex.centroidSample(e, mod, 3)
 
   /** Brute-force cosine top-k: a fixed-N query batch against every vector,
     * ranked per query with a per-partition top-k (window over the query
