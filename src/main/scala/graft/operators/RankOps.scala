@@ -13,35 +13,97 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * executor thread. This helper computes the SAME exact gapless
   * row-number rank as the global window in two distributed passes:
   *
-  *  1. approx_percentile cut points over the key (one map-side-combined
-  *     aggregate, one broadcast row) range-bucket every row; equal keys
-  *     always share a bucket (strict `cut < key` comparison), so bucket
-  *     order extends to exact global order.
+  *  1. a bounded deterministic SAMPLE of `(key, minor)` pairs (hash-ordered
+  *     TakeOrdered — per-partition top-S, no full shuffle), sorted and
+  *     evenly sliced, yields an array of `(key_cut, minor_cut)` pairs (one
+  *     broadcast row) that range-bucket every row by LEXICOGRAPHIC strict
+  *     comparison: bucket = #cuts with `(kc, mc) < (key, minor)`. Joint
+  *     sampling is the RangePartitioner idiom Spark's own distributed sort
+  *     uses — and the load-balance lever: cuts inside a heavy key-tie
+  *     class carry that class's OWN minor quantiles (index-wise pairing of
+  *     two independent percentile sketches would pair a class-local key
+  *     cut with a GLOBAL minor quantile and pile the class tail into one
+  *     bucket).
   *  2. per-bucket counts (≤ `buckets` rows) prefix-sum into offsets — the
   *     only partition-less window runs over that bounded aggregate — and
   *     rank = bucket offset + row_number within the bucket (a window
   *     PARTITIONED by bucket, so each sort is bucket-local).
   *
-  * Cut-point placement only affects load BALANCE, never rank values, so
-  * the output is bit-identical to the global window (oracle-exact) while
-  * every stage stays distributed. Heavy ties on the key concentrate into
-  * one bucket by construction — the usual skew caveat; callers ranking
-  * near-constant keys should pre-salt or rethink the metric.
+  * Exactness: `minor` must be numeric and MONOTONE NON-DECREASING in the
+  * leading `ties` column's sort order (typically it IS the leading tie,
+  * cast to numeric; identity is monotone). Then bucket order is
+  * consistent with the total (key, ties…) order — a row in an earlier
+  * bucket precedes every row of a later bucket — and rows equal on
+  * (key, minor) always share a bucket (strict comparison), so offsets +
+  * the within-bucket sort reproduce the global window rank BIT-IDENTICALLY
+  * for ANY cut array. Cut placement affects load balance only.
+  *
+  * Heavy ties: with no `minor`, equal keys always share a bucket, so a
+  * tie class larger than a bucket target lands in ONE bucket's local
+  * sort — ranking a low-cardinality key (integer frequencies, rounded
+  * ratios, Zipf-tail counts) recreates the single-partition funnel this
+  * helper exists to kill. Passing `minor` splits a heavy key class
+  * across buckets along the class's own minor quantiles. Callers with a
+  * STRING tiebreak can prepend an order-insensitive numeric proxy
+  * (e.g. the md5-h60 of the string) to `ties` and pass it as `minor` —
+  * exact ranks for the (key, proxy, string) order, which downstream
+  * aggregates invariant to within-tie-class permutation cannot tell from
+  * the (key, string) order.
   */
 object RankOps {
 
   /** Adds exact 1-based global rank `out` ordered by (`key` asc, `ties`
-    * asc). For descending keys pass `negate(key)`.
+    * asc). For descending keys pass `negate(key)`. `minor` (numeric,
+    * monotone in `ties.head` — see class doc) splits heavy key-tie
+    * classes across buckets; omitted, equal keys share a bucket.
     */
-  def withGlobalRank(df: DataFrame, key: Column, ties: Seq[Column],
-                     out: String, buckets: Int = 64): DataFrame = {
+  /** The range-bucketing half of [[withGlobalRank]], exposed for the spec's
+    * balance property: the input plus a `_rk_b` bucket id column.
+    */
+  private[graft] def bucketAssign(df: DataFrame, key: Column,
+                                  minor: Option[Column],
+                                  buckets: Int): DataFrame = {
     val kd = key.cast(DoubleType)
-    val pcts = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
-    val cuts = df.agg(percentile_approx(kd, pcts, lit(1000)).as("_rk_cuts"))
-    val bucketed = df.crossJoin(broadcast(cuts))
+    val md = minor.getOrElse(lit(0L)).cast(DoubleType)
+    // deterministic uniform sample: top-S by hash compiles to
+    // TakeOrderedAndProject (per-partition top-S + single merge — the
+    // q9/top-k shape, never a full sort); (k, m) tiebreaks make the
+    // selection stable when hashes collide. 64x oversampling per bucket
+    // bounds the per-bucket share error near 1/sqrt(64)
+    val sampleN = buckets * 64
+    val s = df.select(kd.as("_rk_k"), md.as("_rk_m"))
+      .orderBy(xxhash64(col("_rk_k"), col("_rk_m")),
+        col("_rk_k"), col("_rk_m"))
+      .limit(sampleN)
+    // one bounded row: sort the sample, slice every (size/buckets)-th
+    // element into the cut array (cut values are actual data pairs)
+    val cuts = s
+      .agg(sort_array(collect_list(struct(col("_rk_k"), col("_rk_m"))))
+        .as("_rk_s"))
+      .select(when(size(col("_rk_s")) < lit(2),
+          array().cast("array<struct<_rk_k:double,_rk_m:double>>"))
+        .otherwise(transform(sequence(lit(1), lit(buckets - 1)),
+          i => element_at(col("_rk_s"),
+            greatest(lit(1), floor(i * size(col("_rk_s")) / lit(buckets))
+              .cast("int")))))
+        .as("_rk_cuts"))
+    // strict lexicographic cut comparison: equal (key, minor) share a
+    // bucket; a null minor (or key) compares "not less" on that field,
+    // landing the row in its class's EARLIEST bucket — consistent with
+    // the within-bucket sort's nulls-first ordering
+    df.crossJoin(broadcast(cuts))
       .withColumn("_rk_b",
-        coalesce(size(filter(col("_rk_cuts"), c => c < kd)), lit(0)))
+        coalesce(size(filter(col("_rk_cuts"),
+          c => c.getField("_rk_k") < kd ||
+            (c.getField("_rk_k") === kd && c.getField("_rk_m") < md))),
+          lit(0)))
       .drop("_rk_cuts")
+  }
+
+  def withGlobalRank(df: DataFrame, key: Column, ties: Seq[Column],
+                     out: String, buckets: Int = 64,
+                     minor: Option[Column] = None): DataFrame = {
+    val bucketed = bucketAssign(df, key, minor, buckets)
     val offs = bucketed.groupBy("_rk_b").agg(count(lit(1)).as("_rk_n"))
       .withColumn("_rk_off", coalesce(
         sum("_rk_n").over(Window.orderBy("_rk_b")

@@ -513,7 +513,8 @@ object Relational {
     // row-local arithmetic over (rank, total) — bit-identical output
     val o = t(spark, dir, "orders")
     val ranked = graft.operators.RankOps.withGlobalRank(
-      o, col("o_totalprice"), Seq(col("o_orderkey")), "_r")
+      o, col("o_totalprice"), Seq(col("o_orderkey")), "_r",
+      minor = Some(col("o_orderkey")))
     ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("_n"))))
       .withColumn("q", graft.operators.RankOps
         .ntileFromRank(col("_r"), col("_n"), 4))
@@ -900,12 +901,18 @@ object Relational {
     // joins back on user_id — chaining them would re-derive the first
     // rank inside the second's cut-point aggregate
     import graft.operators.RankOps.{ntileFromRank, withGlobalRank}
+    // minor = user_id (the tiebreak itself): recency_days and freq are
+    // LOW-CARDINALITY integer keys — at billions of users a single value
+    // (freq=1) can be a third of the table, and without the minor the
+    // whole class would funnel through one bucket's local sort
     val rr = withGlobalRank(
       scored.select(col("user_id"), col("recency_days")),
-      negate(col("recency_days")), Seq(col("user_id")), "_rr")
+      negate(col("recency_days")), Seq(col("user_id")), "_rr",
+      minor = Some(col("user_id")))
       .select("user_id", "_rr")
     val rf = withGlobalRank(scored.select(col("user_id"), col("freq")),
-      col("freq"), Seq(col("user_id")), "_rf")
+      col("freq"), Seq(col("user_id")), "_rf",
+      minor = Some(col("user_id")))
       .select("user_id", "_rf")
     scored.join(rr, Seq("user_id")).join(rf, Seq("user_id"))
       .crossJoin(broadcast(perUser.agg(count(lit(1)).as("_n"))))

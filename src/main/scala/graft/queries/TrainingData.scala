@@ -938,10 +938,18 @@ object TrainingData {
     val counts = docs(spark, dir)
       .select(explode(F.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-    // vocabulary-sized global window → distributed two-pass rank (exact
-    // same rank values, no single-partition vocabulary sort)
+    // vocabulary-sized global window → distributed two-pass rank (no
+    // single-partition vocabulary sort). The tiebreak is a STRING, so the
+    // h60 proxy leads the tie order and doubles as the bucketing minor
+    // (RankOps scaladoc recipe): the Zipf tail's count=1 class — half the
+    // vocabulary — splits across buckets instead of one local sort.
+    // Ranks within an equal-count class permute vs the (c, token) order,
+    // which the regression cannot see: its (log10 c, log10 rank) pair
+    // multiset is permutation-invariant inside a tie class
     val ranked = graft.operators.RankOps.withGlobalRank(
-      counts, negate(col("c")), Seq(col("token")), "rank")
+      counts.withColumn("_tp", h60(col("token"))),
+      negate(col("c")), Seq(col("_tp"), col("token")), "rank",
+      minor = Some(col("_tp")))
     ranked.agg(
       count(lit(1)).as("n_vocab"),
       round(regr_slope(log10(col("c")), log10(col("rank"))), 4).as("zipf_slope"),
@@ -4635,9 +4643,12 @@ object TrainingData {
     val ranked = Seq(
       ("nt", "r_len"), ("stop_ratio", "r_stop"), ("avg_logprob", "r_lp"))
       .map { case (k, out) =>
+        // minor = doc_id (the tiebreak itself): rounded ratios and short
+        // token lengths form HEAVY tie classes (stop_ratio exactly 0 …)
+        // that would otherwise concentrate into one bucket's local sort
         graft.operators.RankOps.withGlobalRank(
           joined.select(col("doc_id"), col(k)), col(k),
-          Seq(col("doc_id")), out)
+          Seq(col("doc_id")), out, minor = Some(col("doc_id")))
           .select("doc_id", out)
       }.reduce(_.join(_, Seq("doc_id")))
     def d2(a: String, b: String) =
