@@ -14,13 +14,12 @@ import org.apache.spark.sql.functions._
   * computed once at build/append time and persisted; a probe reads
   * postings only.
   *
-  * Layout under `indexDir` (the [[VectorIndex]] idioms: versioned postings
-  * generations behind a `_POSTINGS` pointer, append segments, pointer-swap
-  * compaction):
+  * Layout under `indexDir` — GENERATION-COMPLETE (the [[VectorIndex]]
+  * protocol: each postings generation carries ALL of its state behind one
+  * `_POSTINGS` pointer, so a pointer swing switches everything
+  * atomically):
   *
-  *   - `hashes/`   — (doc_id, h): md5 content hashes, the exact-dup tier.
-  *     Tiny rows; the probe's anti-join shuffles hashes, never documents.
-  *   - `postings/` — (band, doc_id, ids) PARTITIONED BY bp =
+  *   - `postings[_vN]/` — (band, doc_id, ids, aseq) PARTITIONED BY bp =
   *     pmod(xxhash64(band), 64) and sorted by band within partitions:
   *     a probe collects its batch's <= 64 bp values for partition pruning,
   *     and the in-file band ordering gives parquet row-group min/max
@@ -28,6 +27,16 @@ import org.apache.spark.sql.functions._
   *     the corpus postings. The ids array rides in the posting row (8x
   *     storage for zero join-backs — the classic LSH index trade; store a
   *     doc-keyed sidecar instead when storage dominates).
+  *   - `postings[_vN]/_hashes/` — (doc_id, h, aseq): md5 content hashes,
+  *     the exact-dup tier, invisible to the bp scans (underscore dir).
+  *     Indexes persisted before the generation-complete layout keep
+  *     hashes at `<indexDir>/hashes` — read via fallback until the next
+  *     rebuild/compaction migrates them (the legacy dir is retired only
+  *     once no retained generation still reads it).
+  *   - `_ASEQ` — the append sequence counter: every [[append]] stamps its
+  *     rows with the next value, which is what lets [[compact]]
+  *     garbage-collect superseded content (keep the NEWEST content per
+  *     doc_id) without any per-append timestamp.
   *
   * Band scheme is the MinHash dedup family's (2-shingles, k=16 signature,
   * 8 bands x 2 rows, md5-derived everywhere), so index results are
@@ -93,14 +102,76 @@ object MinhashIndex {
           .as("band"))
       .withColumn("bp", bp(col("band")))
 
+  // ------------------------------------------------ append sequence counter
+
+  private def readAseq(spark: SparkSession, indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_ASEQ")
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeAseq(spark: SparkSession, indexDir: String,
+                        v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_ASEQ")
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Rows persisted before the aseq column existed read as generation 0. */
+  private def withAseq(df: DataFrame): DataFrame =
+    if (df.columns.contains("aseq")) df else df.withColumn("aseq", lit(0L))
+
+  /** Hashes path of a RESOLVED generation dir, with legacy fallback
+    * ([[VectorIndex]] `genCentroidsDir` idiom): pre-generation-complete
+    * indexes keep hashes at `<indexDir>/hashes` until a rebuild or
+    * compaction migrates them.
+    */
+  private def genHashesDir(spark: SparkSession, indexDir: String,
+                           genDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$genDir/_hashes")
+    if (fsFor(spark, p).exists(p)) p.toString else s"$indexDir/hashes"
+  }
+
+  /** Retire the legacy top-level `hashes/` dir — but only once no retained
+    * generation still resolves to it: the just-superseded generation is
+    * kept for in-flight probes ([[compact]] rule), and if that generation
+    * is itself legacy (no `_hashes` of its own), deleting the shared dir
+    * would break those probes mid-scan. Deferred exactly like superseded
+    * generations: the NEXT rebuild/compaction (whose retained generation
+    * is generation-complete) drops it.
+    */
+  private def dropLegacyIfUnreferenced(spark: SparkSession, indexDir: String,
+                                       retained: Option[String]): Unit = {
+    val stillRead = retained.exists { g =>
+      !fsFor(spark, new org.apache.hadoop.fs.Path(indexDir))
+        .exists(new org.apache.hadoop.fs.Path(s"$indexDir/$g/_hashes"))
+    }
+    if (!stillRead) {
+      val legacy = new org.apache.hadoop.fs.Path(indexDir, "hashes")
+      fsFor(spark, legacy).delete(legacy, true)
+      ()
+    }
+  }
+
   /** Build the index from `(doc_id: long, text: string, ...)` documents.
     * A REBUILD is generation-first, never destructive-first: the new
-    * postings generation is fully written BEFORE the `_POSTINGS` pointer
-    * swings to it (the [[compact]] protocol), and superseded generations
-    * are deleted only once the new one is live — a crash mid-rebuild
-    * leaves the previous generation probe-able and, because the
-    * [[CommitMarker]] is removed first and re-written last, visibly
-    * uncommitted to orchestrators.
+    * postings generation — including its `_hashes` — is fully written
+    * BEFORE the `_POSTINGS` pointer swings to it (the [[compact]]
+    * protocol), and superseded generations are deleted only once the new
+    * one is live, RETAINING the just-superseded generation so in-flight
+    * probes finish on intact files (the [[VectorIndex.buildIvf]]
+    * liveBefore rule; it is reclaimed at the next rebuild/compaction). A
+    * crash mid-rebuild leaves the previous generation probe-able and,
+    * because the [[CommitMarker]] is removed first and re-written last,
+    * visibly uncommitted to orchestrators.
     */
   def build(docs: DataFrame, indexDir: String): Unit = {
     val spark = docs.sparkSession
@@ -114,6 +185,10 @@ object MinhashIndex {
             st.getPath.getName.startsWith("postings"))
           .map(_.getPath.getName)
       else Seq.empty
+    val liveBefore =
+      if (oldGens.isEmpty) None
+      else Some(livePostingsDir(spark, indexDir)
+        .substring(indexDir.length + 1))
     // fresh dir keeps the plain `postings` name; rebuilds version past the
     // highest existing generation
     val next =
@@ -126,15 +201,22 @@ object MinhashIndex {
         s"postings_v${maxGen + 1}"
       }
     val s = signed(docs).cache()
+    // postings first (the overwrite clears $next), THEN the generation's
+    // hashes under it — nothing references $next until the swing
     bandRows(s)
+      .withColumn("aseq", lit(0L))
       .sortWithinPartitions("band")
       .write.mode("overwrite").partitionBy("bp")
       .parquet(s"$indexDir/$next")
-    s.select("doc_id", "h").write.mode("overwrite")
-      .parquet(s"$indexDir/hashes")
+    s.select(col("doc_id"), col("h"))
+      .withColumn("aseq", lit(0L))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/$next/_hashes")
+    writeAseq(spark, indexDir, 0L)
     if (next != "postings") swapPointer(spark, indexDir, next)
-    oldGens.filter(_ != next).foreach(g =>
+    oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
+    dropLegacyIfUnreferenced(spark, indexDir, liveBefore)
     markCommitted(spark, indexDir)
     s.unpersist()
     ()
@@ -143,21 +225,32 @@ object MinhashIndex {
   /** Incremental maintenance: append a batch's hashes and postings —
     * O(batch) work, no rebuild. Single writer at a time (the
     * [[VectorIndex.appendIvf]] contract). Re-appending a doc_id whose
-    * content changed ADDS rows beside the old ones — the index is a
-    * seen-content registry by design (content ever released stays a
-    * duplicate), so superseded content is retained, not replaced;
-    * [[indexStats]] therefore counts DISTINCT doc_ids.
+    * content changed ADDS rows beside the old ones, stamped with the next
+    * `_ASEQ` value — the index is a seen-content registry whose contract
+    * is "the NEWEST content per doc_id": superseded content stays a known
+    * duplicate only until the next [[compact]], which garbage-collects
+    * everything but each doc's latest append. [[indexStats]] counts
+    * DISTINCT doc_ids either way.
     */
   def append(docs: DataFrame, indexDir: String): Unit = {
     val spark = docs.sparkSession
     invalidate(spark, indexDir)
+    val live = livePostingsDir(spark, indexDir)
+    val aseq = readAseq(spark, indexDir) + 1L
+    // counter first: a crash after it merely skips a sequence value
+    // (monotonicity is all compaction's newest-wins needs), and the
+    // absent commit marker routes the next release to a rebuild anyway
+    writeAseq(spark, indexDir, aseq)
     val s = signed(docs).cache()
-    s.select("doc_id", "h").write.mode("append")
-      .parquet(s"$indexDir/hashes")
+    s.select(col("doc_id"), col("h"))
+      .withColumn("aseq", lit(aseq))
+      .write.mode("append")
+      .parquet(genHashesDir(spark, indexDir, live))
     bandRows(s)
+      .withColumn("aseq", lit(aseq))
       .sortWithinPartitions("band")
       .write.mode("append").partitionBy("bp")
-      .parquet(livePostingsDir(spark, indexDir))
+      .parquet(live)
     markCommitted(spark, indexDir)
     s.unpersist()
     ()
@@ -165,7 +258,10 @@ object MinhashIndex {
 
   /** The live postings generation (pointer file when compacted, the
     * original `postings/` otherwise) — the [[VectorIndex.livePostingsDir]]
-    * idiom.
+    * idiom. Readers touching BOTH postings and hashes must resolve the
+    * pointer ONCE and derive the hashes path from that resolution
+    * ([[genHashesDir]]) — per-component resolution races a concurrent
+    * pointer swing into pairing two generations.
     */
   def livePostingsDir(spark: SparkSession, indexDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(indexDir, "_POSTINGS")
@@ -182,9 +278,16 @@ object MinhashIndex {
 
   /** Fold the append segments of a run of [[append]] micro-batches into
     * one file per band partition, re-sorted for row-group pushdown, and
-    * publish with an atomic `_POSTINGS` pointer swap — superseded
-    * generation retained until the NEXT compaction so in-flight probes
-    * finish on intact files (the [[VectorIndex.compactIvf]] protocol).
+    * GARBAGE-COLLECT superseded content: only each doc_id's newest append
+    * (max `(aseq, h)` — the hash breaks the pathological same-sequence
+    * tie deterministically) keeps its hash row and postings, so a
+    * high-churn corpus's index stays O(live content), not O(content ever
+    * released). Publishes with an atomic `_POSTINGS` pointer swap; the
+    * superseded generation is retained until the NEXT compaction so
+    * in-flight probes finish on intact files (the
+    * [[VectorIndex.compactIvf]] protocol), and a legacy top-level
+    * `hashes/` dir is migrated into the new generation and retired one
+    * cycle later ([[dropLegacyIfUnreferenced]]).
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -194,11 +297,23 @@ object MinhashIndex {
       if (liveName == "postings") 1
       else liveName.stripPrefix("postings_v").toInt + 1
     val next = s"postings_v$nextGen"
-    spark.read.parquet(live)
+    val hashes = withAseq(
+      spark.read.parquet(genHashesDir(spark, indexDir, live)))
+    // newest content per doc_id; the GC point. O(index) once per
+    // compaction — the same cost class as the rewrite itself
+    val keep = hashes.groupBy("doc_id")
+      .agg(max(struct(col("aseq"), col("h"))).as("k"))
+      .select(col("doc_id"), col("k.aseq").as("aseq"),
+        col("k.h").as("h"))
+    withAseq(spark.read.parquet(live))
+      .join(keep.select("doc_id", "aseq"), Seq("doc_id", "aseq"),
+        "left_semi")
       .repartition(col("bp"))
       .sortWithinPartitions("band")
       .write.mode("overwrite").partitionBy("bp")
       .parquet(s"$indexDir/$next")
+    keep.select("doc_id", "h", "aseq")
+      .write.mode("overwrite").parquet(s"$indexDir/$next/_hashes")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
     swapPointer(spark, indexDir, next)
@@ -207,6 +322,7 @@ object MinhashIndex {
         st.getPath.getName.startsWith("postings") &&
         st.getPath.getName != next && st.getPath.getName != liveName)
       .foreach(st => fs.delete(st.getPath, true))
+    dropLegacyIfUnreferenced(spark, indexDir, Some(liveName))
   }
 
   /** Atomic `_POSTINGS` pointer swing to generation `next`: write a temp
@@ -270,15 +386,17 @@ object MinhashIndex {
   /** Index health: distinct bands, biggest band (bounds probe tail latency
     * AND candidate fan-out — the rebuild/re-shingle signal when boilerplate
     * degenerates a band), and per-band skew. `n_docs` counts DISTINCT
-    * doc_ids: a doc_id re-appended with changed content holds one hash row
-    * per content version (the seen-content registry — [[append]] scaladoc),
-    * and [[compact]] deliberately does not garbage-collect superseded
-    * content.
+    * doc_ids: between compactions a doc_id re-appended with changed
+    * content holds one hash row per content version; [[compact]]
+    * garbage-collects all but the newest, so post-compaction the hash
+    * row count equals `n_docs`.
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
-    val sizes = spark.read.parquet(livePostingsDir(spark, indexDir))
+    // ONE pointer resolution for both components (livePostingsDir note)
+    val live = livePostingsDir(spark, indexDir)
+    val sizes = spark.read.parquet(live)
       .groupBy("band").agg(count(lit(1)).as("sz"))
-    spark.read.parquet(s"$indexDir/hashes")
+    spark.read.parquet(genHashesDir(spark, indexDir, live))
       .agg(countDistinct("doc_id").as("n_docs"))
       .crossJoin(sizes.agg(
         count(lit(1)).as("n_bands"),
@@ -304,12 +422,14 @@ object MinhashIndex {
     // O(batch) per pass, and a lazy return must not pin a cache it cannot
     // release (bench reps would leak one per invocation)
     val s = signed(batch.select("doc_id", "text"))
-    val hashes = spark.read.parquet(s"$indexDir/hashes")
+    // ONE pointer resolution for hashes + postings (livePostingsDir note)
+    val live = livePostingsDir(spark, indexDir)
+    val hashes = spark.read.parquet(genHashesDir(spark, indexDir, live))
     val afterExact = s.join(hashes.select("h"), Seq("h"), "left_anti")
     val bBand = bandRows(afterExact)
     // bounded collect: at most NumBandPartitions distinct values
     val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(livePostingsDir(spark, indexDir))
+    val postings = spark.read.parquet(live)
       .filter(col("bp").isin(bps: _*))
       .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("_bc") <= maxBand)

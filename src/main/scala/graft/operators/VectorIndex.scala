@@ -159,10 +159,10 @@ object VectorIndex {
     if (next != "postings") swapPointer(spark, indexDir, next)
     oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
-    // a rebuild supersedes any legacy-layout shared state (pre
-    // generation-complete indexes kept centroids/tombstones at top level)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "centroids"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
+    // a rebuild supersedes any legacy-layout shared state, but a RETAINED
+    // legacy generation still reads the top-level dirs — defer their
+    // deletion to the next cycle (dropLegacyIfUnreferenced scaladoc)
+    dropLegacyIfUnreferenced(fs, dir, liveBefore)
     ()
   }
 
@@ -195,13 +195,47 @@ object VectorIndex {
                             genDir: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(genDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sets = Seq(s"$genDir/_tombstones", s"$indexDir/tombstones")
+    // a generation-COMPLETE dir (it has its own _centroids) owns ALL of
+    // its state: the legacy top-level tombstones belong to pre-migration
+    // generations only, and reading them here would let a
+    // deferred-deleted (or crash-surviving) legacy set mask rows of the
+    // rebuilt index — the exact window the generation-complete layout
+    // exists to close. A LEGACY generation that received NEW
+    // per-generation deletes before its migrating rebuild/compaction
+    // honors BOTH sets (union, not shadow — shadowing would resurrect
+    // the legacy deletions).
+    val genComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$genDir/_centroids"))
+    val candidates =
+      if (genComplete) Seq(s"$genDir/_tombstones")
+      else Seq(s"$genDir/_tombstones", s"$indexDir/tombstones")
+    val sets = candidates
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
       .map(spark.read.parquet(_))
-    // a legacy index that received NEW per-generation deletes before its
-    // migrating rebuild/compaction honors BOTH sets (union, not shadow —
-    // shadowing would resurrect the legacy deletions)
     sets.reduceOption(_ unionByName _)
+  }
+
+  /** Retire the legacy top-level `centroids/`/`tombstones/` dirs — but
+    * only once no retained generation still resolves to them: the
+    * just-superseded generation is kept for in-flight probes, and when it
+    * is itself legacy (no `_centroids` of its own) those probes read the
+    * top-level dirs through the [[genCentroidsDir]]/[[genTombstones]]
+    * fallbacks — deleting them mid-flight is a FileNotFoundException.
+    * Deferred exactly like superseded generations: the NEXT
+    * rebuild/compaction (whose retained generation is
+    * generation-complete) drops them.
+    */
+  private def dropLegacyIfUnreferenced(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      retained: Option[String]): Unit = {
+    val stillRead = retained.exists(g => !fs.exists(
+      new org.apache.hadoop.fs.Path(dir, s"$g/_centroids")))
+    if (!stillRead) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "centroids"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
+      ()
+    }
   }
 
   /** Atomic `_POSTINGS` pointer swing (temp file + FileContext rename with
@@ -343,10 +377,11 @@ object VectorIndex {
     val fs = dir.getFileSystem(conf)
     swapPointer(spark, indexDir, next)
     // compaction migrates a legacy-layout index: its shared centroids and
-    // tombstones are folded into the new generation above, so the old
-    // top-level dirs retire with the swing
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "centroids"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
+    // tombstones are folded into the new generation above — but the
+    // RETAINED superseded generation may still read the top-level dirs,
+    // so their deletion is deferred to the next cycle like the
+    // generation itself (dropLegacyIfUnreferenced scaladoc)
+    dropLegacyIfUnreferenced(fs, dir, Some(liveName))
     // reclaim generations older than the one just superseded
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&

@@ -783,6 +783,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_index: compaction garbage-collects superseded content — " +
+    "index stays O(live) under repeated re-released updates") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinhashIndex
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).limit(30)
+    val n = d.count()
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_gc").toString
+    try {
+      MinhashIndex.build(d, idx)
+      // M update rounds over the SAME doc_ids: each append adds one hash
+      // row + 8 band rows per doc beside the old ones
+      (1 to 3).foreach { i =>
+        MinhashIndex.append(d.select(col("doc_id"),
+          concat(col("text"), lit(s" rev-$i tail")).as("text")), idx)
+      }
+      val live0 = MinhashIndex.livePostingsDir(spark, idx)
+      assert(spark.read.parquet(s"$live0/_hashes").count() === n * 4,
+        "pre-compaction registry holds every content version")
+      MinhashIndex.compact(spark, idx)
+      val live = MinhashIndex.livePostingsDir(spark, idx)
+      // O(live): one hash row and one append's band rows per doc survive
+      assert(spark.read.parquet(s"$live/_hashes").count() === n)
+      assert(spark.read.parquet(live).count() === n * 8)
+      // the survivors are the NEWEST content (rev-3): probing it hits the
+      // exact tier for every doc
+      val rev3 = d.select(col("doc_id"),
+        concat(col("text"), lit(" rev-3 tail")).as("text"))
+      assert(MinhashIndex.novelDocs(spark, rev3, idx).count() === 0L)
+      // n_docs == distinct live docs
+      assert(MinhashIndex.indexStats(spark, idx).collect()(0)
+        .getLong(0) === n)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("minhash_index: maybeCompact folds the generation only past the " +
     "small-file bound, and answers are unchanged") {
     import org.apache.spark.sql.functions._
