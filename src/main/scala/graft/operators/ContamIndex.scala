@@ -23,9 +23,20 @@ import org.apache.spark.sql.functions._
   * .shingleIds]] the contamination family already uses, so every count a
   * probe produces is DuckDB-oracle-reproducible. Heavy-gram handling
   * follows `decontam_filter` (reference-free boilerplate guard): grams
-  * whose TRAIN-side document frequency exceeds the cap are not treated
-  * as evidence — the probe computes the batch's df itself, so the cap
-  * needs no persisted state.
+  * whose TRAIN-side frequency exceeds the cap are not treated as
+  * evidence. The inline filter sees the whole train corpus at once; the
+  * release loop's probes see only a micro-batch, whose df can never
+  * reach the cap — so the index ACCRETES the train-side df
+  * ([[recordTrainDf]], called with each release's admitted docs, the
+  * `_SUITES`-style accretion protocol) under `train_df[_vN]/` (gp-
+  * partitioned (id, df) segments behind a `_TRAINDF` pointer, folded by
+  * [[maybeCompactTrainDf]]), and a probe caps on `batch df + persisted
+  * corpus df`. With no persisted state (the inline/audit shape) that
+  * reduces to the batch-df cap, so `decontam_filter` and the shared
+  * oracle are unchanged. The df stats are an ADVISORY boilerplate guard:
+  * a crash between a release and its recordTrainDf under- or
+  * over-counts a batch's grams, which only shifts when the exemption
+  * engages — never which grams are eval evidence.
   */
 object ContamIndex {
   import graft.functions.VectorFunctions.shingleIds
@@ -102,10 +113,101 @@ object ContamIndex {
     finally out.close()
   }
 
+  // ------------------------------------------------ train-side df accretion
+
+  /** The live train-df directory: named by the `_TRAINDF` pointer when a
+    * fold has run, the original `train_df/` otherwise (the
+    * [[MinhashIndex.livePostingsDir]] idiom).
+    */
+  def liveTrainDfDir(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_TRAINDF")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } else "train_df"
+    s"$indexDir/$name"
+  }
+
+  /** Accrete a released batch's gram frequencies into the persisted
+    * train-side df — O(batch) work, one append segment per gp partition.
+    * Call with each release's ADMITTED docs (what actually enters the
+    * train corpus); the probe-side cap then reflects corpus-level
+    * boilerplate, not just the micro-batch's. Single writer at a time
+    * (the [[MinhashIndex.append]] contract). Counts mirror the inline
+    * filter's definition exactly: exploded gram rows per id, not
+    * distinct-per-doc.
+    */
+  def recordTrainDf(docs: DataFrame, indexDir: String,
+                    gramN: Int = 5): Unit = {
+    val spark = docs.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    docs.select(explode(shingleIds(col("text"), gramN)).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("df"))
+      .withColumn("gp", gp(col("id")))
+      .sortWithinPartitions("id")
+      .write.mode("append").partitionBy("gp")
+      .parquet(liveTrainDfDir(spark, indexDir))
+  }
+
+  /** Fold the train-df append segments once any gp partition's file count
+    * passes the bound (the [[MinhashIndex.maybeCompact]] policy): rewrite
+    * as one summed row per gram into a new `train_df_vN` generation,
+    * publish with an atomic `_TRAINDF` pointer swing, retain the
+    * just-superseded generation for in-flight probes, reclaim older ones.
+    */
+  def maybeCompactTrainDf(spark: SparkSession, indexDir: String,
+                          maxFilesPerPartition: Int = 8): Boolean = {
+    val livePath = new org.apache.hadoop.fs.Path(
+      liveTrainDfDir(spark, indexDir))
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(livePath)) return false
+    val over = fs.listStatus(livePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gp="))
+      .map(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")))
+      .exists(_ > maxFilesPerPartition)
+    if (!over) return false
+    val live = livePath.toString
+    val liveName = live.substring(live.lastIndexOf('/') + 1)
+    val nextGen =
+      if (liveName == "train_df") 1
+      else liveName.stripPrefix("train_df_v").toInt + 1
+    val next = s"train_df_v$nextGen"
+    spark.read.parquet(live)
+      .groupBy("gp", "id").agg(sum("df").as("df"))
+      .repartition(col("gp"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").partitionBy("gp")
+      .parquet(s"$indexDir/$next")
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._TRAINDF.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_TRAINDF"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("train_df") &&
+        st.getPath.getName != next && st.getPath.getName != liveName)
+      .foreach(st => fs.delete(st.getPath, true))
+    true
+  }
+
   /** The training-batch rows that survive decontamination: a batch doc is
-    * DROPPED when any of its grams (batch-df ≤ `dfCap`, the boilerplate
-    * guard) appears in the eval evidence. The probe reads only the
-    * batch's gp partitions (pruned via a ≤64-value collect), the gram
+    * DROPPED when any of its grams appears in the eval evidence — except
+    * grams whose train-side frequency (this batch's df PLUS the accreted
+    * corpus df, [[recordTrainDf]]) exceeds `dfCap`: corpus-level
+    * boilerplate is not contamination evidence, exactly as the inline
+    * `decontam_filter` defines it over the full train corpus. The probe
+    * reads only the batch's gp partitions (pruned via a ≤64-value
+    * collect) from BOTH the evidence and the df stats, the gram
     * equi-join collides candidates, and the whole pass is O(batch +
     * collisions) — the eval sets are never re-shingled.
     */
@@ -116,11 +218,25 @@ object ContamIndex {
     // cannot release (the MinhashIndex.novelDocs convention)
     val bGrams = batch
       .select(col("doc_id"), explode(shingleIds(col("text"), gramN)).as("id"))
-    val heavy = bGrams.groupBy("id").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("id")
     // bounded collect: at most NumGramPartitions distinct values
     val gps = bGrams.select(gp(col("id")).as("gp")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    val batchDf = bGrams.groupBy("id").agg(count(lit(1)).as("bdf"))
+    val liveDf = liveTrainDfDir(spark, indexDir)
+    val dfExists = new org.apache.hadoop.fs.Path(liveDf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(liveDf))
+    // corpus df for the batch's grams only: partition-pruned read,
+    // summed across append segments; absent state = 0 (the inline shape)
+    val heavy = (if (dfExists)
+        batchDf.join(
+          spark.read.parquet(liveDf).filter(col("gp").isin(gps: _*))
+            .groupBy("id").agg(sum("df").as("cdf")),
+          Seq("id"), "left")
+          .select(col("id"),
+            (col("bdf") + coalesce(col("cdf"), lit(0L))).as("df"))
+      else batchDf.select(col("id"), col("bdf").as("df")))
+      .filter(col("df") > dfCap).select("id")
     val evidence = spark.read.parquet(s"$indexDir/grams")
       .filter(col("gp").isin(gps: _*))
       .select("id")

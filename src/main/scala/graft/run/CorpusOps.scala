@@ -134,6 +134,20 @@ object CorpusOps {
     } else
       graft.operators.MinhashIndex.build(
         released.select("doc_id", "text"), idxDir)
+    // accrete the ADMITTED docs' gram frequencies into the eval index's
+    // train-side df stats: future probes cap on corpus-level boilerplate,
+    // not just their own micro-batch's df (a small batch can never reach
+    // the cap alone, so without this the release loop over-drops docs
+    // that merely share boilerplate grams with eval). Replayed batches
+    // are empty by the time they reach `kept` — no double count.
+    evalDir.foreach { _ =>
+      val ctDir = s"$warehouse/eval_index"
+      graft.operators.ContamIndex.recordTrainDf(
+        kept.select("doc_id", "text"), ctDir)
+      if (graft.operators.ContamIndex.maybeCompactTrainDf(spark, ctDir))
+        System.err.println("eval index: compacted train-df segments " +
+          "(small-file bound reached)")
+    }
     kept.unpersist()
     internalCaches.foreach(_.unpersist())
     val (ins, upd) = counts.getOrElse((0L, 0L))

@@ -927,6 +927,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contam_index: accreted train-side df exempts corpus-level " +
+    "boilerplate a micro-batch alone can never cap") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ContamIndex
+    import spark.implicits._
+    val boiler =
+      "standard disclaimer all rights reserved contact support for details"
+    // eval suite: every doc opens with the boilerplate sentence
+    val eval = (1 to 5).map(i => (i.toLong, s"$boiler unique eval answer $i"))
+      .toDF("doc_id", "text")
+    // released corpus: many docs share the boilerplate (df >> cap)
+    val corpus = (100 to 160).map(i =>
+      (i.toLong, s"$boiler corpus document body number $i with words"))
+      .toDF("doc_id", "text")
+    // a 10-doc micro-batch sharing ONLY boilerplate grams with eval
+    val batch = (500 to 509).map(i =>
+      (i.toLong, s"$boiler fresh training content row $i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ct_df").toString
+    try {
+      ContamIndex.build(eval, idx)
+      val cap = 50
+      // no persisted stats: the batch's own df (10) can never reach the
+      // cap, so boilerplate counts as evidence and every doc over-drops —
+      // the release-loop failure mode this feature closes
+      assert(ContamIndex.decontaminate(spark, batch, idx, dfCap = cap)
+        .count() === 0L)
+      ContamIndex.recordTrainDf(corpus, idx)
+      // batch df + corpus df (10 + 61) passes the cap: boilerplate grams
+      // are exempt and nothing else overlaps eval — the batch survives
+      assert(ContamIndex.decontaminate(spark, batch, idx, dfCap = cap)
+        .count() === batch.count())
+      // a doc sharing REAL eval content must still drop (its
+      // distinguishing grams are rare on the train side)
+      val leaked = batch.unionByName(
+        Seq((600L, s"$boiler unique eval answer 3")).toDF("doc_id", "text"))
+      assert(ContamIndex.decontaminate(spark, leaked, idx, dfCap = cap)
+        .count() === batch.count())
+      // segment fold: repeated accretion then compaction, answers stable
+      (1 to 9).foreach(_ => ContamIndex.recordTrainDf(corpus, idx))
+      assert(ContamIndex.maybeCompactTrainDf(spark, idx,
+        maxFilesPerPartition = 1))
+      assert(ContamIndex.decontaminate(spark, batch, idx, dfCap = cap)
+        .count() === batch.count())
+      assert(ContamIndex.decontaminate(spark, leaked, idx, dfCap = cap)
+        .count() === batch.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
