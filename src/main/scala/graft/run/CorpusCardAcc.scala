@@ -1,0 +1,174 @@
+package graft.run
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Mergeable per-source accumulators behind the release loop's
+  * `corpus_card` datasheet — the O(batch) replacement for recomputing the
+  * card over the whole corpus on every release.
+  *
+  * The exact card ([[graft.queries.TrainingData.corpusCardFrames]]) is a
+  * full-corpus pass: at 100 TB that is a complete scan per release — per
+  * MICRO-BATCH in the streaming loop. Instead, `corpus_card_acc` holds one
+  * row per source:
+  *
+  *   - `n_docs`, `chars_total`, `tokens_total` — EXACT, delta-maintained:
+  *     a release adds its admitted rows' contributions and subtracts the
+  *     previous contributions of the doc_ids it touches (unchanged rows
+  *     cancel, updates net their difference, inserts add).
+  *   - `tok_hist` — a ~5%-relative log-bucket histogram of n_tokens,
+  *     additive AND subtractable (so updates stay exact at bucket
+  *     granularity); token quantiles read off the cumulative histogram
+  *     with a declared ±~6% relative band.
+  *   - `lang_counts` — per-language doc counts, delta-maintained exactly;
+  *     top_lang/top_lang_share derive exactly.
+  *   - `hll` — a Datasketches HLL sketch of content hashes. Sketches
+  *     cannot subtract, so `n_distinct` = min(n_docs, estimate) counts
+  *     content EVER released per source (±~2% HLL error, drifting upward
+  *     under heavy updates) — the one declared-approximate column. The
+  *     exact full recompute (the bootstrap/self-heal path in
+  *     [[CorpusOps.release]]) resets the drift.
+  *
+  * Crash safety rides the index's [[graft.operators.MinhashIndex]]
+  * CommitMarker protocol: the marker is invalidated before the merge and
+  * the accumulator update happens after it, so a crash in between leaves
+  * the NEXT release on the self-heal path, which rebuilds the
+  * accumulators exactly from the released corpus.
+  */
+object CorpusCardAcc {
+
+  val AccTable = "corpus_card_acc"
+
+  /** ~5%-relative log bucket of a token count: floor(log_1.05(nt+1)). */
+  private val LogBase = math.log(1.05)
+
+  private def bucketOf(nt: org.apache.spark.sql.Column) =
+    floor(log(nt.cast(DoubleType) + 1.0) / lit(LogBase)).cast("int")
+
+  /** Geometric representative of bucket b — the quantile estimate's value,
+    * within one bucket width (±~5%) of any member.
+    */
+  private def bucketValue(b: org.apache.spark.sql.Column) =
+    round(pow(lit(1.05), b.cast(DoubleType) + 0.5) - 1.0, 1)
+
+  /** Signed per-doc contributions: `w` = +1 for arriving rows, -1 for the
+    * previous versions being replaced.
+    */
+  private def contrib(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("source"), col("lang"),
+      col("n_tokens").cast(LongType).as("nt"),
+      length(col("text")).cast(LongType).as("chars"),
+      md5(col("text")).as("h"), lit(w.toLong).as("w"))
+
+  /** Per-source accumulator rows from a signed contribution stream. Only
+    * POSITIVE rows feed the HLL sketch (content ever released — sketches
+    * cannot subtract; see class doc).
+    */
+  private def accFrom(c: DataFrame): DataFrame = {
+    val main = c.groupBy("source").agg(
+      sum(col("w")).as("n_docs"),
+      sum(col("w") * col("chars")).as("chars_total"),
+      sum(col("w") * col("nt")).as("tokens_total"),
+      hll_sketch_agg(when(col("w") > 0, col("h"))).as("hll"))
+    val hist = c.groupBy(col("source"), bucketOf(col("nt")).as("b"))
+      .agg(sum("w").as("n")).filter(col("n") =!= 0)
+      .groupBy("source")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("n"))))
+        .as("tok_hist"))
+    val langs = c.groupBy("source", "lang").agg(sum("w").as("n"))
+      .filter(col("n") =!= 0)
+      .groupBy("source")
+      .agg(map_from_entries(collect_list(struct(col("lang"), col("n"))))
+        .as("lang_counts"))
+    main.join(hist, Seq("source"), "left").join(langs, Seq("source"), "left")
+  }
+
+  /** Exact accumulators over a full corpus — the bootstrap/self-heal
+    * path's one O(corpus) pass.
+    */
+  def buildFrom(corpus: DataFrame): DataFrame = accFrom(contrib(corpus, 1))
+
+  /** The O(batch) release delta: the arriving rows' contributions MINUS
+    * the current table rows they touch (`oldSlice` — the semi-join of the
+    * existing table against the batch's doc_ids, an O(batch + touched
+    * buckets) read like the merge itself). Unchanged rows cancel exactly.
+    */
+  def delta(stage: DataFrame, oldSlice: Option[DataFrame]): DataFrame =
+    accFrom(oldSlice.map(o => contrib(stage, 1).unionByName(contrib(o, -1)))
+      .getOrElse(contrib(stage, 1)))
+
+  /** Fold a release delta into the persisted accumulators: counters add,
+    * histograms and language counts merge entry-wise (zeroed entries
+    * drop), sketches union. Sources touched by neither side pass through.
+    */
+  def merge(acc: DataFrame, d: DataFrame): DataFrame = {
+    // not cached: callers materialize the merge result (localCheckpoint)
+    // before overwriting the accumulator table it reads from, and the
+    // frame is per-source-sized either way
+    val u = acc.unionByName(d)
+    val main = u.groupBy("source").agg(
+      sum("n_docs").as("n_docs"),
+      sum("chars_total").as("chars_total"),
+      sum("tokens_total").as("tokens_total"),
+      hll_union_agg(col("hll"), lit(true)).as("hll"))
+    val hist = u.select(col("source"), explode(col("tok_hist")))
+      .groupBy("source", "key").agg(sum("value").as("n"))
+      .filter(col("n") =!= 0)
+      .groupBy("source")
+      .agg(map_from_entries(collect_list(struct(col("key"), col("n"))))
+        .as("tok_hist"))
+    val langs = u.select(col("source"), explode(col("lang_counts")))
+      .groupBy("source", "key").agg(sum("value").as("n"))
+      .filter(col("n") =!= 0)
+      .groupBy("source")
+      .agg(map_from_entries(collect_list(struct(col("key"), col("n"))))
+        .as("lang_counts"))
+    main.join(hist, Seq("source"), "left").join(langs, Seq("source"), "left")
+  }
+
+  /** Derive the `corpus_card` datasheet from the accumulators — schema and
+    * ordering of [[graft.queries.TrainingData.corpusCardFrames]], with
+    * `n_distinct` and the token quantiles carrying the declared bands
+    * (class doc). All work is over the per-source table: O(sources).
+    */
+  def cardFrom(acc: DataFrame): DataFrame = {
+    val hist = acc.select(col("source"), col("n_docs"),
+      explode(col("tok_hist")))
+    val w = Window.partitionBy("source").orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the exact percentile's lower interpolation endpoint sits at rank
+    // (n-1)*p + 1; the first bucket whose cumulative count reaches it
+    // contains that endpoint
+    val withCum = hist.withColumn("cum", sum("value").over(w))
+    val picks = withCum.groupBy("source").agg(
+      min(when(col("cum") >=
+        (col("n_docs") - 1).cast(DoubleType) * 0.5 + 1.0, col("key")))
+        .as("b50"),
+      min(when(col("cum") >=
+        (col("n_docs") - 1).cast(DoubleType) * 0.9 + 1.0, col("key")))
+        .as("b90"))
+    val top = acc.select(col("source"), explode(col("lang_counts")))
+      .groupBy("source")
+      .agg(min(struct((-col("value")).as("neg"), col("key").as("lang"),
+        col("value").as("lc"))).as("t"))
+      .select(col("source"), col("t.lang").as("top_lang"),
+        col("t.lc").as("lc"))
+    acc.select(col("source"), col("n_docs"), col("chars_total"),
+        col("tokens_total"),
+        least(col("n_docs"), hll_sketch_estimate(col("hll")))
+          .as("n_distinct"))
+      .join(picks, Seq("source")).join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round((col("n_docs") - col("n_distinct")).cast(DoubleType) /
+          col("n_docs"), 4).as("dup_rate"),
+        col("chars_total"), col("tokens_total"),
+        bucketValue(col("b50")).as("tokens_p50"),
+        bucketValue(col("b90")).as("tokens_p90"),
+        col("top_lang"),
+        round(col("lc").cast(DoubleType) / col("n_docs"), 4)
+          .as("top_lang_share"))
+      .orderBy("source")
+  }
+}

@@ -96,6 +96,23 @@ object CorpusOps {
       .withColumn("source_filename", lit(sourceLabel))
       .withColumn("file_load_log_id", lit(0L))
     val now = new java.sql.Timestamp(System.currentTimeMillis())
+    // O(batch) datasheet delta, computed BEFORE the merge mutates the
+    // table: the arriving rows' card contributions minus the CURRENT
+    // contributions of the doc_ids they touch (unchanged rows cancel,
+    // updates net their difference, inserts add — CorpusCardAcc.delta).
+    // Eagerly materialized (per-source rows) so the lazy plan cannot
+    // observe post-merge state. Steady state only: the incremental path
+    // needs a trusted index (same crash signal as the index itself) and
+    // existing accumulators; anything else self-heals below with one
+    // exact O(corpus) rebuild.
+    val accSteady = existing.isDefined && idxExists &&
+      store.exists(CorpusCardAcc.AccTable)
+    val cardDelta =
+      if (accSteady)
+        Some(CorpusCardAcc.delta(stage,
+          existing.map(_.join(stage.select("doc_id"), Seq("doc_id"),
+            "left_semi"))).localCheckpoint())
+      else None
     // drop the index's commit marker BEFORE the merge: a crash anywhere
     // between here and the post-merge index maintenance leaves the index
     // visibly uncommitted, so the next release falls back and rebuilds
@@ -111,6 +128,7 @@ object CorpusOps {
     val releasedOpt = store.readIfExists(cs.tableName)
     if (releasedOpt.isEmpty) {
       kept.unpersist()
+      cardDelta.foreach(_.unpersist())
       internalCaches.foreach(_.unpersist())
       return (0L, 0L, 0L)
     }
@@ -151,18 +169,36 @@ object CorpusOps {
     kept.unpersist()
     internalCaches.foreach(_.unpersist())
     val (ins, upd) = counts.getOrElse((0L, 0L))
-    // the datasheet is an O(corpus) recompute — skip it when the release
-    // changed nothing (replayed/fully-deduped micro-batches would
-    // otherwise pay a full-corpus pass per no-op epoch); the row count
-    // itself is parquet-footer cheap. An index that was UNCOMMITTED at
-    // release start signals a prior crash mid-release — the card may be
-    // stale relative to the merged table, so that path always recomputes
-    // (self-healing, like the index rebuild it accompanies)
+    // datasheet maintenance — skipped entirely when the release changed
+    // nothing (replayed/fully-deduped micro-batches). Steady state folds
+    // the pre-computed O(batch) delta into the persisted accumulators and
+    // derives the card from them (O(sources) — no corpus scan anywhere in
+    // a steady-state release). Bootstrap, a fresh table, or an index that
+    // was UNCOMMITTED at release start (= prior crash mid-release, so
+    // both card and accumulators may be stale relative to the merged
+    // table) pay ONE exact O(corpus) pass that rebuilds both — the
+    // self-heal path, same trigger as the index rebuild it accompanies.
     if (ins + upd > 0 || !idxExists || !store.exists("corpus_card"))
-      store.overwrite("corpus_card",
-        graft.queries.TrainingData.corpusCardFrames(
-          released.select("doc_id", "text", "lang", "source", "n_tokens")),
-        partitionBy = Seq.empty)
+      cardDelta match {
+        case Some(d) =>
+          val merged = CorpusCardAcc.merge(
+            store.readIfExists(CorpusCardAcc.AccTable).get, d)
+            .localCheckpoint()
+          store.overwrite(CorpusCardAcc.AccTable, merged,
+            partitionBy = Seq.empty)
+          store.overwrite("corpus_card", CorpusCardAcc.cardFrom(merged),
+            partitionBy = Seq.empty)
+          merged.unpersist()
+        case None =>
+          val corpusSlice =
+            released.select("doc_id", "text", "lang", "source", "n_tokens")
+          store.overwrite(CorpusCardAcc.AccTable,
+            CorpusCardAcc.buildFrom(corpusSlice), partitionBy = Seq.empty)
+          store.overwrite("corpus_card",
+            graft.queries.TrainingData.corpusCardFrames(corpusSlice),
+            partitionBy = Seq.empty)
+      }
+    cardDelta.foreach(_.unpersist())
     (ins, upd, released.count())
   }
 }

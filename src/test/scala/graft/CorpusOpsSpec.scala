@@ -1210,6 +1210,74 @@ class CorpusOpsSpec extends AnyFunSuite {
       "every dimension sees every vector")
   }
 
+  test("corpus_card: steady-state releases maintain the datasheet " +
+    "incrementally, within declared bands of the exact recompute") {
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val wh = java.nio.file.Files.createTempDirectory("card_acc_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      def checkCard(): Unit = {
+        val corpus = store.readIfExists("corpus_docs").get
+          .select("doc_id", "text", "lang", "source", "n_tokens")
+        val exact = TrainingData.corpusCardFrames(corpus).collect()
+          .map(r => r.getString(0) -> r).toMap
+        val card = store.readIfExists("corpus_card").get.collect()
+        assert(card.map(_.getString(0)).toSet === exact.keySet)
+        card.foreach { r =>
+          val e = exact(r.getString(0))
+          // exact columns: counts, sums, dominant language
+          assert(r.getLong(1) === e.getLong(1), s"n_docs ${r.getString(0)}")
+          assert(r.getLong(4) === e.getLong(4), s"chars ${r.getString(0)}")
+          assert(r.getLong(5) === e.getLong(5), s"tokens ${r.getString(0)}")
+          assert(r.getString(8) === e.getString(8), "top_lang")
+          assert(r.getDouble(9) === e.getDouble(9), "top_lang_share")
+          // declared bands: HLL distinct ±5%, histogram quantiles ±8%
+          assert(math.abs(r.getLong(2) - e.getLong(2)) <=
+            math.max(1.0, 0.05 * e.getLong(2)), s"n_distinct band")
+          assert(math.abs(r.getDouble(6) - e.getDouble(6)) <=
+            0.08 * e.getDouble(6) + 0.6, s"p50 band ${r.getDouble(6)} " +
+              s"vs ${e.getDouble(6)}")
+          assert(math.abs(r.getDouble(7) - e.getDouble(7)) <=
+            0.08 * e.getDouble(7) + 0.6, s"p90 band ${r.getDouble(7)} " +
+              s"vs ${e.getDouble(7)}")
+        }
+      }
+      // release 1: bootstrap (exact card + accumulator build)
+      graft.run.CorpusOps.release(spark, store, wh,
+        all.filter(col("doc_id") % 3 =!= 0), "r1", None)
+      assert(store.exists(graft.run.CorpusCardAcc.AccTable),
+        "bootstrap must persist the accumulators")
+      checkCard()
+      // release 2: steady-state INSERTS fold through the O(batch) delta
+      graft.run.CorpusOps.release(spark, store, wh,
+        all.filter(col("doc_id") % 3 === 0), "r2", None)
+      checkCard()
+      // release 3: UPDATES — ciphered text under existing doc_ids (novel
+      // content, so the index dedup admits it) exercises the
+      // subtraction side of the accumulators
+      val upd = all.filter(col("doc_id") % 7 === 1)
+        .withColumn("text", translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz", "nopqrstuvwxyzabcdefghijklm"))
+      val (_, updN, _) = graft.run.CorpusOps.release(
+        spark, store, wh, upd, "r3", None)
+      assert(updN > 0L, "the ciphered batch must land as updates")
+      checkCard()
+      // replay: a no-op release leaves the card untouched (and cheap)
+      val vBefore = store.readIfExists("corpus_card").get.collect().toSeq
+      graft.run.CorpusOps.release(spark, store, wh,
+        all.filter(col("doc_id") % 3 === 0), "r4", None)
+      assert(store.readIfExists("corpus_card").get.collect().toSeq
+        === vBefore)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("corpus_card: one row per source, consistent counts and quantiles") {
     val rows = TrainingData.corpusCard(spark, sf).collect()
     assert(rows.map(_.getString(0)).distinct.length === rows.length)
