@@ -121,6 +121,11 @@ object CorpusOps {
     val counts = store.withTableLock(cs.tableName) {
       store.mergeInPlace(cs.tableName, stage, cs, now)
     }
+    // layout policy: the corpus table's bucket count was pinned by its
+    // first release — upgrade it once the corpus outgrows the sizing rule
+    // 8x, so release cost returns to O(delta + fine buckets)
+    store.maybeRebucket(cs.tableName, cs.grain).foreach(n =>
+      System.err.println(s"corpus: rebucketed outgrown layout to $n buckets"))
     // a fully-filtered release against a VIRGIN warehouse (every doc
     // quality-gated, deduped, or decontaminated away) creates no table at
     // all — that is a valid outcome, not a crash: nothing to index, no

@@ -228,6 +228,12 @@ final class PipelineRunner(
       } }
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
         inserts = mInserts, updates = mUpdates)
+      // layout policy: a target pinned to a tiny first file's bucket count
+      // upgrades automatically once it outgrows the sizing rule 8x (one
+      // manifest read when nothing to do; mature targets skip the gauge)
+      sink.maybeRebucket(source.tableName, source.grain).foreach(n =>
+        System.err.println(
+          s"${source.tableName}: rebucketed outgrown layout to $n buckets"))
 
       // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
       // current run's rows survive (reference delete/base.py:36-41).

@@ -46,6 +46,13 @@ trait Sink {
     */
   def mergeInPlace(name: String, stage: DataFrame, source: SourceConfig,
                    now: java.sql.Timestamp): Option[(Long, Long)] = None
+
+  /** Post-publish layout policy hook: sinks with a physically pinned
+    * layout (the bucketed parquet store) re-size it when the table has
+    * outgrown it ([[TableStore.maybeRebucket]]); relational sinks have no
+    * layout to outgrow. Returns the new bucket count when a fold ran.
+    */
+  def maybeRebucket(name: String, grain: Seq[String]): Option[Int] = None
 }
 
 object JdbcSink {

@@ -496,11 +496,38 @@ final class TableStore(spark: SparkSession, root: String,
     vacuum(name) // bound disk: drop superseded generations (manifest-aware)
   }
 
+  /** Post-publish auto-rebucket policy (the [[graft.operators.MinhashIndex
+    * .maybeCompact]] shape): the bucket count is PINNED by the first
+    * publish, so a table whose first file was unrepresentatively tiny
+    * keeps paying coarse pruning granularity as it grows — nothing
+    * triggered the [[rebucket]] escape hatch. After each publish, compare
+    * the pinned count against what the sizing rule would choose for the
+    * CURRENT row count; once the ideal is `ratio`x the pinned count, fold
+    * the table through [[rebucket]] (one full publish; the copy-on-write
+    * swap keeps readers safe throughout, and publish cost returns to
+    * O(delta + fine buckets)). Tables already at the max granularity skip
+    * even the row-count gauge, so the steady-state cost for a mature
+    * 100 TB target is one manifest read per publish. Reentrant with the
+    * caller's table lock (JVM-object monitor).
+    */
+  override def maybeRebucket(name: String,
+                             grain: Seq[String]): Option[Int] = {
+    val man = currentVersion(name).flatMap(v => readManifest(name, v))
+    man.filter(_.numBuckets < publishBuckets).flatMap { m =>
+      val rows = readIfExists(name).map(_.count()).getOrElse(0L)
+      if (chooseBucketCount(rows) >=
+          m.numBuckets.toLong * TableStore.RebucketRatio)
+        rebucket(name, grain)
+      else None
+    }
+  }
+
   /** Re-bucket a merge-published target, resizing the bucket count from the
     * table's CURRENT row count (same sizing rule as a first publish): the
     * escape hatch for tables whose pinned layout no longer fits — a first
     * file that was unrepresentatively tiny, or a table that outgrew its
-    * granularity. Costs one full publish (read-everything rewrite); the
+    * granularity. [[maybeRebucket]] triggers it automatically from the
+    * publish loops. Costs one full publish (read-everything rewrite); the
     * copy-on-write swap keeps readers safe throughout. Returns the new
     * bucket count, or None when the table has never been written.
     */
@@ -615,4 +642,11 @@ object TableStore {
     * well above the tiny-file overhead floor.
     */
   val RowsPerBucket: Long = 4096L
+
+  /** [[TableStore.maybeRebucket]] divergence bound: fold only once the
+    * sizing rule's ideal bucket count reaches this multiple of the pinned
+    * one — a full-rewrite fold must stay rare, and power-of-two sizing
+    * means small drifts are routine.
+    */
+  val RebucketRatio: Long = 8L
 }

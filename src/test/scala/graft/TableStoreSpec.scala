@@ -252,6 +252,50 @@ class TableStoreSpec extends AnyFunSuite {
     assert(c.contains((0L, 1L)))
   }
 
+  test("maybeRebucket upgrades an outgrown pinned layout automatically " +
+    "and reads stay identical") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 128)
+    val src = btSource.copy(tableName = "g")
+    // tiny first file pins the floor bucket count
+    store.mergeInPlace("g", stageDf(1L -> "a"), src,
+      new java.sql.Timestamp(1000L))
+    def bucketDirs(): Int = {
+      val v = new String(
+        Files.readAllBytes(root.resolve("g").resolve("_VERSION"))).trim
+      Files.list(root.resolve("g").resolve(v)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .count(_.startsWith("_bucket="))
+    }
+    assert(bucketDirs() <= 16)
+    // under the divergence bound the policy is a no-op
+    assert(store.maybeRebucket("g", Seq("id")).isEmpty)
+    // ~1000x growth past the pinned granularity
+    val sp = spark
+    import sp.implicits._
+    val big = sp.range(2L, 530002L).select(col("id"),
+        concat(lit("v"), col("id")).as("v"))
+      .withColumn("etl_row_hash",
+        xxhash64(concat_ws("|", col("id"), col("v"))))
+      .withColumn("source_filename", lit("x.parquet"))
+      .withColumn("file_load_log_id", lit(1L))
+    store.mergeInPlace("g", big, src, new java.sql.Timestamp(2000L))
+    def contentHash(): Long = store.readIfExists("g").get
+      .agg(expr("bit_xor(xxhash64(id, v))")).head().getLong(0)
+    val h0 = contentHash()
+    // the post-publish policy call (what the publish loops run) folds the
+    // table to the sizing rule's choice
+    assert(store.maybeRebucket("g", Seq("id")).contains(128))
+    assert(bucketDirs() === 128)
+    assert(contentHash() === h0, "fold must preserve contents exactly")
+    // at max granularity the policy skips even the row-count gauge
+    assert(store.maybeRebucket("g", Seq("id")).isEmpty)
+    // subsequent deltas merge into the NEW layout
+    val c = store.mergeInPlace("g", stageDf(1L -> "a2"), src,
+      new java.sql.Timestamp(3000L))
+    assert(c.contains((0L, 1L)))
+  }
+
   test("mergeInPlace declines user-partitioned targets (layout preserved)") {
     val root = Files.createTempDirectory("graft_store")
     val store = new TableStore(spark, root.toString)
