@@ -120,6 +120,17 @@ sealed trait MergeDialect {
   def mergeSql(target: String, delta: String, grain: Seq[String],
                dataCols: Seq[String], ts: String, on: String): String
 
+  /** The upsert as an ORDERED statement list, executed by [[JdbcSink]]
+    * inside one transaction (autocommit off, single commit with the
+    * epoch record). One statement for every upsert-capable dialect;
+    * dialects without MERGE/ON CONFLICT ([[RedshiftDeleteInsertDialect]])
+    * override with their staged multi-statement form.
+    */
+  def mergeStatements(target: String, delta: String, grain: Seq[String],
+                      dataCols: Seq[String], ts: String,
+                      on: String): Seq[String] =
+    Seq(mergeSql(target, delta, grain, dataCols, ts, on))
+
   protected def hashCol: String = qid("etl_row_hash")
 }
 
@@ -135,6 +146,8 @@ object MergeDialect {
       case "sqlserver" | "jtds" => SqlServerMergeDialect
       case "oracle" => OracleMergeDialect
       case "h2" => H2MergeDialect
+      case "snowflake" => SnowflakeMergeDialect
+      case "redshift" => RedshiftDeleteInsertDialect
       case _ => AnsiMergeDialect // db2, unknown MERGE-capable targets
     }
   }
@@ -238,6 +251,94 @@ case object OracleMergeDialect extends AnsiMergeLike {
     s"CREATE TABLE $target AS SELECT * FROM $delta WHERE 1=0",
     s"ALTER TABLE $target ADD (${qid("etl_created_at")} TIMESTAMP)",
     s"ALTER TABLE $target ADD (${qid("etl_updated_at")} TIMESTAMP)")
+}
+
+/** Snowflake (reference todo.txt:2): ANSI MERGE with `WHEN MATCHED AND`
+  * guards, so the shared statement shape applies verbatim. VARCHAR takes
+  * no practical bound (bare VARCHAR = 16 MB max), so undeclared-length
+  * strings and grain-key CASTs stay unbounded like H2. Timestamps land as
+  * TIMESTAMP_NTZ explicitly — a bare TIMESTAMP aliases to whatever the
+  * account's TIMESTAMP_TYPE_MAPPING says, and a session pinned to _TZ/_LTZ
+  * would shift the pipeline's driver-stamped UTC times. No `WITH NO
+  * DATA`; the `WHERE 1=0` CTAS form (Oracle's) copies the delta's shape.
+  * Generated-SQL unit-tested only: no Snowflake driver jar exists in this
+  * offline environment (the documented sqlite-jdbc/H2 limit).
+  */
+case object SnowflakeMergeDialect extends AnsiMergeLike {
+  val name = "snowflake-merge"
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR")
+  override protected def keyCastType: String = "VARCHAR"
+  override def timestampType: String = "TIMESTAMP_NTZ"
+  override def createLike(target: String, delta: String): Seq[String] = Seq(
+    s"CREATE TABLE $target AS SELECT * FROM $delta WHERE 1=0",
+    s"ALTER TABLE $target ADD COLUMN ${qid("etl_created_at")} $timestampType",
+    s"ALTER TABLE $target ADD COLUMN ${qid("etl_updated_at")} $timestampType")
+}
+
+/** Redshift (reference todo.txt:2): pre-2023 clusters lack MERGE, so the
+  * upsert is the canonical staged form Redshift's own merge-examples
+  * document — all inside [[JdbcSink]]'s single transaction:
+  *
+  *   1. stage the CHANGED rows (hash differs) joined with their target
+  *      row's `etl_created_at` — a plain DELETE+reINSERT would reset the
+  *      creation stamp the MERGE UPDATE arm preserves;
+  *   2. DELETE the changed target rows (USING the stage);
+  *   3. re-INSERT the replacements with preserved created_at + new
+  *      updated_at;
+  *   4. INSERT brand-new rows (NOT EXISTS against the post-replacement
+  *      target — replacements and unchanged matches are both excluded);
+  *   5. DROP the stage.
+  *
+  * Unchanged rows are never touched (the hash guard filters them out of
+  * the stage), matching every other dialect's no-op arm. VARCHAR ceiling
+  * is 65535 bytes — used for unbounded strings and grain-key CASTs.
+  * Generated-SQL unit-tested only (no Redshift driver jar offline).
+  */
+case object RedshiftDeleteInsertDialect extends MergeDialect {
+  val name = "redshift-delete-insert"
+  override def stringType(maxLength: Option[Int]): String =
+    maxLength.map(n => s"VARCHAR($n)").getOrElse("VARCHAR(65535)")
+  override protected def keyCastType: String = "VARCHAR(65535)"
+  override def createLike(target: String, delta: String): Seq[String] = Seq(
+    s"CREATE TABLE $target AS SELECT * FROM $delta WHERE 1=0",
+    s"ALTER TABLE $target ADD COLUMN ${qid("etl_created_at")} $timestampType",
+    s"ALTER TABLE $target ADD COLUMN ${qid("etl_updated_at")} $timestampType")
+
+  /** Single-statement form does not exist for this dialect; [[JdbcSink]]
+    * always goes through [[mergeStatements]].
+    */
+  override def mergeSql(target: String, delta: String, grain: Seq[String],
+                        dataCols: Seq[String], ts: String,
+                        on: String): String =
+    mergeStatements(target, delta, grain, dataCols, ts, on).mkString(";\n")
+
+  override def mergeStatements(target: String, delta: String,
+                               grain: Seq[String], dataCols: Seq[String],
+                               ts: String, on: String): Seq[String] = {
+    val stage = s"${target}__rs_stage"
+    val cols = dataCols.map(qid).mkString(", ")
+    val dCols = dataCols.map(c => s"d.${qid(c)}").mkString(", ")
+    val created = qid("etl_created_at")
+    val updated = qid("etl_updated_at")
+    // the DELETE matches target rows against the stage's grain keys; the
+    // stage carries only changed rows, so unchanged matches survive
+    val delOn = grain.map(g =>
+      s"(t.${qid(g)} = d.${qid(g)} OR (t.${qid(g)} IS NULL AND " +
+        s"d.${qid(g)} IS NULL))").mkString(" AND ")
+    Seq(
+      s"""CREATE TABLE $stage AS
+         |SELECT $dCols, t.$created AS $created, $ts AS $updated
+         |FROM $delta d JOIN $target t ON $on
+         |WHERE t.$hashCol <> d.$hashCol""".stripMargin,
+      s"DELETE FROM $target t USING $stage d WHERE $delOn",
+      s"INSERT INTO $target ($cols, $created, $updated) " +
+        s"SELECT $cols, $created, $updated FROM $stage",
+      s"""INSERT INTO $target ($cols, $created)
+         |SELECT $dCols, $ts FROM $delta d
+         |WHERE NOT EXISTS (SELECT 1 FROM $target t WHERE $on)""".stripMargin,
+      s"DROP TABLE $stage")
+  }
 }
 
 /** Postgres / SQLite `INSERT .. ON CONFLICT (grain) DO UPDATE`. */

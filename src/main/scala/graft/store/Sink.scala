@@ -293,7 +293,8 @@ final class JdbcSink(
           s"(SELECT 1 FROM $name t WHERE $onClause)")
         val updates = one(s"SELECT COUNT(*) FROM $delta d JOIN $name t ON $onClause " +
           s"WHERE t.$hash <> d.$hash")
-        st.executeUpdate(dlt.mergeSql(name, delta, source.grain, dataCols, ts, onClause))
+        dlt.mergeStatements(name, delta, source.grain, dataCols, ts, onClause)
+          .foreach(st.executeUpdate)
         // exactly-once epoch record: MUST commit atomically with the merge
         // (see mergeExactlyOnce) — a separate transaction would reopen the
         // replay-between-commits window it exists to close. Authoritative

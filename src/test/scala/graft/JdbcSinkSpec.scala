@@ -266,6 +266,58 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     // SQLite cannot CTAS WITH NO DATA
     assert(SqliteOnConflictDialect.createLike("t1", "t1__delta")
       .head.contains("WHERE 1=0"))
+
+    // Snowflake (reference todo.txt:2): plain ANSI MERGE; unbounded
+    // VARCHAR (16 MB ceiling, the H2 shape); audit columns explicitly
+    // TIMESTAMP_NTZ so an account's TIMESTAMP_TYPE_MAPPING cannot shift
+    // the driver-stamped UTC times; WHERE 1=0 CTAS
+    assert(MergeDialect.forUrl(
+      "jdbc:snowflake://acct.snowflakecomputing.com/?db=x")
+      == SnowflakeMergeDialect)
+    val sfSql = SnowflakeMergeDialect.mergeSql("t1", "t1__delta", grain, cols,
+      ts, SnowflakeMergeDialect.keyEq(grain, Set("transaction_id")))
+    assert(sfSql.contains("MERGE INTO t1 t USING t1__delta d"))
+    assert(sfSql.contains(
+      "WHEN MATCHED AND t.\"etl_row_hash\" <> d.\"etl_row_hash\""))
+    assert(SnowflakeMergeDialect.stringType(None) == "VARCHAR")
+    assert(SnowflakeMergeDialect.stringType(Some(40)) == "VARCHAR(40)")
+    assert(SnowflakeMergeDialect.timestampType == "TIMESTAMP_NTZ")
+    assert(SnowflakeMergeDialect.createLike("t1", "t1__delta")
+      .count(_.contains("TIMESTAMP_NTZ")) == 2)
+    assert(SnowflakeMergeDialect.createLike("t1", "t1__delta")
+      .head.contains("WHERE 1=0"))
+
+    // Redshift (reference todo.txt:2): no MERGE pre-2023 — the staged
+    // DELETE+INSERT form, one ordered statement list in one transaction
+    assert(MergeDialect.forUrl("jdbc:redshift://cluster:5439/db")
+      == RedshiftDeleteInsertDialect)
+    val rsOn = RedshiftDeleteInsertDialect.keyEq(grain, Set("transaction_id"))
+    val rs = RedshiftDeleteInsertDialect.mergeStatements(
+      "t1", "t1__delta", grain, cols, ts, rsOn)
+    assert(rs.length == 5)
+    // 1: stage CHANGED rows only (hash guard) with the target's
+    // created_at preserved — DELETE+reINSERT must not reset it
+    assert(rs(0).startsWith("CREATE TABLE t1__rs_stage AS"))
+    assert(rs(0).contains("t.\"etl_row_hash\" <> d.\"etl_row_hash\""))
+    assert(rs(0).contains("t.\"etl_created_at\" AS \"etl_created_at\""))
+    // 2-3: swap the changed rows through the stage
+    assert(rs(1).startsWith("DELETE FROM t1 t USING t1__rs_stage d"))
+    assert(rs(2).startsWith("INSERT INTO t1 (") &&
+      rs(2).contains("FROM t1__rs_stage"))
+    // 4: brand-new rows via NOT EXISTS (replacements already re-inserted,
+    // unchanged matches excluded) with created_at only
+    assert(rs(3).contains("WHERE NOT EXISTS") &&
+      rs(3).contains("\"etl_created_at\")"))
+    assert(!rs(3).contains("\"etl_updated_at\""))
+    assert(rs(4) == "DROP TABLE t1__rs_stage")
+    assert(RedshiftDeleteInsertDialect.stringType(None) == "VARCHAR(65535)")
+    assert(!RedshiftDeleteInsertDialect.requiresNonNullGrain,
+      "the staged predicates are null-safe; no unique index is required")
+    // every single-statement dialect's statement list is exactly its
+    // mergeSql — the sink executes lists uniformly
+    assert(DerbyMergeDialect.mergeStatements("t1", "t1__delta", grain, cols,
+      ts, "X") === Seq(DerbyMergeDialect.mergeSql("t1", "t1__delta", grain,
+      cols, ts, "X")))
   }
 
   test("failed merge rolls back: target rows unchanged, no partial state") {
