@@ -246,11 +246,15 @@ object MinhashIndex {
       .withColumn("aseq", lit(aseq))
       .write.mode("append")
       .parquet(genHashesDir(spark, indexDir, live))
+    // crash seam: hashes landed, postings not — the index is half-synced
+    // and MUST read as uncommitted (CorpusOpsSpec kill-point matrix)
+    graft.core.Chaos.point("minhash.mid-append")
     bandRows(s)
       .withColumn("aseq", lit(aseq))
       .sortWithinPartitions("band")
       .write.mode("append").partitionBy("bp")
       .parquet(live)
+    graft.core.Chaos.point("minhash.before-commit")
     markCommitted(spark, indexDir)
     s.unpersist()
     ()
@@ -316,7 +320,13 @@ object MinhashIndex {
       .write.mode("overwrite").parquet(s"$indexDir/$next/_hashes")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
+    // crash seams around the pointer swing: before it the old generation
+    // stays live (the half-written next gen is inert and overwritten by
+    // the next fold); after it the new one is complete and the stale old
+    // generations are reclaimed by the next fold
+    graft.core.Chaos.point("minhash.before-compact-swing")
     swapPointer(spark, indexDir, next)
+    graft.core.Chaos.point("minhash.after-compact-swing")
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("postings") &&

@@ -118,9 +118,14 @@ object CorpusOps {
     // visibly uncommitted, so the next release falls back and rebuilds
     // instead of trusting a stale index
     graft.operators.MinhashIndex.invalidate(spark, idxDir)
+    graft.core.Chaos.point("corpus.after-invalidate")
     val counts = store.withTableLock(cs.tableName) {
       store.mergeInPlace(cs.tableName, stage, cs, now)
     }
+    // crash seam between the merge commit and every piece of index/card
+    // maintenance below: the absent commit marker routes the next release
+    // through the rebuild path (CorpusOpsSpec kill-point matrix)
+    graft.core.Chaos.point("corpus.after-merge")
     // layout policy: the corpus table's bucket count was pinned by its
     // first release — upgrade it once the corpus outgrows the sizing rule
     // 8x, so release cost returns to O(delta + fine buckets)

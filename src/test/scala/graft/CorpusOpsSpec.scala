@@ -1278,6 +1278,102 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("release crash contract: a kill at every seam self-heals on the " +
+    "next release (kill-point matrix)") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Chaos
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val slice1 = all.filter(col("doc_id") % 5 < 3)
+    val slice2 = all.filter(col("doc_id") % 5 >= 3)
+    val points = Seq("corpus.after-invalidate", "corpus.after-merge",
+      "minhash.mid-append", "minhash.before-commit")
+    for (p <- points) {
+      val wh = java.nio.file.Files.createTempDirectory("chaos_wh").toString
+      try {
+        val store = new graft.store.TableStore(spark, wh)
+        graft.run.CorpusOps.release(spark, store, wh, slice1, "r1", None)
+        Chaos.arm(p)
+        val killed = intercept[RuntimeException] {
+          graft.run.CorpusOps.release(spark, store, wh, slice2, "r2", None)
+        }
+        assert(killed.isInstanceOf[Chaos.ChaosKill], s"$p killed: $killed")
+        Chaos.disarm()
+        // the crash is VISIBLE: the index reads as untrusted
+        assert(!graft.operators.MinhashIndex.isCommitted(
+          spark, s"$wh/corpus_index"), s"$p must leave the index uncommitted")
+        // next release self-heals: frame fallback + index/card rebuild;
+        // the batch lands (or no-ops when the merge had already committed
+        // before the kill) and the marker returns
+        graft.run.CorpusOps.release(spark, store, wh, slice2, "r2b", None)
+        assert(graft.operators.MinhashIndex.isCommitted(
+          spark, s"$wh/corpus_index"), s"$p must be healed")
+        val after = store.readIfExists("corpus_docs").get
+        // replay is an end-to-end no-op on the healed state
+        val (i3, u3, rows3) = graft.run.CorpusOps.release(
+          spark, store, wh, slice2, "r2c", None)
+        assert(i3 === 0L && u3 === 0L, s"$p replay must no-op")
+        assert(rows3 === after.count(), p)
+        // the self-heal path rebuilt the datasheet exactly
+        val key = (r: org.apache.spark.sql.Row) =>
+          (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5))
+        val card = store.readIfExists("corpus_card").get.collect().map(key)
+        val exact = TrainingData.corpusCardFrames(after.select(
+          "doc_id", "text", "lang", "source", "n_tokens")).collect().map(key)
+        assert(card.toSet === exact.toSet, s"$p card must match exact")
+      } finally {
+        Chaos.disarm()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(wh))
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
+  test("compaction crash contract: a kill on either side of the pointer " +
+    "swing leaves a probe-able index and the next fold completes") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Chaos
+    import graft.operators.MinhashIndex
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).limit(30)
+    val novel = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" novel tail for chaos")).as("text"))
+    val probe = d.unionByName(novel)
+    for (p <- Seq("minhash.before-compact-swing",
+        "minhash.after-compact-swing")) {
+      val idx = java.nio.file.Files.createTempDirectory("chaos_mh").toString
+      try {
+        MinhashIndex.build(d, idx)
+        MinhashIndex.append(novel, idx)
+        val before = MinhashIndex.novelDocs(spark, probe, idx).count()
+        assert(before === 0L)
+        Chaos.arm(p)
+        assert(intercept[RuntimeException] {
+          MinhashIndex.compact(spark, idx)
+        }.isInstanceOf[Chaos.ChaosKill], p)
+        Chaos.disarm()
+        // compaction never touches the commit marker, and whichever side
+        // of the swing the crash hit, probes answer from a COMPLETE
+        // generation (old before the swing, new after)
+        assert(MinhashIndex.isCommitted(spark, idx), p)
+        assert(MinhashIndex.novelDocs(spark, probe, idx).count() === before,
+          s"$p: probe answers must not change across the crash")
+        // the next fold completes over the leftover state
+        MinhashIndex.compact(spark, idx)
+        assert(MinhashIndex.novelDocs(spark, probe, idx).count() === before, p)
+      } finally {
+        Chaos.disarm()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(idx))
+      }
+    }
+  }
+
   test("corpus_card: one row per source, consistent counts and quantiles") {
     val rows = TrainingData.corpusCard(spark, sf).collect()
     assert(rows.map(_.getString(0)).distinct.length === rows.length)
