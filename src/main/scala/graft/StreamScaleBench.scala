@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming-release scale rehearsal: drain a (synthetic, see
+  * [[SynthScale]]) corpus through [[graft.streaming.StreamingPipeline
+  * .corpusReleaseStream]] as N single-file micro-batches and report each
+  * epoch's wall time — the measurement behind the claim that a
+  * steady-state release is O(batch): after the first epoch bootstraps the
+  * warehouse (index build + exact datasheet), every later epoch pays
+  * curation + index probe/append + bucketed merge + the incremental card
+  * delta, none of which scale with the accumulated corpus. Occasional
+  * epochs absorb a postings compaction (the maybeCompact policy) — the
+  * amortized small-file fold, reported rather than hidden.
+  *
+  * Usage: `StreamScaleBench <srcSfDir> <workDir> [nBatches=8]`; prints one
+  * JSON line `{"metric":"corpus_stream_scale", "epochs":[...]}` plus a
+  * replay-drain wall (a second AvailableNow run with nothing new — must
+  * be near-zero epochs).
+  */
+object StreamScaleBench {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val work = args(1)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val feed = s"$work/feed"
+    val wh = s"$work/wh"
+    val cp = s"$work/cp"
+    Seq(feed, wh, cp).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // N deterministic doc_id-mod slices, one single-part parquet FILE each
+    // (maxFilesPerTrigger=1 makes each file one release epoch)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until nBatches).foreach { i =>
+      val tmp = s"$feed/_tmp_$i"
+      docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles.find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for batch $i"))
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$feed/batch_$i.parquet").toPath)
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+    val store = new graft.store.TableStore(spark, wh)
+    val walls = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val t0 = System.nanoTime()
+    graft.streaming.StreamingPipeline.corpusReleaseStream(
+      spark, store, feed, wh, None, cp,
+      onEpoch = (id, w) => walls.synchronized { walls += ((id, w)); () })
+      .awaitTermination()
+    val total = (System.nanoTime() - t0) / 1e9
+    // replay drain: nothing new behind the checkpoint — bounded catch-up
+    // run with zero epochs
+    val tr = System.nanoTime()
+    graft.streaming.StreamingPipeline.corpusReleaseStream(
+      spark, store, feed, wh, None, cp).awaitTermination()
+    val replay = (System.nanoTime() - tr) / 1e9
+    val corpusRows = store.readIfExists("corpus_docs").map(_.count())
+      .getOrElse(0L)
+    val epochsJson = walls.sortBy(_._1).map { case (id, w) =>
+      f"""{"epoch":$id,"sec":$w%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"corpus_stream_scale","unit":"sec","src":"$src",""" +
+      f""""n_batches":$nBatches,"corpus_rows":$corpusRows,""" +
+      f""""total_sec":$total%.1f,"replay_drain_sec":$replay%.1f,""" +
+      f""""epochs":$epochsJson}""")
+    spark.stop()
+  }
+}

@@ -152,7 +152,8 @@ object StreamingPipeline {
       feedDir: String,
       warehouse: String,
       evalDir: Option[String],
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      onEpoch: (Long, Double) => Unit = (_, _) => ()): StreamingQuery = {
     // file-source schema must be declared up front; probe it from the
     // feed's current files (the documents schema is stable per
     // deployment). An EMPTY feed (first run before any producer) must be
@@ -192,6 +193,7 @@ object StreamingPipeline {
           val wall = (System.nanoTime() - t0) / 1e9
           println(f"corpus-stream epoch=$batchId inserts=$ins " +
             f"updates=$upd corpus_rows=$rows wall=$wall%.1fs")
+          onEpoch(batchId, wall)
         }
         ()
       }
