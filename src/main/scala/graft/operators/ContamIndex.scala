@@ -116,41 +116,54 @@ object ContamIndex {
   // ------------------------------------------------ train-side df accretion
 
   /** The live train-df directory: named by the `_TRAINDF` pointer when a
-    * fold has run, the original `train_df/` otherwise (the
-    * [[MinhashIndex.livePostingsDir]] idiom).
+    * fold has run, the original `train_df/` otherwise
+    * ([[GenDirs.resolve]]).
     */
-  def liveTrainDfDir(spark: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, "_TRAINDF")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val name =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      } else "train_df"
-    s"$indexDir/$name"
-  }
+  def liveTrainDfDir(spark: SparkSession, indexDir: String): String =
+    GenDirs.resolve(spark, indexDir, "_TRAINDF", "train_df")
 
   /** Accrete a released batch's gram frequencies into the persisted
-    * train-side df — O(batch) work, one append segment per gp partition.
-    * Call with each release's ADMITTED docs (what actually enters the
-    * train corpus); the probe-side cap then reflects corpus-level
-    * boilerplate, not just the micro-batch's. Single writer at a time
-    * (the [[MinhashIndex.append]] contract). Counts mirror the inline
-    * filter's definition exactly: exploded gram rows per id, not
-    * distinct-per-doc.
+    * train-side df — O(batch + collisions) work, one append segment per
+    * touched gp partition. Call with each release's ADMITTED docs (what
+    * actually enters the train corpus); the probe-side cap then reflects
+    * corpus-level boilerplate, not just the micro-batch's. Single writer
+    * at a time (the [[MinhashIndex.append]] contract). Counts mirror the
+    * inline filter's definition exactly: exploded gram rows per id.
+    *
+    * Only EVIDENCE grams are recorded: the cap is consumed solely where
+    * a gram is eval evidence (non-evidence grams never drop a doc), so
+    * restricting the stats to `grams/ ∩ batch` keeps the persisted state
+    * O(eval evidence) at ANY corpus size — an unrestricted table would
+    * grow with the corpus vocabulary and turn every probe's df lookup
+    * into a corpus-sized aggregate. Consequence: a suite ingested later
+    * starts its grams' df accretion at ingest time (advisory guard; the
+    * inline `decontam_filter` stays the exact audit path).
     */
   def recordTrainDf(docs: DataFrame, indexDir: String,
                     gramN: Int = 5): Unit = {
     val spark = docs.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    docs.select(explode(shingleIds(col("text"), gramN)).as("id"))
+    val grams = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
+    if (!grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(grams)) return
+    val dfRows = docs
+      .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .groupBy("id").agg(count(lit(1)).as("df"))
+    // bounded collect: at most NumGramPartitions distinct values
+    val gps = dfRows.select(gp(col("id")).as("gp")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (gps.isEmpty) return // empty batch: nothing to accrete, and an
+    // empty partitioned write would leave a data-less dir that breaks
+    // schema inference on the next probe
+    val out = dfRows.join(
+        spark.read.parquet(grams.toString)
+          .filter(col("gp").isin(gps: _*)).select("id"),
+        Seq("id"), "left_semi")
       .withColumn("gp", gp(col("id")))
       .sortWithinPartitions("id")
-      .write.mode("append").partitionBy("gp")
-      .parquet(liveTrainDfDir(spark, indexDir))
+    if (!out.isEmpty) // same data-less-dir guard as the empty batch
+      out.write.mode("append").partitionBy("gp")
+        .parquet(liveTrainDfDir(spark, indexDir))
   }
 
   /** Fold the train-df append segments once any gp partition's file count
@@ -184,14 +197,7 @@ object ContamIndex {
       .write.mode("overwrite").partitionBy("gp")
       .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"._TRAINDF.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_TRAINDF"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    GenDirs.swap(spark, indexDir, "_TRAINDF", next)
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("train_df") &&
@@ -223,9 +229,15 @@ object ContamIndex {
       .collect().map(_.getInt(0)).toSeq
     val batchDf = bGrams.groupBy("id").agg(count(lit(1)).as("bdf"))
     val liveDf = liveTrainDfDir(spark, indexDir)
-    val dfExists = new org.apache.hadoop.fs.Path(liveDf)
+    // "has data" = at least one gp= partition dir: a crash-orphaned
+    // data-less dir (only _SUCCESS) must read as absent, not break
+    // parquet schema inference forever
+    val liveDfP = new org.apache.hadoop.fs.Path(liveDf)
+    val liveDfFs = liveDfP
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(liveDf))
+    val dfExists = liveDfFs.exists(liveDfP) &&
+      liveDfFs.listStatus(liveDfP).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("gp="))
     // corpus df for the batch's grams only: partition-pruned read,
     // summed across append segments; absent state = 0 (the inline shape)
     val heavy = (if (dfExists)

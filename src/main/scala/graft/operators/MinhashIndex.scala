@@ -125,9 +125,16 @@ object MinhashIndex {
     finally out.close()
   }
 
-  /** Rows persisted before the aseq column existed read as generation 0. */
+  /** Rows persisted before the aseq column existed read as generation 0 —
+    * BOTH shapes: a directory whose sampled schema predates the column
+    * (absent column), and a schema-merged read of a migrated legacy dir
+    * where pre-migration rows carry NULL (a null-unsafe (doc_id, aseq)
+    * join would otherwise garbage-collect every legacy doc's postings).
+    */
   private def withAseq(df: DataFrame): DataFrame =
-    if (df.columns.contains("aseq")) df else df.withColumn("aseq", lit(0L))
+    if (df.columns.contains("aseq"))
+      df.withColumn("aseq", coalesce(col("aseq"), lit(0L)))
+    else df.withColumn("aseq", lit(0L))
 
   /** Hashes path of a RESOLVED generation dir, with legacy fallback
     * ([[VectorIndex]] `genCentroidsDir` idiom): pre-generation-complete
@@ -267,18 +274,8 @@ object MinhashIndex {
     * ([[genHashesDir]]) — per-component resolution races a concurrent
     * pointer swing into pairing two generations.
     */
-  def livePostingsDir(spark: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, "_POSTINGS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val name =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      } else "postings"
-    s"$indexDir/$name"
-  }
+  def livePostingsDir(spark: SparkSession, indexDir: String): String =
+    GenDirs.resolve(spark, indexDir, "_POSTINGS", "postings")
 
   /** Fold the append segments of a run of [[append]] micro-batches into
     * one file per band partition, re-sorted for row-group pushdown, and
@@ -301,15 +298,18 @@ object MinhashIndex {
       if (liveName == "postings") 1
       else liveName.stripPrefix("postings_v").toInt + 1
     val next = s"postings_v$nextGen"
-    val hashes = withAseq(
-      spark.read.parquet(genHashesDir(spark, indexDir, live)))
+    // mergeSchema: a migrated legacy index holds pre-aseq files beside
+    // appended aseq-stamped ones in the SAME dirs; the default
+    // sampled-schema read could drop (or null out) the column either way
+    val hashes = withAseq(spark.read.option("mergeSchema", "true")
+      .parquet(genHashesDir(spark, indexDir, live)))
     // newest content per doc_id; the GC point. O(index) once per
     // compaction — the same cost class as the rewrite itself
     val keep = hashes.groupBy("doc_id")
       .agg(max(struct(col("aseq"), col("h"))).as("k"))
       .select(col("doc_id"), col("k.aseq").as("aseq"),
         col("k.h").as("h"))
-    withAseq(spark.read.parquet(live))
+    withAseq(spark.read.option("mergeSchema", "true").parquet(live))
       .join(keep.select("doc_id", "aseq"), Seq("doc_id", "aseq"),
         "left_semi")
       .repartition(col("bp"))
@@ -335,25 +335,12 @@ object MinhashIndex {
     dropLegacyIfUnreferenced(spark, indexDir, Some(liveName))
   }
 
-  /** Atomic `_POSTINGS` pointer swing to generation `next`: write a temp
-    * pointer file, rename over the live one (FileContext rename with
-    * OVERWRITE — atomic on HDFS-semantics filesystems). Shared by
+  /** Atomic `_POSTINGS` pointer swing ([[GenDirs.swap]]), shared by
     * [[build]] rebuilds and [[compact]].
     */
   private def swapPointer(spark: SparkSession, indexDir: String,
-                          next: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dir.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    ()
-  }
+                          next: String): Unit =
+    GenDirs.swap(spark, indexDir, "_POSTINGS", next)
 
   /** Part-file count of the live postings generation: every [[append]]
     * lands new files into the same generation, so this is the small-file

@@ -238,23 +238,12 @@ object VectorIndex {
     }
   }
 
-  /** Atomic `_POSTINGS` pointer swing (temp file + FileContext rename with
-    * OVERWRITE), shared by [[buildIvf]] rebuilds and [[compactIvf]].
+  /** Atomic `_POSTINGS` pointer swing ([[GenDirs.swap]]), shared by
+    * [[buildIvf]] rebuilds and [[compactIvf]].
     */
   private def swapPointer(spark: SparkSession, indexDir: String,
-                          next: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dir.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"._POSTINGS.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_POSTINGS"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    ()
-  }
+                          next: String): Unit =
+    GenDirs.swap(spark, indexDir, "_POSTINGS", next)
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING centroids
     * and append their postings — O(new vectors) work, no rebuild, the same
@@ -279,18 +268,8 @@ object VectorIndex {
     * otherwise. Public so external tooling (and the specs) can inspect the
     * physical layout the probes actually read.
     */
-  def livePostingsDir(spark: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, "_POSTINGS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val name =
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      } else "postings"
-    s"$indexDir/$name"
-  }
+  def livePostingsDir(spark: SparkSession, indexDir: String): String =
+    GenDirs.resolve(spark, indexDir, "_POSTINGS", "postings")
 
   /** Logical deletion by tombstone: append the ids to
     * `indexDir/tombstones/` — O(delete batch) work, no posting rewrite

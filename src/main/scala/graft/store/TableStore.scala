@@ -513,13 +513,19 @@ final class TableStore(spark: SparkSession, root: String,
   override def maybeRebucket(name: String,
                              grain: Seq[String]): Option[Int] = {
     val man = currentVersion(name).flatMap(v => readManifest(name, v))
-    man.filter(_.numBuckets < publishBuckets).flatMap { m =>
-      val rows = readIfExists(name).map(_.count()).getOrElse(0L)
-      if (chooseBucketCount(rows) >=
-          m.numBuckets.toLong * TableStore.RebucketRatio)
-        rebucket(name, grain)
-      else None
-    }
+    // gauge only when the trigger is REACHABLE: the sizing rule caps at
+    // publishBuckets, so a table pinned within ratio of the cap can never
+    // satisfy ideal >= pinned*ratio — counting its rows every publish
+    // would be a pure per-publish tax with no possible fold
+    man.filter(_.numBuckets.toLong * TableStore.RebucketRatio
+        <= publishBuckets.toLong)
+      .flatMap { m =>
+        val rows = readIfExists(name).map(_.count()).getOrElse(0L)
+        if (chooseBucketCount(rows) >=
+            m.numBuckets.toLong * TableStore.RebucketRatio)
+          rebucket(name, grain)
+        else None
+      }
   }
 
   /** Re-bucket a merge-published target, resizing the bucket count from the

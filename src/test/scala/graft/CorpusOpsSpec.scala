@@ -824,6 +824,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_index: a migrated legacy-layout index (top-level hashes, " +
+    "no aseq) appends and compacts without losing live postings") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinhashIndex
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).limit(30)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_leg").toString
+    try {
+      MinhashIndex.build(d, idx)
+      // strip to the pre-r13 legacy layout: postings rows without aseq,
+      // hashes at top level without aseq, no _ASEQ counter
+      val live = MinhashIndex.livePostingsDir(spark, idx)
+      val p0 = spark.read.parquet(live).drop("aseq").localCheckpoint()
+      val h0 = spark.read.parquet(s"$live/_hashes").drop("aseq")
+        .localCheckpoint()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(live))
+      p0.write.mode("overwrite").partitionBy("bp").parquet(live)
+      h0.write.mode("overwrite").parquet(s"$idx/hashes")
+      new java.io.File(s"$idx/_ASEQ").delete()
+      // probes read through the legacy fallback
+      assert(MinhashIndex.novelDocs(spark, d, idx).count() === 0L)
+      // a new-code append lands aseq-stamped files BESIDE the legacy ones
+      val novel = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" legacy-era novel tail")).as("text"))
+      MinhashIndex.append(novel, idx)
+      assert(MinhashIndex.novelDocs(spark, novel, idx).count() === 0L)
+      // the mixed-schema fold: legacy rows read aseq as NULL — they must
+      // coalesce to generation 0, not be garbage-collected by the
+      // (doc_id, aseq) keep-join
+      MinhashIndex.compact(spark, idx)
+      assert(MinhashIndex.novelDocs(spark, d, idx).count() === 0L,
+        "legacy docs must survive the mixed-schema GC")
+      assert(MinhashIndex.novelDocs(spark, novel, idx).count() === 0L)
+      // migrated: hashes inside the new generation, one row per live doc
+      val migrated = MinhashIndex.livePostingsDir(spark, idx)
+      assert(spark.read.parquet(s"$migrated/_hashes").count() ===
+        d.count() + novel.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("minhash_index: maybeCompact folds the generation only past the " +
     "small-file bound, and answers are unchanged") {
     import org.apache.spark.sql.functions._
