@@ -155,15 +155,20 @@ object ContamIndex {
     if (gps.isEmpty) return // empty batch: nothing to accrete, and an
     // empty partitioned write would leave a data-less dir that breaks
     // schema inference on the next probe
+    // cached across the emptiness probe and the write — uncached, each
+    // would recompute the gram explode + evidence semi-join from scratch
     val out = dfRows.join(
         spark.read.parquet(grams.toString)
           .filter(col("gp").isin(gps: _*)).select("id"),
         Seq("id"), "left_semi")
       .withColumn("gp", gp(col("id")))
       .sortWithinPartitions("id")
-    if (!out.isEmpty) // same data-less-dir guard as the empty batch
-      out.write.mode("append").partitionBy("gp")
-        .parquet(liveTrainDfDir(spark, indexDir))
+      .cache()
+    try {
+      if (!out.isEmpty) // same data-less-dir guard as the empty batch
+        out.write.mode("append").partitionBy("gp")
+          .parquet(liveTrainDfDir(spark, indexDir))
+    } finally { out.unpersist(); () }
   }
 
   /** Fold the train-df append segments once any gp partition's file count

@@ -96,6 +96,22 @@ object MinhashIndex {
       .withColumn("sig", minhashSig(col("ids"), 16))
   }
 
+  /** [[signed]] reduced to one content per doc_id (max-h, the compaction
+    * GC's own tiebreak) — the WRITE paths' shape: a batch carrying a
+    * doc_id twice with different texts would index both under ONE aseq,
+    * and [[compact]]'s (doc_id, aseq) keep-join could never separate
+    * them, leaving postings whose hash row was GC'd. The release loop's
+    * grain audit already rejects such batches; this closes the
+    * direct-API path. Probes ([[novelDocs]]) are read-only and skip the
+    * extra batch shuffle.
+    */
+  private def signedUnique(docs: DataFrame): DataFrame =
+    signed(docs)
+      .groupBy("doc_id")
+      .agg(max(struct(col("h"), col("ids"), col("sig"))).as("k"))
+      .select(col("doc_id"), col("k.h").as("h"), col("k.ids").as("ids"),
+        col("k.sig").as("sig"))
+
   private def bandRows(signedDocs: DataFrame): DataFrame =
     signedDocs.select(col("doc_id"), col("ids"),
         explode(graft.functions.TextFunctions.bandKeys(col("sig"), 8, 2))
@@ -207,7 +223,7 @@ object MinhashIndex {
         }.max
         s"postings_v${maxGen + 1}"
       }
-    val s = signed(docs).cache()
+    val s = signedUnique(docs).cache()
     // postings first (the overwrite clears $next), THEN the generation's
     // hashes under it — nothing references $next until the swing
     bandRows(s)
@@ -248,7 +264,7 @@ object MinhashIndex {
     // (monotonicity is all compaction's newest-wins needs), and the
     // absent commit marker routes the next release to a rebuild anyway
     writeAseq(spark, indexDir, aseq)
-    val s = signed(docs).cache()
+    val s = signedUnique(docs).cache()
     s.select(col("doc_id"), col("h"))
       .withColumn("aseq", lit(aseq))
       .write.mode("append")
@@ -304,11 +320,14 @@ object MinhashIndex {
     val hashes = withAseq(spark.read.option("mergeSchema", "true")
       .parquet(genHashesDir(spark, indexDir, live)))
     // newest content per doc_id; the GC point. O(index) once per
-    // compaction — the same cost class as the rewrite itself
+    // compaction — the same cost class as the rewrite itself. Cached:
+    // two consumers (the postings keep-join and the _hashes write) would
+    // otherwise each pay the full hash-table scan + aggregation
     val keep = hashes.groupBy("doc_id")
       .agg(max(struct(col("aseq"), col("h"))).as("k"))
       .select(col("doc_id"), col("k.aseq").as("aseq"),
         col("k.h").as("h"))
+      .cache()
     withAseq(spark.read.option("mergeSchema", "true").parquet(live))
       .join(keep.select("doc_id", "aseq"), Seq("doc_id", "aseq"),
         "left_semi")
@@ -318,6 +337,7 @@ object MinhashIndex {
       .parquet(s"$indexDir/$next")
     keep.select("doc_id", "h", "aseq")
       .write.mode("overwrite").parquet(s"$indexDir/$next/_hashes")
+    keep.unpersist()
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
     // crash seams around the pointer swing: before it the old generation

@@ -28,7 +28,8 @@ object CorpusOps {
     */
   def release(spark: SparkSession, store: TableStore, warehouse: String,
               rawDocs: DataFrame, sourceLabel: String,
-              evalDir: Option[String]): (Long, Long, Long) = {
+              evalDir: Option[String],
+              dfCap: Int = 10000): (Long, Long, Long) = {
     val cs = DemoSources.CorpusRelease
     val existing = store.readIfExists(cs.tableName)
       .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
@@ -36,8 +37,15 @@ object CorpusOps {
     // (probe = O(batch + collisions), corpus never re-shingled); a
     // warehouse predating the index falls back to the frame-based
     // incremental once and builds the index after this release. The
-    // index is a seen-content registry: content ever released stays a
-    // duplicate even if later updated away.
+    // index registers each doc's NEWEST released content (compaction
+    // GC's superseded versions so the index stays O(live) under churn —
+    // MinhashIndex.compact). Replay protection therefore covers the
+    // CURRENT content generation: re-releasing live content is a no-op,
+    // but a producer replaying a batch SUPERSEDED by a later update can
+    // regress the doc after a compaction has dropped the old version's
+    // registration — cross-generation replay safety is the streaming
+    // checkpoint's job (at-least-once producers must not re-send
+    // pre-update batches out of band).
     // Trust gate: the index's _COMMITTED marker, written as the LAST
     // step of build/append and removed (below) before every merge. Any
     // single dir existing is NOT enough — build/append write postings
@@ -70,6 +78,9 @@ object CorpusOps {
     // evidence without rebuilding; a CHANGED suite under the same path =
     // delete <warehouse>/eval_index to rebuild. Probes are
     // partition-pruned; eval sets are never re-shingled.
+    // with an eval index the curated frame has two consumers — the
+    // decontamination probe and the train-df accretion after the merge
+    if (evalDir.isDefined) { curated.persist(); track(curated) }
     val kept = (evalDir match {
       case None => curated
       case Some(ed) =>
@@ -84,7 +95,8 @@ object CorpusOps {
                   .select("doc_id", "text"), ctDir, suite))
               System.err.println(s"eval index: ingested suite $suite")
           }
-        graft.operators.ContamIndex.decontaminate(spark, curated, ctDir)
+        graft.operators.ContamIndex.decontaminate(spark, curated, ctDir,
+          dfCap = dfCap)
     }).persist() // two consumers: the MERGE stage and index maintenance
     // stage metadata the merge contract needs: V4 row hash over sorted
     // model fields + lineage (the release label is the "file")
@@ -135,49 +147,29 @@ object CorpusOps {
     // quality-gated, deduped, or decontaminated away) creates no table at
     // all — that is a valid outcome, not a crash: nothing to index, no
     // datasheet to write
+    // train-df accretion over the OFFERED (post-dedup, PRE-decontam)
+    // docs — see the comment at the call sites below. Shared by the
+    // normal path and the fully-dropped early return: a virgin release
+    // where decontamination drops EVERYTHING is exactly when the
+    // boilerplate df most needs to start accreting, or the exemption
+    // could never bootstrap
+    def accreteTrainDf(): Unit = evalDir.foreach { _ =>
+      val ctDir = s"$warehouse/eval_index"
+      graft.operators.ContamIndex.recordTrainDf(
+        curated.select("doc_id", "text"), ctDir)
+      if (graft.operators.ContamIndex.maybeCompactTrainDf(spark, ctDir))
+        System.err.println("eval index: compacted train-df segments " +
+          "(small-file bound reached)")
+    }
     val releasedOpt = store.readIfExists(cs.tableName)
     if (releasedOpt.isEmpty) {
+      accreteTrainDf()
       kept.unpersist()
       cardDelta.foreach(_.unpersist())
       internalCaches.foreach(_.unpersist())
       return (0L, 0L, 0L)
     }
     val released = releasedOpt.get
-    // index maintenance: O(batch) append of this release's new docs when
-    // BOTH the table and the index pre-existed; otherwise build fresh
-    // over the released corpus. A fresh table with a leftover index
-    // (corpus reset) must NOT append — the stale index would keep dead
-    // content registered as seen and double every re-released doc's
-    // postings.
-    if (existing.isDefined && idxExists) {
-      graft.operators.MinhashIndex.append(
-        kept.select("doc_id", "text"), idxDir)
-      // steady-state hygiene: every append adds files to the live
-      // postings generation; fold it once small-file pressure passes the
-      // policy bound (pointer-swap publish, in-flight probes keep the
-      // superseded generation)
-      if (graft.operators.MinhashIndex.maybeCompact(spark, idxDir))
-        System.err.println("corpus index: compacted postings " +
-          "generation (small-file bound reached)")
-    } else
-      graft.operators.MinhashIndex.build(
-        released.select("doc_id", "text"), idxDir)
-    // accrete the ADMITTED docs' gram frequencies into the eval index's
-    // train-side df stats: future probes cap on corpus-level boilerplate,
-    // not just their own micro-batch's df (a small batch can never reach
-    // the cap alone, so without this the release loop over-drops docs
-    // that merely share boilerplate grams with eval). Replayed batches
-    // are empty by the time they reach `kept` — no double count.
-    evalDir.foreach { _ =>
-      val ctDir = s"$warehouse/eval_index"
-      graft.operators.ContamIndex.recordTrainDf(
-        kept.select("doc_id", "text"), ctDir)
-      if (graft.operators.ContamIndex.maybeCompactTrainDf(spark, ctDir))
-        System.err.println("eval index: compacted train-df segments " +
-          "(small-file bound reached)")
-    }
-    kept.unpersist()
-    internalCaches.foreach(_.unpersist())
     val (ins, upd) = counts.getOrElse((0L, 0L))
     // datasheet maintenance — skipped entirely when the release changed
     // nothing (replayed/fully-deduped micro-batches). Steady state folds
@@ -188,6 +180,12 @@ object CorpusOps {
     // both card and accumulators may be stale relative to the merged
     // table) pay ONE exact O(corpus) pass that rebuilds both — the
     // self-heal path, same trigger as the index rebuild it accompanies.
+    // MUST run before the index maintenance below: the index's
+    // _COMMITTED marker is the release's ONE trust signal, rewritten as
+    // build/append's last step — every durable write the self-heal path
+    // repairs (merge, accumulators, card) has to precede it, or a crash
+    // in between leaves the accumulators silently behind a trusted
+    // marker forever.
     if (ins + upd > 0 || !idxExists || !store.exists("corpus_card"))
       cardDelta match {
         case Some(d) =>
@@ -209,6 +207,44 @@ object CorpusOps {
             partitionBy = Seq.empty)
       }
     cardDelta.foreach(_.unpersist())
+    graft.core.Chaos.point("corpus.after-card")
+    // index maintenance: O(batch) append of this release's new docs when
+    // BOTH the table and the index pre-existed; otherwise build fresh
+    // over the released corpus. A fresh table with a leftover index
+    // (corpus reset) must NOT append — the stale index would keep dead
+    // content registered as seen and double every re-released doc's
+    // postings.
+    if (existing.isDefined && idxExists) {
+      graft.operators.MinhashIndex.append(
+        kept.select("doc_id", "text"), idxDir)
+      // steady-state hygiene: every append adds files to the live
+      // postings generation; fold it once small-file pressure passes the
+      // policy bound (pointer-swap publish, in-flight probes keep the
+      // superseded generation)
+      if (graft.operators.MinhashIndex.maybeCompact(spark, idxDir))
+        System.err.println("corpus index: compacted postings " +
+          "generation (small-file bound reached)")
+    } else
+      graft.operators.MinhashIndex.build(
+        released.select("doc_id", "text"), idxDir)
+    // accrete the OFFERED (post-dedup, PRE-decontamination) docs' gram
+    // frequencies into the eval index's train-side df stats: future
+    // probes cap on corpus-level boilerplate, not just their own
+    // micro-batch's df (a small batch can never reach the cap alone, so
+    // without this the release loop over-drops docs that merely share
+    // boilerplate grams with eval). Pre-decontamination is what makes
+    // the cap REACHABLE: the docs carrying an evidence gram are exactly
+    // the ones decontamination drops, so admitted-only accretion would
+    // never raise an evidence gram's df off zero and the exemption could
+    // never engage — the inline `decontam_filter` likewise defines df
+    // over the batch it is ABOUT to filter. Replayed batches are empty
+    // by the time they reach `curated` (cross-release dedup precedes
+    // decontamination) — no double count from replays; only genuinely
+    // re-offered (previously decontaminated-away) content re-accretes,
+    // which is real offer frequency.
+    accreteTrainDf()
+    kept.unpersist()
+    internalCaches.foreach(_.unpersist())
     (ins, upd, released.count())
   }
 }

@@ -322,16 +322,20 @@ case object RedshiftDeleteInsertDialect extends MergeDialect {
     val created = qid("etl_created_at")
     val updated = qid("etl_updated_at")
     // the DELETE matches target rows against the stage's grain keys; the
-    // stage carries only changed rows, so unchanged matches survive
+    // stage carries only changed rows, so unchanged matches survive.
+    // Redshift's DELETE grammar (PostgreSQL 8.0 ancestry) does NOT
+    // accept an alias on the DELETE target — qualify with the table
+    // names themselves
     val delOn = grain.map(g =>
-      s"(t.${qid(g)} = d.${qid(g)} OR (t.${qid(g)} IS NULL AND " +
-        s"d.${qid(g)} IS NULL))").mkString(" AND ")
+      s"($target.${qid(g)} = $stage.${qid(g)} OR " +
+        s"($target.${qid(g)} IS NULL AND " +
+        s"$stage.${qid(g)} IS NULL))").mkString(" AND ")
     Seq(
       s"""CREATE TABLE $stage AS
          |SELECT $dCols, t.$created AS $created, $ts AS $updated
          |FROM $delta d JOIN $target t ON $on
          |WHERE t.$hashCol <> d.$hashCol""".stripMargin,
-      s"DELETE FROM $target t USING $stage d WHERE $delOn",
+      s"DELETE FROM $target USING $stage WHERE $delOn",
       s"INSERT INTO $target ($cols, $created, $updated) " +
         s"SELECT $cols, $created, $updated FROM $stage",
       s"""INSERT INTO $target ($cols, $created)

@@ -227,6 +227,54 @@ final class TableStore(spark: SparkSession, root: String,
   private def currentManifest(name: String): Option[BucketManifest] =
     currentVersion(name).flatMap(v => readManifest(name, v))
 
+  // ---- advisory row-count gauge (auto-rebucket without a count job) ------
+
+  /** `_ROWS` next to `_VERSION`: an ADVISORY running row count maintained
+    * from each publish's own merge counters (prior + inserts — merges
+    * never delete), so [[maybeRebucket]]'s growth gauge is a metadata read
+    * instead of a full table-count Spark job per publish. A crash between
+    * a publish and its gauge bump leaves the gauge slightly behind; the
+    * only consumer is the 8× rebucket trigger, and [[rebucket]] re-seeds
+    * it exactly. Absent for legacy tables until [[maybeRebucket]] counts
+    * once and seeds it. Deleted with the table ([[dropTable]]).
+    */
+  private val RowsGaugeFile = "_ROWS"
+
+  private def readRowsGauge(name: String): Option[Long] = {
+    val p = new Path(tableDir(name), RowsGaugeFile)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  private def writeRowsGauge(name: String, rows: Long): Unit = {
+    val dir = tableDir(name)
+    val f = fs(dir)
+    val tmp = new Path(dir, s".$RowsGaugeFile.tmp.${counter.incrementAndGet()}")
+    val out = f.create(tmp, true)
+    try out.write(rows.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    fc.rename(tmp, new Path(dir, RowsGaugeFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Advance the gauge by a publish's insert count. A table known empty
+    * before the publish seeds it; a legacy table with no gauge stays
+    * unseeded (maybeRebucket seeds it with one count).
+    */
+  private def bumpRowsGauge(name: String, inserts: Long,
+                            emptyBefore: Boolean): Unit =
+    readRowsGauge(name) match {
+      case Some(prior) => writeRowsGauge(name, prior + inserts)
+      case None => if (emptyBefore) writeRowsGauge(name, inserts)
+    }
+
   /** Read the current version plus any append segments; None when the table
     * has never been written. Manifested (bucket-merged) tables read each
     * bucket directory from its OWNING version — the union of those paths IS
@@ -385,7 +433,9 @@ final class TableStore(spark: SparkSession, root: String,
                   else man.map(_.buckets).getOrElse(Map.empty)
     commitBucketedVersion(name, plan.merged, source.grain, n, touchedCount,
       carried, segs)
-    Some(plan.counts())
+    val c = plan.counts()
+    bumpRowsGauge(name, c._1, emptyBefore = tableIsEmpty)
+    Some(c)
   }
 
   /** Merge-on-read publish: O(delta) segment commit + pre-merge counts.
@@ -444,6 +494,7 @@ final class TableStore(spark: SparkSession, root: String,
         touchedCount = man.numBuckets, carried = Map.empty,
         foldSegs = upsertSegments(name).map(_._2))
     }
+    bumpRowsGauge(name, staged - matched, emptyBefore = false)
     (staged - matched, updates)
   }
 
@@ -505,10 +556,12 @@ final class TableStore(spark: SparkSession, root: String,
     * CURRENT row count; once the ideal is `ratio`x the pinned count, fold
     * the table through [[rebucket]] (one full publish; the copy-on-write
     * swap keeps readers safe throughout, and publish cost returns to
-    * O(delta + fine buckets)). Tables already at the max granularity skip
-    * even the row-count gauge, so the steady-state cost for a mature
-    * 100 TB target is one manifest read per publish. Reentrant with the
-    * caller's table lock (JVM-object monitor).
+    * O(delta + fine buckets)). The "current row count" is the advisory
+    * `_ROWS` gauge each publish maintains from its own insert counter —
+    * no Spark job anywhere in the steady-state check — and tables pinned
+    * within ratio of the max granularity skip even that, so the check
+    * costs metadata reads only. Reentrant with the caller's table lock
+    * (JVM-object monitor).
     */
   override def maybeRebucket(name: String,
                              grain: Seq[String]): Option[Int] = {
@@ -520,7 +573,14 @@ final class TableStore(spark: SparkSession, root: String,
     man.filter(_.numBuckets.toLong * TableStore.RebucketRatio
         <= publishBuckets.toLong)
       .flatMap { m =>
-        val rows = readIfExists(name).map(_.count()).getOrElse(0L)
+        // the advisory _ROWS gauge (maintained by the publishes themselves)
+        // makes this a metadata read; a legacy table with no gauge pays
+        // ONE seeding count here and never again
+        val rows = readRowsGauge(name).getOrElse {
+          val n = readIfExists(name).map(_.count()).getOrElse(0L)
+          writeRowsGauge(name, n)
+          n
+        }
         if (chooseBucketCount(rows) >=
             m.numBuckets.toLong * TableStore.RebucketRatio)
           rebucket(name, grain)
@@ -540,13 +600,15 @@ final class TableStore(spark: SparkSession, root: String,
   def rebucket(name: String, grain: Seq[String]): Option[Int] =
     withTableLock(name) {
       readIfExists(name).map { df =>
-        val n = chooseBucketCount(df.count())
+        val rows = df.count()
+        val n = chooseBucketCount(rows)
         // fold upsert segments too: readIfExists already resolved them into
         // df, so the rewrite subsumes them (leaving them would be a
         // harmless-but-wasteful no-op replay on every later read)
         commitBucketedVersion(name, df, grain, n, touchedCount = n,
           carried = Map.empty,
           foldSegs = segments(name) ++ upsertSegments(name).map(_._2))
+        writeRowsGauge(name, rows) // exact re-seed of the advisory gauge
         n
       }
     }

@@ -1030,6 +1030,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus release loop: the boilerplate exemption BOOTSTRAPS — " +
+    "offered-doc accretion raises evidence-gram df even while the docs " +
+    "drop, until the cap engages") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10-token boilerplate run: its internal 5-grams are the shared
+    // evidence; every tail is per-doc-unique (distinct token sets keep
+    // within-batch near-dup Jaccard far below the banded threshold)
+    val boiler =
+      "standard disclaimer all rights reserved contact support for more details"
+    def tail(r: Int, d: Int) =
+      (1 to 25).map(i => s"r${r}d${d}w$i").mkString(" ")
+    def batch(r: Int) = (1 to 12).map(d =>
+      ((r * 100 + d).toLong, s"$boiler ${tail(r, d)}", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val evalDocs = (1 to 5).map(i =>
+      (i.toLong, s"$boiler ${(1 to 25).map(j => s"ev${i}tok$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("boot_wh").toString
+    val suite = java.nio.file.Files.createTempDirectory("boot_eval").toString
+    try {
+      evalDocs.write.parquet(s"$suite/documents.parquet")
+      val store = new graft.store.TableStore(spark, wh)
+      val cap = 30
+      // releases 1-2: each batch's own boiler df (12) plus the accreted
+      // corpus df (0, then 12) stays under the cap — boilerplate still
+      // counts as evidence and every doc drops (including the virgin
+      // fully-dropped release, which must STILL accrete)
+      val (i1, _, r1) = graft.run.CorpusOps.release(spark, store, wh,
+        batch(1), "r1", Some(suite), dfCap = cap)
+      assert(i1 === 0L && r1 === 0L, "release 1 fully dropped")
+      val (i2, _, r2) = graft.run.CorpusOps.release(spark, store, wh,
+        batch(2), "r2", Some(suite), dfCap = cap)
+      assert(i2 === 0L && r2 === 0L, "release 2 fully dropped")
+      // release 3: batch df 12 + accreted 24 = 36 > cap — the boiler
+      // grams are exempt corpus-level boilerplate now; the batch's only
+      // other grams are unique, so all 12 docs are admitted. A doc
+      // echoing REAL eval content must still drop.
+      val leak = Seq((999L,
+        s"$boiler ${(1 to 25).map(j => s"ev3tok$j").mkString(" ")}",
+        "en", "s1", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val (i3, _, r3) = graft.run.CorpusOps.release(spark, store, wh,
+        batch(3).unionByName(leak), "r3", Some(suite), dfCap = cap)
+      assert(i3 === 12L && r3 === 12L,
+        "boilerplate-only docs admitted once the accreted cap engages")
+      assert(store.readIfExists("corpus_docs").get
+        .filter(col("doc_id") === 999L).count() === 0L,
+        "a genuine eval leak must still drop")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh)); rm(new java.io.File(suite))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq
@@ -1334,8 +1392,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val all = spark.read.parquet(s"$sf/documents.parquet")
     val slice1 = all.filter(col("doc_id") % 5 < 3)
     val slice2 = all.filter(col("doc_id") % 5 >= 3)
+    // after-card sits between the datasheet writes and the index append:
+    // the accumulators/card are durable but the marker is NOT back yet —
+    // the ordering CorpusOps.release must preserve (were the marker
+    // rewritten before the card, a crash in between would leave the
+    // accumulators silently behind a trusted marker forever)
     val points = Seq("corpus.after-invalidate", "corpus.after-merge",
-      "minhash.mid-append", "minhash.before-commit")
+      "corpus.after-card", "minhash.mid-append", "minhash.before-commit")
     for (p <- points) {
       val wh = java.nio.file.Files.createTempDirectory("chaos_wh").toString
       try {

@@ -300,8 +300,14 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rs(0).startsWith("CREATE TABLE t1__rs_stage AS"))
     assert(rs(0).contains("t.\"etl_row_hash\" <> d.\"etl_row_hash\""))
     assert(rs(0).contains("t.\"etl_created_at\" AS \"etl_created_at\""))
-    // 2-3: swap the changed rows through the stage
-    assert(rs(1).startsWith("DELETE FROM t1 t USING t1__rs_stage d"))
+    // 2-3: swap the changed rows through the stage. Redshift DELETE
+    // takes NO alias on the target (PG 8.0 grammar) — rows qualify by
+    // table name
+    assert(rs(1).startsWith("DELETE FROM t1 USING t1__rs_stage"))
+    assert(rs(1).contains("t1.\"transaction_id\" = " +
+      "t1__rs_stage.\"transaction_id\""))
+    assert(!rs(1).matches(".*FROM t1 \\w+ USING.*"),
+      "no alias on the DELETE target")
     assert(rs(2).startsWith("INSERT INTO t1 (") &&
       rs(2).contains("FROM t1__rs_stage"))
     // 4: brand-new rows via NOT EXISTS (replacements already re-inserted,
