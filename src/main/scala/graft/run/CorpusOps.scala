@@ -245,6 +245,17 @@ object CorpusOps {
     accreteTrainDf()
     kept.unpersist()
     internalCaches.foreach(_.unpersist())
-    (ins, upd, released.count())
+    // corpus_rows from the EXACT per-source accumulators (one tiny-table
+    // aggregate, O(sources)) — released.count(), though metadata-cheap
+    // per file, is O(files in corpus) per release: a per-micro-batch
+    // full-listing in the streaming loop. The accumulators are
+    // delta-maintained exactly and were just (re)written on any path
+    // that changed the table, so the sum IS the table's row count; a
+    // legacy warehouse whose accumulators predate the table falls back
+    // to the one count.
+    val corpusRows = store.readIfExists(CorpusCardAcc.AccTable)
+      .map(_.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
+      .getOrElse(released.count())
+    (ins, upd, corpusRows)
   }
 }
