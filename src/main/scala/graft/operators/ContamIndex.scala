@@ -56,13 +56,38 @@ object ContamIndex {
   private def writeGrams(evalDocs: DataFrame, indexDir: String, gramN: Int,
                          overwrite: Boolean): Unit = {
     graft.functions.VectorFunctions.register(evalDocs.sparkSession)
-    evalDocs
+    val rows = evalDocs
       .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .distinct()
       .withColumn("gp", gp(col("id")))
       .sortWithinPartitions("id")
-      .write.mode(if (overwrite) "overwrite" else "append").partitionBy("gp")
-      .parquet(s"$indexDir/grams")
+      .cache()
+    // a suite whose docs are all shorter than the gram width yields ZERO
+    // evidence rows: a partitioned write of the empty frame would leave a
+    // data-less dir (only _SUCCESS) that breaks parquet schema inference
+    // on every later probe — skip it; absent/data-less evidence reads as
+    // "no evidence" ([[gramsWithData]])
+    try {
+      if (!rows.isEmpty)
+        rows.write.mode(if (overwrite) "overwrite" else "append")
+          .partitionBy("gp")
+          .parquet(s"$indexDir/grams")
+    } finally { rows.unpersist(); () }
+  }
+
+  /** The evidence dir, only when it actually holds data: at least one
+    * `gp=` partition dir. Absent, or data-less from a crash-orphaned or
+    * zero-gram write, reads as NO evidence — never as a schema-inference
+    * crash.
+    */
+  private def gramsWithData(spark: SparkSession,
+                            indexDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("gp=")))
+      Some(p.toString)
+    else None
   }
 
   /** Eval suites ACCRETE (new benchmarks appear); each named suite folds
@@ -143,9 +168,10 @@ object ContamIndex {
                     gramN: Int = 5): Unit = {
     val spark = docs.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val grams = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
-    if (!grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(grams)) return
+    val grams = gramsWithData(spark, indexDir) match {
+      case Some(g) => new org.apache.hadoop.fs.Path(g)
+      case None => return // no evidence -> the cap can never be consumed
+    }
     val dfRows = docs
       .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .groupBy("id").agg(count(lit(1)).as("df"))
@@ -225,6 +251,12 @@ object ContamIndex {
   def decontaminate(spark: SparkSession, batch: DataFrame, indexDir: String,
                     dfCap: Int = 10000, gramN: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    // evidence absent (or data-less — a zero-gram suite): nothing can be
+    // contamination, the batch passes through whole
+    val gramsDir = gramsWithData(spark, indexDir) match {
+      case Some(g) => g
+      case None => return batch
+    }
     // deliberately uncached: lazy return must not pin a cache the caller
     // cannot release (the MinhashIndex.novelDocs convention)
     val bGrams = batch
@@ -254,7 +286,7 @@ object ContamIndex {
             (col("bdf") + coalesce(col("cdf"), lit(0L))).as("df"))
       else batchDf.select(col("id"), col("bdf").as("df")))
       .filter(col("df") > dfCap).select("id")
-    val evidence = spark.read.parquet(s"$indexDir/grams")
+    val evidence = spark.read.parquet(gramsDir)
       .filter(col("gp").isin(gps: _*))
       .select("id")
       .join(heavy, Seq("id"), "left_anti")

@@ -1030,6 +1030,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contam_index: a zero-gram eval suite (all docs under the gram " +
+    "width) never poisons the index — probes pass through, later real " +
+    "suites still ingest") {
+    import graft.operators.ContamIndex
+    import spark.implicits._
+    val shorty = (1 to 4).map(i => (i.toLong, s"tiny doc $i"))
+      .toDF("doc_id", "text")
+    val real = Seq((10L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon completely novel tail here"),
+      (101L, "unrelated training content with plenty of distinct words"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ct_z").toString
+    try {
+      assert(ContamIndex.ingest(shorty, idx, "suiteA"))
+      // no evidence rows were written: the probe must pass the batch
+      // through whole, not crash on a data-less parquet dir
+      assert(ContamIndex.decontaminate(spark, batch, idx)
+        .count() === batch.count())
+      ContamIndex.recordTrainDf(batch, idx) // must be a clean no-op too
+      // a later REAL suite still accretes and drops the sharing doc
+      assert(ContamIndex.ingest(real, idx, "suiteB"))
+      val kept = ContamIndex.decontaminate(spark, batch, idx)
+      assert(kept.count() === 1L)
+      assert(kept.head().getLong(0) === 101L,
+        "the eval-sharing doc drops once real evidence exists")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("corpus release loop: the boilerplate exemption BOOTSTRAPS — " +
     "offered-doc accretion raises evidence-gram df even while the docs " +
     "drop, until the cap engages") {
