@@ -149,21 +149,31 @@ object VectorIndex {
     // query + shared oracle once the uncapped sample crossed MaxCentroids
     val cents = centroidSample(e, centEvery, centOffset)
       .select(col("vec_id").as("cent_id"), col("nv").as("cv"))
-    // postings first (the overwrite clears $next), THEN the generation's
-    // centroids under it — nothing references $next until the swing
-    assign(e, cents)
-      .select(col("vec_id"), col("bucket"), col("nv"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/$next")
-    cents.write.mode("overwrite").parquet(s"$indexDir/$next/_centroids")
-    if (next != "postings") swapPointer(spark, indexDir, next)
-    oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
-    // a rebuild supersedes any legacy-layout shared state, but a RETAINED
-    // legacy generation still reads the top-level dirs — defer their
-    // deletion to the next cycle (dropLegacyIfUnreferenced scaladoc)
-    dropLegacyIfUnreferenced(fs, dir, liveBefore)
-    ()
+      .cache()
+    // an id space the mod sample never hits would assign NOTHING and
+    // leave a data-less postings dir that breaks every later read of the
+    // index — fail loud instead of building poison
+    try {
+      if (cents.isEmpty)
+        throw new IllegalArgumentException(
+          s"buildIvf: centroid sample vec_id % $centEvery == $centOffset " +
+            "matches no vectors — pass centEvery/centOffset that hit the " +
+            "corpus id space")
+      // postings first (the overwrite clears $next), THEN the generation's
+      // centroids under it — nothing references $next until the swing
+      assign(e, cents)
+        .select(col("vec_id"), col("bucket"), col("nv"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/$next")
+      cents.write.mode("overwrite").parquet(s"$indexDir/$next/_centroids")
+      if (next != "postings") swapPointer(spark, indexDir, next)
+      oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, g), true))
+      // a rebuild supersedes any legacy-layout shared state, but a RETAINED
+      // legacy generation still reads the top-level dirs — defer their
+      // deletion to the next cycle (dropLegacyIfUnreferenced scaladoc)
+      dropLegacyIfUnreferenced(fs, dir, liveBefore)
+    } finally { cents.unpersist(); () }
   }
 
   /** The live generation's centroids — resolved through the SAME pointer
@@ -354,7 +364,15 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$indexDir/$next/_centroids")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
+    // crash seams around the pointer swing (the MinhashIndex.compact
+    // matrix): before it the old generation stays live and the
+    // half-written next is inert; after it the new generation is
+    // complete — on NEITHER side can a probe resurrect tombstoned rows
+    // (folded into the rewrite, and the retained old generation keeps
+    // its own _tombstones)
+    graft.core.Chaos.point("vector.before-compact-swing")
     swapPointer(spark, indexDir, next)
+    graft.core.Chaos.point("vector.after-compact-swing")
     // compaction migrates a legacy-layout index: its shared centroids and
     // tombstones are folded into the new generation above — but the
     // RETAINED superseded generation may still read the top-level dirs,

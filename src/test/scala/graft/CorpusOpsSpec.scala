@@ -1479,6 +1479,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF compaction crash contract: a kill on either side of the " +
+    "pointer swing leaves a probe-able index, never resurrects " +
+    "tombstoned vectors, and the next fold completes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.core.Chaos
+    import graft.operators.VectorIndex
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecNormalize
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 === 1).limit(50)
+    val queries = e.limit(8)
+      .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+    for (p <- Seq("vector.before-compact-swing",
+        "vector.after-compact-swing")) {
+      val idx = java.nio.file.Files.createTempDirectory("chaos_ivf").toString
+      try {
+        // centOffset 4: the even-id base never hits the default offset 3
+        // (zero centroids is now a loud IllegalArgumentException)
+        VectorIndex.buildIvf(base, idx, centEvery = 100, centOffset = 4)
+        VectorIndex.appendIvf(extra, idx)
+        val dead = extra.limit(10).select("vec_id")
+        VectorIndex.deleteIvf(dead, idx)
+        val deadIds = dead.as[Long].collect().toSet
+        val before = VectorIndex.queryIvf(spark, idx, queries)
+          .collect().map(_.toSeq)
+        assert(!before.exists(r => deadIds(r(2).asInstanceOf[Long])),
+          "tombstoned ids invisible before the fold")
+        Chaos.arm(p)
+        assert(intercept[RuntimeException] {
+          VectorIndex.compactIvf(spark, idx)
+        }.isInstanceOf[Chaos.ChaosKill], p)
+        Chaos.disarm()
+        // whichever side of the swing the crash hit, probes answer from a
+        // COMPLETE generation and the deletions hold (old generation keeps
+        // its _tombstones; the new one folded them into the rewrite)
+        val mid = VectorIndex.queryIvf(spark, idx, queries)
+          .collect().map(_.toSeq)
+        assert(mid.toSeq === before.toSeq,
+          s"$p: probe answers must not change across the crash")
+        VectorIndex.compactIvf(spark, idx)
+        val after = VectorIndex.queryIvf(spark, idx, queries)
+          .collect().map(_.toSeq)
+        assert(after.toSeq === before.toSeq, s"$p: next fold completes")
+        assert(!after.exists(r => deadIds(r(2).asInstanceOf[Long])), p)
+      } finally {
+        Chaos.disarm()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(idx))
+      }
+    }
+  }
+
   test("compaction crash contract: a kill on either side of the pointer " +
     "swing leaves a probe-able index and the next fold completes") {
     import org.apache.spark.sql.functions._
