@@ -153,7 +153,8 @@ object StreamingPipeline {
       warehouse: String,
       evalDir: Option[String],
       checkpointDir: String,
-      onEpoch: (Long, Double) => Unit = (_, _) => ()): StreamingQuery = {
+      onEpoch: (Long, Double) => Unit = (_, _) => (),
+      dfCap: Int = 10000): StreamingQuery = {
     // file-source schema must be declared up front; probe it from the
     // feed's current files (the documents schema is stable per
     // deployment). An EMPTY feed (first run before any producer) must be
@@ -189,7 +190,8 @@ object StreamingPipeline {
           val t0 = System.nanoTime()
           val (ins, upd, rows) = graft.run.CorpusOps.release(
             spark, store, warehouse, batch,
-            sourceLabel = s"$feedDir@batch$batchId", evalDir = evalDir)
+            sourceLabel = s"$feedDir@batch$batchId", evalDir = evalDir,
+            dfCap = dfCap)
           val wall = (System.nanoTime() - t0) / 1e9
           println(f"corpus-stream epoch=$batchId inserts=$ins " +
             f"updates=$upd corpus_rows=$rows wall=$wall%.1fs")

@@ -604,4 +604,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("doc_id") < 9000000L).count() === 0,
       "near-duplicate rows must be dropped by the index probe")
   }
+
+  test("corpus release stream + eval index: the boilerplate exemption " +
+    "bootstraps ACROSS micro-batch epochs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val feed = tmp("boot-feed")
+    val wh = tmp("boot-wh")
+    val ckpt = tmp("boot-ckpt")
+    val suite = tmp("boot-suite")
+    val store = new graft.store.TableStore(spark, s"$wh/tables")
+    val boiler =
+      "standard disclaimer all rights reserved contact support for more details"
+    def batch(r: Int) = (1 to 12).map(d =>
+      ((r * 100 + d).toLong,
+        s"$boiler ${(1 to 25).map(i => s"r${r}d${d}w$i").mkString(" ")}",
+        "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    (1 to 5).map(i =>
+      (i.toLong, s"$boiler ${(1 to 25).map(j => s"ev${i}tok$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$suite/documents.parquet")
+    def feedFile(r: Int): Unit = {
+      val t = tmp(s"boot-b$r")
+      batch(r).coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$feed/b$r.parquet"))
+    }
+    def drain(): Unit =
+      graft.streaming.StreamingPipeline.corpusReleaseStream(
+        spark, store, feed, s"$wh/tables", Some(suite), ckpt,
+        dfCap = 30).awaitTermination()
+    val cs = graft.run.DemoSources.CorpusRelease
+    // epochs 1-2: each batch's boiler df (12) + accreted corpus df (0,
+    // then 12) stays under the cap — every doc drops, but the offered
+    // grams ACCRETE across the checkpointed epochs
+    feedFile(1); drain()
+    assert(store.readIfExists(cs.tableName).isEmpty, "epoch 1 fully dropped")
+    feedFile(2); drain()
+    assert(store.readIfExists(cs.tableName).isEmpty, "epoch 2 fully dropped")
+    // epoch 3: 12 + 24 > cap — boilerplate is exempt, the batch lands
+    feedFile(3); drain()
+    val released = store.readIfExists(cs.tableName).get
+    assert(released.count() === 12L,
+      "the cap engages from accretion across micro-batch epochs")
+    assert(released.agg(min("doc_id")).head().getLong(0) === 301L)
+  }
 }
