@@ -224,6 +224,17 @@ object MinhashIndex {
         s"postings_v${maxGen + 1}"
       }
     val s = signedUnique(docs).cache()
+    // an empty corpus would overwrite $next as a DATA-LESS partitioned
+    // dir (no bp= dirs, no schema) that breaks every later read of the
+    // index — fail loud instead of building poison (the
+    // [[VectorIndex.buildIvf]] empty-sample rule); an index over nothing
+    // is a caller error, not a state
+    if (s.isEmpty) {
+      s.unpersist()
+      throw new IllegalArgumentException(
+        "MinhashIndex.build: empty document frame — an index over " +
+          "nothing is unreadable; build once the corpus has content")
+    }
     // postings first (the overwrite clears $next), THEN the generation's
     // hashes under it — nothing references $next until the swing
     bandRows(s)

@@ -1030,6 +1030,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted indexes fail loud on empty/unmatchable builds instead " +
+    "of writing data-less dirs that poison every later read") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val mh = java.nio.file.Files.createTempDirectory("graft_mt_mh").toString
+    intercept[IllegalArgumentException] {
+      graft.operators.MinhashIndex.build(emptyDocs, mh)
+    }
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vecNormalize
+    // odd-only ids never hit the default % 100 == 3 sample
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        vecNormalize(col("embedding").cast(ArrayType(DoubleType))).as("nv"))
+    val ivf = java.nio.file.Files.createTempDirectory("graft_mt_ivf").toString
+    intercept[IllegalArgumentException] {
+      graft.operators.VectorIndex.buildIvf(e, ivf)
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(mh)); rm(new java.io.File(ivf))
+  }
+
   test("contam_index: a zero-gram eval suite (all docs under the gram " +
     "width) never poisons the index — probes pass through, later real " +
     "suites still ingest") {
