@@ -7,6 +7,11 @@ object Bench {
     // any sample taken after warmup is dominated by the bench itself
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // fixed-work calibration (graft.tools.Calib): a steady UNIFORM
+    // neighbor load inflates every rep proportionally and slips past the
+    // per-entry spread guard below — the committed-quiet-floor probe at
+    // start and end is what lets the artifact label that case itself
+    val calibStart = graft.tools.Calib.best()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -285,9 +290,19 @@ object Bench {
       if (spreads.isEmpty) 1.0
       else spreads.sorted.apply(
         math.min(spreads.size - 1, (spreads.size * 9) / 10))
+    // end-of-run calibration: the WORSE of the two probes over the
+    // committed quiet floor estimates how much a steady external load
+    // inflated this run's wall times (uniform inflation is exactly what
+    // the spread guard cannot see — Calib scaladoc)
+    val calibEnd = graft.tools.Calib.best()
+    val calibRatio =
+      math.max(calibStart, calibEnd) / graft.tools.Calib.QuietSec
+    val inflated = calibRatio > graft.tools.Calib.InflatedBound
     val contended = spreadP90 > SpreadBound ||
-      loadStart > cores.toDouble / 2
+      loadStart > cores.toDouble / 2 || inflated
     val envJson = s""""contended":$contended,"spread_p90":${fmt(spreadP90)},""" +
+      s""""inflated":$inflated,"calib_ratio":${fmt(calibRatio)},""" +
+      s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},""" +
       s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
       s""""cores":$cores"""
     val full =

@@ -55,28 +55,52 @@ object StreamScaleBench {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }
     val store = new graft.store.TableStore(spark, wh)
-    val walls = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    // per-epoch INPUT BYTES alongside wall time: a flat wall curve alone
+    // can hide an O(corpus) read term behind fixed per-epoch overhead at
+    // small corpus sizes — the bytes axis exposes it directly (the r13
+    // card-delta full-corpus scan would have shown as per-epoch input
+    // bytes growing with the accumulated corpus). Listener-bus delivery
+    // is async, so a boundary task can land in the neighbor epoch —
+    // telemetry-grade, which is all the growth-shape check needs.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          Option(te.taskMetrics)
+            .foreach(m => bytesRead.addAndGet(m.inputMetrics.bytesRead))
+          ()
+        }
+      })
+    val walls = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+    val lastBytes = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     graft.streaming.StreamingPipeline.corpusReleaseStream(
       spark, store, feed, wh, None, cp,
-      onEpoch = (id, w) => walls.synchronized { walls += ((id, w)); () })
+      onEpoch = (id, w) => walls.synchronized {
+        val now = bytesRead.get()
+        walls += ((id, w, now - lastBytes.getAndSet(now)))
+        ()
+      })
       .awaitTermination()
     val total = (System.nanoTime() - t0) / 1e9
     // replay drain: nothing new behind the checkpoint — bounded catch-up
     // run with zero epochs
     val tr = System.nanoTime()
+    val replayBytes0 = bytesRead.get()
     graft.streaming.StreamingPipeline.corpusReleaseStream(
       spark, store, feed, wh, None, cp).awaitTermination()
     val replay = (System.nanoTime() - tr) / 1e9
+    val replayMb = (bytesRead.get() - replayBytes0) / 1e6
     val corpusRows = store.readIfExists("corpus_docs").map(_.count())
       .getOrElse(0L)
-    val epochsJson = walls.sortBy(_._1).map { case (id, w) =>
-      f"""{"epoch":$id,"sec":$w%.2f}"""
+    val epochsJson = walls.sortBy(_._1).map { case (id, w, b) =>
+      f"""{"epoch":$id,"sec":$w%.2f,"input_mb":${b / 1e6}%.1f}"""
     }.mkString("[", ",", "]")
     println(f"""{"metric":"corpus_stream_scale","unit":"sec","src":"$src",""" +
       f""""n_batches":$nBatches,"corpus_rows":$corpusRows,""" +
       f""""total_sec":$total%.1f,"replay_drain_sec":$replay%.1f,""" +
-      f""""epochs":$epochsJson}""")
+      f""""replay_input_mb":$replayMb%.1f,"epochs":$epochsJson}""")
     spark.stop()
   }
 }

@@ -27,11 +27,11 @@ import org.apache.spark.sql.functions._
   * evidence. The inline filter sees the whole train corpus at once; the
   * release loop's probes see only a micro-batch, whose df can never
   * reach the cap — so the index ACCRETES the train-side df
-  * ([[recordTrainDf]], called with each release's admitted docs, the
-  * `_SUITES`-style accretion protocol) under `train_df[_vN]/` (gp-
-  * partitioned (id, df) segments behind a `_TRAINDF` pointer, folded by
-  * [[maybeCompactTrainDf]]), and a probe caps on `batch df + persisted
-  * corpus df`. With no persisted state (the inline/audit shape) that
+  * ([[recordTrainDf]], called with each release's offered docs, counted
+  * once per DISTINCT content via the `offered/` hash registry) under
+  * `train_df[_vN]/` (gp-partitioned (id, df) segments behind a
+  * `_TRAINDF` pointer, folded by [[maybeCompactTrainDf]]), and a probe
+  * caps on `batch df + persisted corpus df`. With no persisted state (the inline/audit shape) that
   * reduces to the batch-df cap, so `decontam_filter` and the shared
   * oracle are unchanged. The df stats are an ADVISORY boilerplate guard:
   * a crash between a release and its recordTrainDf under- or
@@ -45,6 +45,25 @@ object ContamIndex {
 
   private def gp(id: Column): Column =
     pmod(xxhash64(id), lit(NumGramPartitions.toLong)).cast("int")
+
+  /** Content-hash partition of the `offered/` registry (the gp idiom over
+    * md5 hashes): probes prune to the batch's ≤64 hp values.
+    */
+  private def hp(h: Column): Column =
+    pmod(xxhash64(h), lit(NumGramPartitions.toLong)).cast("int")
+
+  /** True when `dir` holds at least one `part=` partition directory: an
+    * absent dir, or a data-less one from a crash-orphaned write (only
+    * _SUCCESS), must read as "no data" — never as a schema-inference
+    * crash.
+    */
+  private def partitionedHasData(spark: SparkSession, dir: String,
+                                 part: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$part="))
+  }
 
   /** Build the evidence from `(doc_id, text, ...)` eval documents.
     * Rebuild = overwrite (the eval suite changed); single writer at a
@@ -65,13 +84,26 @@ object ContamIndex {
     // a suite whose docs are all shorter than the gram width yields ZERO
     // evidence rows: a partitioned write of the empty frame would leave a
     // data-less dir (only _SUCCESS) that breaks parquet schema inference
-    // on every later probe — skip it; absent/data-less evidence reads as
-    // "no evidence" ([[gramsWithData]])
+    // on every later probe — never write it; absent/data-less evidence
+    // reads as "no evidence" ([[gramsWithData]]). An APPEND of zero rows
+    // is a skip (the existing evidence stands), but an OVERWRITE of zero
+    // rows must honor the rebuild contract: a changed eval suite that now
+    // yields no grams has to RETIRE the previous suite's evidence (and
+    // the `_SUITES` manifest derived from it), or probes keep dropping
+    // training docs against stale grams forever.
     try {
       if (!rows.isEmpty)
         rows.write.mode(if (overwrite) "overwrite" else "append")
           .partitionBy("gp")
           .parquet(s"$indexDir/grams")
+      else if (overwrite) {
+        val dir = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = dir.getFileSystem(
+          evalDocs.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "grams"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUITES"), false)
+        ()
+      }
     } finally { rows.unpersist(); () }
   }
 
@@ -147,13 +179,26 @@ object ContamIndex {
   def liveTrainDfDir(spark: SparkSession, indexDir: String): String =
     GenDirs.resolve(spark, indexDir, "_TRAINDF", "train_df")
 
+  /** The live offered-content registry ([[recordTrainDf]]'s
+    * distinct-content bound): `_OFFERED` pointer when a fold has run,
+    * `offered/` otherwise.
+    */
+  def liveOfferedDir(spark: SparkSession, indexDir: String): String =
+    GenDirs.resolve(spark, indexDir, "_OFFERED", "offered")
+
   /** Accrete a released batch's gram frequencies into the persisted
     * train-side df — O(batch + collisions) work, one append segment per
-    * touched gp partition. Call with each release's ADMITTED docs (what
-    * actually enters the train corpus); the probe-side cap then reflects
-    * corpus-level boilerplate, not just the micro-batch's. Single writer
-    * at a time (the [[MinhashIndex.append]] contract). Counts mirror the
-    * inline filter's definition exactly: exploded gram rows per id.
+    * touched gp partition. Call with each release's OFFERED docs
+    * (post-dedup, PRE-decontamination — what [[graft.run.CorpusOps
+    * .release]] passes), NOT the admitted ones: the docs carrying an
+    * evidence gram are exactly the ones decontamination drops, so
+    * admitted-only accretion could never raise an evidence gram's df off
+    * zero and the boilerplate exemption could never bootstrap (the inline
+    * `decontam_filter` likewise defines df over the batch it is ABOUT to
+    * filter). The probe-side cap then reflects corpus-level boilerplate,
+    * not just the micro-batch's. Single writer at a time (the
+    * [[MinhashIndex.append]] contract). Counts mirror the inline filter's
+    * definition exactly: exploded gram rows per id.
     *
     * Only EVIDENCE grams are recorded: the cap is consumed solely where
     * a gram is eval evidence (non-evidence grams never drop a doc), so
@@ -172,69 +217,128 @@ object ContamIndex {
       case Some(g) => new org.apache.hadoop.fs.Path(g)
       case None => return // no evidence -> the cap can never be consumed
     }
-    val dfRows = docs
-      .select(explode(shingleIds(col("text"), gramN)).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("df"))
-    // bounded collect: at most NumGramPartitions distinct values
-    val gps = dfRows.select(gp(col("id")).as("gp")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (gps.isEmpty) return // empty batch: nothing to accrete, and an
-    // empty partitioned write would leave a data-less dir that breaks
-    // schema inference on the next probe
-    // cached across the emptiness probe and the write — uncached, each
-    // would recompute the gram explode + evidence semi-join from scratch
-    val out = dfRows.join(
-        spark.read.parquet(grams.toString)
-          .filter(col("gp").isin(gps: _*)).select("id"),
-        Seq("id"), "left_semi")
-      .withColumn("gp", gp(col("id")))
-      .sortWithinPartitions("id")
-      .cache()
+    // distinct-content bound (r13 advice): df accretes per DISTINCT
+    // OFFERED CONTENT, not per offer — without it, an at-least-once
+    // producer re-sending one contaminated doc each epoch re-accretes
+    // its grams every time and can monotonically ratchet them past
+    // dfCap (~10k offers), after which they stop counting as eval
+    // evidence. The `offered/` registry (hp-partitioned md5 content
+    // hashes behind an `_OFFERED` pointer) filters each batch to
+    // content never accreted before; it grows O(distinct content ever
+    // offered) — the same storage class as the dedup index's own hash
+    // registry, and hp-pruned probes read only the batch's partitions.
+    val hashed = docs.select(col("text"), md5(col("text")).as("h"))
+    val offeredDir = liveOfferedDir(spark, indexDir)
+    val fresh0 =
+      if (partitionedHasData(spark, offeredDir, "hp")) {
+        // bounded collect: at most NumGramPartitions distinct values
+        val hps = hashed.select(hp(col("h")).as("hp")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (hps.isEmpty) return // empty batch
+        hashed.join(
+          spark.read.parquet(offeredDir).filter(col("hp").isin(hps: _*))
+            .select("h"),
+          Seq("h"), "left_anti")
+      } else hashed
+    // one row per distinct fresh content; cached across the gram
+    // aggregation, the emptiness probes, and the registry append
+    val fresh = fresh0.dropDuplicates("h").cache()
     try {
-      if (!out.isEmpty) // same data-less-dir guard as the empty batch
-        out.write.mode("append").partitionBy("gp")
-          .parquet(liveTrainDfDir(spark, indexDir))
-    } finally { out.unpersist(); () }
+      if (fresh.isEmpty) return // nothing new offered: a pure replay
+      val dfRows = fresh
+        .select(explode(shingleIds(col("text"), gramN)).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("df"))
+      // bounded collect: at most NumGramPartitions distinct values
+      val gps = dfRows.select(gp(col("id")).as("gp")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // zero grams (all docs under the gram width): nothing to accrete,
+      // and an empty partitioned write would leave a data-less dir that
+      // breaks schema inference on the next probe
+      if (gps.nonEmpty) {
+        // cached across the emptiness probe and the write — uncached,
+        // each would recompute the explode + evidence semi-join
+        val out = dfRows.join(
+            spark.read.parquet(grams.toString)
+              .filter(col("gp").isin(gps: _*)).select("id"),
+            Seq("id"), "left_semi")
+          .withColumn("gp", gp(col("id")))
+          .sortWithinPartitions("id")
+          .cache()
+        try {
+          if (!out.isEmpty) // same data-less-dir guard
+            out.write.mode("append").partitionBy("gp")
+              .parquet(liveTrainDfDir(spark, indexDir))
+        } finally { out.unpersist(); () }
+      }
+      // registry append LAST: a crash between the gram accretion above
+      // and this write re-accretes the batch ONCE on replay (a bounded
+      // advisory overcount); the reverse order would undercount forever
+      fresh.select(col("h")).withColumn("hp", hp(col("h")))
+        .write.mode("append").partitionBy("hp").parquet(offeredDir)
+    } finally { fresh.unpersist(); () }
   }
 
-  /** Fold the train-df append segments once any gp partition's file count
-    * passes the bound (the [[MinhashIndex.maybeCompact]] policy): rewrite
-    * as one summed row per gram into a new `train_df_vN` generation,
-    * publish with an atomic `_TRAINDF` pointer swing, retain the
-    * just-superseded generation for in-flight probes, reclaim older ones.
+  /** Fold a pointer-published partitioned dir's append segments once any
+    * partition's file count passes the bound (the
+    * [[MinhashIndex.maybeCompact]] policy): rewrite `fold`'s result into
+    * a new `<base>_vN` generation, publish with an atomic pointer swing,
+    * retain the just-superseded generation for in-flight probes, reclaim
+    * older ones.
     */
-  def maybeCompactTrainDf(spark: SparkSession, indexDir: String,
-                          maxFilesPerPartition: Int = 8): Boolean = {
-    val livePath = new org.apache.hadoop.fs.Path(
-      liveTrainDfDir(spark, indexDir))
+  private def foldGeneration(spark: SparkSession, indexDir: String,
+      pointer: String, base: String, part: String, maxFiles: Int)
+      (fold: DataFrame => DataFrame): Boolean = {
+    val live = GenDirs.resolve(spark, indexDir, pointer, base)
+    val livePath = new org.apache.hadoop.fs.Path(live)
     val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(livePath)) return false
     val over = fs.listStatus(livePath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gp="))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$part="))
       .map(st => fs.listStatus(st.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet")))
-      .exists(_ > maxFilesPerPartition)
+      .exists(_ > maxFiles)
     if (!over) return false
-    val live = livePath.toString
     val liveName = live.substring(live.lastIndexOf('/') + 1)
     val nextGen =
-      if (liveName == "train_df") 1
-      else liveName.stripPrefix("train_df_v").toInt + 1
-    val next = s"train_df_v$nextGen"
-    spark.read.parquet(live)
-      .groupBy("gp", "id").agg(sum("df").as("df"))
-      .repartition(col("gp"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite").partitionBy("gp")
+      if (liveName == base) 1
+      else liveName.stripPrefix(s"${base}_v").toInt + 1
+    val next = s"${base}_v$nextGen"
+    fold(spark.read.parquet(live))
+      .write.mode("overwrite").partitionBy(part)
       .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
-    GenDirs.swap(spark, indexDir, "_TRAINDF", next)
+    GenDirs.swap(spark, indexDir, pointer, next)
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("train_df") &&
+        st.getPath.getName.startsWith(base) &&
         st.getPath.getName != next && st.getPath.getName != liveName)
       .foreach(st => fs.delete(st.getPath, true))
     true
+  }
+
+  /** Fold the train-df append segments (one summed row per gram) and the
+    * offered-content registry's (distinct hashes) once any partition's
+    * file count passes the bound — [[foldGeneration]] each, independent
+    * triggers. Returns true when either folded.
+    */
+  def maybeCompactTrainDf(spark: SparkSession, indexDir: String,
+                          maxFilesPerPartition: Int = 8): Boolean = {
+    val dfFolded = foldGeneration(spark, indexDir, "_TRAINDF", "train_df",
+      "gp", maxFilesPerPartition) { df =>
+      df.groupBy("gp", "id").agg(sum("df").as("df"))
+        .repartition(col("gp"))
+        .sortWithinPartitions("id")
+    }
+    val offFolded = foldGeneration(spark, indexDir, "_OFFERED", "offered",
+      "hp", maxFilesPerPartition) { df =>
+      // crash-replay duplicates collapse; re-sorted for row-group
+      // min/max pushdown on the h anti-join
+      df.select("hp", "h").distinct()
+        .repartition(col("hp"))
+        .sortWithinPartitions("h")
+    }
+    dfFolded || offFolded
   }
 
   /** The training-batch rows that survive decontamination: a batch doc is
@@ -266,15 +370,7 @@ object ContamIndex {
       .collect().map(_.getInt(0)).toSeq
     val batchDf = bGrams.groupBy("id").agg(count(lit(1)).as("bdf"))
     val liveDf = liveTrainDfDir(spark, indexDir)
-    // "has data" = at least one gp= partition dir: a crash-orphaned
-    // data-less dir (only _SUCCESS) must read as absent, not break
-    // parquet schema inference forever
-    val liveDfP = new org.apache.hadoop.fs.Path(liveDf)
-    val liveDfFs = liveDfP
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dfExists = liveDfFs.exists(liveDfP) &&
-      liveDfFs.listStatus(liveDfP).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("gp="))
+    val dfExists = partitionedHasData(spark, liveDf, "gp")
     // corpus df for the batch's grams only: partition-pruned read,
     // summed across append segments; absent state = 0 (the inline shape)
     val heavy = (if (dfExists)

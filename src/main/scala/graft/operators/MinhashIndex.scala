@@ -152,6 +152,24 @@ object MinhashIndex {
       df.withColumn("aseq", coalesce(col("aseq"), lit(0L)))
     else df.withColumn("aseq", lit(0L))
 
+  /** Superseded-registration registry of a RESOLVED generation dir, only
+    * when it holds data: `(doc_id, h)` pairs whose postings a [[compact]]
+    * garbage-collected — the optional strict-replay tier of
+    * [[novelDocs]]. Absent for indexes that never compacted (nothing
+    * superseded yet) and after a [[build]] rebuild (the released table
+    * holds live content only, so a rebuild RESETS the registry — strict
+    * replay protection spans compactions, not rebuilds).
+    */
+  private def supersededWithData(spark: SparkSession,
+                                 genDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$genDir/_hashes_superseded")
+    val fs = fsFor(spark, p)
+    if (fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.endsWith(".parquet")))
+      Some(p.toString)
+    else None
+  }
+
   /** Hashes path of a RESOLVED generation dir, with legacy fallback
     * ([[VectorIndex]] `genCentroidsDir` idiom): pre-generation-complete
     * indexes keep hashes at `<indexDir>/hashes` until a rebuild or
@@ -316,6 +334,17 @@ object MinhashIndex {
     * [[VectorIndex.compactIvf]] protocol), and a legacy top-level
     * `hashes/` dir is migrated into the new generation and retired one
     * cycle later ([[dropLegacyIfUnreferenced]]).
+    *
+    * LEGACY aseq-0 CARVE-OUT: rows persisted before the `_ASEQ` protocol
+    * all read as generation 0 ([[withAseq]]), so the (doc_id, aseq)
+    * keep-join cannot order pre-migration appends against each other — a
+    * doc_id appended twice with DIFFERENT content before migration keeps
+    * both versions' postings while only the max-h hash row survives
+    * (postings whose exact-dup hash was collected). Newest-wins therefore
+    * holds among aseq-stamped appends only; a pre-aseq index known to
+    * carry multi-version doc_ids must migrate through a full [[build]]
+    * rebuild from the released table (one content per doc_id by
+    * construction), not through compact.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -348,6 +377,25 @@ object MinhashIndex {
       .parquet(s"$indexDir/$next")
     keep.select("doc_id", "h", "aseq")
       .write.mode("overwrite").parquet(s"$indexDir/$next/_hashes")
+    // strict-replay registry: accrete the registrations this GC dropped
+    // onto the prior generation's registry (hash-only rows — O(content
+    // ever superseded), the declared storage trade of the strict tier;
+    // the default contract hands cross-generation replays to the
+    // streaming checkpoint and reads none of this)
+    val sup = (supersededWithData(spark, live) match {
+      case Some(p) => spark.read.parquet(p).select("doc_id", "h")
+        .unionByName(hashes.join(keep, Seq("doc_id", "aseq", "h"),
+          "left_anti").select("doc_id", "h"))
+      case None => hashes.join(keep, Seq("doc_id", "aseq", "h"),
+        "left_anti").select("doc_id", "h")
+    }).distinct().cache()
+    try {
+      // zero superseded rows (pure-insert corpora): never write the
+      // data-less dir (the schema-inference poison class)
+      if (!sup.isEmpty)
+        sup.write.mode("overwrite")
+          .parquet(s"$indexDir/$next/_hashes_superseded")
+    } finally { sup.unpersist(); () }
     keep.unpersist()
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
@@ -441,10 +489,22 @@ object MinhashIndex {
     * the batch rows (original columns) that survive both tiers —
     * O(batch + collisions) compute and a posting read bounded by pruning,
     * with the corpus never re-shingled.
+    *
+    * `strictReplay` widens the exact tier to content hashes whose
+    * registration a [[compact]] SUPERSEDED (the `_hashes_superseded`
+    * registry): the default contract covers the current content
+    * generation only — an at-least-once producer replaying a batch that
+    * a later update superseded, after a compaction GC'd the old
+    * version's registration, would regress the doc. Default keeps that
+    * window the streaming checkpoint's job (zero extra reads); strict
+    * closes it for producers that cannot guarantee ordering, at
+    * O(content ever superseded) registry storage. Either way the
+    * registry resets on a [[build]] rebuild ([[supersededWithData]]).
     */
   def novelDocs(spark: SparkSession, batch: DataFrame, indexDir: String,
                 jaccardThreshold: Double = 0.2,
-                maxBand: Int = 1000): DataFrame = {
+                maxBand: Int = 1000,
+                strictReplay: Boolean = false): DataFrame = {
     // deliberately uncached: the signature projection feeds two subplans
     // (band rows + survivor semi-join) and recomputes per consumer —
     // O(batch) per pass, and a lazy return must not pin a cache it cannot
@@ -453,7 +513,14 @@ object MinhashIndex {
     // ONE pointer resolution for hashes + postings (livePostingsDir note)
     val live = livePostingsDir(spark, indexDir)
     val hashes = spark.read.parquet(genHashesDir(spark, indexDir, live))
-    val afterExact = s.join(hashes.select("h"), Seq("h"), "left_anti")
+    val seen =
+      if (strictReplay) supersededWithData(spark, live) match {
+        case Some(p) => hashes.select("h")
+          .unionByName(spark.read.parquet(p).select("h"))
+        case None => hashes.select("h")
+      }
+      else hashes.select("h")
+    val afterExact = s.join(seen, Seq("h"), "left_anti")
     val bBand = bandRows(afterExact)
     // bounded collect: at most NumBandPartitions distinct values
     val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq

@@ -102,13 +102,37 @@ object RankOps {
 
   def withGlobalRank(df: DataFrame, key: Column, ties: Seq[Column],
                      out: String, buckets: Int = 64,
-                     minor: Option[Column] = None): DataFrame = {
+                     minor: Option[Column] = None): DataFrame =
+    ranked(df, key, ties, out, buckets, minor, nOut = None)
+
+  /** [[withGlobalRank]] plus the TOTAL row count as column `nOut`: the
+    * rank's bucket-count aggregate already holds every bucket's size, so
+    * the global n is one more sum over that bounded frame — callers
+    * needing (rank, n) pairs (ntile, percentile-of-rank) would otherwise
+    * pay a second full scan of `df` for a `count(*)` cross join.
+    */
+  def withGlobalRankAndCount(df: DataFrame, key: Column, ties: Seq[Column],
+                             out: String, nOut: String, buckets: Int = 64,
+                             minor: Option[Column] = None): DataFrame =
+    ranked(df, key, ties, out, buckets, minor, nOut = Some(nOut))
+
+  private def ranked(df: DataFrame, key: Column, ties: Seq[Column],
+                     out: String, buckets: Int, minor: Option[Column],
+                     nOut: Option[String]): DataFrame = {
     val bucketed = bucketAssign(df, key, minor, buckets)
-    val offs = bucketed.groupBy("_rk_b").agg(count(lit(1)).as("_rk_n"))
+    // both windows run over the bounded per-bucket aggregate (≤ buckets
+    // rows): the prefix-sum offsets, and optionally the all-bucket total
+    val offs0 = bucketed.groupBy("_rk_b").agg(count(lit(1)).as("_rk_n"))
       .withColumn("_rk_off", coalesce(
         sum("_rk_n").over(Window.orderBy("_rk_b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_rk_b", "_rk_off")
+    val offs = nOut match {
+      case Some(n) => offs0
+        .withColumn(n, sum("_rk_n").over(Window.orderBy("_rk_b")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("_rk_b", "_rk_off", n)
+      case None => offs0.select("_rk_b", "_rk_off")
+    }
     bucketed.join(broadcast(offs), Seq("_rk_b"))
       .withColumn(out, (col("_rk_off") + row_number().over(
         Window.partitionBy("_rk_b").orderBy(key +: ties: _*)))

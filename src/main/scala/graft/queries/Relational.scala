@@ -512,10 +512,12 @@ object Relational {
     // distributed two-pass rank (RankOps scaladoc), then the tile is
     // row-local arithmetic over (rank, total) — bit-identical output
     val o = t(spark, dir, "orders")
-    val ranked = graft.operators.RankOps.withGlobalRank(
-      o, col("o_totalprice"), Seq(col("o_orderkey")), "_r",
+    // rank and total count in ONE pass: the count(*) cross join this
+    // replaced was a second full scan of orders
+    val ranked = graft.operators.RankOps.withGlobalRankAndCount(
+      o, col("o_totalprice"), Seq(col("o_orderkey")), "_r", "_n",
       minor = Some(col("o_orderkey")))
-    ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("_n"))))
+    ranked
       .withColumn("q", graft.operators.RankOps
         .ntileFromRank(col("_r"), col("_n"), 4))
       .groupBy("q")
@@ -900,22 +902,26 @@ object Relational {
     // Each rank runs over its own narrow (user_id, key) projection and
     // joins back on user_id — chaining them would re-derive the first
     // rank inside the second's cut-point aggregate
-    import graft.operators.RankOps.{ntileFromRank, withGlobalRank}
+    import graft.operators.RankOps.{ntileFromRank, withGlobalRank,
+      withGlobalRankAndCount}
     // minor = user_id (the tiebreak itself): recency_days and freq are
     // LOW-CARDINALITY integer keys — at billions of users a single value
     // (freq=1) can be a third of the table, and without the minor the
-    // whole class would funnel through one bucket's local sort
-    val rr = withGlobalRank(
+    // whole class would funnel through one bucket's local sort.
+    // The recency rank also carries out the user total (`_n`, one sum
+    // over its bounded bucket aggregate): a count(*) cross join here
+    // would re-derive the per-user rollup — a second full pass over
+    // events
+    val rr = withGlobalRankAndCount(
       scored.select(col("user_id"), col("recency_days")),
-      negate(col("recency_days")), Seq(col("user_id")), "_rr",
+      negate(col("recency_days")), Seq(col("user_id")), "_rr", "_n",
       minor = Some(col("user_id")))
-      .select("user_id", "_rr")
+      .select("user_id", "_rr", "_n")
     val rf = withGlobalRank(scored.select(col("user_id"), col("freq")),
       col("freq"), Seq(col("user_id")), "_rf",
       minor = Some(col("user_id")))
       .select("user_id", "_rf")
     scored.join(rr, Seq("user_id")).join(rf, Seq("user_id"))
-      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("_n"))))
       .withColumn("r_score", ntileFromRank(col("_rr"), col("_n"), 5))
       .withColumn("f_score", ntileFromRank(col("_rf"), col("_n"), 5))
       .groupBy("r_score", "f_score")

@@ -1,6 +1,6 @@
 package graft.run
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -64,13 +64,19 @@ object CorpusCardAcc {
 
   /** Per-source accumulator rows from a signed contribution stream. Only
     * POSITIVE rows feed the HLL sketch (content ever released — sketches
-    * cannot subtract; see class doc).
+    * cannot subtract; see class doc). `churn` counts the REPLACED rows
+    * (negative contributions) since the last exact rebuild: the HLL's
+    * upward drift is bounded by how much content was ever superseded, so
+    * cumulative churn is the trigger gauge for routing a release through
+    * the exact rebuild ([[churnExceeded]]) — a full rebuild starts it at 0
+    * (an all-positive stream has no negative rows).
     */
   private def accFrom(c: DataFrame): DataFrame = {
     val main = c.groupBy("source").agg(
       sum(col("w")).as("n_docs"),
       sum(col("w") * col("chars")).as("chars_total"),
       sum(col("w") * col("nt")).as("tokens_total"),
+      sum(when(col("w") < 0, 1L).otherwise(0L)).as("churn"),
       hll_sketch_agg(when(col("w") > 0, col("h"))).as("hll"))
     val hist = c.groupBy(col("source"), bucketOf(col("nt")).as("b"))
       .agg(sum("w").as("n")).filter(col("n") =!= 0)
@@ -107,11 +113,12 @@ object CorpusCardAcc {
     // not cached: callers materialize the merge result (localCheckpoint)
     // before overwriting the accumulator table it reads from, and the
     // frame is per-source-sized either way
-    val u = acc.unionByName(d)
+    val u = withChurn(acc).unionByName(withChurn(d))
     val main = u.groupBy("source").agg(
       sum("n_docs").as("n_docs"),
       sum("chars_total").as("chars_total"),
       sum("tokens_total").as("tokens_total"),
+      sum("churn").as("churn"),
       hll_union_agg(col("hll"), lit(true)).as("hll"))
     val hist = u.select(col("source"), explode(col("tok_hist")))
       .groupBy("source", "key").agg(sum("value").as("n"))
@@ -128,6 +135,37 @@ object CorpusCardAcc {
     main.join(hist, Seq("source"), "left").join(langs, Seq("source"), "left")
   }
 
+  /** Accumulator rows persisted before the churn gauge existed read as 0
+    * (no recorded churn — the next exact rebuild starts the gauge).
+    */
+  private def withChurn(df: DataFrame): DataFrame =
+    if (df.columns.contains("churn"))
+      df.withColumn("churn", coalesce(col("churn"), lit(0L)))
+    else df.withColumn("churn", lit(0L))
+
+  /** Churn fraction at which [[CorpusOps.release]] routes the NEXT release
+    * through the exact self-heal rebuild instead of the O(batch) delta:
+    * the HLL `n_distinct` counts content ever released, so its upward
+    * drift (and the dup_rate erosion it causes) is bounded by the
+    * replaced-doc count since the last exact pass — capping cumulative
+    * churn at this fraction of n_docs bounds the drift DETERMINISTICALLY
+    * at ~ratio of n_docs, instead of leaving it to grow until an
+    * unrelated crash happens to trigger self-heal.
+    */
+  val ChurnRatio = 0.2
+
+  /** True when cumulative churn since the last exact rebuild passed
+    * [[ChurnRatio]] of the corpus — one O(sources) aggregate over the
+    * accumulator table.
+    */
+  def churnExceeded(acc: DataFrame): Boolean = {
+    val r = withChurn(acc)
+      .agg(coalesce(sum("churn"), lit(0L)),
+        coalesce(sum("n_docs"), lit(0L))).head()
+    val (c, n) = (r.getLong(0), r.getLong(1))
+    n > 0L && c.toDouble >= ChurnRatio * n
+  }
+
   /** Derive the `corpus_card` datasheet from the accumulators — schema and
     * ordering of [[graft.queries.TrainingData.corpusCardFrames]], with
     * `n_distinct` and the token quantiles carrying the declared bands
@@ -138,23 +176,37 @@ object CorpusCardAcc {
       explode(col("tok_hist")))
     val w = Window.partitionBy("source").orderBy("key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the exact percentile's lower interpolation endpoint sits at rank
-    // (n-1)*p + 1; the first bucket whose cumulative count reaches it
-    // contains that endpoint
+    // the exact percentile interpolates between the order statistics at
+    // ranks k = floor((n-1)*p)+1 and k+1 (fraction f = frac((n-1)*p)).
+    // Pick BOTH endpoints' buckets and interpolate between their
+    // representatives: estimating from the upper bucket alone is within
+    // one bucket of that ENDPOINT, but when adjacent order statistics
+    // straddle a wide gap the interpolated exact value sits far from
+    // either endpoint — the two-endpoint estimate stays within one
+    // bucket width of the exact interpolation for any gap
     val withCum = hist.withColumn("cum", sum("value").over(w))
+    def lowRank(p: Double) =
+      floor((col("n_docs") - 1).cast(DoubleType) * p) + 1.0
     val picks = withCum.groupBy("source").agg(
-      min(when(col("cum") >=
-        (col("n_docs") - 1).cast(DoubleType) * 0.5 + 1.0, col("key")))
-        .as("b50"),
-      min(when(col("cum") >=
-        (col("n_docs") - 1).cast(DoubleType) * 0.9 + 1.0, col("key")))
-        .as("b90"))
+      min(when(col("cum") >= lowRank(0.5), col("key"))).as("b50lo"),
+      min(when(col("cum") >= lowRank(0.5) + 1.0, col("key"))).as("b50hi"),
+      min(when(col("cum") >= lowRank(0.9), col("key"))).as("b90lo"),
+      min(when(col("cum") >= lowRank(0.9) + 1.0, col("key"))).as("b90hi"))
     val top = acc.select(col("source"), explode(col("lang_counts")))
       .groupBy("source")
       .agg(min(struct((-col("value")).as("neg"), col("key").as("lang"),
         col("value").as("lc"))).as("t"))
       .select(col("source"), col("t.lang").as("top_lang"),
         col("t.lc").as("lc"))
+    // the exact interpolation fraction f = frac((n-1)*p); a rank landing
+    // exactly on an order statistic (f = 0) never reads the upper bucket
+    // (which may not exist: k+1 > n), hence the coalesce
+    def qEst(lo: Column, hi: Column, p: Double): Column = {
+      val e = (col("n_docs") - 1).cast(DoubleType) * p
+      val f = e - floor(e)
+      round(bucketValue(lo) * (lit(1.0) - f) +
+        coalesce(bucketValue(hi), bucketValue(lo)) * f, 1)
+    }
     acc.select(col("source"), col("n_docs"), col("chars_total"),
         col("tokens_total"),
         least(col("n_docs"), hll_sketch_estimate(col("hll")))
@@ -164,8 +216,8 @@ object CorpusCardAcc {
         round((col("n_docs") - col("n_distinct")).cast(DoubleType) /
           col("n_docs"), 4).as("dup_rate"),
         col("chars_total"), col("tokens_total"),
-        bucketValue(col("b50")).as("tokens_p50"),
-        bucketValue(col("b90")).as("tokens_p90"),
+        qEst(col("b50lo"), col("b50hi"), 0.5).as("tokens_p50"),
+        qEst(col("b90lo"), col("b90hi"), 0.9).as("tokens_p90"),
         col("top_lang"),
         round(col("lc").cast(DoubleType) / col("n_docs"), 4)
           .as("top_lang_share"))

@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** The card-delta's old-slice: the CURRENT table rows whose doc_ids the
+    * stage touches. The semi-join reads ONLY the stage's touched bucket
+    * files ([[TableStore.readBuckets]] — the same path-level pruning the
+    * merge itself performs): a semi-join against the full table would
+    * scan EVERY bucket, text column included, because hash-bucketed
+    * parquet gives Spark nothing to prune on — a full-corpus read per
+    * steady-state release (per streaming micro-batch) at 100 TB. None
+    * when no touched bucket owns files (pure-insert batch: nothing to
+    * subtract). Exposed for the spec's file-access pin.
+    */
+  private[graft] def cardOldSlice(store: TableStore, tableName: String,
+      planned: Option[(Int, Set[Int])], existing: Option[DataFrame],
+      stage: DataFrame): Option[DataFrame] =
+    (planned match {
+      case Some((_, ts)) => store.readBuckets(tableName, ts)
+      case None => existing // un-manifested legacy layout: unpruned
+    }).map(_.select("doc_id", "text", "lang", "source", "n_tokens")
+      .join(stage.select("doc_id"), Seq("doc_id"), "left_semi"))
+
   /** Releases `rawDocs` (doc_id, text, lang, source, n_chars — the
     * documents schema) into `corpus_docs`/`corpus_card` under
     * `warehouse`. Returns (inserts, updates, corpus_rows).
@@ -29,7 +48,8 @@ object CorpusOps {
   def release(spark: SparkSession, store: TableStore, warehouse: String,
               rawDocs: DataFrame, sourceLabel: String,
               evalDir: Option[String],
-              dfCap: Int = 10000): (Long, Long, Long) = {
+              dfCap: Int = 10000,
+              strictReplay: Boolean = false): (Long, Long, Long) = {
     val cs = DemoSources.CorpusRelease
     val existing = store.readIfExists(cs.tableName)
       .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
@@ -45,7 +65,11 @@ object CorpusOps {
     // regress the doc after a compaction has dropped the old version's
     // registration — cross-generation replay safety is the streaming
     // checkpoint's job (at-least-once producers must not re-send
-    // pre-update batches out of band).
+    // pre-update batches out of band). Callers whose producers CANNOT
+    // guarantee that pass strictReplay = true: the probe then also
+    // rejects content whose registration a compaction superseded
+    // (MinhashIndex._hashes_superseded — O(content ever superseded)
+    // registry storage, the declared trade).
     // Trust gate: the index's _COMMITTED marker, written as the LAST
     // step of build/append and removed (below) before every merge. Any
     // single dir existing is NOT enough — build/append write postings
@@ -64,7 +88,8 @@ object CorpusOps {
     val curated = (existing, idxExists) match {
       case (Some(_), true) =>
         graft.operators.MinhashIndex.novelDocs(spark,
-          graft.queries.TrainingData.curatedFrame(rawDocs, track), idxDir)
+          graft.queries.TrainingData.curatedFrame(rawDocs, track), idxDir,
+          strictReplay = strictReplay)
       case (Some(cur), false) =>
         graft.queries.TrainingData.curatedFrameIncremental(
           rawDocs, cur, track)
@@ -108,6 +133,13 @@ object CorpusOps {
       .withColumn("source_filename", lit(sourceLabel))
       .withColumn("file_load_log_id", lit(0L))
     val now = new java.sql.Timestamp(System.currentTimeMillis())
+    // the stage's touched buckets under the table's CURRENT manifest —
+    // computed ONCE and shared by the card-delta's bucket-pruned old-slice
+    // read and the merge's own touched-bucket probe (each recomputation is
+    // a full pass over the stage)
+    val planned =
+      if (existing.isEmpty) None
+      else store.plannedBuckets(cs.tableName, cs.grain, stage)
     // O(batch) datasheet delta, computed BEFORE the merge mutates the
     // table: the arriving rows' card contributions minus the CURRENT
     // contributions of the doc_ids they touch (unchanged rows cancel,
@@ -115,15 +147,22 @@ object CorpusOps {
     // Eagerly materialized (per-source rows) so the lazy plan cannot
     // observe post-merge state. Steady state only: the incremental path
     // needs a trusted index (same crash signal as the index itself) and
-    // existing accumulators; anything else self-heals below with one
+    // existing accumulators whose cumulative churn is still inside the
+    // declared drift band (CorpusCardAcc.churnExceeded — the HLL
+    // n_distinct cannot subtract, so once enough content has been
+    // superseded the release pays one exact pass NOW, resetting the
+    // drift deterministically instead of waiting for an unrelated crash
+    // to trigger self-heal); anything else self-heals below with one
     // exact O(corpus) rebuild.
     val accSteady = existing.isDefined && idxExists &&
-      store.exists(CorpusCardAcc.AccTable)
+      store.exists(CorpusCardAcc.AccTable) &&
+      !store.readIfExists(CorpusCardAcc.AccTable)
+        .exists(CorpusCardAcc.churnExceeded)
     val cardDelta =
       if (accSteady)
         Some(CorpusCardAcc.delta(stage,
-          existing.map(_.join(stage.select("doc_id"), Seq("doc_id"),
-            "left_semi"))).localCheckpoint())
+          cardOldSlice(store, cs.tableName, planned, existing, stage))
+          .localCheckpoint())
       else None
     // drop the index's commit marker BEFORE the merge: a crash anywhere
     // between here and the post-merge index maintenance leaves the index
@@ -132,7 +171,7 @@ object CorpusOps {
     graft.operators.MinhashIndex.invalidate(spark, idxDir)
     graft.core.Chaos.point("corpus.after-invalidate")
     val counts = store.withTableLock(cs.tableName) {
-      store.mergeInPlace(cs.tableName, stage, cs, now)
+      store.mergeInPlace(cs.tableName, stage, cs, now, planned)
     }
     // crash seam between the merge commit and every piece of index/card
     // maintenance below: the absent commit marker routes the next release
@@ -200,11 +239,19 @@ object CorpusOps {
         case None =>
           val corpusSlice =
             released.select("doc_id", "text", "lang", "source", "n_tokens")
-          store.overwrite(CorpusCardAcc.AccTable,
-            CorpusCardAcc.buildFrom(corpusSlice), partitionBy = Seq.empty)
-          store.overwrite("corpus_card",
-            graft.queries.TrainingData.corpusCardFrames(corpusSlice),
+          // the card is derived through the SAME accumulator → cardFrom
+          // path steady releases use (r13 advice): writing the exact
+          // corpusCardFrames here would flip tokens_p50/p90, n_distinct,
+          // and dup_rate between exact and banded-approximate
+          // representations across releases with no data change. The
+          // rebuilt sketch still resets the HLL drift — it holds LIVE
+          // content only.
+          val built = CorpusCardAcc.buildFrom(corpusSlice).localCheckpoint()
+          store.overwrite(CorpusCardAcc.AccTable, built,
             partitionBy = Seq.empty)
+          store.overwrite("corpus_card", CorpusCardAcc.cardFrom(built),
+            partitionBy = Seq.empty)
+          built.unpersist()
       }
     cardDelta.foreach(_.unpersist())
     graft.core.Chaos.point("corpus.after-card")
@@ -237,11 +284,13 @@ object CorpusOps {
     // the ones decontamination drops, so admitted-only accretion would
     // never raise an evidence gram's df off zero and the exemption could
     // never engage — the inline `decontam_filter` likewise defines df
-    // over the batch it is ABOUT to filter. Replayed batches are empty
-    // by the time they reach `curated` (cross-release dedup precedes
-    // decontamination) — no double count from replays; only genuinely
-    // re-offered (previously decontaminated-away) content re-accretes,
-    // which is real offer frequency.
+    // over the batch it is ABOUT to filter. Double counting is closed at
+    // BOTH tiers: replayed admitted batches are empty by the time they
+    // reach `curated` (cross-release dedup precedes decontamination),
+    // and previously decontaminated-away content — which dedup never
+    // registers — is bounded by recordTrainDf's own distinct-content
+    // registry, so a producer re-sending one contaminated doc each epoch
+    // accretes its grams exactly once.
     accreteTrainDf()
     kept.unpersist()
     internalCaches.foreach(_.unpersist())

@@ -301,6 +301,46 @@ final class TableStore(spark: SparkSession, root: String,
     else Some(spark.read.parquet(paths: _*))
   }
 
+  /** The current manifest's bucket sizing plus the bucket ids `df`'s grain
+    * keys hash into — None when the table is un-manifested (legacy layout
+    * or never merge-published). One O(df) distinct-collect bounded by the
+    * bucket count. Computed ONCE per release and shared: the card-delta's
+    * bucket-pruned old-slice read ([[readBuckets]]) and the merge's own
+    * touched-bucket probe ([[mergeInPlace]]'s `planned` hint) need the
+    * same set, and each recomputation is a full pass over the stage.
+    */
+  def plannedBuckets(name: String, grain: Seq[String],
+                     df: DataFrame): Option[(Int, Set[Int])] =
+    currentManifest(name).map { m =>
+      val n = m.numBuckets
+      val touched = df
+        .select(pmod(xxhash64(grain.map(col): _*), lit(n.toLong)).as("_b"))
+        .distinct().collect().map(_.getLong(0).toInt).toSet
+      (n, touched)
+    }
+
+  /** Read ONLY the given buckets' files of a manifested table — the exact
+    * path-level pruning [[mergeInPlace]] performs for its touched-bucket
+    * merge, exposed for readers that only need the rows a delta's grain
+    * keys can reach (the release loop's card-delta old-slice: a doc_id
+    * semi-join against the full table would scan EVERY bucket, because
+    * hash-bucketed parquet gives Spark no partition column to prune on).
+    * None when none of the requested buckets own files (those rows don't
+    * exist). Falls back to the FULL [[readIfExists]] read when the table
+    * is un-manifested or carries append/upsert segments (segments aren't
+    * bucketed, so pruning them would drop rows — correct first, pruned
+    * when the layout allows).
+    */
+  def readBuckets(name: String, bucketIds: Set[Int]): Option[DataFrame] =
+    currentManifest(name) match {
+      case Some(m) if segments(name).isEmpty && upsertSegments(name).isEmpty =>
+        val paths = m.buckets.toSeq.sortBy(_._1).collect {
+          case (b, v) if bucketIds(b) => bucketDir(name, v, b).toString
+        }
+        if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+      case _ => readIfExists(name)
+    }
+
   /** Read, or an empty frame with the given schema when absent. */
   def readOrEmpty(name: String, schema: StructType): DataFrame =
     readIfExists(name).getOrElse(
@@ -374,7 +414,20 @@ final class TableStore(spark: SparkSession, root: String,
     */
   override def mergeInPlace(name: String, stage: DataFrame,
                             source: SourceConfig,
-                            now: java.sql.Timestamp): Option[(Long, Long)] = {
+                            now: java.sql.Timestamp): Option[(Long, Long)] =
+    mergeInPlace(name, stage, source, now, planned = None)
+
+  /** [[mergeInPlace]] with a pre-computed [[plannedBuckets]] hint: the
+    * caller already paid the stage's touched-bucket probe (to bucket-prune
+    * another read of the same publish, e.g. the release loop's card-delta
+    * old-slice) and this merge must not pay it twice. The hint is trusted
+    * ONLY when its bucket sizing matches the manifest the merge resolves —
+    * a concurrent rebucket between the probe and the merge would make the
+    * ids meaningless, and a silently-wrong touched set LOSES rows.
+    */
+  def mergeInPlace(name: String, stage: DataFrame, source: SourceConfig,
+                   now: java.sql.Timestamp,
+                   planned: Option[(Int, Set[Int])]): Option[(Long, Long)] = {
     if (source.targetPartitionBy.nonEmpty) return None
     val cur = currentVersion(name)
     val man = cur.flatMap(v => readManifest(name, v))
@@ -405,8 +458,10 @@ final class TableStore(spark: SparkSession, root: String,
     // publish (nothing to prune against) skips the probe entirely.
     val touched: Set[Int] =
       if (tableIsEmpty) Set.empty
-      else stage.select(bucketOf(source.grain).as("_b")).distinct()
-        .collect().map(_.getLong(0).toInt).toSet
+      else planned.collect { case (pn, ts) if pn == n => ts }.getOrElse {
+        stage.select(bucketOf(source.grain).as("_b")).distinct()
+          .collect().map(_.getLong(0).toInt).toSet
+      }
 
     // A legacy (un-manifested) version or stray append segments force a
     // one-time full migration merge — same cost as the old full rewrite,

@@ -1014,8 +1014,12 @@ class CorpusOpsSpec extends AnyFunSuite {
         Seq((600L, s"$boiler unique eval answer 3")).toDF("doc_id", "text"))
       assert(ContamIndex.decontaminate(spark, leaked, idx, dfCap = cap)
         .count() === batch.count())
-      // segment fold: repeated accretion then compaction, answers stable
-      (1 to 9).foreach(_ => ContamIndex.recordTrainDf(corpus, idx))
+      // segment fold: repeated accretion of DISTINCT corpora (replays of
+      // identical content are no-ops by the distinct-content bound — its
+      // own test below) then compaction, answers stable
+      (1 to 9).foreach(k => ContamIndex.recordTrainDf(
+        corpus.withColumn("text",
+          concat(col("text"), lit(s" round$k extra tail"))), idx))
       assert(ContamIndex.maybeCompactTrainDf(spark, idx,
         maxFilesPerPartition = 1))
       assert(ContamIndex.decontaminate(spark, batch, idx, dfCap = cap)
@@ -2109,5 +2113,222 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(3)).sum > 0L,
       "the df cap is calibrated to flag at least one chunk on this corpus")
+  }
+
+  test("corpus release: the card-delta's old-slice is bucket-pruned — " +
+    "only the stage's touched bucket files are opened, values identical " +
+    "to the unpruned semi-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val wh = java.nio.file.Files.createTempDirectory("slice_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      graft.run.CorpusOps.release(spark, store, wh, all, "r1", None)
+      val corpus = store.readIfExists("corpus_docs").get
+      // a 2-doc stage: only doc_id matters to the old-slice seam
+      val stage = corpus.select("doc_id").orderBy("doc_id").limit(2)
+        .collect().map(_.getLong(0)).toSeq.toDF("doc_id")
+      val planned = store.plannedBuckets("corpus_docs", Seq("doc_id"), stage)
+      assert(planned.isDefined, "merge-published corpus must be manifested")
+      val (n, touched) = planned.get
+      assert(touched.size < n, "a 2-doc stage must leave untouched buckets")
+      val slice = graft.run.CorpusOps.cardOldSlice(store, "corpus_docs",
+        planned, Some(corpus), stage)
+      assert(slice.isDefined)
+      // the file-access pin: the steady-state release's old-slice read
+      // opens ONLY touched bucket files — the r13 verdict's scale-killer
+      // was this exact read scanning every bucket per micro-batch
+      val files = slice.get.inputFiles
+      assert(files.nonEmpty)
+      assert(files.forall(f => touched.exists(b => f.contains(s"_bucket=$b/"))),
+        s"old-slice opened a foreign bucket:\n${files.mkString("\n")}")
+      assert(files.length < corpus.inputFiles.length,
+        "pruned read must open strictly fewer files than the full table")
+      // value equivalence vs the unpruned semi-join
+      val unpruned = corpus
+        .select("doc_id", "text", "lang", "source", "n_tokens")
+        .join(stage, Seq("doc_id"), "left_semi")
+      assert(slice.get.collect().map(_.getLong(0)).sorted.toSeq ===
+        unpruned.collect().map(_.getLong(0)).sorted.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("corpus_card: cumulative churn routes a release through the exact " +
+    "rebuild — HLL drift resets deterministically instead of waiting for " +
+    "a crash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def batch(r: Int, ids: Range) = ids.map(d =>
+      (d.toLong, (1 to 30).map(j => s"r${r}d${d}w$j").mkString(" "),
+        "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wh = java.nio.file.Files.createTempDirectory("churn_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      def acc() = {
+        val r = store.readIfExists(graft.run.CorpusCardAcc.AccTable).get
+          .agg(sum("churn"), sum("n_docs"),
+            sum(hll_sketch_estimate(col("hll")))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2).toDouble)
+      }
+      graft.run.CorpusOps.release(spark, store, wh, batch(1, 1 to 20),
+        "r1", None)
+      assert(acc()._1 === 0L, "bootstrap starts the churn gauge at 0")
+      // steady-state UPDATE of half the corpus: churn 10/20 passes the
+      // 0.2 bound, and the un-subtractable sketch now counts content
+      // EVER released (~30) — the drift the bound exists to reset
+      val (_, u2, _) = graft.run.CorpusOps.release(spark, store, wh,
+        batch(2, 1 to 10), "r2", None)
+      assert(u2 === 10L, "ciphered batch must land as updates")
+      val (c2, n2, est2) = acc()
+      assert(c2 === 10L && n2 === 20L)
+      assert(est2 > 25.0, "sketch counts content ever released (drifted)")
+      // the exceeded gauge forces the NEXT release onto the exact path:
+      // churn resets and the rebuilt sketch holds live content only
+      val (_, u3, _) = graft.run.CorpusOps.release(spark, store, wh,
+        batch(3, 1 to 10), "r3", None)
+      assert(u3 === 10L)
+      val (c3, n3, est3) = acc()
+      assert(c3 === 0L, "exact rebuild resets the churn gauge")
+      assert(n3 === 20L)
+      assert(est3 <= 21.0, "rebuilt sketch holds live content only")
+      // back under the bound: steady delta accretes churn anew
+      val (_, u4, _) = graft.run.CorpusOps.release(spark, store, wh,
+        batch(4, 1 to 3), "r4", None)
+      assert(u4 === 3L)
+      assert(acc()._1 === 3L, "steady delta accretes churn")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("contam_index: a rebuild that now yields ZERO evidence retires " +
+    "the previous suite's grams (overwrite contract) instead of leaving " +
+    "them live") {
+    import graft.operators.ContamIndex
+    import spark.implicits._
+    val real = Seq((10L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon completely novel tail here"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ct_rb").toString
+    try {
+      assert(ContamIndex.ingest(real, idx, "suiteA"))
+      assert(ContamIndex.decontaminate(spark, batch, idx).count() === 0L,
+        "evidence live: the sharing doc drops")
+      // the suite CHANGED: every doc now under the gram width — a
+      // rebuild must read as NO evidence, not keep suiteA's grams
+      val shorty = (1 to 3).map(i => (i.toLong, s"tiny $i"))
+        .toDF("doc_id", "text")
+      ContamIndex.build(shorty, idx)
+      assert(ContamIndex.decontaminate(spark, batch, idx).count() === 1L,
+        "stale evidence retired: the batch passes through whole")
+      assert(ContamIndex.ingestedSuites(spark, idx).isEmpty,
+        "the _SUITES manifest derives from the retired evidence")
+      // the retired index is not poisoned: a real suite re-ingests
+      assert(ContamIndex.ingest(real, idx, "suiteA"))
+      assert(ContamIndex.decontaminate(spark, batch, idx).count() === 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
+  test("dedup index: strictReplay rejects content a compaction GC'd as " +
+    "superseded; the default contract admits it (the checkpoint's job)") {
+    import graft.operators.MinhashIndex
+    import spark.implicits._
+    def doc(id: Long, tag: String) =
+      (id, (1 to 25).map(j => s"$tag$j").mkString(" "))
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_sr").toString
+    try {
+      MinhashIndex.build(
+        Seq(doc(1, "alpha"), doc(2, "beta")).toDF("doc_id", "text"), idx)
+      // doc 1 updated to new content, then compacted: the GC drops the
+      // alpha registration from the live hash tier
+      MinhashIndex.append(Seq(doc(1, "gamma")).toDF("doc_id", "text"), idx)
+      MinhashIndex.compact(spark, idx)
+      val replay = Seq(doc(1, "alpha")).toDF("doc_id", "text")
+      assert(MinhashIndex.novelDocs(spark, replay, idx).count() === 1L,
+        "default contract: superseded content reads novel after GC")
+      assert(MinhashIndex.novelDocs(spark, replay, idx,
+        strictReplay = true).count() === 0L,
+        "strict tier: the superseded registration rejects the replay")
+      // the registry ACCRETES across compactions
+      MinhashIndex.append(Seq(doc(3, "delta")).toDF("doc_id", "text"), idx)
+      MinhashIndex.compact(spark, idx)
+      assert(MinhashIndex.novelDocs(spark, replay, idx,
+        strictReplay = true).count() === 0L,
+        "registry survives the next compaction")
+      // genuinely novel content passes the strict tier
+      assert(MinhashIndex.novelDocs(spark,
+        Seq(doc(9, "epsilon")).toDF("doc_id", "text"), idx,
+        strictReplay = true).count() === 1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
+  test("contam_index: train-df accretion is bounded by DISTINCT offered " +
+    "content — replaying the same contaminated docs cannot ratchet their " +
+    "grams past dfCap") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ContamIndex
+    import spark.implicits._
+    val boiler =
+      "standard disclaimer all rights reserved contact support for details"
+    val eval = (1 to 5).map(i => (i.toLong, s"$boiler unique eval answer $i"))
+      .toDF("doc_id", "text")
+    def corpus(tag: String) = (1 to 15).map(i =>
+      (i.toLong + 1000L, s"$boiler $tag corpus body number $i with words"))
+      .toDF("doc_id", "text")
+    val batch = (500 to 509).map(i =>
+      (i.toLong, s"$boiler fresh training content row $i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ct_rr").toString
+    try {
+      ContamIndex.build(eval, idx)
+      val cap = 30
+      // the SAME 15-doc corpus offered three times: counted once — an
+      // offer-count df would already be 45 + 10 > 30 and exempt the
+      // boilerplate, silently disabling the evidence
+      (1 to 3).foreach(_ => ContamIndex.recordTrainDf(corpus("aaa"), idx))
+      assert(ContamIndex.decontaminate(spark, batch, idx, dfCap = cap)
+        .count() === 0L,
+        "replays must not ratchet: df stays 15 + 10 <= cap, still evidence")
+      // DISTINCT content legitimately raises the df past the cap
+      ContamIndex.recordTrainDf(corpus("bbb"), idx)
+      assert(ContamIndex.decontaminate(spark, batch, idx, dfCap = cap)
+        .count() === batch.count(),
+        "30 distinct docs + batch 10 passes the cap: boilerplate exempt")
+      // real eval content still drops (its grams stay rare train-side)
+      val leaked = batch.unionByName(
+        Seq((600L, s"$boiler unique eval answer 3")).toDF("doc_id", "text"))
+      assert(ContamIndex.decontaminate(spark, leaked, idx, dfCap = cap)
+        .count() === batch.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
   }
 }

@@ -88,6 +88,22 @@ class RankOpsSpec extends AnyFunSuite {
     assert(noMinor.max.toDouble / n >= 0.5)
   }
 
+  test("withGlobalRankAndCount: identical ranks plus the exact total on " +
+    "every row — no second scan for a count(*) cross join") {
+    val rnd = new scala.util.Random(11)
+    val n = 137
+    val rows = (0 until n).map(i =>
+      (i.toLong, (rnd.nextInt(9) - 4).toDouble))
+    val got = RankOps.withGlobalRankAndCount(rows.toDF("id", "k"),
+        col("k"), Seq(col("id")), "r", "n_total", buckets = 7,
+        minor = Some(col("id")))
+      .select("id", "r", "n_total").collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      windowRank(rows), "ranks must match the global window")
+    assert(got.map(_.getLong(2)).toSet === Set(n.toLong),
+      "every row carries the exact total")
+  }
+
   test("ntileFromRank reproduces SQL ntile for every n % k class") {
     // n from k-1 (more tiles than rows) through several multiples
     for (k <- Seq(2, 4, 5, 7); n <- Seq(1, k - 1, k, k + 1, 3 * k + 2, 40)) {

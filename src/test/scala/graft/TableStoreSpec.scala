@@ -296,6 +296,47 @@ class TableStoreSpec extends AnyFunSuite {
     assert(c.contains((0L, 1L)))
   }
 
+  test("readBuckets reads ONLY the requested buckets' files; " +
+    "plannedBuckets matches the merge's own probe; un-manifested " +
+    "tables fall back to the full read") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    val src = btSource.copy(tableName = "pb")
+    store.mergeInPlace("pb", stageDf((1L to 400L).map(i => i -> s"v$i"): _*),
+      src, new java.sql.Timestamp(1000L))
+    val delta = stageDf(1L -> "x", 2L -> "y", 3L -> "z")
+    val planned = store.plannedBuckets("pb", Seq("id"), delta)
+    assert(planned.isDefined)
+    val (n, touched) = planned.get
+    assert(n === 8)
+    assert(touched === bucketsOf(8, Seq(1L, 2L, 3L)).values.toSet)
+    assert(touched.size < 8, "test needs untouched buckets")
+    val slice = store.readBuckets("pb", touched).get
+    // the file-access pin: every input file lives under a requested
+    // _bucket= dir — path-level pruning, not a post-hoc filter
+    val files = slice.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f =>
+      touched.exists(b => f.contains(s"_bucket=$b/"))),
+      s"pruned read opened a foreign bucket:\n${files.mkString("\n")}")
+    assert(files.size < store.readIfExists("pb").get.inputFiles.size)
+    // the pruned slice IS the table restricted to those buckets
+    val full = store.readIfExists("pb").get
+    val expected = full
+      .withColumn("_b", pmod(xxhash64(col("id")), lit(8L)))
+      .filter(col("_b").isin(touched.toSeq.map(_.toLong): _*))
+    assert(slice.count() === expected.count())
+    assert(slice.join(expected.select("id"), Seq("id"), "left_semi")
+      .count() === slice.count())
+    // no requested bucket owns files -> None (those rows don't exist)
+    assert(store.readBuckets("pb", Set.empty[Int]).isEmpty)
+    // a plain-overwrite (un-manifested) table: correctness over pruning —
+    // the fallback is the FULL read, and plannedBuckets declines
+    store.overwrite("plain", stageDf(1L -> "a", 2L -> "b"))
+    assert(store.plannedBuckets("plain", Seq("id"), delta).isEmpty)
+    assert(store.readBuckets("plain", Set(0)).get.count() === 2)
+  }
+
   test("mergeInPlace declines user-partitioned targets (layout preserved)") {
     val root = Files.createTempDirectory("graft_store")
     val store = new TableStore(spark, root.toString)
