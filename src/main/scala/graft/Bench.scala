@@ -9,8 +9,10 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     // fixed-work calibration (graft.tools.Calib): a steady UNIFORM
     // neighbor load inflates every rep proportionally and slips past the
-    // per-entry spread guard below — the committed-quiet-floor probe at
-    // start and end is what lets the artifact label that case itself
+    // per-entry spread guard below — the committed-quiet-floor probes
+    // (single-threaded AND all-cores; hypervisor steal was measured
+    // inflating parallel work 2.4x while single-thread read quiet) at
+    // start and end are what let the artifact label that case itself
     val calibStart = graft.tools.Calib.best()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -295,14 +297,14 @@ object Bench {
     // inflated this run's wall times (uniform inflation is exactly what
     // the spread guard cannot see — Calib scaladoc)
     val calibEnd = graft.tools.Calib.best()
-    val calibRatio =
-      math.max(calibStart, calibEnd) / graft.tools.Calib.QuietSec
+    val calibRatio = graft.tools.Calib.ratioOf(calibStart, calibEnd)
     val inflated = calibRatio > graft.tools.Calib.InflatedBound
     val contended = spreadP90 > SpreadBound ||
       loadStart > cores.toDouble / 2 || inflated
     val envJson = s""""contended":$contended,"spread_p90":${fmt(spreadP90)},""" +
       s""""inflated":$inflated,"calib_ratio":${fmt(calibRatio)},""" +
-      s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},""" +
+      s""""calib_start_1t":${fmt(calibStart._1)},"calib_start_nt":${fmt(calibStart._2)},""" +
+      s""""calib_end_1t":${fmt(calibEnd._1)},"calib_end_nt":${fmt(calibEnd._2)},""" +
       s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
       s""""cores":$cores"""
     val full =

@@ -34,30 +34,77 @@ object Calib {
     */
   val InflatedBound = 1.3
 
-  /** One fixed-work spin: 3e8 xorshift64 steps, a serial data dependency
-    * the JIT cannot vectorize away. ~0.3 s on a quiet modern core.
+  /** Quiet-host timing of [[onceParallel]] (seconds): minimum of several
+    * best-of-5 runs on the idle dev host (0.700/1.086/0.766 — the middle
+    * reading IS a slowdown flicker the single arm barely saw, 1.09x vs
+    * 1.6x, which is the asymmetry this arm exists for). A fully parallel
+    * spin finishes in ~one single-thread time on an idle machine (every
+    * core runs one thread); hypervisor steal or neighbor load stretches
+    * it.
     */
-  def once(): Double = {
-    val t0 = System.nanoTime()
+  val QuietParSec = 0.700
+
+  /** The fixed-work spin body: 3e8 xorshift64 steps, a serial data
+    * dependency the JIT cannot vectorize away. Returns the end state so
+    * callers can consume it (dead-code guard).
+    */
+  private def spin(): Long = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0
     while (i < 300000000) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
-    // consume x so the loop is not dead code; never true for this seed
-    if (x == 0L) System.err.println("calib: degenerate xorshift state")
+    x
+  }
+
+  /** One single-threaded fixed-work spin. ~0.6 s on a quiet core here. */
+  def once(): Double = {
+    val t0 = System.nanoTime()
+    // consume x so the loop is not dead code; never 0 for this seed
+    if (spin() == 0L) System.err.println("calib: degenerate xorshift state")
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** The probe reading: best of 3 spins (contention only ever ADDS time —
-    * the same noise-floor argument as the bench's best-of-3).
+  /** One all-cores spin: every hardware thread runs the fixed work
+    * concurrently; wall = the slowest thread. This is the arm that
+    * catches contention ONLY visible under parallelism — a measured
+    * host-slowdown window inflated the 32-thread bench 2.4x while the
+    * single-threaded spin read 1.01x quiet (hypervisor steal shows up
+    * when you ask for every core, not one).
     */
-  def best(): Double = (1 to 3).map(_ => once()).min
+  def onceParallel(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (1 to n).map(_ => new Thread(() => { acc.addAndGet(spin()); () }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (acc.get() == 0L) System.err.println("calib: degenerate state")
+    (System.nanoTime() - t0) / 1e9
+  }
 
-  /** Measurement main for (re)committing [[QuietSec]]: prints best-of-5
-    * on the current host.
+  /** The probe reading: best of 3 spins per arm (contention only ever
+    * ADDS time — the same noise-floor argument as the bench's
+    * best-of-3). Returns (single, parallel) wall seconds.
     */
-  def main(args: Array[String]): Unit =
-    println(f"calib best-of-5: ${(1 to 5).map(_ => once()).min}%.3f sec")
+  def best(): (Double, Double) =
+    ((1 to 3).map(_ => once()).min, (1 to 3).map(_ => onceParallel()).min)
+
+  /** The run's inflation estimate from start/end probe pairs: the worst
+    * arm's ratio over its committed quiet floor.
+    */
+  def ratioOf(probes: (Double, Double)*): Double =
+    probes.map { case (s, p) =>
+      math.max(s / QuietSec, p / QuietParSec)
+    }.max
+
+  /** Measurement main for (re)committing the quiet floors: prints
+    * best-of-5 per arm on the current host.
+    */
+  def main(args: Array[String]): Unit = {
+    val s = (1 to 5).map(_ => once()).min
+    val p = (1 to 5).map(_ => onceParallel()).min
+    println(f"calib best-of-5: single $s%.3f sec, parallel $p%.3f sec")
+  }
 }
