@@ -92,18 +92,44 @@ object ContamIndex {
     // the `_SUITES` manifest derived from it), or probes keep dropping
     // training docs against stale grams forever.
     try {
+      // an OVERWRITE is a suite change: every piece of state DERIVED
+      // from the old evidence must retire with it, in fail-CLOSED order
+      // (worst crash outcome = over-dropping until a retry, never
+      // silently passing contamination):
+      //   1. `_SUITES` first — a crash after it leaves the old grams
+      //      live but unlisted, so probes still drop (closed) and the
+      //      next ingest retries the rebuild;
+      //   2. the train-df stats and the offered-content registry — both
+      //      are keyed to the OLD suite's evidence grams (train_df holds
+      //      only those grams' counts; offered/ marks content as already
+      //      counted though only old-evidence grams were recorded), so
+      //      surviving a rebuild they would permanently undercount the
+      //      NEW suite's gram df and over-drop forever;
+      //   3. the grams themselves (rewritten below, or deleted when the
+      //      new suite yields zero evidence — absent/data-less evidence
+      //      reads as "no evidence", [[gramsWithData]]).
+      if (overwrite) {
+        val dir = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = dir.getFileSystem(
+          evalDocs.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUITES"), false)
+          fs.listStatus(dir).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("train_df") || n.startsWith("offered") ||
+                n == "_TRAINDF" || n == "_OFFERED")
+              fs.delete(st.getPath, true)
+          }
+          if (rows.isEmpty) {
+            fs.delete(new org.apache.hadoop.fs.Path(dir, "grams"), true)
+            ()
+          }
+        }
+      }
       if (!rows.isEmpty)
         rows.write.mode(if (overwrite) "overwrite" else "append")
           .partitionBy("gp")
           .parquet(s"$indexDir/grams")
-      else if (overwrite) {
-        val dir = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = dir.getFileSystem(
-          evalDocs.sparkSession.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(dir, "grams"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUITES"), false)
-        ()
-      }
     } finally { rows.unpersist(); () }
   }
 

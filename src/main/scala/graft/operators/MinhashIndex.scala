@@ -498,8 +498,15 @@ object MinhashIndex {
     * version's registration, would regress the doc. Default keeps that
     * window the streaming checkpoint's job (zero extra reads); strict
     * closes it for producers that cannot guarantee ordering, at
-    * O(content ever superseded) registry storage. Either way the
-    * registry resets on a [[build]] rebuild ([[supersededWithData]]).
+    * O(content ever superseded) registry storage. THE STRICT TRADE IS
+    * LOSSY BY CONSTRUCTION: a legitimate revert (a doc restored to its
+    * prior content) or a new doc whose text coincides with
+    * once-superseded content is indistinguishable FROM CONTENT ALONE
+    * from a stale replay, and strict mode drops it — enable only for
+    * feeds where reverts are impossible or unwanted. Either way the
+    * registry resets on a [[build]] rebuild ([[supersededWithData]]),
+    * which is also the recovery path when a strict feed must re-admit
+    * reverted content.
     */
   def novelDocs(spark: SparkSession, batch: DataFrame, indexDir: String,
                 jaccardThreshold: Double = 0.2,

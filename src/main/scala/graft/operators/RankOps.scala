@@ -119,6 +119,14 @@ object RankOps {
   private def ranked(df: DataFrame, key: Column, ties: Seq[Column],
                      out: String, buckets: Int, minor: Option[Column],
                      nOut: Option[String]): DataFrame = {
+    // the bucket/offset internals and the requested output columns ride
+    // through a join — a collision with an existing column would survive
+    // analysis as a duplicate name and ambiguate the CALLER's next
+    // reference, so fail loud here instead
+    val reserved = Seq("_rk_b", "_rk_off", out) ++ nOut
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"withGlobalRank: input already has column(s) ${clash.mkString(", ")}")
     val bucketed = bucketAssign(df, key, minor, buckets)
     // both windows run over the bounded per-bucket aggregate (≤ buckets
     // rows): the prefix-sum offsets, and optionally the all-bucket total

@@ -149,22 +149,30 @@ object CorpusCardAcc {
     * drift (and the dup_rate erosion it causes) is bounded by the
     * replaced-doc count since the last exact pass — capping cumulative
     * churn at this fraction of n_docs bounds the drift DETERMINISTICALLY
-    * at ~ratio of n_docs, instead of leaving it to grow until an
-    * unrelated crash happens to trigger self-heal.
+    * at ~ratio, instead of leaving it to grow until an unrelated crash
+    * happens to trigger self-heal.
     */
   val ChurnRatio = 0.2
 
-  /** True when cumulative churn since the last exact rebuild passed
-    * [[ChurnRatio]] of the corpus — one O(sources) aggregate over the
-    * accumulator table.
+  /** Absolute per-source churn floor under the ratio trigger: a toy
+    * source (a handful of docs) updated once would otherwise satisfy the
+    * ratio every release and thrash the full exact rebuild, while its
+    * drift is below HLL resolution anyway.
     */
-  def churnExceeded(acc: DataFrame): Boolean = {
-    val r = withChurn(acc)
-      .agg(coalesce(sum("churn"), lit(0L)),
-        coalesce(sum("n_docs"), lit(0L))).head()
-    val (c, n) = (r.getLong(0), r.getLong(1))
-    n > 0L && c.toDouble >= ChurnRatio * n
-  }
+  val MinChurn = 8L
+
+  /** True when ANY source's cumulative churn since the last exact
+    * rebuild passed [[ChurnRatio]] of ITS n_docs (and [[MinChurn]]) —
+    * one O(sources) pass over the accumulator table. Per-source, not
+    * corpus-global: the drift lives in each source's own sketch, so a
+    * small source fully replaced every epoch must trigger long before
+    * its churn is visible against the whole corpus's row count.
+    */
+  def churnExceeded(acc: DataFrame): Boolean =
+    withChurn(acc)
+      .filter(col("n_docs") > 0L && col("churn") >= lit(MinChurn) &&
+        col("churn").cast(DoubleType) >= lit(ChurnRatio) * col("n_docs"))
+      .limit(1).count() > 0L
 
   /** Derive the `corpus_card` datasheet from the accumulators — schema and
     * ordering of [[graft.queries.TrainingData.corpusCardFrames]], with

@@ -154,10 +154,16 @@ object CorpusOps {
     // drift deterministically instead of waiting for an unrelated crash
     // to trigger self-heal); anything else self-heals below with one
     // exact O(corpus) rebuild.
-    val accSteady = existing.isDefined && idxExists &&
-      store.exists(CorpusCardAcc.AccTable) &&
-      !store.readIfExists(CorpusCardAcc.AccTable)
-        .exists(CorpusCardAcc.churnExceeded)
+    // ONE resolve of the accumulator table per release: the steady-state
+    // gate, the churn check, and the merge below all read the same
+    // pre-merge version (the corpus merge never touches it, and the
+    // delta is localCheckpoint-materialized before the overwrite)
+    val accTable =
+      if (existing.isDefined && idxExists)
+        store.readIfExists(CorpusCardAcc.AccTable)
+      else None
+    val accSteady =
+      accTable.exists(a => !CorpusCardAcc.churnExceeded(a))
     val cardDelta =
       if (accSteady)
         Some(CorpusCardAcc.delta(stage,
@@ -197,8 +203,8 @@ object CorpusOps {
       graft.operators.ContamIndex.recordTrainDf(
         curated.select("doc_id", "text"), ctDir)
       if (graft.operators.ContamIndex.maybeCompactTrainDf(spark, ctDir))
-        System.err.println("eval index: compacted train-df segments " +
-          "(small-file bound reached)")
+        System.err.println("eval index: compacted accretion segments " +
+          "(train-df and/or offered registry passed the small-file bound)")
     }
     val releasedOpt = store.readIfExists(cs.tableName)
     if (releasedOpt.isEmpty) {
@@ -228,8 +234,7 @@ object CorpusOps {
     if (ins + upd > 0 || !idxExists || !store.exists("corpus_card"))
       cardDelta match {
         case Some(d) =>
-          val merged = CorpusCardAcc.merge(
-            store.readIfExists(CorpusCardAcc.AccTable).get, d)
+          val merged = CorpusCardAcc.merge(accTable.get, d)
             .localCheckpoint()
           store.overwrite(CorpusCardAcc.AccTable, merged,
             partitionBy = Seq.empty)

@@ -91,13 +91,43 @@ object Calib {
   def best(): (Double, Double) =
     ((1 to 3).map(_ => once()).min, (1 to 3).map(_ => onceParallel()).min)
 
-  /** The run's inflation estimate from start/end probe pairs: the worst
-    * arm's ratio over its committed quiet floor.
+  /** Floors actually used for the ratio: the committed constants,
+    * tightened by the MINIMUM this host has ever observed (persisted in
+    * [[FloorFile]] beside the bench artifacts). Fixed work cannot run
+    * faster than the hardware allows, so the observed minimum is a valid
+    * floor by construction — this self-calibrates the probe DOWN on a
+    * faster host (where the committed constants would under-report
+    * inflation) and, via the re-commit path, documents when a slower
+    * host class needs new constants (ratio persistently > 1 with the
+    * machine demonstrably idle).
     */
-  def ratioOf(probes: (Double, Double)*): Double =
+  private val FloorFile = java.nio.file.Paths.get(".calib_floor")
+
+  private def readFloors(): (Double, Double) =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(FloorFile),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split('\t')
+      (math.min(QuietSec, parts(0).toDouble),
+        math.min(QuietParSec, parts(1).toDouble))
+    } catch { case _: Throwable => (QuietSec, QuietParSec) }
+
+  private def writeFloors(s: Double, p: Double): Unit =
+    try java.nio.file.Files.write(FloorFile,
+      f"$s%.4f\t$p%.4f".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // telemetry file: never fail a run
+
+  /** The run's inflation estimate from start/end probe pairs: the worst
+    * arm's ratio over its floor ([[readFloors]]). Also folds the probes
+    * into the persisted per-host minimum.
+    */
+  def ratioOf(probes: (Double, Double)*): Double = {
+    val (fs, fp) = readFloors()
+    writeFloors(math.min(fs, probes.map(_._1).min),
+      math.min(fp, probes.map(_._2).min))
     probes.map { case (s, p) =>
-      math.max(s / QuietSec, p / QuietParSec)
+      math.max(s / fs, p / fp)
     }.max
+  }
 
   /** Measurement main for (re)committing the quiet floors: prints
     * best-of-5 per arm on the current host.

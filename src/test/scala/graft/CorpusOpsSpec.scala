@@ -2229,6 +2229,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(ContamIndex.ingest(real, idx, "suiteA"))
       assert(ContamIndex.decontaminate(spark, batch, idx).count() === 0L,
         "evidence live: the sharing doc drops")
+      // accrete train-side state under suiteA's evidence — a rebuild
+      // must retire it too (train_df holds only OLD-evidence grams and
+      // offered/ marks content as counted though only those grams were
+      // recorded; surviving the rebuild they would undercount the new
+      // suite's df forever)
+      ContamIndex.recordTrainDf(batch, idx)
+      def stateDirs() = new java.io.File(idx).listFiles.map(_.getName)
+        .filter(n => n.startsWith("train_df") || n.startsWith("offered"))
+        .toSeq
+      assert(stateDirs().nonEmpty, "accretion must have persisted state")
       // the suite CHANGED: every doc now under the gram width — a
       // rebuild must read as NO evidence, not keep suiteA's grams
       val shorty = (1 to 3).map(i => (i.toLong, s"tiny $i"))
@@ -2238,6 +2248,8 @@ class CorpusOpsSpec extends AnyFunSuite {
         "stale evidence retired: the batch passes through whole")
       assert(ContamIndex.ingestedSuites(spark, idx).isEmpty,
         "the _SUITES manifest derives from the retired evidence")
+      assert(stateDirs().isEmpty,
+        "rebuild must retire the old evidence's train-df/offered state")
       // the retired index is not poisoned: a real suite re-ingests
       assert(ContamIndex.ingest(real, idx, "suiteA"))
       assert(ContamIndex.decontaminate(spark, batch, idx).count() === 0L)
