@@ -231,6 +231,9 @@ object SparkEntry {
     // existing target, counters oracle-recomputed relationally
     "pipeline_incremental" -> (PipelineBench.pipelineIncremental _),
     "pipeline_mor" -> (PipelineBench.pipelineMor _),
+    // provenance snapshot lifecycle: pin -> publish past it -> pinned and
+    // current reads rolled up with integer-exact counters, then drop+vacuum
+    "pipeline_snapshot" -> (PipelineBench.pipelineSnapshot _),
   )
 
   /** DuckDB bit-vote expression mirroring TrainingData.dedupSimhashMd5's 60
@@ -2576,6 +2579,22 @@ object SparkEntry {
         | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
         |   AS delta_updates,
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS target_rows""".stripMargin,
+    // the snapshot pins the base-publish state: no inserted high keys and
+    // no re-priced rows can appear through the pin, while the current read
+    // carries the delta's merged effect (corrupted rows DLQ'd, so their
+    // keys keep the base price and do not count as re-priced)
+    "pipeline_snapshot" ->
+      """WITH v AS (SELECT * FROM orders
+        |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
+        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0),
+        |bad AS (SELECT * FROM d WHERE o_orderkey % 1000 = 0)
+        |SELECT (SELECT count(*) FROM v) AS snap_rows,
+        | CAST(0 AS BIGINT) AS snap_hi_keys,
+        | CAST(0 AS BIGINT) AS snap_repriced,
+        | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS cur_rows,
+        | (SELECT count(*) FROM d) AS cur_hi_keys,
+        | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
+        |   AS cur_repriced""".stripMargin,
     "pipeline_mor" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),

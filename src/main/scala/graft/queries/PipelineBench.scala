@@ -223,6 +223,91 @@ object PipelineBench {
     (base, inc, noop, targetRows, baseSecs, deltaSecs, cleanupSecs)
   }
 
+  /** Provenance-snapshot round trip through the REAL pipeline: base
+    * publish establishes the bucketed target, [[TableStore.snapshot]] pins
+    * it under a tag (O(1) metadata — the training run's "corpus I trained
+    * on" record), the incremental delta (re-prices + inserts + injected
+    * DLQ failures, same shape as [[pipelineIncremental]]) merge-publishes
+    * PAST the pin, and both reads are rolled up with integer-exact
+    * counters the DuckDB oracle recomputes relationally: the snapshot
+    * must still serve the pre-delta state (no inserted high keys, no
+    * re-priced rows) while the current read serves the merged one — all
+    * after the merge's own internal vacuum, so the oracle row also proves
+    * snapshot-pinned bucket generations survive storage reclamation. The
+    * tag is then dropped and the table vacuumed back to the ~1× bound
+    * (the full lifecycle, not just the happy half).
+    */
+  def pipelineSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val source = adaptedToData(spark, dir, OrdersSource)
+    val work = Files.createTempDirectory("graft_bench_snap")
+    val (frame, _) = withTimedCleanup(work) {
+      val drop = Files.createDirectories(work.resolve("drop"))
+      Files.copy(Paths.get(s"$dir/orders.parquet"),
+        drop.resolve("orders_base.parquet"))
+      val store = new TableStore(spark, work.resolve("tables").toString)
+      val files = new FileOps(spark.sparkContext.hadoopConfiguration,
+        work.resolve("archive").toString, work.resolve("duplicates").toString)
+      val proc = new Processor(spark, new SourceRegistry(Seq(source)),
+        store, files, new CollectingNotifier, drop.toString)
+      val base = proc.processFile(drop.resolve("orders_base.parquet").toString)
+        .getOrElse(sys.error("orders_base.parquet did not match the source"))
+      require(base.success, s"base publish failed: ${base.errorName}")
+      store.snapshot(source.tableName, "train-run-1")
+
+      // the incremental delta: re-priced updates (every 10th corrupted to
+      // the DLQ), plus the same rows as inserts under offset keys
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val valid = orders.filter(col("o_orderstatus").isin("O", "F", "P") &&
+        col("o_totalprice") > 0)
+      val sel = valid.filter(col("o_orderkey") % 100 === 0)
+      val delta = sel.withColumn("o_totalprice",
+          when(col("o_orderkey") % 1000 === 0, lit(-1.0))
+            .otherwise(col("o_totalprice") + 1.0))
+        .unionByName(sel.withColumn("o_orderkey",
+          col("o_orderkey") + 10000000000L))
+      val deltaTmp = work.resolve("delta_tmp")
+      delta.coalesce(1).write.parquet(deltaTmp.toString)
+      val part = Files.list(deltaTmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("delta part file missing"))
+      Files.move(part, drop.resolve("orders_delta.parquet"))
+      val inc = proc.processFile(drop.resolve("orders_delta.parquet").toString)
+        .getOrElse(sys.error("orders_delta.parquet did not match the source"))
+      require(inc.success, s"delta publish failed: ${inc.errorName}")
+
+      // integer-exact state rollups: row count, inserted-high-key count,
+      // and rows whose price differs from the base file's for the same key
+      // (+1.0 is IEEE-exact, so cross-engine equality is safe)
+      val basePrices = valid.select(col("o_orderkey"),
+        col("o_totalprice").as("p0"))
+      def rollup(df: DataFrame): (Long, Long, Long) = {
+        val r = df.join(basePrices, Seq("o_orderkey"), "left")
+          .agg(count(lit(1)),
+            sum(when(col("o_orderkey") >= 10000000000L, 1L).otherwise(0L)),
+            sum(when(col("p0").isNotNull &&
+              col("o_totalprice") =!= col("p0"), 1L).otherwise(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (snapRows, snapHi, snapRepriced) = rollup(
+        store.readSnapshot(source.tableName, "train-run-1")
+          .getOrElse(sys.error("snapshot tag missing after pin")))
+      val (curRows, curHi, curRepriced) = rollup(
+        store.readIfExists(source.tableName)
+          .getOrElse(sys.error("target missing after publish")))
+      require(store.dropSnapshot(source.tableName, "train-run-1"))
+      store.vacuum(source.tableName)
+
+      val sp = spark
+      import sp.implicits._
+      Seq((snapRows, snapHi, snapRepriced, curRows, curHi, curRepriced))
+        .toDF("snap_rows", "snap_hi_keys", "snap_repriced",
+          "cur_rows", "cur_hi_keys", "cur_repriced")
+    }
+    frame
+  }
+
   def pipelineEtl(spark: SparkSession, dir: String): DataFrame =
     pipelineEtlTimed(spark, dir)._1
 

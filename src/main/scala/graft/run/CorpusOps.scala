@@ -49,7 +49,8 @@ object CorpusOps {
               rawDocs: DataFrame, sourceLabel: String,
               evalDir: Option[String],
               dfCap: Int = 10000,
-              strictReplay: Boolean = false): (Long, Long, Long) = {
+              strictReplay: Boolean = false,
+              snapshotTag: Option[String] = None): (Long, Long, Long) = {
     val cs = DemoSources.CorpusRelease
     val existing = store.readIfExists(cs.tableName)
       .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
@@ -310,6 +311,13 @@ object CorpusOps {
     val corpusRows = store.readIfExists(CorpusCardAcc.AccTable)
       .map(_.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
       .getOrElse(released.count())
+    // provenance pin LAST, over the fully-released state (merge + card +
+    // index all committed above): the tag is what a training run records
+    // as "the corpus I trained on", and TableStore.readSnapshot serves it
+    // bit-identical while later releases keep copy-on-writing past it.
+    // force = true keeps replays/self-heals idempotent — a re-run release
+    // re-pins the tag at the same (hash-guarded, so unchanged) state.
+    snapshotTag.foreach(t => store.snapshot(cs.tableName, t, force = true))
     (ins, upd, corpusRows)
   }
 }

@@ -10,7 +10,7 @@ import graft.store.TableStore
   * Usage:
   *   graft.run.Main --drop DIR --archive DIR --duplicates DIR --warehouse DIR
   *                  [--file NAME] [--jdbc URL]
-  *   graft.run.Main --corpus DIR --warehouse DIR   # corpus curation release
+  *   graft.run.Main --corpus DIR --warehouse DIR [--snapshot TAG]  # corpus release
   *
   * Sources are registered in code (like the reference's src/sources/systems
   * package); [[DemoSources.registry]] ships the example `sales` source so
@@ -97,10 +97,15 @@ object Main {
               s"tables=corpus_docs,corpus_card")
           } else {
             val raw = spark.read.parquet(s"$src/documents.parquet")
+            // --snapshot TAG: pin the post-release corpus state under TAG
+            // (TableStore.snapshot — the provenance a training run records;
+            // later releases copy-on-write past it, readSnapshot serves it)
             val (ins, upd, rows) = CorpusOps.release(spark, store, wh,
-              raw, s"$src/documents.parquet", opts.get("eval"))
+              raw, s"$src/documents.parquet", opts.get("eval"),
+              snapshotTag = opts.get("snapshot"))
             println(s"corpus: read=${raw.count()} inserts=$ins " +
-              s"updates=$upd corpus_rows=$rows tables=corpus_docs,corpus_card")
+              s"updates=$upd corpus_rows=$rows tables=corpus_docs,corpus_card" +
+              opts.get("snapshot").map(t => s" snapshot=$t").getOrElse(""))
           }
         case _ if opts.get("stream").exists(v =>
             v == "true" || v == "merge") =>

@@ -726,18 +726,161 @@ final class TableStore(spark: SparkSession, root: String,
     if (f.exists(dir)) f.delete(dir, true)
   }
 
+  // ---- snapshots (pinned point-in-time reads) ----------------------------
+
+  private val SnapshotsDirName = "_snapshots"
+  private def snapshotsDir(name: String) =
+    new Path(tableDir(name), SnapshotsDirName)
+  private def snapshotPath(name: String, tag: String) =
+    new Path(snapshotsDir(name), tag)
+  private val SnapshotTag = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
+
+  /** A snapshot file pins the table state a tag was taken at: the version
+    * directory, plus (for manifested tables) the bucket→version ownership
+    * map of that moment. Serialized like `_MANIFEST` with a leading
+    * version line (`-` on the numBuckets line for unmanifested tables).
+    */
+  private final case class TableSnapshot(version: String,
+                                         manifest: Option[BucketManifest])
+
+  private def readSnapshotMeta(name: String,
+                               tag: String): Option[TableSnapshot] = {
+    val p = snapshotPath(name, tag)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                 finally in.close()
+      val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val man =
+        if (lines(1) == "-") None
+        else Some(BucketManifest(lines(1).toInt, lines.drop(2).map { l =>
+          val sep = l.indexOf('\t')
+          l.substring(0, sep).toInt -> l.substring(sep + 1)
+        }.toMap))
+      Some(TableSnapshot(lines.head, man))
+    }
+  }
+
+  /** Pin the table's CURRENT committed state under `tag` — a Delta/Iceberg
+    * style tag over the copy-on-write layout, the reproducibility seam a
+    * training pipeline needs: tag the corpus a run trained on, keep
+    * releasing, and [[readSnapshot]] serves the tagged state bit-identical
+    * for as long as the tag lives. O(1) driver metadata: the snapshot file
+    * records the current version + bucket-ownership map; NO data is
+    * copied — later publishes copy-on-write only the buckets they touch,
+    * so a snapshot's incremental storage cost is exactly the buckets
+    * rewritten since it was taken ([[vacuum]] keeps snapshot-owned bucket
+    * generations and reclaims them when the tag is dropped).
+    *
+    * Fails loud on unfolded append/upsert segments: segments are
+    * MUTABLE table state (later overwrites fold and DELETE them), so a
+    * pin over them could not survive. Merge-published (COW) and
+    * overwrite-published tables are always snapshotable; MOR targets
+    * snapshot after a compaction fold. Tags are immutable — re-pinning an
+    * existing tag requires `force = true` (one atomic pointer-file
+    * replace), so a typo cannot silently move a run's provenance.
+    */
+  def snapshot(name: String, tag: String, force: Boolean = false): Unit = {
+    require(SnapshotTag.pattern.matcher(tag).matches(),
+      s"snapshot tag '$tag' must match ${SnapshotTag.pattern}")
+    withTableLock(name) {
+      val cur = currentVersion(name).getOrElse(
+        throw new IllegalStateException(
+          s"snapshot '$tag': table $name has no committed version"))
+      require(segments(name).isEmpty && upsertSegments(name).isEmpty,
+        s"snapshot '$tag': table $name carries unfolded append/upsert " +
+          "segments — segments are mutable state a pin cannot survive; " +
+          "snapshot after the next fold/compaction")
+      val p = snapshotPath(name, tag)
+      val f = fs(p)
+      if (f.exists(p) && !force)
+        throw new IllegalStateException(
+          s"snapshot '$tag' already exists on $name (tags are immutable; " +
+            "pass force = true to re-pin)")
+      val man = readManifest(name, cur)
+      val lines = cur +: (man match {
+        case Some(m) => m.numBuckets.toString +:
+          m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b\t$v" }
+        case None => Seq("-")
+      })
+      f.mkdirs(snapshotsDir(name))
+      val tmp = new Path(snapshotsDir(name), s".$tag.tmp.${nextId()}")
+      val out = f.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // atomic publish, same protocol as the _VERSION swing: a crash
+      // leaves either the old pin or the new one, never a partial file
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(snapshotsDir(name).toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      ()
+    }
+  }
+
+  /** Live snapshot tags of `name`, sorted. */
+  def listSnapshots(name: String): Seq[String] = {
+    val d = snapshotsDir(name)
+    val f = fs(d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
+  /** The table as it was when `tag` was pinned — the exact bucket (or
+    * version) directories the snapshot recorded, served with the same
+    * path-level layout [[readIfExists]] uses for the current state. None
+    * when the tag does not exist.
+    */
+  def readSnapshot(name: String, tag: String): Option[DataFrame] =
+    readSnapshotMeta(name, tag).map { s =>
+      val paths = s.manifest match {
+        case Some(m) => m.buckets.toSeq.sortBy(_._1)
+          .map { case (b, v) => bucketDir(name, v, b).toString }
+        case None => Seq(new Path(tableDir(name), s.version).toString)
+      }
+      spark.read.parquet(paths: _*)
+    }
+
+  /** Release `tag`'s pin; returns whether it existed. The pinned bucket
+    * generations become reclaimable on the next [[vacuum]].
+    */
+  def dropSnapshot(name: String, tag: String): Boolean =
+    withTableLock(name) {
+      val p = snapshotPath(name, tag)
+      fs(p).delete(p, false)
+    }
+
+  private def liveSnapshots(name: String): Seq[TableSnapshot] =
+    listSnapshots(name).flatMap(readSnapshotMeta(name, _))
+
   /** Reclaim superseded storage (vacuum): stale uncommitted temp dirs plus
     * version directories no longer reachable. For a manifested table
     * "reachable" is manifest-defined — a version stays while it still owns
     * at least one bucket, and within a kept non-current version the bucket
     * dirs it NO LONGER owns are pruned (a bucket rewritten by a later
     * publish would otherwise pin its stale generation forever, an unbounded
-    * leak over a table's life). Net storage is ~1× the live table.
+    * leak over a table's life). Net storage is ~1× the live table, PLUS
+    * whatever [[snapshot]] tags still pin: a snapshot keeps its recorded
+    * version dirs alive and its recorded (bucket → version) ownerships
+    * exempt from bucket pruning, and nothing more — dropping the tag
+    * returns the table to the ~1× bound.
     */
   override def vacuum(name: String): Unit = {
     currentVersion(name).foreach { cur =>
       val man = readManifest(name, cur)
-      val keep = Set(cur) ++ man.map(_.buckets.values.toSet).getOrElse(Set.empty)
+      val snaps = liveSnapshots(name)
+      // versions pinned WHOLE (snapshot of an unmanifested state), and
+      // (bucket, version) ownerships pinned by any snapshot's manifest
+      val snapFull = snaps.filter(_.manifest.isEmpty).map(_.version).toSet
+      val snapOwned: Set[(Int, String)] = snaps.flatMap(
+        _.manifest.toSeq.flatMap(_.buckets.toSeq.map {
+          case (b, v) => (b, v)
+        })).toSet
+      val keep = Set(cur) ++
+        man.map(_.buckets.values.toSet).getOrElse(Set.empty) ++
+        snapFull ++ snaps.map(_.version) ++ snapOwned.map(_._2)
       val dir = tableDir(name)
       val f = fs(dir)
       f.listStatus(dir).foreach { st =>
@@ -745,12 +888,14 @@ final class TableStore(spark: SparkSession, root: String,
         if ((n.startsWith("v_") && !keep(n)) ||
             n.startsWith(".tmp_") || n.startsWith("._VERSION.tmp"))
           f.delete(st.getPath, true)
-        else if (n.startsWith("v_") && n != cur && man.isDefined)
+        else if (n.startsWith("v_") && n != cur && man.isDefined &&
+                 !snapFull(n))
           f.listStatus(st.getPath).foreach { sub =>
             val sn = sub.getPath.getName
-            if (sn.startsWith(BucketPrefix) &&
-                !man.get.buckets.get(sn.stripPrefix(BucketPrefix).toInt)
-                  .contains(n))
+            if (sn.startsWith(BucketPrefix) && {
+                  val b = sn.stripPrefix(BucketPrefix).toInt
+                  !man.get.buckets.get(b).contains(n) && !snapOwned((b, n))
+                })
               f.delete(sub.getPath, true)
           }
       }

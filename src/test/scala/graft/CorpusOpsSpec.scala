@@ -1155,6 +1155,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus release: --snapshot pins each epoch's corpus; later " +
+    "releases (including updates) copy-on-write past the pin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def text(tag: String) =
+      (1 to 30).map(i => s"${tag}tok$i").mkString(" ")
+    def doc(id: Long, tag: String) =
+      (id, text(tag), "en", "s1", 1L)
+    val wh = java.nio.file.Files.createTempDirectory("snap_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      val b1 = Seq(doc(1L, "r1a"), doc(2L, "r1b"), doc(3L, "r1c"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val (i1, _, _) = graft.run.CorpusOps.release(spark, store, wh,
+        b1, "r1", None, snapshotTag = Some("epoch1"))
+      assert(i1 === 3L)
+      // release 2: one brand-new doc + one UPDATE of doc 1 (fresh content)
+      val b2 = Seq(doc(4L, "r2a"), doc(1L, "r2upd"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val (i2, u2, _) = graft.run.CorpusOps.release(spark, store, wh,
+        b2, "r2", None, snapshotTag = Some("epoch2"))
+      assert(i2 === 1L && u2 === 1L)
+      assert(store.listSnapshots("corpus_docs") === Seq("epoch1", "epoch2"))
+
+      // epoch1 serves the PRE-update corpus: 3 docs, doc 1's original text
+      val s1 = store.readSnapshot("corpus_docs", "epoch1").get
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s1.keySet === Set(1L, 2L, 3L))
+      assert(s1(1L) === text("r1a"), "pinned epoch must keep the old content")
+      // epoch2 and the current table agree: 4 docs, doc 1 updated
+      val s2 = store.readSnapshot("corpus_docs", "epoch2").get
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val cur = store.readIfExists("corpus_docs").get
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s2 === cur && cur.keySet === Set(1L, 2L, 3L, 4L))
+      assert(cur(1L) === text("r2upd"))
+
+      // replayed release re-pins its tag idempotently (force path)
+      val (i3, u3, _) = graft.run.CorpusOps.release(spark, store, wh,
+        b2, "r2", None, snapshotTag = Some("epoch2"))
+      assert(i3 === 0L && u3 === 0L, "replay is a no-op release")
+      assert(store.readSnapshot("corpus_docs", "epoch2").get.count() === 4L)
+      // dropped pins free their generations on the next vacuum
+      assert(store.dropSnapshot("corpus_docs", "epoch1"))
+      store.vacuum("corpus_docs")
+      assert(store.readSnapshot("corpus_docs", "epoch1").isEmpty)
+      assert(store.readIfExists("corpus_docs").get.count() === 4L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sim_topk_ivf_index: persisted index reproduces the inline path; postings bucket-partitioned") {
     val inline = TrainingData.simTopkIvf(spark, sf).collect().toSeq
     val indexed = TrainingData.simTopkIvfIndex(spark, sf).collect().toSeq

@@ -344,4 +344,79 @@ class TableStoreSpec extends AnyFunSuite {
       btSource.copy(tableName = "p", targetPartitionBy = Seq("v")),
       new java.sql.Timestamp(0L)).isEmpty)
   }
+
+  test("snapshot pins merge-published state across publishes and vacuums; " +
+       "drop releases the pinned generations") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    val ids = (1L to 200L)
+    store.mergeInPlace("bt", stageDf(ids.map(i => i -> s"v$i"): _*),
+      btSource, new java.sql.Timestamp(1000L))
+    store.snapshot("bt", "run1")
+    assert(store.listSnapshots("bt") == Seq("run1"))
+
+    val tableDir = root.resolve("bt")
+    val v1 = Files.list(tableDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("v_")) match {
+      case Array(only) => only
+      case other => fail(s"expected one version dir, got ${other.length}")
+    }
+    val touched = Set(bucketsOf(8, Seq(1L))(1L), bucketsOf(8, Seq(1000L))(1000L))
+
+    // delta publish (merge runs vacuum internally): without the snapshot,
+    // v1's touched-bucket generations would be pruned here
+    store.mergeInPlace("bt", stageDf(1L -> "CHANGED", 1000L -> "v1000"),
+      btSource, new java.sql.Timestamp(2000L))
+    store.vacuum("bt") // belt and braces: an explicit pass must also hold
+    touched.foreach(b => assert(Files.exists(v1.resolve(s"_bucket=$b")),
+      s"snapshot-pinned generation of bucket $b was vacuumed"))
+
+    // pinned read = the pre-delta table, bit-for-bit semantics
+    val snap = store.readSnapshot("bt", "run1").get
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap.size == 200 && snap(1L) == "v1" && !snap.contains(1000L))
+    val cur = store.readIfExists("bt").get
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur.size == 201 && cur(1L) == "CHANGED" && cur(1000L) == "v1000")
+
+    // drop + vacuum returns the table to the ~1x storage bound
+    assert(store.dropSnapshot("bt", "run1"))
+    assert(!store.dropSnapshot("bt", "run1"))
+    store.vacuum("bt")
+    touched.foreach(b => assert(!Files.exists(v1.resolve(s"_bucket=$b")),
+      s"bucket $b's superseded generation survived drop + vacuum"))
+    assert(store.readSnapshot("bt", "run1").isEmpty)
+    assert(store.readIfExists("bt").get.count() == 201)
+  }
+
+  test("snapshot of an overwrite table pins the old version through vacuum") {
+    val (store, root) = mkStore()
+    store.overwrite("t", df(1, 2))
+    store.snapshot("t", "s")
+    store.overwrite("t", df(9)) // overwrite vacuums internally
+    assert(store.readSnapshot("t", "s").get.collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    assert(store.readIfExists("t").get.head().getLong(0) == 9L)
+    assert(store.dropSnapshot("t", "s"))
+    store.vacuum("t")
+    assert(Files.list(root.resolve("t")).toArray.map(_.toString)
+      .count(_.contains("/v_")) == 1)
+  }
+
+  test("snapshot fails loud on segments, duplicate tags, and bad tags; " +
+       "force re-pins atomically") {
+    val (store, _) = mkStore()
+    intercept[IllegalStateException](store.snapshot("none", "s"))
+    store.overwrite("t", df(1))
+    store.append("t", df(2))
+    intercept[IllegalArgumentException](store.snapshot("t", "s"))
+    store.overwrite("t", store.readIfExists("t").get) // fold the segment
+    store.snapshot("t", "s")
+    intercept[IllegalStateException](store.snapshot("t", "s"))
+    intercept[IllegalArgumentException](store.snapshot("t", "../evil"))
+    assert(store.readSnapshot("t", "nope").isEmpty)
+    store.overwrite("t", df(7, 8, 9))
+    store.snapshot("t", "s", force = true)
+    assert(store.readSnapshot("t", "s").get.count() == 3)
+  }
 }
