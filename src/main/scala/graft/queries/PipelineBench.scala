@@ -281,21 +281,24 @@ object PipelineBench {
       // (+1.0 is IEEE-exact, so cross-engine equality is safe)
       val basePrices = valid.select(col("o_orderkey"),
         col("o_totalprice").as("p0"))
-      def rollup(df: DataFrame): (Long, Long, Long) = {
-        val r = df.join(basePrices, Seq("o_orderkey"), "left")
-          .agg(count(lit(1)),
-            sum(when(col("o_orderkey") >= 10000000000L, 1L).otherwise(0L)),
-            sum(when(col("p0").isNotNull &&
-              col("o_totalprice") =!= col("p0"), 1L).otherwise(0L)))
-          .head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
-      val (snapRows, snapHi, snapRepriced) = rollup(
-        store.readSnapshot(source.tableName, "train-run-1")
-          .getOrElse(sys.error("snapshot tag missing after pin")))
-      val (curRows, curHi, curRepriced) = rollup(
-        store.readIfExists(source.tableName)
-          .getOrElse(sys.error("target missing after publish")))
+      // ONE labeled pass over (snapshot ∪ current): a per-state rollup
+      // would join the (broadcast-sized) base prices twice
+      val states = store.readSnapshot(source.tableName, "train-run-1")
+        .getOrElse(sys.error("snapshot tag missing after pin"))
+        .select("o_orderkey", "o_totalprice").withColumn("st", lit("snap"))
+        .unionByName(store.readIfExists(source.tableName)
+          .getOrElse(sys.error("target missing after publish"))
+          .select("o_orderkey", "o_totalprice").withColumn("st", lit("cur")))
+      val byState = states.join(broadcast(basePrices), Seq("o_orderkey"), "left")
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey") >= 10000000000L, 1L).otherwise(0L)).as("hi"),
+          sum(when(col("p0").isNotNull &&
+            col("o_totalprice") =!= col("p0"), 1L).otherwise(0L)).as("rp"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val (snapRows, snapHi, snapRepriced) = byState("snap")
+      val (curRows, curHi, curRepriced) = byState("cur")
       require(store.dropSnapshot(source.tableName, "train-run-1"))
       store.vacuum(source.tableName)
 
