@@ -2582,7 +2582,9 @@ object SparkEntry {
     // the snapshot pins the base-publish state: no inserted high keys and
     // no re-priced rows can appear through the pin, while the current read
     // carries the delta's merged effect (corrupted rows DLQ'd, so their
-    // keys keep the base price and do not count as re-priced)
+    // keys keep the base price and do not count as re-priced). The CDC
+    // feed (snapshotDelta) sees exactly the merged delta: every offset-key
+    // row as an insert, every surviving reprice as an update, no deletes
     "pipeline_snapshot" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
@@ -2594,7 +2596,11 @@ object SparkEntry {
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS cur_rows,
         | (SELECT count(*) FROM d) AS cur_hi_keys,
         | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
-        |   AS cur_repriced""".stripMargin,
+        |   AS cur_repriced,
+        | (SELECT count(*) FROM d) AS cdc_inserts,
+        | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
+        |   AS cdc_updates,
+        | CAST(0 AS BIGINT) AS cdc_deletes""".stripMargin,
     "pipeline_mor" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),

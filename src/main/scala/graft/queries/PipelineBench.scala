@@ -299,14 +299,24 @@ object PipelineBench {
           (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val (snapRows, snapHi, snapRepriced) = byState("snap")
       val (curRows, curHi, curRepriced) = byState("cur")
+      // the CDC feed a downstream incremental consumer reads instead of
+      // re-diffing the corpus: row-level changes since the pin, served
+      // from the changed buckets only on both sides (snapshotDelta)
+      val cdc = store.snapshotDelta(source.tableName, "train-run-1")
+        .getOrElse(sys.error("snapshot tag missing for the CDC read"))
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       require(store.dropSnapshot(source.tableName, "train-run-1"))
       store.vacuum(source.tableName)
 
       val sp = spark
       import sp.implicits._
-      Seq((snapRows, snapHi, snapRepriced, curRows, curHi, curRepriced))
+      Seq((snapRows, snapHi, snapRepriced, curRows, curHi, curRepriced,
+          cdc.getOrElse("insert", 0L), cdc.getOrElse("update", 0L),
+          cdc.getOrElse("delete", 0L)))
         .toDF("snap_rows", "snap_hi_keys", "snap_repriced",
-          "cur_rows", "cur_hi_keys", "cur_repriced")
+          "cur_rows", "cur_hi_keys", "cur_repriced",
+          "cdc_inserts", "cdc_updates", "cdc_deletes")
     }
     frame
   }

@@ -11,6 +11,7 @@ import graft.store.TableStore
   *   graft.run.Main --drop DIR --archive DIR --duplicates DIR --warehouse DIR
   *                  [--file NAME] [--jdbc URL]
   *   graft.run.Main --corpus DIR --warehouse DIR [--snapshot TAG]  # corpus release
+  *   graft.run.Main --corpus-delta TAG --warehouse DIR [--out DIR] # CDC since TAG
   *
   * Sources are registered in code (like the reference's src/sources/systems
   * package); [[DemoSources.registry]] ships the example `sales` source so
@@ -70,6 +71,32 @@ object Main {
         targetSink = targetSink,
         onProgress = progress.map(_.update _).getOrElse((_: Int, _: Int) => ()))
       opts.get("file") match {
+        case _ if opts.contains("corpus-delta") =>
+          // --corpus-delta TAG: the CDC read over the released corpus —
+          // "what changed since the training run pinned TAG" — served from
+          // the changed buckets only (TableStore.snapshotDelta; a 100 TB
+          // corpus answers from the handful of buckets the releases since
+          // the pin rewrote, not a full scan). Prints the change-type
+          // counts; --out DIR additionally writes the row-level feed
+          // (changed docs + `change` column) for downstream incremental
+          // consumers (re-embed, re-export, re-evaluate).
+          val tag = opts("corpus-delta")
+          val table = DemoSources.CorpusRelease.tableName
+          val feed = store.snapshotDelta(table, tag).getOrElse(
+            sys.error(s"no snapshot '$tag' on $table — pin one with " +
+              "--corpus ... --snapshot TAG"))
+          val touched = store.snapshotChangedBuckets(table, tag)
+            .map(_.size.toString).getOrElse("all (layout changed)")
+          val counts = feed.groupBy("change").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          opts.get("out").foreach(dir => feed.write.mode("overwrite")
+            .parquet(dir))
+          println(s"corpus-delta: since=$tag " +
+            s"inserts=${counts.getOrElse("insert", 0L)} " +
+            s"updates=${counts.getOrElse("update", 0L)} " +
+            s"deletes=${counts.getOrElse("delete", 0L)} " +
+            s"changed_buckets=$touched" +
+            opts.get("out").map(d => s" out=$d").getOrElse(""))
         case _ if opts.contains("corpus") =>
           // --corpus DIR: run the training-data curation chain (token-band
           // quality gate -> exact dedup -> MinHash-LSH near-dedup ->

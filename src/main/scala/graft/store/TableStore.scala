@@ -4,7 +4,7 @@ import graft.core.SourceConfig
 import graft.operators.Publish
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max_by, pmod, when, xxhash64}
+import org.apache.spark.sql.functions.{col, count, lit, max_by, md5, pmod, struct, to_json, when, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
@@ -597,6 +597,10 @@ final class TableStore(spark: SparkSession, root: String,
       .map(_.getPath.getName.stripPrefix(BucketPrefix).toInt)
     writeManifest(name, version,
       BucketManifest(n, carried ++ owned.map(_ -> version)))
+    // every bucketed publish records its key (the MOR path already does):
+    // readers that need the grain without a SourceConfig in hand —
+    // [[snapshotDelta]]'s CDC join, MOR resolution — read it from here
+    writeGrain(name, grain)
     swapPointer(name, version)
     foldSegs.foreach(s => f.delete(s, true))
     vacuum(name) // bound disk: drop superseded generations (manifest-aware)
@@ -850,6 +854,121 @@ final class TableStore(spark: SparkSession, root: String,
     withTableLock(name) {
       val p = snapshotPath(name, tag)
       fs(p).delete(p, false)
+    }
+
+  /** The ownership symmetric difference of two same-sized bucket maps:
+    * a bucket still owned by the version the snapshot recorded is
+    * BIT-IDENTICAL files (copy-on-write never edits a published bucket
+    * dir), so everything outside the returned set is provably unchanged.
+    */
+  private def changedOwnership(o: BucketManifest,
+                               c: BucketManifest): Set[Int] =
+    (o.buckets.keySet ++ c.buckets.keySet)
+      .filter(b => o.buckets.get(b) != c.buckets.get(b))
+
+  /** Bucket ids whose contents can differ between `tag`'s pinned state and
+    * the current one — the O(1)-metadata half of the CDC question ("which
+    * shards does a since-the-pin re-export touch"), answered from the two
+    * bucket-ownership maps alone, NO data read: at 100 TB this is the
+    * difference between re-processing a corpus and re-processing the
+    * handful of buckets the releases since a training run actually
+    * rewrote. Defined when the tag exists and the two states share a
+    * bucket layout (both manifested, same bucket count, no live
+    * append/upsert segments). None otherwise — an un-manifested state on
+    * either side, a rebucket between pin and now (every key re-hashed, so
+    * there is no shared bucket id space), or segments (un-bucketed rows a
+    * bucket set cannot describe); [[snapshotDelta]] then falls back to
+    * the full two-sided diff.
+    */
+  def snapshotChangedBuckets(name: String, tag: String): Option[Set[Int]] =
+    readSnapshotMeta(name, tag).flatMap { s =>
+      (s.manifest, currentManifest(name)) match {
+        case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
+            segments(name).isEmpty && upsertSegments(name).isEmpty =>
+          Some(changedOwnership(o, c))
+        case _ => None
+      }
+    }
+
+  /** Row-level changes since `tag` was pinned — the CDC feed a downstream
+    * incremental consumer (re-export, re-embed, re-evaluate) reads instead
+    * of re-diffing the corpus: one row per inserted / updated / deleted
+    * grain key, carrying the CURRENT row's columns (null for deletes,
+    * grain always populated) plus a `change` column
+    * ('insert'|'update'|'delete'). I/O is O(changed buckets) on BOTH
+    * sides when the pin and the current state share a bucket layout
+    * ([[snapshotChangedBuckets]]): a grain key hashes to the same bucket
+    * in both states, so every key whose row differs lives inside the
+    * changed set and the unchanged rest is never opened. Falls back to
+    * the full two-sided diff when the layouts don't line up
+    * (rebucket / plain-overwrite / segments) — correct first, pruned when
+    * the layout allows, like [[readBuckets]]. Change detection compares
+    * `etl_row_hash` when both sides carry it (merge-published tables
+    * always do), else an md5 digest of the SHARED non-grain columns
+    * (grain-only tables detect insert/delete, never update — there is no
+    * payload to change). Joins on the table's recorded grain; pass
+    * `grainOverride` for tables published without one. None when the tag
+    * does not exist.
+    */
+  def snapshotDelta(name: String, tag: String,
+                    grainOverride: Seq[String] = Seq.empty): Option[DataFrame] =
+    readSnapshotMeta(name, tag).map { s =>
+      val grain =
+        if (grainOverride.nonEmpty) grainOverride
+        else {
+          val gp = grainPath(name)
+          require(fs(gp).exists(gp), s"snapshotDelta($name, '$tag'): the " +
+            "table records no grain — pass the key columns explicitly")
+          readGrain(name)
+        }
+      val cur = currentManifest(name)
+      val pruned: Option[Set[Int]] = (s.manifest, cur) match {
+        case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
+            segments(name).isEmpty && upsertSegments(name).isEmpty =>
+          Some(changedOwnership(o, c))
+        case _ => None
+      }
+      val (oldOpt, newOpt) = pruned match {
+        case Some(ids) if ids.isEmpty =>
+          // nothing republished since the pin: an empty feed with the
+          // current schema (plan-only read — no bucket data opened)
+          val z = readIfExists(name).map(_.limit(0))
+          (z, z)
+        case Some(ids) =>
+          def sliced(m: BucketManifest) = {
+            val paths = m.buckets.toSeq.sortBy(_._1).collect {
+              case (b, v) if ids(b) => bucketDir(name, v, b).toString
+            }
+            if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+          }
+          (sliced(s.manifest.get), sliced(cur.get))
+        case None => (readSnapshot(name, tag), readIfExists(name))
+      }
+      val newDf = newOpt.orElse(oldOpt.map(_.limit(0))).getOrElse(
+        throw new IllegalStateException(
+          s"snapshotDelta($name, '$tag'): no data on either side"))
+      val oldDf = oldOpt.getOrElse(newDf.limit(0))
+      val nCols = newDf.columns.toSeq
+      require(!nCols.contains("change"),
+        s"snapshotDelta($name, '$tag'): the table already has a 'change' column")
+      val useHash = oldDf.columns.contains("etl_row_hash") &&
+        newDf.columns.contains("etl_row_hash")
+      val shared = oldDf.columns.intersect(newDf.columns)
+        .filterNot(grain.contains).filterNot(_ == "etl_row_hash").sorted
+      def digest(df: DataFrame): Column =
+        if (useHash) col("etl_row_hash").cast("string")
+        else if (shared.isEmpty) lit("")
+        else md5(to_json(struct(shared.map(col).toSeq: _*)))
+      val o = oldDf.select(grain.map(col) :+ digest(oldDf).as("_o_digest"): _*)
+      val n = newDf.select(nCols.map(col) :+ digest(newDf).as("_n_digest"): _*)
+      n.join(o, grain, "full_outer")
+        .filter(col("_o_digest").isNull || col("_n_digest").isNull ||
+          col("_o_digest") =!= col("_n_digest"))
+        .withColumn("change",
+          when(col("_o_digest").isNull, lit("insert"))
+            .when(col("_n_digest").isNull, lit("delete"))
+            .otherwise(lit("update")))
+        .select(nCols.map(col) :+ col("change"): _*)
     }
 
   private def liveSnapshots(name: String): Seq[TableSnapshot] =

@@ -1195,6 +1195,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(s2 === cur && cur.keySet === Set(1L, 2L, 3L, 4L))
       assert(cur(1L) === text("r2upd"))
 
+      // the CDC read over the released corpus: "what changed since the
+      // training run pinned epoch1" — the insert and the update, current
+      // content, nothing else (and the epoch2 pin reads as no changes)
+      val feed = store.snapshotDelta("corpus_docs", "epoch1").get
+        .select("doc_id", "text", "change").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(feed === Map(1L -> (text("r2upd"), "update"),
+                          4L -> (text("r2a"), "insert")))
+      assert(store.snapshotChangedBuckets("corpus_docs", "epoch1")
+        .exists(_.nonEmpty))
+      assert(store.snapshotDelta("corpus_docs", "epoch2").get.count() === 0L)
+      assert(store.snapshotChangedBuckets("corpus_docs", "epoch2")
+        .exists(_.isEmpty))
+
       // replayed release re-pins its tag idempotently (force path)
       val (i3, u3, _) = graft.run.CorpusOps.release(spark, store, wh,
         b2, "r2", None, snapshotTag = Some("epoch2"))

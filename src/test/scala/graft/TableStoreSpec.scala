@@ -419,4 +419,76 @@ class TableStoreSpec extends AnyFunSuite {
     store.snapshot("t", "s", force = true)
     assert(store.readSnapshot("t", "s").get.count() == 3)
   }
+
+  test("snapshotDelta: bucket-pruned CDC feed since a tag — changed " +
+       "buckets only on both sides, values equal to the naive full diff") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    val ids = (1L to 200L)
+    store.mergeInPlace("bt", stageDf(ids.map(i => i -> s"v$i"): _*),
+      btSource, new java.sql.Timestamp(1000L))
+    store.snapshot("bt", "run1")
+    // update key 1, insert key 1000
+    store.mergeInPlace("bt", stageDf(1L -> "CHANGED", 1000L -> "v1000"),
+      btSource, new java.sql.Timestamp(2000L))
+
+    // O(1) metadata answer: exactly the merge's touched buckets
+    val touched = Set(bucketsOf(8, Seq(1L))(1L), bucketsOf(8, Seq(1000L))(1000L))
+    assert(store.snapshotChangedBuckets("bt", "run1").get === touched)
+
+    val delta = store.snapshotDelta("bt", "run1").get
+    // the feed: one insert, one update, current row payloads
+    val rows = delta.select("id", "v", "change").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows === Map(1L -> ("CHANGED", "update"),
+                        1000L -> ("v1000", "insert")))
+    // pruning pin: every file opened (either side, either generation)
+    // belongs to a changed bucket — the other 6-7 buckets' ~198 rows are
+    // never read
+    val opened = delta.inputFiles.toSeq
+    assert(opened.nonEmpty)
+    opened.foreach { f =>
+      assert(touched.exists(b => f.contains(s"_bucket=$b/")),
+        s"CDC read opened an unchanged bucket's file: $f")
+    }
+    // values equal the naive full two-sided diff
+    val snapM = store.readSnapshot("bt", "run1").get
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val curM = store.readIfExists("bt").get
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naive = (snapM.keySet ++ curM.keySet).flatMap { k =>
+      (snapM.get(k), curM.get(k)) match {
+        case (None, Some(v))            => Some(k -> (v, "insert"))
+        case (Some(_), None)            => Some(k -> (null: String, "delete"))
+        case (Some(a), Some(b)) if a != b => Some(k -> (b, "update"))
+        case _                          => None
+      }
+    }.toMap
+    assert(rows === naive)
+
+    // a tag pinned at the current state yields an empty feed and an
+    // empty changed-bucket set (nothing republished since)
+    store.snapshot("bt", "run2")
+    assert(store.snapshotChangedBuckets("bt", "run2").get.isEmpty)
+    assert(store.snapshotDelta("bt", "run2").get.count() === 0L)
+    // missing tag -> None, like readSnapshot
+    assert(store.snapshotDelta("bt", "nope").isEmpty)
+  }
+
+  test("snapshotDelta degrades to a correct full diff when the layouts " +
+       "don't line up (plain-overwrite table), and detects deletes there") {
+    val (store, _) = mkStore()
+    store.overwrite("t", df(1, 2, 3))
+    store.snapshot("t", "s")
+    store.overwrite("t", df(2, 3, 4, 5))
+    // un-manifested on both sides: no shared bucket id space to prune in
+    assert(store.snapshotChangedBuckets("t", "s").isEmpty)
+    // no recorded grain: the key must be passed explicitly
+    intercept[IllegalArgumentException](store.snapshotDelta("t", "s"))
+    val rows = store.snapshotDelta("t", "s", grainOverride = Seq("x"))
+      .get.select("x", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // grain-only table: insert/delete are the only detectable changes
+    assert(rows === Map(1L -> "delete", 4L -> "insert", 5L -> "insert"))
+  }
 }
