@@ -375,7 +375,7 @@ final class TableStore(spark: SparkSession, root: String,
                  else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(new Path(dir, version).toString)
     swapPointer(name, version)
-    priorSegs.foreach(s => fs(dir).delete(s, true))
+    retireSegments(name, priorSegs)
   }
 
   /** Atomically flip `_VERSION` to `version` (create temp + overwrite-rename). */
@@ -602,7 +602,8 @@ final class TableStore(spark: SparkSession, root: String,
     // [[snapshotDelta]]'s CDC join, MOR resolution — read it from here
     writeGrain(name, grain)
     swapPointer(name, version)
-    foldSegs.foreach(s => f.delete(s, true))
+    graft.core.Chaos.point("store.before-retire")
+    retireSegments(name, foldSegs)
     vacuum(name) // bound disk: drop superseded generations (manifest-aware)
   }
 
@@ -740,12 +741,19 @@ final class TableStore(spark: SparkSession, root: String,
   private val SnapshotTag = "[A-Za-z0-9][A-Za-z0-9._-]{0,127}".r
 
   /** A snapshot file pins the table state a tag was taken at: the version
-    * directory, plus (for manifested tables) the bucket→version ownership
-    * map of that moment. Serialized like `_MANIFEST` with a leading
-    * version line (`-` on the numBuckets line for unmanifested tables).
+    * directory, (for manifested tables) the bucket→version ownership map
+    * of that moment, and the append/upsert segment dirs live at the pin —
+    * segments are MUTABLE table state (a later fold deletes them), so the
+    * fold instead retires pinned ones into the underscore-invisible
+    * `_pinned/` dir (invisible to the live listers, reclaimed by [[vacuum]]
+    * once no tag references them). Serialized like `_MANIFEST` with a
+    * leading version line (`-` on the numBuckets line for unmanifested
+    * tables); segment names follow the bucket lines (no tab — the parser
+    * distinguishes them structurally, so pre-segment pins read unchanged).
     */
   private final case class TableSnapshot(version: String,
-                                         manifest: Option[BucketManifest])
+                                         manifest: Option[BucketManifest],
+                                         segNames: Seq[String])
 
   private def readSnapshotMeta(name: String,
                                tag: String): Option[TableSnapshot] = {
@@ -757,15 +765,70 @@ final class TableStore(spark: SparkSession, root: String,
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
                  finally in.close()
       val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val (bucketLines, segLines) = lines.drop(2).partition(_.contains('\t'))
       val man =
         if (lines(1) == "-") None
-        else Some(BucketManifest(lines(1).toInt, lines.drop(2).map { l =>
+        else Some(BucketManifest(lines(1).toInt, bucketLines.map { l =>
           val sep = l.indexOf('\t')
           l.substring(0, sep).toInt -> l.substring(sep + 1)
         }.toMap))
-      Some(TableSnapshot(lines.head, man))
+      Some(TableSnapshot(lines.head, man, segLines))
     }
   }
+
+  private val PinnedDirName = "_pinned"
+
+  /** A pinned segment's current location: its live path until a fold
+    * retires it, `_pinned/<name>` after. Fails loud when neither exists —
+    * that means the tag's state was vacuumed out from under a concurrent
+    * reader after a drop, the same hazard every dropped-tag read has.
+    */
+  private def pinnedSegPath(name: String, segName: String): Path = {
+    val live = new Path(tableDir(name), segName)
+    val retired = new Path(new Path(tableDir(name), PinnedDirName), segName)
+    val f = fs(live)
+    if (f.exists(live)) live
+    else if (f.exists(retired)) retired
+    else throw new IllegalStateException(
+      s"snapshot-pinned segment $segName of $name exists at neither its " +
+        "live nor its _pinned path (tag dropped and vacuumed?)")
+  }
+
+  /** Fold-time segment disposal: a segment no live snapshot references is
+    * deleted; a pinned one is MOVED to `_pinned/<name>` — one atomic
+    * rename, invisible to the live listers, so the folded state never
+    * double-counts it — where [[vacuum]] reclaims it once its last tag
+    * drops. Callers hold the table lock (every fold path does).
+    *
+    * Crash contract: disposal runs AFTER the pointer swap (unchanged from
+    * the delete it replaces), so a crash mid-disposal leaves some folded
+    * segments live. For upsert segments that is a semantic no-op — the
+    * live read replays them over the folded base through the latest-wins
+    * resolve and the same rows win — and the next fold lists the
+    * leftovers and disposes of them again. Pinned reads are unaffected
+    * either way ([[pinnedSegPath]] finds live or retired). The rename
+    * adds NO new window over the old delete; it narrows the pre-existing
+    * one (an interrupted delete loses pinned data forever, an interrupted
+    * retire never does).
+    */
+  private def retireSegments(name: String, segs: Seq[Path]): Unit =
+    if (segs.nonEmpty) {
+      val pinned = liveSnapshots(name).flatMap(_.segNames).toSet
+      val dir = tableDir(name)
+      val f = fs(dir)
+      segs.foreach { s =>
+        if (pinned(s.getName)) {
+          val pd = new Path(dir, PinnedDirName)
+          f.mkdirs(pd)
+          if (!f.rename(s, new Path(pd, s.getName)))
+            throw new java.io.IOException(
+              s"failed to retire pinned segment ${s.getName} of $name")
+        } else {
+          f.delete(s, true)
+          ()
+        }
+      }
+    }
 
   /** Pin the table's CURRENT committed state under `tag` — a Delta/Iceberg
     * style tag over the copy-on-write layout, the reproducibility seam a
@@ -778,13 +841,18 @@ final class TableStore(spark: SparkSession, root: String,
     * rewritten since it was taken ([[vacuum]] keeps snapshot-owned bucket
     * generations and reclaims them when the tag is dropped).
     *
-    * Fails loud on unfolded append/upsert segments: segments are
-    * MUTABLE table state (later overwrites fold and DELETE them), so a
-    * pin over them could not survive. Merge-published (COW) and
-    * overwrite-published tables are always snapshotable; MOR targets
-    * snapshot after a compaction fold. Tags are immutable — re-pinning an
-    * existing tag requires `force = true` (one atomic pointer-file
-    * replace), so a typo cannot silently move a run's provenance.
+    * Live append/upsert segments are pinned BY NAME: segments are mutable
+    * table state (a later fold deletes them from the live layout), so the
+    * fold paths retire pinned segment dirs into `_pinned/` — invisible to
+    * the live listers — instead of deleting them ([[retireSegments]]),
+    * and [[readSnapshot]] resolves each pinned segment from whichever
+    * location it currently has. A merge-on-read target is therefore
+    * snapshotable mid-stream, unfolded upserts and all; the pin's extra
+    * storage is exactly the segments a fold has retired plus the buckets
+    * later publishes rewrote, both reclaimed when the tag drops. Tags are
+    * immutable — re-pinning an existing tag requires `force = true` (one
+    * atomic pointer-file replace), so a typo cannot silently move a run's
+    * provenance.
     */
   def snapshot(name: String, tag: String, force: Boolean = false): Unit = {
     require(SnapshotTag.pattern.matcher(tag).matches(),
@@ -793,10 +861,6 @@ final class TableStore(spark: SparkSession, root: String,
       val cur = currentVersion(name).getOrElse(
         throw new IllegalStateException(
           s"snapshot '$tag': table $name has no committed version"))
-      require(segments(name).isEmpty && upsertSegments(name).isEmpty,
-        s"snapshot '$tag': table $name carries unfolded append/upsert " +
-          "segments — segments are mutable state a pin cannot survive; " +
-          "snapshot after the next fold/compaction")
       val p = snapshotPath(name, tag)
       val f = fs(p)
       if (f.exists(p) && !force)
@@ -804,11 +868,13 @@ final class TableStore(spark: SparkSession, root: String,
           s"snapshot '$tag' already exists on $name (tags are immutable; " +
             "pass force = true to re-pin)")
       val man = readManifest(name, cur)
-      val lines = cur +: (man match {
+      val segNames = segments(name).map(_.getName) ++
+        upsertSegments(name).map(_._2.getName)
+      val lines = (cur +: (man match {
         case Some(m) => m.numBuckets.toString +:
           m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b\t$v" }
         case None => Seq("-")
-      })
+      })) ++ segNames
       f.mkdirs(snapshotsDir(name))
       val tmp = new Path(snapshotsDir(name), s".$tag.tmp.${nextId()}")
       val out = f.create(tmp, true)
@@ -833,18 +899,32 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   /** The table as it was when `tag` was pinned — the exact bucket (or
-    * version) directories the snapshot recorded, served with the same
-    * path-level layout [[readIfExists]] uses for the current state. None
-    * when the tag does not exist.
+    * version) directories the snapshot recorded, plus its pinned
+    * append/upsert segments (resolved from their live or `_pinned/`
+    * location), served with the same resolution [[readIfExists]] applies
+    * to the current state: plain appends union in, merge-on-read upserts
+    * replay through [[graft.operators.Publish.morResolve]] in generation
+    * order. None when the tag does not exist.
     */
   def readSnapshot(name: String, tag: String): Option[DataFrame] =
     readSnapshotMeta(name, tag).map { s =>
-      val paths = s.manifest match {
+      val base = s.manifest match {
         case Some(m) => m.buckets.toSeq.sortBy(_._1)
           .map { case (b, v) => bucketDir(name, v, b).toString }
         case None => Seq(new Path(tableDir(name), s.version).toString)
       }
-      spark.read.parquet(paths: _*)
+      val (usegNames, appendNames) = s.segNames.partition(_.startsWith(UsegPrefix))
+      val paths = base ++ appendNames.sorted
+        .map(n => pinnedSegPath(name, n).toString)
+      if (usegNames.isEmpty) spark.read.parquet(paths: _*)
+      else {
+        val baseDf = if (paths.isEmpty) None
+                     else Some(spark.read.parquet(paths: _*))
+        Publish.morResolve(baseDf,
+          usegNames.map(n => n.stripPrefix(UsegPrefix).toLong ->
+            spark.read.parquet(pinnedSegPath(name, n).toString)).sortBy(_._1),
+          readGrain(name))
+      }
     }
 
   /** Release `tag`'s pin; returns whether it existed. The pinned bucket
@@ -884,6 +964,7 @@ final class TableStore(spark: SparkSession, root: String,
     readSnapshotMeta(name, tag).flatMap { s =>
       (s.manifest, currentManifest(name)) match {
         case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
+            s.segNames.isEmpty &&
             segments(name).isEmpty && upsertSegments(name).isEmpty =>
           Some(changedOwnership(o, c))
         case _ => None
@@ -924,6 +1005,7 @@ final class TableStore(spark: SparkSession, root: String,
       val cur = currentManifest(name)
       val pruned: Option[Set[Int]] = (s.manifest, cur) match {
         case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
+            s.segNames.isEmpty &&
             segments(name).isEmpty && upsertSegments(name).isEmpty =>
           Some(changedOwnership(o, c))
         case _ => None
@@ -1017,6 +1099,14 @@ final class TableStore(spark: SparkSession, root: String,
                 })
               f.delete(sub.getPath, true)
           }
+      }
+      // retired pinned segments ([[retireSegments]]) whose last tag dropped
+      val pinnedDir = new Path(dir, PinnedDirName)
+      if (f.exists(pinnedDir)) {
+        val stillPinned = snaps.flatMap(_.segNames).toSet
+        f.listStatus(pinnedDir).foreach { st =>
+          if (!stillPinned(st.getPath.getName)) f.delete(st.getPath, true)
+        }
       }
     }
   }

@@ -403,14 +403,31 @@ class TableStoreSpec extends AnyFunSuite {
       .count(_.contains("/v_")) == 1)
   }
 
-  test("snapshot fails loud on segments, duplicate tags, and bad tags; " +
-       "force re-pins atomically") {
-    val (store, _) = mkStore()
+  test("snapshot fails loud on duplicate and bad tags; force re-pins " +
+       "atomically; a pin over a live append segment survives the fold") {
+    val (store, root) = mkStore()
     intercept[IllegalStateException](store.snapshot("none", "s"))
     store.overwrite("t", df(1))
     store.append("t", df(2))
-    intercept[IllegalArgumentException](store.snapshot("t", "s"))
+    // segments are pinnable by name: the pin reads base + segment now...
+    store.snapshot("t", "seg-pin")
+    assert(store.readSnapshot("t", "seg-pin").get.collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    // ...and after the fold DELETES the live segment, the pinned copy is
+    // retired to _pinned/ and the tag still serves the exact state
     store.overwrite("t", store.readIfExists("t").get) // fold the segment
+    assert(Files.list(root.resolve("t")).toArray.map(_.toString)
+      .count(_.contains("/seg_")) == 0, "live layout keeps no segment")
+    assert(Files.exists(root.resolve("t").resolve("_pinned")))
+    assert(store.readSnapshot("t", "seg-pin").get.collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    assert(store.readIfExists("t").get.count() == 2)
+    // dropping the tag reclaims the retired segment on the next vacuum
+    assert(store.dropSnapshot("t", "seg-pin"))
+    store.vacuum("t")
+    assert(!Files.exists(root.resolve("t").resolve("_pinned")) ||
+      Files.list(root.resolve("t").resolve("_pinned")).count() == 0)
+
     store.snapshot("t", "s")
     intercept[IllegalStateException](store.snapshot("t", "s"))
     intercept[IllegalArgumentException](store.snapshot("t", "../evil"))
@@ -418,6 +435,116 @@ class TableStoreSpec extends AnyFunSuite {
     store.overwrite("t", df(7, 8, 9))
     store.snapshot("t", "s", force = true)
     assert(store.readSnapshot("t", "s").get.count() == 3)
+  }
+
+  test("snapshot of a merge-on-read target mid-stream: the pin survives " +
+       "upsert-segment folds and serves the exact pinned resolution") {
+    val root = Files.createTempDirectory("graft_store")
+    // morCompactSegments = 3: the third upsert publish triggers the fold
+    val store = new TableStore(spark, root.toString, publishBuckets = 8,
+      morCompactSegments = 3)
+    val src = btSource.copy(name = "mor", tableName = "mor", mergeOnRead = true)
+    def publish(rows: (Long, String)*): Unit = {
+      store.withTableLock("mor") {
+        store.mergeInPlace("mor", stageDf(rows: _*), src,
+          new java.sql.Timestamp(1000L))
+      }
+      ()
+    }
+    publish((1L to 40L).map(i => i -> s"v$i"): _*) // bucketed base
+    publish(1L -> "u1", 41L -> "v41")              // useg 1
+    publish(2L -> "u2")                            // useg 2
+    // pin mid-stream: base + two live upsert segments
+    store.snapshot("mor", "mid")
+    val pinned = store.readSnapshot("mor", "mid").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pinned.size == 41 && pinned(1L) == "u1" && pinned(2L) == "u2" &&
+      pinned(41L) == "v41" && pinned(3L) == "v3")
+
+    // the NEXT upsert publish reaches morCompactSegments and folds all
+    // segments into a new bucketed base, retiring the pinned ones
+    publish(3L -> "u3", 42L -> "v42")
+    assert(Files.list(root.resolve("mor")).toArray.map(_.toString)
+      .count(_.contains("/useg_")) == 0, "fold left live segments")
+    val after = store.readSnapshot("mor", "mid").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === pinned, "pin must serve the pre-fold resolution")
+    val cur = store.readIfExists("mor").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur.size == 42 && cur(3L) == "u3" && cur(42L) == "v42")
+
+    // CDC declines bucket pruning for a segment-carrying pin but the
+    // degraded full diff is exact: changes since the pin = u3 + insert 42
+    assert(store.snapshotChangedBuckets("mor", "mid").isEmpty)
+    val feed = store.snapshotDelta("mor", "mid").get
+      .select("id", "v", "change").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(feed === Map(3L -> ("u3", "update"), 42L -> ("v42", "insert")))
+
+    // drop + vacuum reclaims the retired segments
+    assert(store.dropSnapshot("mor", "mid"))
+    store.vacuum("mor")
+    assert(!Files.exists(root.resolve("mor").resolve("_pinned")) ||
+      Files.list(root.resolve("mor").resolve("_pinned")).count() == 0)
+    assert(store.readIfExists("mor").get.count() == 42)
+  }
+
+  test("chaos: a crash between the fold's pointer swap and segment " +
+       "disposal leaves both reads exact; the next fold self-heals") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8,
+      morCompactSegments = 3)
+    val src = btSource.copy(name = "mor", tableName = "mor", mergeOnRead = true)
+    def publish(rows: (Long, String)*): Unit = {
+      store.withTableLock("mor") {
+        store.mergeInPlace("mor", stageDf(rows: _*), src,
+          new java.sql.Timestamp(1000L))
+      }
+      ()
+    }
+    def liveSegs() = Files.list(root.resolve("mor")).toArray
+      .map(_.toString).count(_.contains("/useg_"))
+    publish((1L to 40L).map(i => i -> s"v$i"): _*)
+    publish(1L -> "u1", 41L -> "v41")
+    publish(2L -> "u2")
+    store.snapshot("mor", "mid")
+    val pinned = store.readSnapshot("mor", "mid").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // the fold's pointer swings, then the process dies before disposal
+    graft.core.Chaos.arm("store.before-retire")
+    try intercept[graft.core.Chaos.ChaosKill](publish(3L -> "u3", 42L -> "v42"))
+    finally graft.core.Chaos.disarm()
+    assert(liveSegs() == 3, "crash left the folded segments live")
+    // live read: the leftover segments replay over the folded base as
+    // latest-wins no-ops — same rows win, no double count
+    val crashed = store.readIfExists("mor").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(crashed.size == 42 && crashed(3L) == "u3" && crashed(42L) == "v42")
+    // pinned read: segments still at their live paths
+    assert(store.readSnapshot("mor", "mid").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === pinned)
+
+    // the next publish reaches the threshold again, folds the leftovers,
+    // and THIS disposal retires the pinned ones
+    publish(4L -> "u4")
+    assert(liveSegs() == 0, "self-heal fold must dispose the leftovers")
+    // only the two segments the pin recorded are retired; the post-pin
+    // ones (the crashed publish's and this one's) are plain-deleted
+    assert(Files.list(root.resolve("mor").resolve("_pinned")).count() == 2)
+    val healed = store.readIfExists("mor").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(healed.size == 42 && healed(4L) == "u4" && healed(3L) == "u3")
+    assert(store.readSnapshot("mor", "mid").get
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === pinned)
   }
 
   test("snapshotDelta: bucket-pruned CDC feed since a tag — changed " +
