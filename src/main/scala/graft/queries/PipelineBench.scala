@@ -282,14 +282,17 @@ object PipelineBench {
       val basePrices = valid.select(col("o_orderkey"),
         col("o_totalprice").as("p0"))
       // ONE labeled pass over (snapshot ∪ current): a per-state rollup
-      // would join the (broadcast-sized) base prices twice
+      // would join the base prices twice. No broadcast hint — basePrices
+      // scales with the dataset (every valid order), so the planner must
+      // stay free to pick sort-merge past its size threshold; at bench
+      // SFs AQE broadcasts it on its own
       val states = store.readSnapshot(source.tableName, "train-run-1")
         .getOrElse(sys.error("snapshot tag missing after pin"))
         .select("o_orderkey", "o_totalprice").withColumn("st", lit("snap"))
         .unionByName(store.readIfExists(source.tableName)
           .getOrElse(sys.error("target missing after publish"))
           .select("o_orderkey", "o_totalprice").withColumn("st", lit("cur")))
-      val byState = states.join(broadcast(basePrices), Seq("o_orderkey"), "left")
+      val byState = states.join(basePrices, Seq("o_orderkey"), "left")
         .groupBy("st")
         .agg(count(lit(1)).as("n"),
           sum(when(col("o_orderkey") >= 10000000000L, 1L).otherwise(0L)).as("hi"),

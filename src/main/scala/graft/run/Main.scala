@@ -82,15 +82,25 @@ object Main {
           // consumers (re-embed, re-export, re-evaluate).
           val tag = opts("corpus-delta")
           val table = DemoSources.CorpusRelease.tableName
-          val feed = store.snapshotDelta(table, tag).getOrElse(
+          // grainOverride: the corpus grain is statically known here, so
+          // warehouses released before _GRAIN was recorded still work
+          val feed = store.snapshotDelta(table, tag,
+              grainOverride = DemoSources.CorpusRelease.grain).getOrElse(
             sys.error(s"no snapshot '$tag' on $table — pin one with " +
               "--corpus ... --snapshot TAG"))
           val touched = store.snapshotChangedBuckets(table, tag)
             .map(_.size.toString).getOrElse("all (layout changed)")
-          val counts = feed.groupBy("change").count().collect()
+          // with --out, write FIRST and count from the written parquet —
+          // one evaluation of the diff, not two (on a degraded-layout pin
+          // each evaluation is a full two-sided table scan)
+          val counted = opts.get("out") match {
+            case Some(dir) =>
+              feed.write.mode("overwrite").parquet(dir)
+              spark.read.parquet(dir)
+            case None => feed
+          }
+          val counts = counted.groupBy("change").count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
-          opts.get("out").foreach(dir => feed.write.mode("overwrite")
-            .parquet(dir))
           println(s"corpus-delta: since=$tag " +
             s"inserts=${counts.getOrElse("insert", 0L)} " +
             s"updates=${counts.getOrElse("update", 0L)} " +

@@ -905,6 +905,17 @@ final class TableStore(spark: SparkSession, root: String,
     * to the current state: plain appends union in, merge-on-read upserts
     * replay through [[graft.operators.Publish.morResolve]] in generation
     * order. None when the tag does not exist.
+    *
+    * Declared hazard (segment-carrying pins only): segment paths resolve
+    * EAGERLY here, so a concurrent fold's live→`_pinned/` rename between
+    * this call and the Spark action fails that one read with
+    * FileNotFoundException — re-calling readSnapshot re-resolves and
+    * succeeds (the data is never lost; the rename preserves it). Bucket
+    * reads have no such window: vacuum keeps pinned bucket generations
+    * in place for the tag's whole life. The production-grade fix is a
+    * file-level manifest per pin (the Delta/Iceberg design this layout
+    * stands in for); at this engine's single-writer release-loop shape a
+    * retry is the honest cost of O(1) mid-stream pins.
     */
   def readSnapshot(name: String, tag: String): Option[DataFrame] =
     readSnapshotMeta(name, tag).map { s =>
@@ -961,14 +972,23 @@ final class TableStore(spark: SparkSession, root: String,
     * the full two-sided diff.
     */
   def snapshotChangedBuckets(name: String, tag: String): Option[Set[Int]] =
-    readSnapshotMeta(name, tag).flatMap { s =>
-      (s.manifest, currentManifest(name)) match {
-        case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
-            s.segNames.isEmpty &&
-            segments(name).isEmpty && upsertSegments(name).isEmpty =>
-          Some(changedOwnership(o, c))
-        case _ => None
-      }
+    readSnapshotMeta(name, tag).flatMap(s =>
+      prunableDiff(name, s, currentManifest(name)))
+
+  /** The ONE layout-compatibility predicate behind both the metadata
+    * answer ([[snapshotChangedBuckets]]) and the feed's pruning
+    * ([[snapshotDelta]]) — shared so the two can never drift apart.
+    * Takes the already-read current manifest: each caller reads it once
+    * and derives everything from that single read.
+    */
+  private def prunableDiff(name: String, s: TableSnapshot,
+                           cur: Option[BucketManifest]): Option[Set[Int]] =
+    (s.manifest, cur) match {
+      case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
+          s.segNames.isEmpty &&
+          segments(name).isEmpty && upsertSegments(name).isEmpty =>
+        Some(changedOwnership(o, c))
+      case _ => None
     }
 
   /** Row-level changes since `tag` was pinned — the CDC feed a downstream
@@ -1003,13 +1023,7 @@ final class TableStore(spark: SparkSession, root: String,
           readGrain(name)
         }
       val cur = currentManifest(name)
-      val pruned: Option[Set[Int]] = (s.manifest, cur) match {
-        case (Some(o), Some(c)) if o.numBuckets == c.numBuckets &&
-            s.segNames.isEmpty &&
-            segments(name).isEmpty && upsertSegments(name).isEmpty =>
-          Some(changedOwnership(o, c))
-        case _ => None
-      }
+      val pruned: Option[Set[Int]] = prunableDiff(name, s, cur)
       val (oldOpt, newOpt) = pruned match {
         case Some(ids) if ids.isEmpty =>
           // nothing republished since the pin: an empty feed with the
