@@ -81,10 +81,14 @@ object Publish {
     val modelCols = source.columns.map(_.name)
     val dataCols = modelCols ++ Seq("etl_row_hash", "source_filename", "file_load_log_id")
 
-    val s = stage
-      .select(dataCols.map(col): _*)
-      .withColumn("_s_present", lit(true)).alias("s")
-    val t = target.withColumn("_t_present", lit(true)).alias("t")
+    val s0 = stage.select(dataCols.map(col): _*)
+    val s = s0.withColumn("_s_present", lit(true)).alias("s")
+    // schema evolution: a SourceConfig that GAINED a column since the
+    // target's rows were written must not fail the publish (or force a
+    // 100 TB rewrite) — align the target to the stage's model, kept rows
+    // carry typed nulls until a real value arrives for their grain
+    val t = alignTo(target, s0.schema.fields.toSeq)
+      .withColumn("_t_present", lit(true)).alias("t")
 
     val cond: Column = grain.map(g => col(s"s.$g") <=> col(s"t.$g")).reduce(_ && _)
     val joined = s.join(t, cond, "full_outer")
@@ -184,13 +188,24 @@ object Publish {
                  grain: Seq[String]): DataFrame = {
     require(segs.nonEmpty, "morResolve: no upsert segments to resolve")
     import org.apache.spark.sql.expressions.Window
-    val cols = segs.head._2.columns.filterNot(_ == "etl_load_ts").toSeq
+    // the resolve's column set is the UNION across base and every segment
+    // (first-seen order): under schema evolution older generations lack
+    // the newer columns — align each frame with typed nulls instead of
+    // failing the select (or silently dropping a newer segment's column
+    // because the OLDEST segment's schema was sampled)
+    val lineage = Seq("etl_load_ts", "etl_created_at", "etl_updated_at")
+    val frames = base.toSeq ++ segs.map(_._2)
+    val fieldOf = frames.flatMap(_.schema.fields).groupBy(_.name)
+      .map { case (n, fs) => n -> fs.head }
+    val cols = frames.flatMap(_.columns).distinct
+      .filterNot(lineage.contains).toSeq
+    def aligned(df: DataFrame) = alignTo(df, cols.map(fieldOf))
     val nullTs = lit(null).cast(TimestampType)
-    val baseU = base.map(_.select(cols.map(col) ++ Seq(
+    val baseU = base.map(b => aligned(b).select(cols.map(col) ++ Seq(
       col("etl_created_at"), col("etl_updated_at"),
       nullTs.as("_load_ts"), lit(0L).as("_gen")): _*))
     val segU = segs.map { case (id, df) =>
-      df.select(cols.map(col) ++ Seq(
+      aligned(df).select(cols.map(col) ++ Seq(
         nullTs.as("etl_created_at"), nullTs.as("etl_updated_at"),
         col("etl_load_ts").as("_load_ts"), lit(id).as("_gen")): _*)
     }
@@ -218,4 +233,19 @@ object Publish {
       coalesce(col("_last_upd"), col("_base_updated")).as("etl_updated_at"))
     agg.select(out: _*)
   }
+
+  /** `df` with every `wanted` field present: existing columns pass
+    * through untouched, absent ones appear as typed nulls — the
+    * schema-evolution seam. A SourceConfig gaining a column must not
+    * fail later publishes or force a rewrite of every already-published
+    * bucket; kept rows carry null for the new column until a real value
+    * arrives for their grain (type changes are NOT masked — a same-name
+    * column with a different type still fails the downstream cast/merge
+    * loudly, which is correct).
+    */
+  private[graft] def alignTo(df: DataFrame,
+      wanted: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+    wanted.foldLeft(df)((d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
 }

@@ -280,6 +280,17 @@ final class TableStore(spark: SparkSession, root: String,
     * bucket directory from its OWNING version — the union of those paths IS
     * the table; the scan never touches superseded bucket generations.
     */
+  /** Parquet read across paths that can span SCHEMA GENERATIONS — bucket
+    * dirs written before and after a SourceConfig gained a column,
+    * segments beside an older base. mergeSchema unions all footer
+    * schemas (older files read the missing column as null) instead of
+    * sampling ONE footer, whose generation — and therefore whether the
+    * new column exists at all — would depend on file listing order. The
+    * cost is one footer read per file, driver-side metadata at any scale.
+    */
+  private def readUnioned(paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   override def readIfExists(name: String): Option[DataFrame] = {
     val cur = currentVersion(name)
     val man = cur.flatMap(v => readManifest(name, v))
@@ -293,12 +304,12 @@ final class TableStore(spark: SparkSession, root: String,
     if (usegs.nonEmpty) {
       // merge-on-read target: resolve the bucketed base + ordered upsert
       // segments into the exact relation the COW merge chain would produce
-      val baseDf = if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+      val baseDf = if (paths.isEmpty) None else Some(readUnioned(paths))
       Some(Publish.morResolve(baseDf,
         usegs.map { case (id, p) => id -> spark.read.parquet(p.toString) },
         readGrain(name)))
     } else if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*))
+    else Some(readUnioned(paths))
   }
 
   /** The current manifest's bucket sizing plus the bucket ids `df`'s grain
@@ -337,7 +348,7 @@ final class TableStore(spark: SparkSession, root: String,
         val paths = m.buckets.toSeq.sortBy(_._1).collect {
           case (b, v) if bucketIds(b) => bucketDir(name, v, b).toString
         }
-        if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+        if (paths.isEmpty) None else Some(readUnioned(paths))
       case _ => readIfExists(name)
     }
 
@@ -479,7 +490,7 @@ final class TableStore(spark: SparkSession, root: String,
     val targetEmpty = targetPaths.isEmpty
     val target =
       if (targetEmpty) Publish.emptyTarget(spark, source)
-      else spark.read.parquet(targetPaths.map(_.toString): _*)
+      else readUnioned(targetPaths.map(_.toString))
     val plan = Publish.mergePlan(stage, target, source, now,
       targetKnownEmpty = targetEmpty)
 
@@ -718,7 +729,7 @@ final class TableStore(spark: SparkSession, root: String,
       if (segs.size <= maxSegments) false
       else {
         val base = currentVersion(name).map(v => new Path(tableDir(name), v))
-        val df = spark.read.parquet((base.toSeq ++ segs).map(_.toString): _*)
+        val df = readUnioned((base.toSeq ++ segs).map(_.toString))
         overwriteFolding(name, df, Nil, segs)
         true
       }
@@ -927,10 +938,10 @@ final class TableStore(spark: SparkSession, root: String,
       val (usegNames, appendNames) = s.segNames.partition(_.startsWith(UsegPrefix))
       val paths = base ++ appendNames.sorted
         .map(n => pinnedSegPath(name, n).toString)
-      if (usegNames.isEmpty) spark.read.parquet(paths: _*)
+      if (usegNames.isEmpty) readUnioned(paths)
       else {
         val baseDf = if (paths.isEmpty) None
-                     else Some(spark.read.parquet(paths: _*))
+                     else Some(readUnioned(paths))
         Publish.morResolve(baseDf,
           usegNames.map(n => n.stripPrefix(UsegPrefix).toLong ->
             spark.read.parquet(pinnedSegPath(name, n).toString)).sortBy(_._1),
@@ -1035,7 +1046,7 @@ final class TableStore(spark: SparkSession, root: String,
             val paths = m.buckets.toSeq.sortBy(_._1).collect {
               case (b, v) if ids(b) => bucketDir(name, v, b).toString
             }
-            if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+            if (paths.isEmpty) None else Some(readUnioned(paths))
           }
           (sliced(s.manifest.get), sliced(cur.get))
         case None => (readSnapshot(name, tag), readIfExists(name))

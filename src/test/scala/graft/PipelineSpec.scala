@@ -56,6 +56,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!Files.exists(dropDir.resolve("sales_2024.csv")))
   }
 
+  test("schema evolution end-to-end: the config gains a column between " +
+       "two files; the second publishes and old rows read it as null") {
+    val f1 = dropFile("sales_2024.csv", Seq(SalesHeader,
+      salesRow("TXN001"), salesRow("TXN002"), salesRow("TXN003")))
+    assert(processor.processFile(f1).get.success)
+
+    // the registry evolves: transactions grows promo_code
+    val evolved = salesCsv.copy(columns =
+      transactions :+ ColumnSpec.string("promo_code"))
+    val proc2 = new Processor(spark, new SourceRegistry(Seq(evolved)),
+      store, files, notifier, dropDir.toString, filePoolSize = 1)
+    val f2 = dropFile("sales_2025.csv", Seq(
+      SalesHeader + ",promo_code",
+      salesRow("TXN001") + ",SPRING10", // re-stated row, now with a code
+      salesRow("TXN100") + ",WELCOME")) // brand-new row
+    val r2 = proc2.processFile(f2).get
+    assert(r2.success, s"evolved publish failed: ${r2.errorName}")
+    // the re-stated row's hash covers the new field -> one update
+    assert(r2.publishInserts == 1 && r2.publishUpdates == 1)
+
+    val target = store.readIfExists("transactions").get
+      .select("transaction_id", "promo_code").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(target.size == 4)
+    assert(target("TXN001") == "SPRING10" && target("TXN100") == "WELCOME")
+    assert(target("TXN002") == null,
+      "pre-evolution rows must read the new column as null")
+  }
+
   test("re-publish identical file content under new name: zero updates (hash no-op)") {
     dropFile("sales_a.csv", Seq(SalesHeader, salesRow("TXN001"), salesRow("TXN002")))
     processor.processFile(dropDir.resolve("sales_a.csv").toString)

@@ -492,6 +492,76 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readIfExists("mor").get.count() == 42)
   }
 
+  test("schema evolution: a config gaining a column merges without " +
+       "rewriting untouched buckets, and mixed generations read as one " +
+       "schema with typed nulls") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    val ids = (1L to 200L)
+    store.mergeInPlace("bt", stageDf(ids.map(i => i -> s"v$i"): _*),
+      btSource, new java.sql.Timestamp(1000L))
+    store.snapshot("bt", "pre-evolve")
+    val v1 = Files.list(root.resolve("bt")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("v_")).head
+
+    // the model GROWS a column; the evolved stage hashes over all three
+    val src2 = btSource.copy(columns =
+      btSource.columns :+ ColumnSpec.string("w"))
+    def stage2(rows: (Long, String, String)*): DataFrame =
+      rows.toDF("id", "v", "w")
+        .withColumn("etl_row_hash",
+          xxhash64(concat_ws("|", col("id"), col("v"), col("w"))))
+        .withColumn("source_filename", lit("x.parquet"))
+        .withColumn("file_load_log_id", lit(1L))
+    val touched = Set(bucketsOf(8, Seq(1L))(1L), bucketsOf(8, Seq(1000L))(1000L))
+    val untouched = (0 until 8).toSet -- touched
+    val before = untouched.map(b =>
+      b -> fileSnapshot(v1.resolve(s"_bucket=$b"))).toMap
+
+    // pre-fix this publish threw AnalysisException (target lacks `w`)
+    val c = store.mergeInPlace("bt",
+      stage2((1L, "CHANGED", "W1"), (1000L, "v1000", "W1000")),
+      src2, new java.sql.Timestamp(2000L))
+    assert(c.contains((1L, 1L)))
+    // evolution did NOT rewrite untouched buckets
+    untouched.foreach(b => assert(
+      fileSnapshot(v1.resolve(s"_bucket=$b")) == before(b),
+      s"schema evolution rewrote untouched bucket $b"))
+
+    // one union schema over mixed generations: old rows read w as null
+    // regardless of which bucket file the schema would be sampled from
+    val got = store.readIfExists("bt").get.select("id", "v", "w").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == 201)
+    assert(got(1L) == ("CHANGED", "W1") && got(1000L) == ("v1000", "W1000"))
+    assert(got(2L) == ("v2", null), "pre-evolution row must read w as null")
+
+    // CDC across the evolution: pinned side lacks w entirely, the feed
+    // still serves current rows + change types off the hash comparison
+    val feed = store.snapshotDelta("bt", "pre-evolve").get
+      .select("id", "w", "change").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(feed === Map(1L -> ("W1", "update"), 1000L -> ("W1000", "insert")))
+
+    // merge-on-read: an evolved upsert segment beside the old base
+    // resolves with nulls for pre-evolution rows
+    val morSrc = btSource.copy(name = "morE", tableName = "morE",
+      mergeOnRead = true)
+    store.mergeInPlace("morE", stageDf((1L to 40L).map(i => i -> s"v$i"): _*),
+      morSrc, new java.sql.Timestamp(1000L))
+    store.mergeInPlace("morE", stage2((1L, "u1", "W1"), (41L, "v41", "W41")),
+      morSrc.copy(columns = morSrc.columns :+ ColumnSpec.string("w")),
+      new java.sql.Timestamp(2000L))
+    val mor = store.readIfExists("morE").get.select("id", "v", "w").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(mor.size == 41)
+    assert(mor(1L) == ("u1", "W1") && mor(41L) == ("v41", "W41"))
+    assert(mor(2L) == ("v2", null))
+  }
+
   test("chaos: a crash between the fold's pointer swap and segment " +
        "disposal leaves both reads exact; the next fold self-heals") {
     val root = Files.createTempDirectory("graft_store")
