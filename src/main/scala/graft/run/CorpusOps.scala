@@ -317,7 +317,15 @@ object CorpusOps {
     // bit-identical while later releases keep copy-on-writing past it.
     // force = true keeps replays/self-heals idempotent — a re-run release
     // re-pins the tag at the same (hash-guarded, so unchanged) state.
-    snapshotTag.foreach(t => store.snapshot(cs.tableName, t, force = true))
+    // The DATASHEET is pinned under the same tag: the card that described
+    // the corpus at training time is provenance too — without its own pin,
+    // readSnapshot(corpus_docs, tag) would pair with whatever card the
+    // LATEST release wrote.
+    snapshotTag.foreach { t =>
+      store.snapshot(cs.tableName, t, force = true)
+      if (store.exists("corpus_card"))
+        store.snapshot("corpus_card", t, force = true)
+    }
     (ins, upd, corpusRows)
   }
 }

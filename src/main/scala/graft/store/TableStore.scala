@@ -17,7 +17,7 @@ import java.util.concurrent.atomic.AtomicLong
   * copy-on-write table format:
   *
   *   root/<table>/v_<n>/      parquet data versions
-  *   root/<table>/_VERSION    pointer file naming the current version
+  *   root/<table>/_VERSION    pointer: current version + retired seg names
   *
   * Readers resolve the pointer then scan exactly one version directory;
   * writers produce a NEW version directory and atomically swap the pointer
@@ -127,24 +127,38 @@ final class TableStore(spark: SparkSession, root: String,
     fs(p).exists(p) || segments(name).nonEmpty || upsertSegments(name).nonEmpty
   }
 
-  /** Committed append segments (seg_*) of a table, oldest first. */
-  private def segments(name: String): Seq[Path] = {
+  /** Raw on-disk segment dirs with the given prefix — BEFORE retirement
+    * filtering. Only retirement bookkeeping ([[disposeRetired]], the fold
+    * paths' carried-name prune) may read this; everything that means
+    * "live table state" goes through [[segments]]/[[upsertSegments]].
+    */
+  private def listSegDirs(name: String, prefix: String): Seq[Path] = {
     val dir = tableDir(name)
     val f = fs(dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(_.getPath).sortBy(_.getName)
   }
 
-  /** Committed merge-on-read upsert segments (useg_<id>), generation order. */
+  /** Committed LIVE append segments (seg_*) of a table, oldest first —
+    * dirs whose names the pointer's retired list carries are folded into
+    * the current version already and excluded (they linger on disk only
+    * while a snapshot pins them or until disposal).
+    */
+  private def segments(name: String): Seq[Path] = {
+    val retired = readRetired(name)
+    listSegDirs(name, "seg_").filterNot(p => retired(p.getName))
+  }
+
+  /** Committed LIVE merge-on-read upsert segments (useg_<id>), generation
+    * order; retired names excluded like [[segments]].
+    */
   private def upsertSegments(name: String): Seq[(Long, Path)] = {
-    val dir = tableDir(name)
-    val f = fs(dir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(UsegPrefix))
-      .map(st => st.getPath.getName.stripPrefix(UsegPrefix).toLong -> st.getPath)
+    val retired = readRetired(name)
+    listSegDirs(name, UsegPrefix)
+      .filterNot(p => retired(p.getName))
+      .map(p => p.getName.stripPrefix(UsegPrefix).toLong -> p)
       .sortBy(_._1)
   }
 
@@ -172,16 +186,37 @@ final class TableStore(spark: SparkSession, root: String,
     text.split('\t').toSeq.filter(_.nonEmpty)
   }
 
-  private def currentVersion(name: String): Option[String] = {
+  /** One consistent read of the `_VERSION` pointer: (current version,
+    * retired segment names). Segment RETIREMENT is committed by the fold's
+    * pointer swing itself — the names follow the version line in the same
+    * file, so one atomic rename publishes "new base + these segments are
+    * folded" together and no reader can ever see the folded base WITH the
+    * folded segments still live (the earlier swap→dispose double-count window) or
+    * vice versa. Pre-retirement pointer files are a single version line —
+    * they parse as an empty retired set unchanged.
+    */
+  private def readPointerState(name: String): (Option[String], Set[String]) = {
     val p = pointer(name)
     val f = fs(p)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) (None, Set.empty)
     else {
       val in = f.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim)
-      finally in.close()
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                 finally in.close()
+      val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toList
+      (lines.headOption, lines.drop(1).toSet)
     }
   }
+
+  private def currentVersion(name: String): Option[String] =
+    readPointerState(name)._1
+
+  /** Segment names folded into the current version whose dirs may still be
+    * on disk — invisible to the live listers, kept in place while a
+    * snapshot pins them, reclaimed by [[disposeRetired]]/[[vacuum]].
+    */
+  private def readRetired(name: String): Set[String] =
+    readPointerState(name)._2
 
   // ---- bucket-manifest plumbing (O(delta) publish) -----------------------
 
@@ -292,15 +327,23 @@ final class TableStore(spark: SparkSession, root: String,
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   override def readIfExists(name: String): Option[DataFrame] = {
-    val cur = currentVersion(name)
+    // ONE pointer read: version and retired set come from the same file
+    // state, so a fold committing concurrently is observed whole (new base,
+    // segments excluded) or not at all (old base, segments included) —
+    // never the folded base WITH its folded segments
+    val (cur, retired) = readPointerState(name)
     val man = cur.flatMap(v => readManifest(name, v))
     val base = man match {
       case Some(m) =>
         m.buckets.toSeq.sortBy(_._1).map { case (b, v) => bucketDir(name, v, b) }
       case None => cur.map(v => new Path(tableDir(name), v)).toSeq
     }
-    val paths = (base ++ segments(name)).map(_.toString)
-    val usegs = upsertSegments(name)
+    val segs = listSegDirs(name, "seg_").filterNot(p => retired(p.getName))
+    val paths = (base ++ segs).map(_.toString)
+    val usegs = listSegDirs(name, UsegPrefix)
+      .filterNot(p => retired(p.getName))
+      .map(p => p.getName.stripPrefix(UsegPrefix).toLong -> p)
+      .sortBy(_._1)
     if (usegs.nonEmpty) {
       // merge-on-read target: resolve the bucketed base + ordered upsert
       // segments into the exact relation the COW merge chain would produce
@@ -385,17 +428,42 @@ final class TableStore(spark: SparkSession, root: String,
     val writer = if (partitionBy.isEmpty) df.write
                  else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(new Path(dir, version).toString)
-    swapPointer(name, version)
-    retireSegments(name, priorSegs)
+    swingAndRetire(name, version, priorSegs)
   }
 
-  /** Atomically flip `_VERSION` to `version` (create temp + overwrite-rename). */
-  private def swapPointer(name: String, version: String): Unit = {
+  /** The fold commit: ONE pointer swing atomically publishes the new
+    * version AND retires `foldSegs` — the folded names ride in the pointer
+    * file after the version line, so no reader can observe the folded base
+    * with the folded segments still live (or the reverse); the pre-swing
+    * state and the post-swing state are each exactly one relation. Disposal
+    * of the now-invisible dirs follows as pure GC: a crash between swing
+    * and delete leaves invisible dirs the next fold keeps carrying and
+    * [[disposeRetired]]/[[vacuum]] reclaims. Carried names whose dirs are
+    * already gone are pruned here, so the pointer file stays bounded by
+    * dirs actually awaiting reclaim.
+    */
+  private def swingAndRetire(name: String, version: String,
+                             foldSegs: Seq[Path]): Unit = {
+    val dir = tableDir(name)
+    val f = fs(dir)
+    val carried = readRetired(name).filter(n => f.exists(new Path(dir, n)))
+    swapPointer(name, version, carried ++ foldSegs.map(_.getName))
+    graft.core.Chaos.point("store.before-retire")
+    disposeRetired(name)
+  }
+
+  /** Atomically flip `_VERSION` to `version` (create temp + overwrite-
+    * rename), carrying `retired` — the segment names folded into some
+    * version — after the version line ([[readPointerState]]).
+    */
+  private def swapPointer(name: String, version: String,
+                          retired: Set[String]): Unit = {
     val dir = tableDir(name)
     val f = fs(dir)
     val tmp = new Path(dir, s"._VERSION.tmp.${counter.incrementAndGet()}")
     val out = f.create(tmp, true)
-    try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write((version +: retired.toSeq.sorted).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)) finally out.close()
     // Atomic rename-with-overwrite via FileContext: FileSystem.rename
     // refuses to replace an existing destination on local/HDFS, and the
     // delete-then-rename emulation opens a window where a concurrent reader
@@ -543,7 +611,10 @@ final class TableStore(spark: SparkSession, root: String,
     val (staged, matched, updates) = (a.getLong(0), a.getLong(1), a.getLong(2))
 
     writeGrain(name, grain)
-    val id = counter.incrementAndGet()
+    // never reuse a name the retired list still carries (see append)
+    val retired = readRetired(name)
+    var id = counter.incrementAndGet()
+    while (retired(s"$UsegPrefix$id")) id = counter.incrementAndGet()
     val dir = tableDir(name)
     val f = fs(dir)
     val tmp = new Path(dir, s".tmp_$UsegPrefix$id")
@@ -612,9 +683,7 @@ final class TableStore(spark: SparkSession, root: String,
     // readers that need the grain without a SourceConfig in hand —
     // [[snapshotDelta]]'s CDC join, MOR resolution — read it from here
     writeGrain(name, grain)
-    swapPointer(name, version)
-    graft.core.Chaos.point("store.before-retire")
-    retireSegments(name, foldSegs)
+    swingAndRetire(name, version, foldSegs)
     vacuum(name) // bound disk: drop superseded generations (manifest-aware)
   }
 
@@ -696,7 +765,13 @@ final class TableStore(spark: SparkSession, root: String,
     val dir = tableDir(name)
     val f = fs(dir)
     f.mkdirs(dir)
-    val id = counter.incrementAndGet()
+    // a name the pointer's retired list still carries must never be
+    // reused — the lister would hide the new segment as "folded". The
+    // millis-seeded counter makes collisions vanishingly rare; this makes
+    // them impossible.
+    val retired = readRetired(name)
+    var id = counter.incrementAndGet()
+    while (retired(s"seg_$id")) id = counter.incrementAndGet()
     val tmp = new Path(dir, s".tmp_seg_$id")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (!f.rename(tmp, new Path(dir, s"seg_$id")))
@@ -754,10 +829,10 @@ final class TableStore(spark: SparkSession, root: String,
   /** A snapshot file pins the table state a tag was taken at: the version
     * directory, (for manifested tables) the bucket→version ownership map
     * of that moment, and the append/upsert segment dirs live at the pin —
-    * segments are MUTABLE table state (a later fold deletes them), so the
-    * fold instead retires pinned ones into the underscore-invisible
-    * `_pinned/` dir (invisible to the live listers, reclaimed by [[vacuum]]
-    * once no tag references them). Serialized like `_MANIFEST` with a
+    * segments are MUTABLE table state (a later fold retires them from the
+    * live layout via the pointer's retired list), but a pinned dir stays
+    * at its live path, invisible to the live listers, until [[vacuum]]
+    * reclaims it after the last tag drops. Serialized like `_MANIFEST` with a
     * leading version line (`-` on the numBuckets line for unmanifested
     * tables); segment names follow the bucket lines (no tab — the parser
     * distinguishes them structurally, so pre-segment pins read unchanged).
@@ -789,10 +864,16 @@ final class TableStore(spark: SparkSession, root: String,
 
   private val PinnedDirName = "_pinned"
 
-  /** A pinned segment's current location: its live path until a fold
-    * retires it, `_pinned/<name>` after. Fails loud when neither exists —
-    * that means the tag's state was vacuumed out from under a concurrent
-    * reader after a drop, the same hazard every dropped-tag read has.
+  /** A pinned segment's current location. Retirement is a pointer-file fact now: a retired
+    * segment's dir never moves — retirement is a pointer-file fact
+    * ([[swingAndRetire]]) and a pinned dir stays AT ITS LIVE PATH until
+    * the last referencing tag drops — so a pinned read can never race a
+    * rename (the round-14 live→`_pinned/` move, whose declared hazard was
+    * exactly that one-shot FileNotFound race). `_pinned/<name>` is kept as
+    * a read-and-reclaim fallback for warehouses the round-14 code wrote.
+    * Fails loud when neither exists — that means the tag's state was
+    * vacuumed out from under a concurrent reader after a drop, the same
+    * hazard every dropped-tag read has.
     */
   private def pinnedSegPath(name: String, segName: String): Path = {
     val live = new Path(tableDir(name), segName)
@@ -805,41 +886,25 @@ final class TableStore(spark: SparkSession, root: String,
         "live nor its _pinned path (tag dropped and vacuumed?)")
   }
 
-  /** Fold-time segment disposal: a segment no live snapshot references is
-    * deleted; a pinned one is MOVED to `_pinned/<name>` — one atomic
-    * rename, invisible to the live listers, so the folded state never
-    * double-counts it — where [[vacuum]] reclaims it once its last tag
-    * drops. Callers hold the table lock (every fold path does).
-    *
-    * Crash contract: disposal runs AFTER the pointer swap (unchanged from
-    * the delete it replaces), so a crash mid-disposal leaves some folded
-    * segments live. For upsert segments that is a semantic no-op — the
-    * live read replays them over the folded base through the latest-wins
-    * resolve and the same rows win — and the next fold lists the
-    * leftovers and disposes of them again. Pinned reads are unaffected
-    * either way ([[pinnedSegPath]] finds live or retired). The rename
-    * adds NO new window over the old delete; it narrows the pre-existing
-    * one (an interrupted delete loses pinned data forever, an interrupted
-    * retire never does).
+  /** Pure GC over retired segment dirs: delete the ones no live snapshot
+    * references. Retirement itself was the pointer swing, so everything
+    * here is invisible to live readers already — a crash at any point
+    * changes no read on either side, and the next disposal (any fold,
+    * any [[vacuum]]) finishes the job. Pinned dirs are left in place for
+    * [[pinnedSegPath]] until their last tag drops.
     */
-  private def retireSegments(name: String, segs: Seq[Path]): Unit =
-    if (segs.nonEmpty) {
-      val pinned = liveSnapshots(name).flatMap(_.segNames).toSet
+  private def disposeRetired(name: String): Unit = {
+    val retired = readRetired(name)
+    if (retired.nonEmpty) {
+      val pinnedNames = liveSnapshots(name).flatMap(_.segNames).toSet
       val dir = tableDir(name)
       val f = fs(dir)
-      segs.foreach { s =>
-        if (pinned(s.getName)) {
-          val pd = new Path(dir, PinnedDirName)
-          f.mkdirs(pd)
-          if (!f.rename(s, new Path(pd, s.getName)))
-            throw new java.io.IOException(
-              s"failed to retire pinned segment ${s.getName} of $name")
-        } else {
-          f.delete(s, true)
-          ()
-        }
+      retired.filterNot(pinnedNames).foreach { n =>
+        val p = new Path(dir, n)
+        if (f.exists(p)) f.delete(p, true)
       }
     }
+  }
 
   /** Pin the table's CURRENT committed state under `tag` — a Delta/Iceberg
     * style tag over the copy-on-write layout, the reproducibility seam a
@@ -853,11 +918,11 @@ final class TableStore(spark: SparkSession, root: String,
     * generations and reclaims them when the tag is dropped).
     *
     * Live append/upsert segments are pinned BY NAME: segments are mutable
-    * table state (a later fold deletes them from the live layout), so the
-    * fold paths retire pinned segment dirs into `_pinned/` — invisible to
-    * the live listers — instead of deleting them ([[retireSegments]]),
-    * and [[readSnapshot]] resolves each pinned segment from whichever
-    * location it currently has. A merge-on-read target is therefore
+    * table state (a later fold retires them from the live layout), but
+    * retirement is a pointer-file fact ([[swingAndRetire]]) — the dir
+    * itself stays at its live path, invisible to the live listers, until
+    * the last referencing tag drops — so [[readSnapshot]] resolves each
+    * pinned segment at a stable path. A merge-on-read target is therefore
     * snapshotable mid-stream, unfolded upserts and all; the pin's extra
     * storage is exactly the segments a fold has retired plus the buckets
     * later publishes rewrote, both reclaimed when the tag drops. Tags are
@@ -917,16 +982,16 @@ final class TableStore(spark: SparkSession, root: String,
     * replay through [[graft.operators.Publish.morResolve]] in generation
     * order. None when the tag does not exist.
     *
-    * Declared hazard (segment-carrying pins only): segment paths resolve
-    * EAGERLY here, so a concurrent fold's live→`_pinned/` rename between
-    * this call and the Spark action fails that one read with
-    * FileNotFoundException — re-calling readSnapshot re-resolves and
-    * succeeds (the data is never lost; the rename preserves it). Bucket
-    * reads have no such window: vacuum keeps pinned bucket generations
-    * in place for the tag's whole life. The production-grade fix is a
-    * file-level manifest per pin (the Delta/Iceberg design this layout
-    * stands in for); at this engine's single-writer release-loop shape a
-    * retry is the honest cost of O(1) mid-stream pins.
+    * Pinned paths are STABLE for the tag's whole life: a fold retires a
+    * pinned segment by pointer-file fact ([[swingAndRetire]]) and leaves
+    * the dir at its live path until the last referencing tag drops, and
+    * vacuum keeps pinned bucket generations in place likewise — so the
+    * eager path resolution here can never race a concurrent fold (the
+    * round-14 `_pinned/` rename and its declared one-shot FileNotFound
+    * hazard are gone; `_pinned/` remains readable for warehouses that
+    * code wrote). The only way a resolved path disappears is dropping
+    * the tag and vacuuming mid-read — the same hazard every dropped-tag
+    * read has.
     */
   def readSnapshot(name: String, tag: String): Option[DataFrame] =
     readSnapshotMeta(name, tag).map { s =>
@@ -1125,7 +1190,11 @@ final class TableStore(spark: SparkSession, root: String,
               f.delete(sub.getPath, true)
           }
       }
-      // retired pinned segments ([[retireSegments]]) whose last tag dropped
+      // retired segment dirs whose last tag dropped (or that a crash left
+      // behind between a fold's swing and its disposal)
+      disposeRetired(name)
+      // legacy `_pinned/` entries the round-14 rename-based retirement
+      // wrote: still read by pinnedSegPath, reclaimed here likewise
       val pinnedDir = new Path(dir, PinnedDirName)
       if (f.exists(pinnedDir)) {
         val stillPinned = snaps.flatMap(_.segNames).toSet

@@ -1209,6 +1209,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(store.snapshotChangedBuckets("corpus_docs", "epoch2")
         .exists(_.isEmpty))
 
+      // the DATASHEET pins under the same tags: each epoch's card reports
+      // the doc count the pinned corpus actually had, not the current one
+      assert(store.listSnapshots("corpus_card") === Seq("epoch1", "epoch2"))
+      def cardDocs(tag: String): Long =
+        store.readSnapshot("corpus_card", tag).get
+          .agg(sum("n_docs")).head().getLong(0)
+      assert(cardDocs("epoch1") === 3L && cardDocs("epoch2") === 4L)
+
       // replayed release re-pins its tag idempotently (force path)
       val (i3, u3, _) = graft.run.CorpusOps.release(spark, store, wh,
         b2, "r2", None, snapshotTag = Some("epoch2"))

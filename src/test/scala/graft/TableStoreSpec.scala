@@ -413,20 +413,27 @@ class TableStoreSpec extends AnyFunSuite {
     store.snapshot("t", "seg-pin")
     assert(store.readSnapshot("t", "seg-pin").get.collect()
       .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
-    // ...and after the fold DELETES the live segment, the pinned copy is
-    // retired to _pinned/ and the tag still serves the exact state
+    // ...and after the fold RETIRES the live segment — a pointer-file
+    // fact: the dir never moves, so the pinned read's path is stable —
+    // the tag still serves the exact state
     store.overwrite("t", store.readIfExists("t").get) // fold the segment
     assert(Files.list(root.resolve("t")).toArray.map(_.toString)
-      .count(_.contains("/seg_")) == 0, "live layout keeps no segment")
-    assert(Files.exists(root.resolve("t").resolve("_pinned")))
+      .count(_.contains("/seg_")) == 1,
+      "pinned segment dir stays at its live path")
+    assert(!Files.exists(root.resolve("t").resolve("_pinned")),
+      "retirement never renames")
+    val ptr = Files.readString(root.resolve("t").resolve("_VERSION"))
+    assert(ptr.linesIterator.drop(1).exists(_.startsWith("seg_")),
+      "the pointer swing itself carries the retired name")
     assert(store.readSnapshot("t", "seg-pin").get.collect()
       .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
-    assert(store.readIfExists("t").get.count() == 2)
-    // dropping the tag reclaims the retired segment on the next vacuum
+    assert(store.readIfExists("t").get.count() == 2,
+      "live read excludes the retired dir — no double count")
+    // dropping the tag reclaims the retired segment dir on the next vacuum
     assert(store.dropSnapshot("t", "seg-pin"))
     store.vacuum("t")
-    assert(!Files.exists(root.resolve("t").resolve("_pinned")) ||
-      Files.list(root.resolve("t").resolve("_pinned")).count() == 0)
+    assert(Files.list(root.resolve("t")).toArray.map(_.toString)
+      .count(_.contains("/seg_")) == 0, "dropped tag: dir reclaimed")
 
     store.snapshot("t", "s")
     intercept[IllegalStateException](store.snapshot("t", "s"))
@@ -463,10 +470,14 @@ class TableStoreSpec extends AnyFunSuite {
       pinned(41L) == "v41" && pinned(3L) == "v3")
 
     // the NEXT upsert publish reaches morCompactSegments and folds all
-    // segments into a new bucketed base, retiring the pinned ones
+    // segments into a new bucketed base, retiring the pinned ones IN
+    // PLACE (pointer-file fact; only the unpinned third dir is deleted)
     publish(3L -> "u3", 42L -> "v42")
     assert(Files.list(root.resolve("mor")).toArray.map(_.toString)
-      .count(_.contains("/useg_")) == 0, "fold left live segments")
+      .count(_.contains("/useg_")) == 2,
+      "exactly the two pinned segment dirs stay, at their live paths")
+    assert(!Files.exists(root.resolve("mor").resolve("_pinned")),
+      "retirement never renames")
     val after = store.readSnapshot("mor", "mid").get
       .select("id", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -484,12 +495,29 @@ class TableStoreSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     assert(feed === Map(3L -> ("u3", "update"), 42L -> ("v42", "insert")))
 
-    // drop + vacuum reclaims the retired segments
+    // drop + vacuum reclaims the retired segment dirs
     assert(store.dropSnapshot("mor", "mid"))
     store.vacuum("mor")
-    assert(!Files.exists(root.resolve("mor").resolve("_pinned")) ||
-      Files.list(root.resolve("mor").resolve("_pinned")).count() == 0)
+    assert(Files.list(root.resolve("mor")).toArray.map(_.toString)
+      .count(_.contains("/useg_")) == 0, "dropped tag: dirs reclaimed")
     assert(store.readIfExists("mor").get.count() == 42)
+  }
+
+  test("a snapshot read resolved BEFORE a fold materializes exactly " +
+       "AFTER it: pinned segment paths are stable across retirement") {
+    val (store, _) = mkStore()
+    store.overwrite("t", df(1))
+    store.append("t", df(2))
+    store.snapshot("t", "pin")
+    // paths resolve NOW — under the round-14 rename-based retirement this
+    // plan died with FileNotFoundException if a fold landed before the
+    // action; retirement is a pointer-file fact now and dirs never move
+    val resolvedEarly = store.readSnapshot("t", "pin").get
+    store.overwrite("t", store.readIfExists("t").get) // fold + retire
+    assert(resolvedEarly.collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    // a fresh post-fold resolution serves the same pinned state
+    assert(store.readSnapshot("t", "pin").get.count() == 2)
   }
 
   test("schema evolution: a config gaining a column merges without " +
@@ -562,8 +590,8 @@ class TableStoreSpec extends AnyFunSuite {
     assert(mor(2L) == ("v2", null))
   }
 
-  test("chaos: a crash between the fold's pointer swap and segment " +
-       "disposal leaves both reads exact; the next fold self-heals") {
+  test("chaos: a crash between the fold's pointer swing and disposal " +
+       "leaves both reads exact; vacuum GCs the invisible leftovers") {
     val root = Files.createTempDirectory("graft_store")
     val store = new TableStore(spark, root.toString, publishBuckets = 8,
       morCompactSegments = 3)
@@ -585,29 +613,35 @@ class TableStoreSpec extends AnyFunSuite {
       .select("id", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-    // the fold's pointer swings, then the process dies before disposal
+    // the fold's pointer swings, then the process dies before disposal.
+    // The swing itself retired the folded segments (their names ride in
+    // the pointer file), so the crash leaves dirs on disk but NO window
+    // where the folded base and its folded segments are both visible.
     graft.core.Chaos.arm("store.before-retire")
     try intercept[graft.core.Chaos.ChaosKill](publish(3L -> "u3", 42L -> "v42"))
     finally graft.core.Chaos.disarm()
-    assert(liveSegs() == 3, "crash left the folded segments live")
-    // live read: the leftover segments replay over the folded base as
-    // latest-wins no-ops — same rows win, no double count
+    assert(liveSegs() == 3, "crash left the folded segment DIRS on disk")
+    // live read: the retired dirs are invisible — the folded base alone,
+    // exact, no replay needed and no double count possible
     val crashed = store.readIfExists("mor").get
       .select("id", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(crashed.size == 42 && crashed(3L) == "u3" && crashed(42L) == "v42")
-    // pinned read: segments still at their live paths
+    // pinned read: retired dirs stay at their live paths
     assert(store.readSnapshot("mor", "mid").get
       .select("id", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap === pinned)
 
-    // the next publish reaches the threshold again, folds the leftovers,
-    // and THIS disposal retires the pinned ones
+    // self-heal is pure GC: the next vacuum deletes the crashed publish's
+    // unpinned leftover and keeps the two the pin recorded, in place
+    store.vacuum("mor")
+    assert(liveSegs() == 2, "vacuum reclaimed only the unpinned leftover")
+    assert(!Files.exists(root.resolve("mor").resolve("_pinned")),
+      "retirement never renames")
+    // the table keeps publishing normally: retired dirs don't count
+    // toward the fold threshold, and a fresh segment lands beside them
     publish(4L -> "u4")
-    assert(liveSegs() == 0, "self-heal fold must dispose the leftovers")
-    // only the two segments the pin recorded are retired; the post-pin
-    // ones (the crashed publish's and this one's) are plain-deleted
-    assert(Files.list(root.resolve("mor").resolve("_pinned")).count() == 2)
+    assert(liveSegs() == 3, "2 retired-pinned dirs + 1 fresh live segment")
     val healed = store.readIfExists("mor").get
       .select("id", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -615,6 +649,12 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readSnapshot("mor", "mid").get
       .select("id", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap === pinned)
+    // dropping the tag releases the last references; vacuum leaves only
+    // the live segment
+    assert(store.dropSnapshot("mor", "mid"))
+    store.vacuum("mor")
+    assert(liveSegs() == 1)
+    assert(store.readIfExists("mor").get.count() == 42)
   }
 
   test("snapshotDelta: bucket-pruned CDC feed since a tag — changed " +
