@@ -234,6 +234,7 @@ object SparkEntry {
     // provenance snapshot lifecycle: pin -> publish past it -> pinned and
     // current reads rolled up with integer-exact counters, then drop+vacuum
     "pipeline_snapshot" -> (PipelineBench.pipelineSnapshot _),
+    "pipeline_forget" -> (PipelineBench.pipelineForget _),
   )
 
   /** DuckDB bit-vote expression mirroring TrainingData.dedupSimhashMd5's 60
@@ -2601,6 +2602,20 @@ object SparkEntry {
         | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
         |   AS cdc_updates,
         | CAST(0 AS BIGINT) AS cdc_deletes""".stripMargin,
+    // the takedown: current = valid minus the mod-97 victims with none
+    // left behind, the pin still serves the full pre-delete state, and
+    // the CDC feed since the pin is exactly the victims as deletes
+    "pipeline_forget" ->
+      """WITH v AS (SELECT * FROM orders
+        |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
+        |del AS (SELECT * FROM v WHERE o_orderkey % 97 = 0)
+        |SELECT (SELECT count(*) FROM v) AS snap_rows,
+        | (SELECT count(*) FROM del) AS deleted,
+        | (SELECT count(*) FROM v) - (SELECT count(*) FROM del) AS cur_rows,
+        | CAST(0 AS BIGINT) AS cur_del_keys,
+        | CAST(0 AS BIGINT) AS cdc_inserts,
+        | CAST(0 AS BIGINT) AS cdc_updates,
+        | (SELECT count(*) FROM del) AS cdc_deletes""".stripMargin,
     "pipeline_mor" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),

@@ -75,6 +75,18 @@ object MinhashIndex {
     ()
   }
 
+  /** Re-commit an index whose CONTENT is unchanged across a warehouse
+    * mutation that is a semantic no-op for it — [[graft.run.CorpusOps
+    * .forget]]'s keep-registrations path: forgotten docs' registrations
+    * stay by contract (band hashes + content md5s, so re-offered banned
+    * content remains excluded), making the index exactly as valid after
+    * the card fold as before the pre-mutation invalidate. NOT for content
+    * changes — those go through build/append, which re-mark as their own
+    * last step.
+    */
+  def recommit(spark: SparkSession, indexDir: String): Unit =
+    markCommitted(spark, indexDir)
+
   private def markCommitted(spark: SparkSession, indexDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexDir, CommitMarker)
     val out = fsFor(spark, p).create(p, true)

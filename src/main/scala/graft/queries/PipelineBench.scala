@@ -324,6 +324,70 @@ object PipelineBench {
     frame
   }
 
+  /** Takedown round trip through the REAL pipeline: base publish
+    * establishes the bucketed target, [[TableStore.snapshot]] pins it,
+    * [[TableStore.deleteRows]] removes every key ≡ 0 (mod 97) through the
+    * bucket-pruned copy-on-write delete, and the rollups are
+    * integer-exact counters the DuckDB oracle recomputes relationally:
+    * the current read loses exactly the victim keys (and none remain),
+    * the pinned read still serves the pre-delete state across the
+    * delete's internal vacuum, and the CDC feed since the pin is pure
+    * deletes. The tag is then dropped and the table vacuumed (the full
+    * lifecycle, like `pipeline_snapshot`).
+    */
+  def pipelineForget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val source = adaptedToData(spark, dir, OrdersSource)
+    val work = Files.createTempDirectory("graft_bench_forget")
+    val (frame, _) = withTimedCleanup(work) {
+      val drop = Files.createDirectories(work.resolve("drop"))
+      Files.copy(Paths.get(s"$dir/orders.parquet"),
+        drop.resolve("orders_base.parquet"))
+      val store = new TableStore(spark, work.resolve("tables").toString)
+      val files = new FileOps(spark.sparkContext.hadoopConfiguration,
+        work.resolve("archive").toString, work.resolve("duplicates").toString)
+      val proc = new Processor(spark, new SourceRegistry(Seq(source)),
+        store, files, new CollectingNotifier, drop.toString)
+      val base = proc.processFile(drop.resolve("orders_base.parquet").toString)
+        .getOrElse(sys.error("orders_base.parquet did not match the source"))
+      require(base.success, s"base publish failed: ${base.errorName}")
+      store.snapshot(source.tableName, "pre-forget")
+
+      // the takedown list, derived the way a real one is: from the
+      // published table itself (deleteRows localCheckpoints the keys, so
+      // the self-referencing plan is safe)
+      val victims = store.readIfExists(source.tableName)
+        .getOrElse(sys.error("target missing after publish"))
+        .filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+      val deleted = store.deleteRows(source.tableName, victims, source.grain)
+
+      val curAgg = store.readIfExists(source.tableName)
+        .getOrElse(sys.error("target missing after delete"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L)).as("dk"))
+        .head()
+      val (curRows, curDelKeys) = (curAgg.getLong(0), curAgg.getLong(1))
+      val snapRows = store.readSnapshot(source.tableName, "pre-forget")
+        .getOrElse(sys.error("snapshot tag missing after delete"))
+        .count()
+      val cdc = store.snapshotDelta(source.tableName, "pre-forget")
+        .getOrElse(sys.error("snapshot tag missing for the CDC read"))
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(store.dropSnapshot(source.tableName, "pre-forget"))
+      store.vacuum(source.tableName)
+
+      val sp = spark
+      import sp.implicits._
+      Seq((snapRows, deleted, curRows, curDelKeys,
+          cdc.getOrElse("insert", 0L), cdc.getOrElse("update", 0L),
+          cdc.getOrElse("delete", 0L)))
+        .toDF("snap_rows", "deleted", "cur_rows", "cur_del_keys",
+          "cdc_inserts", "cdc_updates", "cdc_deletes")
+    }
+    frame
+  }
+
   def pipelineEtl(spark: SparkSession, dir: String): DataFrame =
     pipelineEtlTimed(spark, dir)._1
 

@@ -328,4 +328,90 @@ object CorpusOps {
     }
     (ins, upd, corpusRows)
   }
+
+  /** Remove documents from the released corpus by doc_id — the takedown /
+    * right-to-be-forgotten path, bucket-pruned end-to-end: the ids name
+    * the touched buckets; the datasheet subtraction reads ONLY those
+    * buckets' current rows (the victims, [[cardOldSlice]]'s pruning) and
+    * folds their NEGATIVE contributions into the accumulators (exact
+    * counters/histogram/language counts; deletions count as churn, so the
+    * HLL sketch's now-overcounting `n_distinct` sits inside the SAME
+    * deterministic churn bound updates use — [[CorpusCardAcc]]); the
+    * delete itself is [[TableStore.deleteRows]] (O(ids + touched
+    * buckets), emptied buckets drop from the manifest, CDC feeds since a
+    * pre-forget tag report the rows as deletes). Returns
+    * (deleted, corpus_rows).
+    *
+    * Dedup-index semantics — the documented contract:
+    *   - default (`scrubIndex = false`, takedown): the MinHash index
+    *     KEEPS the forgotten docs' registrations — band hashes and
+    *     content md5s, non-reversible fingerprints, never text — so a
+    *     re-offered copy of forgotten content stays EXCLUDED (the content
+    *     is banned). The index is re-committed unchanged after the card
+    *     fold ([[graft.operators.MinhashIndex.recommit]]).
+    *   - `scrubIndex = true` (erasure): the trust marker stays dropped,
+    *     the NEXT release rebuilds the index from the post-forget corpus,
+    *     and the content becomes re-admittable.
+    *
+    * Crash contract: the marker drops BEFORE the delete, so a crash
+    * anywhere in a forget routes the next release through the standard
+    * self-heal (exact accumulator rebuild; index rebuilt from the live
+    * corpus) — i.e. a crashed takedown degrades to ERASURE semantics,
+    * never to a double count or a stale card. Snapshots pinning the
+    * forgotten content keep serving it for their tags' lives by design;
+    * a legal-erasure run also drops those tags and vacuums.
+    */
+  def forget(spark: SparkSession, store: TableStore, warehouse: String,
+             docIds: DataFrame,
+             scrubIndex: Boolean = false): (Long, Long) = {
+    val cs = DemoSources.CorpusRelease
+    val existing = store.readIfExists(cs.tableName)
+    if (existing.isEmpty) return (0L, 0L)
+    val keys = docIds.select("doc_id").distinct().localCheckpoint()
+    val planned = store.plannedBuckets(cs.tableName, cs.grain, keys)
+    // the victims' rows BEFORE the delete (bucket-pruned like the release's
+    // card delta): their pure-negative contributions ARE a forget's card
+    // delta — materialized now, the delete's vacuum may reclaim the dirs
+    val cardDelta = cardOldSlice(store, cs.tableName, planned, existing, keys)
+      .map(v => CorpusCardAcc.delta(v.limit(0), Some(v)).localCheckpoint())
+    val accTable = store.readIfExists(CorpusCardAcc.AccTable)
+    val idxDir = s"$warehouse/corpus_index"
+    val idxWasCommitted =
+      graft.operators.MinhashIndex.isCommitted(spark, idxDir)
+    graft.operators.MinhashIndex.invalidate(spark, idxDir)
+    val deleted = store.deleteRows(cs.tableName, keys, cs.grain)
+    if (deleted > 0L) (accTable, cardDelta) match {
+      case (Some(acc), Some(d)) =>
+        val merged = CorpusCardAcc.merge(acc, d).localCheckpoint()
+        store.overwrite(CorpusCardAcc.AccTable, merged,
+          partitionBy = Seq.empty)
+        store.overwrite("corpus_card", CorpusCardAcc.cardFrom(merged),
+          partitionBy = Seq.empty)
+        merged.unpersist()
+      case _ =>
+        // legacy warehouse without accumulators: one exact rebuild over
+        // the post-delete corpus (the bootstrap path's cost and shape)
+        store.readIfExists(cs.tableName).foreach { rel =>
+          val built = CorpusCardAcc.buildFrom(
+            rel.select("doc_id", "text", "lang", "source", "n_tokens"))
+            .localCheckpoint()
+          store.overwrite(CorpusCardAcc.AccTable, built,
+            partitionBy = Seq.empty)
+          store.overwrite("corpus_card", CorpusCardAcc.cardFrom(built),
+            partitionBy = Seq.empty)
+          built.unpersist()
+        }
+    }
+    cardDelta.foreach(_.unpersist())
+    // takedown: the index content is exactly as valid as before (kept
+    // registrations are the contract) — restore trust. Erasure: leave it
+    // uncommitted so the next release rebuilds without the content.
+    if (idxWasCommitted && !scrubIndex)
+      graft.operators.MinhashIndex.recommit(spark, idxDir)
+    val corpusRows = store.readIfExists(CorpusCardAcc.AccTable)
+      .map(_.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
+      .getOrElse(store.readIfExists(cs.tableName)
+        .map(_.count()).getOrElse(0L))
+    (deleted, corpusRows)
+  }
 }

@@ -12,6 +12,7 @@ import graft.store.TableStore
   *                  [--file NAME] [--jdbc URL]
   *   graft.run.Main --corpus DIR --warehouse DIR [--snapshot TAG]  # corpus release
   *   graft.run.Main --corpus-delta TAG --warehouse DIR [--out DIR] # CDC since TAG
+  *   graft.run.Main --corpus-forget IDS --warehouse DIR [--scrub true] # takedown
   *
   * Sources are registered in code (like the reference's src/sources/systems
   * package); [[DemoSources.registry]] ships the example `sales` source so
@@ -71,6 +72,30 @@ object Main {
         targetSink = targetSink,
         onProgress = progress.map(_.update _).getOrElse((_: Int, _: Int) => ()))
       opts.get("file") match {
+        case _ if opts.contains("corpus-forget") =>
+          // --corpus-forget IDS|PARQUET: takedown / right-to-be-forgotten
+          // over the released corpus. IDS = comma-separated doc_ids, or a
+          // path to parquet carrying a doc_id column. Bucket-pruned end to
+          // end: only the buckets holding the ids are read and rewritten,
+          // and the datasheet folds the victims' NEGATIVE contributions
+          // (CorpusOps.forget). Default keeps the dedup index's
+          // fingerprints so re-offered copies of the forgotten content
+          // stay excluded (takedown); --scrub true drops the index trust
+          // marker instead — the next release rebuilds it without the
+          // content (erasure, re-admittable).
+          val arg = opts("corpus-forget")
+          val sp2 = spark
+          import sp2.implicits._
+          val ids =
+            if (arg.contains("://") || arg.endsWith(".parquet") ||
+                new java.io.File(arg).exists)
+              spark.read.parquet(arg).select("doc_id")
+            else arg.split(',').map(_.trim.toLong).toSeq.toDF("doc_id")
+          val scrub = opts.get("scrub").contains("true")
+          val (del, rows) = CorpusOps.forget(spark, store,
+            req("warehouse"), ids, scrubIndex = scrub)
+          println(s"corpus-forget: deleted=$del corpus_rows=$rows" +
+            (if (scrub) " scrub=true" else ""))
         case _ if opts.contains("corpus-delta") =>
           // --corpus-delta TAG: the CDC read over the released corpus —
           // "what changed since the training run pinned TAG" — served from

@@ -395,6 +395,65 @@ final class TableStore(spark: SparkSession, root: String,
       case _ => readIfExists(name)
     }
 
+  /** Bucket-pruned copy-on-write DELETE — the takedown /
+    * right-to-be-forgotten primitive a training-data store needs: remove
+    * every row whose grain key appears in `keys`. O(keys + touched
+    * buckets), the same bound as a merge of that key set: the keys' grain
+    * hash names the only buckets that can hold them, ONLY those are read
+    * (null-safe anti-join) and rewritten, and untouched buckets carry
+    * forward to their current owners unchanged — at 100 TB a
+    * thousand-doc takedown rewrites a handful of buckets, not the table.
+    * A bucket whose rows are ALL deleted drops OUT of the manifest
+    * (carrying it forward would resurrect its rows; the CDC ownership
+    * diff reports it as changed). Returns the deleted-row count.
+    *
+    * Contract: bucket-manifested tables only (publish through
+    * [[mergeInPlace]] first), with no live segments (fold first —
+    * segments are not bucketed, so a pruned delete could miss rows in
+    * them). Snapshots keep serving the PRE-delete state for their tags'
+    * lives by design (they pin the old ownership): a legal-erasure
+    * caller must also drop the tags pinning the content and [[vacuum]].
+    */
+  def deleteRows(name: String, keys: DataFrame,
+                 grain: Seq[String]): Long = withTableLock(name) {
+    val man = currentManifest(name).getOrElse(throw new IllegalStateException(
+      s"deleteRows($name): only bucket-manifested tables take pruned " +
+        "deletes — publish through mergeInPlace first"))
+    require(segments(name).isEmpty && upsertSegments(name).isEmpty,
+      s"deleteRows($name): fold live segments first — segments are not " +
+        "bucketed, so a pruned delete could miss rows in them")
+    val n = man.numBuckets
+    // materialized: consumed twice (bucket probe + anti-join), and a key
+    // frame derived from THIS table's own read must not alias the slice
+    // below into an ambiguous self-join
+    val k = keys.select(grain.map(col): _*).distinct().localCheckpoint()
+    val touched = k
+      .select(pmod(xxhash64(grain.map(col): _*), lit(n.toLong)).as("_b"))
+      .distinct().collect().map(_.getLong(0).toInt).toSet
+    val paths = man.buckets.toSeq.sortBy(_._1).collect {
+      case (b, v) if touched(b) => bucketDir(name, v, b).toString
+    }
+    if (paths.isEmpty) 0L
+    else {
+      val slice = readUnioned(paths)
+      val cond = grain.map(g => slice(g) <=> k(g)).reduce(_ && _)
+      // persisted: the survivor frame feeds both the deleted count and
+      // the bucket rewrite — one anti-join over touched-bucket data
+      val kept = slice.join(k, cond, "left_anti").persist()
+      val deleted = slice.count() - kept.count()
+      if (deleted == 0L) kept.unpersist()
+      else {
+        commitBucketedVersion(name, kept, grain, n,
+          touchedCount = math.max(1, touched.size),
+          carried = man.buckets.filter { case (b, _) => !touched(b) },
+          foldSegs = Nil)
+        kept.unpersist()
+        bumpRowsGauge(name, -deleted, emptyBefore = false)
+      }
+      deleted
+    }
+  }
+
   /** Read, or an empty frame with the given schema when absent. */
   def readOrEmpty(name: String, schema: StructType): DataFrame =
     readIfExists(name).getOrElse(

@@ -1155,6 +1155,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus forget: takedown removes docs and subtracts the card " +
+    "exactly; banned content stays excluded; scrub re-admits it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def text(tag: String) =
+      (1 to 30).map(i => s"${tag}tok$i").mkString(" ")
+    def doc(id: Long, tag: String) =
+      (id, text(tag), "en", "s1", 1L)
+    val wh = java.nio.file.Files.createTempDirectory("forget_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      val idxDir = s"$wh/corpus_index"
+      def release(docs: (Long, String, String, String, Long)*) =
+        graft.run.CorpusOps.release(spark, store, wh,
+          docs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"),
+          "rel", None)
+      def cardDocs(): Long = store.readIfExists("corpus_card").get
+        .agg(sum("n_docs")).head().getLong(0)
+      val (i1, _, _) = release(doc(1L, "a"), doc(2L, "b"), doc(3L, "c"))
+      assert(i1 === 3L)
+
+      // takedown doc 2: bucket-pruned delete + exact card subtraction
+      val (d1, r1) = graft.run.CorpusOps.forget(spark, store, wh,
+        Seq(2L).toDF("doc_id"))
+      assert(d1 === 1L && r1 === 2L)
+      assert(store.readIfExists("corpus_docs").get.select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      assert(cardDocs() === 2L)
+      // keep-registrations: the index stays trusted, and a re-offered
+      // copy of the forgotten content under a NEW id stays excluded
+      assert(graft.operators.MinhashIndex.isCommitted(spark, idxDir))
+      val (i2, u2, rows2) = release(doc(99L, "b"))
+      assert(i2 === 0L && u2 === 0L && rows2 === 2L,
+        "banned content must not re-enter the corpus")
+
+      // erasure: scrub drops the index trust marker; the next release
+      // rebuilds it from the post-forget corpus and the content is
+      // re-admittable
+      val (d2, r2) = graft.run.CorpusOps.forget(spark, store, wh,
+        Seq(3L).toDF("doc_id"), scrubIndex = true)
+      assert(d2 === 1L && r2 === 1L)
+      assert(!graft.operators.MinhashIndex.isCommitted(spark, idxDir))
+      val (i3, _, rows3) = release(doc(98L, "c"))
+      assert(i3 === 1L && rows3 === 2L,
+        "scrubbed content must be re-admittable")
+      assert(graft.operators.MinhashIndex.isCommitted(spark, idxDir),
+        "the release rebuilds and re-trusts the index")
+      assert(cardDocs() === 2L)
+
+      // forgetting ids that don't exist is a no-op and keeps trust
+      val (d3, r3) = graft.run.CorpusOps.forget(spark, store, wh,
+        Seq(12345L).toDF("doc_id"))
+      assert(d3 === 0L && r3 === 2L)
+      assert(graft.operators.MinhashIndex.isCommitted(spark, idxDir))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("corpus release: --snapshot pins each epoch's corpus; later " +
     "releases (including updates) copy-on-write past the pin") {
     import org.apache.spark.sql.functions._

@@ -503,6 +503,50 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readIfExists("mor").get.count() == 42)
   }
 
+  test("deleteRows: bucket-pruned copy-on-write delete — untouched " +
+       "buckets carry forward, emptied layouts read as absent, CDC " +
+       "reports the rows as deletes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    val ids = (1L to 200L)
+    store.mergeInPlace("bt", stageDf(ids.map(i => i -> s"v$i"): _*),
+      btSource, new java.sql.Timestamp(1000L))
+    store.snapshot("bt", "pre")
+
+    val del = store.deleteRows("bt", Seq(1L, 9L).toDF("id"), Seq("id"))
+    assert(del === 2L)
+    val left = store.readIfExists("bt").get.select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(left.size === 198 && !left(1L) && !left(9L))
+    // pruning pin: ONLY the keys' buckets changed ownership — everything
+    // else still reads from the pre-delete version's dirs
+    val keyBuckets = bucketsOf(8, Seq(1L, 9L)).values.toSet
+    assert(store.snapshotChangedBuckets("bt", "pre").get === keyBuckets)
+    // CDC since the pre-delete pin: exactly the two deletes
+    val feed = store.snapshotDelta("bt", "pre").get
+      .select("id", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed === Map(1L -> "delete", 9L -> "delete"))
+    // the pinned read still serves the pre-delete rows (takedown vs
+    // provenance is the caller's tag-drop decision)
+    assert(store.readSnapshot("bt", "pre").get.count() === 200L)
+
+    // absent keys delete nothing and change nothing
+    assert(store.deleteRows("bt", Seq(5000L).toDF("id"), Seq("id")) === 0L)
+    assert(store.readIfExists("bt").get.count() === 198L)
+
+    // deleting EVERY row empties the manifest: the table reads as absent
+    // (carrying emptied buckets forward would resurrect rows) and a
+    // fresh publish re-establishes it
+    assert(store.deleteRows("bt", ids.toDF("id"), Seq("id")) === 198L)
+    assert(store.readIfExists("bt").isEmpty)
+    store.mergeInPlace("bt", stageDf(7L -> "back"), btSource,
+      new java.sql.Timestamp(2000L))
+    assert(store.readIfExists("bt").get.count() === 1L)
+  }
+
   test("a snapshot read resolved BEFORE a fold materializes exactly " +
        "AFTER it: pinned segment paths are stable across retirement") {
     val (store, _) = mkStore()
