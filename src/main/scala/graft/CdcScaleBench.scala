@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * inserts). The pinned-vs-current ownership maps then disagree on ~the
   * delta's buckets only, so the CDC feed full-outer-joins that sliver of
   * both states while the naive diff reads both states whole. Both walls
-  * and both input-byte counts are reported (task-metrics listener, the
-  * `StreamScaleBench` axis): the bytes ratio is the honest headline —
-  * walls at this size are dominated by fixed stage latency. The
+  * and both input-ROW counts are reported (task-metrics listener, the
+  * `StreamScaleBench` axis; rows because `recordsRead` is exact while
+  * `bytesRead` is blind to the parquet vectored-IO data path on local
+  * FS): the rows ratio is the honest headline — walls at this size are
+  * dominated by fixed stage latency. The
   * degenerate case is also the honest caveat: a pin followed by heavy
   * UNIFORM churn rewrites every bucket and the feed correctly degrades
   * to the full diff, because most of the table really did change — the
@@ -77,25 +79,31 @@ object CdcScaleBench {
     store.mergeInPlace("cdc", delta, source, new java.sql.Timestamp(2000L))
     val deltaSec = (System.nanoTime() - tDelta0) / 1e9
 
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    // rows, not bytes: `recordsRead` is incremented by the scan itself
+    // and is exact, while `bytesRead` relies on FileSystem.Statistics,
+    // which the parquet vectored-IO read path bypasses on local FS — it
+    // captures footers and cache reads only (measured: a 128 MB column
+    // scan reported 0.04 MB). Input rows measure the pruning claim
+    // directly: the pruned feed may only read the changed buckets' rows.
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           Option(te.taskMetrics)
-            .foreach(m => bytesRead.addAndGet(m.inputMetrics.bytesRead))
+            .foreach(m => rowsRead.addAndGet(m.inputMetrics.recordsRead))
           ()
         }
       })
     def measured[T](f: => T): (T, Double, Double) = {
-      val b0 = bytesRead.get(); val t0 = System.nanoTime()
+      val r0 = rowsRead.get(); val t0 = System.nanoTime()
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
       // listener-bus delivery is async (private API to drain it) — settle
       // briefly before reading the gauge; telemetry-grade, like the
       // StreamScaleBench axis, which is all the ratio claim needs
       Thread.sleep(500)
-      (r, wall, (bytesRead.get() - b0) / 1e6)
+      (r, wall, (rowsRead.get() - r0) / 1e3)
     }
 
     // O(1) metadata answer
@@ -103,14 +111,14 @@ object CdcScaleBench {
       store.snapshotChangedBuckets("cdc", "t0").get
     }
     // the pruned CDC feed
-    val (feed, cdcSec, cdcMb) = measured {
+    val (feed, cdcSec, cdcKrows) = measured {
       store.snapshotDelta("cdc", "t0").get
         .groupBy("change").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
     // the naive full two-sided diff (what a consumer without the
     // ownership maps pays): both states whole, same join + hash compare
-    val (naive, naiveSec, naiveMb) = measured {
+    val (naive, naiveSec, naiveKrows) = measured {
       val o = store.readSnapshot("cdc", "t0").get
         .select(col("id"), col("etl_row_hash").as("_o"))
       val n = store.readIfExists("cdc").get
@@ -136,7 +144,7 @@ object CdcScaleBench {
     store.mergeInPlace("cdc",
       staged(bigKeys.select(col("id"), payload(col("id"), "upd2").as("v"))),
       source, new java.sql.Timestamp(3000L))
-    val (big, bigSec, bigMb) = measured {
+    val (big, bigSec, bigKrows) = measured {
       store.snapshotDelta("cdc", "t1").get
         .groupBy("change").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -145,18 +153,36 @@ object CdcScaleBench {
     require(big.getOrElse("update", 0L) == bigN.toLong,
       s"big-delta feed $big expected $bigN updates")
 
+    // takedown at scale: deleteRows must read and rewrite ONLY the keys'
+    // buckets — the CDC read's bucket economics on the WRITE side. A
+    // fresh pin lets the ownership diff independently confirm the blast
+    // radius, and the input-byte gauge shows the delete never scanned
+    // the table.
+    store.snapshot("cdc", "t2")
+    val delKeys = spark.range(deltaKeys.toLong)
+      .select((col("id") * (rows / deltaKeys) + 2L).as("id"))
+    val (deleted, delSec, delKrows) = measured {
+      store.deleteRows("cdc", delKeys, Seq("id"))
+    }
+    val delChanged = store.snapshotChangedBuckets("cdc", "t2").get.size
+    require(deleted == deltaKeys.toLong,
+      s"takedown deleted $deleted rows, expected $deltaKeys")
+
     println(f"""{"metric":"cdc_scale","unit":"sec","rows":$rows,""" +
       f""""delta_keys":$deltaKeys,"base_publish_sec":$baseSec%.1f,""" +
       f""""delta_publish_sec":$deltaSec%.1f,""" +
       f""""changed_buckets":${changed.size},"total_buckets":256,""" +
       f""""meta_sec":$metaSec%.3f,""" +
-      f""""cdc_sec":$cdcSec%.2f,"cdc_input_mb":$cdcMb%.1f,""" +
-      f""""naive_sec":$naiveSec%.2f,"naive_input_mb":$naiveMb%.1f,""" +
+      f""""cdc_sec":$cdcSec%.2f,"cdc_input_krows":$cdcKrows%.1f,""" +
+      f""""naive_sec":$naiveSec%.2f,"naive_input_krows":$naiveKrows%.1f,""" +
       f""""inserts":${feed.getOrElse("insert", 0L)},""" +
       f""""updates":${feed.getOrElse("update", 0L)},""" +
-      f""""io_ratio":${naiveMb / math.max(cdcMb, 0.1)}%.1f,""" +
+      f""""io_ratio":${naiveKrows / math.max(cdcKrows, 0.1)}%.1f,""" +
       f""""big_delta_keys":$bigN,"big_changed_buckets":$bigChanged,""" +
-      f""""big_cdc_sec":$bigSec%.2f,"big_cdc_input_mb":$bigMb%.1f}""")
+      f""""big_cdc_sec":$bigSec%.2f,"big_cdc_input_krows":$bigKrows%.1f,""" +
+      f""""forget_keys":$deltaKeys,"forget_deleted":$deleted,""" +
+      f""""forget_sec":$delSec%.2f,"forget_input_krows":$delKrows%.1f,""" +
+      f""""forget_changed_buckets":$delChanged}""")
     spark.stop()
   }
 }

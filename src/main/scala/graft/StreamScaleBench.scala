@@ -55,31 +55,36 @@ object StreamScaleBench {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }
     val store = new graft.store.TableStore(spark, wh)
-    // per-epoch INPUT BYTES alongside wall time: a flat wall curve alone
+    // per-epoch INPUT ROWS alongside wall time: a flat wall curve alone
     // can hide an O(corpus) read term behind fixed per-epoch overhead at
-    // small corpus sizes — the bytes axis exposes it directly (the r13
+    // small corpus sizes — the rows axis exposes it directly (the r13
     // card-delta full-corpus scan would have shown as per-epoch input
-    // bytes growing with the accumulated corpus). Listener-bus delivery
-    // is async, so a boundary task can land in the neighbor epoch —
-    // telemetry-grade, which is all the growth-shape check needs.
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    // rows growing with the accumulated corpus). Rows, not bytes:
+    // `inputMetrics.recordsRead` is incremented by the scan itself and is
+    // exact, while `bytesRead` relies on FileSystem.Statistics, which the
+    // parquet vectored-IO read path bypasses on local FS — it captures
+    // footers and cache reads only (measured: a 128 MB column scan
+    // reported 0.04 MB). Listener-bus delivery is async, so a boundary
+    // task can land in the neighbor epoch — telemetry-grade, which is
+    // all the growth-shape check needs.
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           Option(te.taskMetrics)
-            .foreach(m => bytesRead.addAndGet(m.inputMetrics.bytesRead))
+            .foreach(m => rowsRead.addAndGet(m.inputMetrics.recordsRead))
           ()
         }
       })
     val walls = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
-    val lastBytes = new java.util.concurrent.atomic.AtomicLong()
+    val lastRows = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     graft.streaming.StreamingPipeline.corpusReleaseStream(
       spark, store, feed, wh, None, cp,
       onEpoch = (id, w) => walls.synchronized {
-        val now = bytesRead.get()
-        walls += ((id, w, now - lastBytes.getAndSet(now)))
+        val now = rowsRead.get()
+        walls += ((id, w, now - lastRows.getAndSet(now)))
         ()
       })
       .awaitTermination()
@@ -87,20 +92,20 @@ object StreamScaleBench {
     // replay drain: nothing new behind the checkpoint — bounded catch-up
     // run with zero epochs
     val tr = System.nanoTime()
-    val replayBytes0 = bytesRead.get()
+    val replayRows0 = rowsRead.get()
     graft.streaming.StreamingPipeline.corpusReleaseStream(
       spark, store, feed, wh, None, cp).awaitTermination()
     val replay = (System.nanoTime() - tr) / 1e9
-    val replayMb = (bytesRead.get() - replayBytes0) / 1e6
+    val replayKrows = (rowsRead.get() - replayRows0) / 1e3
     val corpusRows = store.readIfExists("corpus_docs").map(_.count())
       .getOrElse(0L)
-    val epochsJson = walls.sortBy(_._1).map { case (id, w, b) =>
-      f"""{"epoch":$id,"sec":$w%.2f,"input_mb":${b / 1e6}%.1f}"""
+    val epochsJson = walls.sortBy(_._1).map { case (id, w, r) =>
+      f"""{"epoch":$id,"sec":$w%.2f,"input_krows":${r / 1e3}%.1f}"""
     }.mkString("[", ",", "]")
     println(f"""{"metric":"corpus_stream_scale","unit":"sec","src":"$src",""" +
       f""""n_batches":$nBatches,"corpus_rows":$corpusRows,""" +
       f""""total_sec":$total%.1f,"replay_drain_sec":$replay%.1f,""" +
-      f""""replay_input_mb":$replayMb%.1f,"epochs":$epochsJson}""")
+      f""""replay_input_krows":$replayKrows%.1f,"epochs":$epochsJson}""")
     spark.stop()
   }
 }

@@ -266,9 +266,16 @@ object ContamIndex {
             .select("h"),
           Seq("h"), "left_anti")
       } else hashed
-    // one row per distinct fresh content; cached across the gram
-    // aggregation, the emptiness probes, and the registry append
-    val fresh = fresh0.dropDuplicates("h").cache()
+    // one row per distinct fresh content, consumed by the gram
+    // aggregation, the emptiness probes, and the registry append.
+    // localCheckpoint, NOT cache: the lineage reads offeredDir and the
+    // LAST write below appends to that same dir — a cached plan would be
+    // recache-poisoned by Spark's recacheByPath the moment that write
+    // lands (re-executed against the registry it just extended, i.e. to
+    // empty). Today's ordering consumes `fresh` before the write, but
+    // that is one refactor away from the silent-empty-append failure the
+    // MinhashIndex probe handoff actually hit — sever the lineage.
+    val fresh = fresh0.dropDuplicates("h").localCheckpoint()
     try {
       if (fresh.isEmpty) return // nothing new offered: a pure replay
       val dfRows = fresh

@@ -369,8 +369,12 @@ object MinhashIndex {
     // mergeSchema: a migrated legacy index holds pre-aseq files beside
     // appended aseq-stamped ones in the SAME dirs; the default
     // sampled-schema read could drop (or null out) the column either way
+    // cached like keep: hashes has two consumers of its own (the keep
+    // aggregation and the superseded-registry anti-join) — uncached,
+    // compaction paid TWO full hash-table scans per fold (ReleaseCost's
+    // per-job forensics under the "index compact" phase)
     val hashes = withAseq(spark.read.option("mergeSchema", "true")
-      .parquet(genHashesDir(spark, indexDir, live)))
+      .parquet(genHashesDir(spark, indexDir, live))).cache()
     // newest content per doc_id; the GC point. O(index) once per
     // compaction — the same cost class as the rewrite itself. Cached:
     // two consumers (the postings keep-join and the _hashes write) would
@@ -409,6 +413,7 @@ object MinhashIndex {
           .parquet(s"$indexDir/$next/_hashes_superseded")
     } finally { sup.unpersist(); () }
     keep.unpersist()
+    hashes.unpersist()
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
     // crash seams around the pointer swing: before it the old generation
@@ -524,10 +529,17 @@ object MinhashIndex {
                 jaccardThreshold: Double = 0.2,
                 maxBand: Int = 1000,
                 strictReplay: Boolean = false): DataFrame = {
-    // deliberately uncached: the signature projection feeds two subplans
-    // (band rows + survivor semi-join) and recomputes per consumer —
-    // O(batch) per pass, and a lazy return must not pin a cache it cannot
-    // release (bench reps would leak one per invocation)
+    // the signature projection recomputes per consumer — O(batch) per
+    // pass, cheap. The EXACT-tier anti-join does not: its corpus side is
+    // the full hash table, and it has two consumers (the band rows below
+    // and the survivor semi-join at the end), so left lazy it would scan
+    // the O(corpus) hashes twice per probe — measured at the 20x
+    // rehearsal as a full extra corpus-sized read per release
+    // (ReleaseCost: probe = postings + 2x hashes before, + 1x after).
+    // localCheckpoint materializes the O(batch) survivor set once; the
+    // probe is already eager anyway (the bps collect below), so this
+    // adds no laziness surprise, and checkpoint blocks are freed with
+    // the frame when callers unpersist their derived caches.
     val s = signed(batch.select("doc_id", "text"))
     // ONE pointer resolution for hashes + postings (livePostingsDir note)
     val live = livePostingsDir(spark, indexDir)
@@ -539,7 +551,8 @@ object MinhashIndex {
         case None => hashes.select("h")
       }
       else hashes.select("h")
-    val afterExact = s.join(seen, Seq("h"), "left_anti")
+    val afterExact =
+      s.join(seen, Seq("h"), "left_anti").localCheckpoint()
     val bBand = bandRows(afterExact)
     // bounded collect: at most NumBandPartitions distinct values
     val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
@@ -551,8 +564,23 @@ object MinhashIndex {
     val losers = bBand.join(postings, Seq("band"))
       .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
       .select("doc_id").distinct()
+    // The RESULT is checkpointed too — this one is LOAD-BEARING for
+    // correctness, not just cost. A lazy result's plan keeps the hashes
+    // and postings SCANS in its lineage; callers cache it and hand it to
+    // [[append]], whose first write (the hashes file) triggers Spark's
+    // recacheByPath on every cached plan reading that path — the probe
+    // RE-EXECUTES against the index it is mid-way through updating, the
+    // batch's own freshly-appended hashes now match the anti-join, the
+    // cached frame recomputes to EMPTY, and the postings write that
+    // follows writes NOTHING. That exact sequence silently dropped every
+    // appended release's near-dup registrations (the exact-hash tier
+    // stayed intact, masking it: replays still no-op'd) — caught by the
+    // per-epoch input-rows instrument, confirmed by postings-vs-hashes
+    // doc counts. Severing the lineage here makes the returned frame
+    // immune to the index's own subsequent writes, for every caller.
     batch
       .join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
   }
 }

@@ -71,7 +71,19 @@ object CorpusCardAcc {
     * the exact rebuild ([[churnExceeded]]) — a full rebuild starts it at 0
     * (an all-positive stream has no negative rows).
     */
-  private def accFrom(c: DataFrame): DataFrame = {
+  private def accFrom(c0: DataFrame): DataFrame = {
+    // Three aggregations (counters, token histogram, language counts)
+    // consume the contribution stream; left lazy each would recompute it
+    // — for [[delta]] that is THREE reads of the old-slice's touched
+    // buckets per release (ReleaseCost measured 3x corpus-sized jobs
+    // under the "card delta" phase). The stream is NARROW (no text:
+    // source/lang/counts/md5), so the cache is cheap at any corpus size;
+    // the result is localCheckpoint-materialized before the cache drops.
+    val c = c0.persist()
+    try accFromCached(c).localCheckpoint() finally { c.unpersist(); () }
+  }
+
+  private def accFromCached(c: DataFrame): DataFrame = {
     val main = c.groupBy("source").agg(
       sum(col("w")).as("n_docs"),
       sum(col("w") * col("chars")).as("chars_total"),
@@ -92,7 +104,9 @@ object CorpusCardAcc {
   }
 
   /** Exact accumulators over a full corpus — the bootstrap/self-heal
-    * path's one O(corpus) pass.
+    * path's one O(corpus) pass. EAGER: the result is
+    * localCheckpoint-materialized (see [[accFrom]]'s cache note);
+    * callers unpersist it when done.
     */
   def buildFrom(corpus: DataFrame): DataFrame = accFrom(contrib(corpus, 1))
 
@@ -102,6 +116,9 @@ object CorpusCardAcc {
     * buckets) read like the merge itself). Unchanged rows cancel exactly.
     */
   def delta(stage: DataFrame, oldSlice: Option[DataFrame]): DataFrame =
+    // EAGER like buildFrom: materialized before return, so the old-slice
+    // read happens exactly once and strictly BEFORE the caller's merge
+    // mutates the table
     accFrom(oldSlice.map(o => contrib(stage, 1).unionByName(contrib(o, -1)))
       .getOrElse(contrib(stage, 1)))
 

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Label every Spark job a release phase launches (the Spark UI /
+    * listener `spark.job.description`): the release is ~a dozen jobs and
+    * at scale the expensive ones are corpus-sized — phase labels are what
+    * make a slow release attributable (and what
+    * [[graft.tools.ReleaseCost]]'s per-job forensics read).
+    */
+  private def phase[T](spark: SparkSession, label: String)(f: => T): T = {
+    spark.sparkContext.setJobDescription(s"corpus: $label")
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** The card-delta's old-slice: the CURRENT table rows whose doc_ids the
     * stage touches. The semi-join reads ONLY the stage's touched bucket
     * files ([[TableStore.readBuckets]] — the same path-level pruning the
@@ -140,7 +151,9 @@ object CorpusOps {
     // a full pass over the stage)
     val planned =
       if (existing.isEmpty) None
-      else store.plannedBuckets(cs.tableName, cs.grain, stage)
+      else phase(spark, "probe + bucket plan") {
+        store.plannedBuckets(cs.tableName, cs.grain, stage)
+      }
     // O(batch) datasheet delta, computed BEFORE the merge mutates the
     // table: the arriving rows' card contributions minus the CURRENT
     // contributions of the doc_ids they touch (unchanged rows cancel,
@@ -167,9 +180,10 @@ object CorpusOps {
       accTable.exists(a => !CorpusCardAcc.churnExceeded(a))
     val cardDelta =
       if (accSteady)
-        Some(CorpusCardAcc.delta(stage,
-          cardOldSlice(store, cs.tableName, planned, existing, stage))
-          .localCheckpoint())
+        Some(phase(spark, "card delta (old slice)") {
+          CorpusCardAcc.delta(stage,
+            cardOldSlice(store, cs.tableName, planned, existing, stage))
+        })
       else None
     // drop the index's commit marker BEFORE the merge: a crash anywhere
     // between here and the post-merge index maintenance leaves the index
@@ -177,8 +191,10 @@ object CorpusOps {
     // instead of trusting a stale index
     graft.operators.MinhashIndex.invalidate(spark, idxDir)
     graft.core.Chaos.point("corpus.after-invalidate")
-    val counts = store.withTableLock(cs.tableName) {
-      store.mergeInPlace(cs.tableName, stage, cs, now, planned)
+    val counts = phase(spark, "bucketed merge") {
+      store.withTableLock(cs.tableName) {
+        store.mergeInPlace(cs.tableName, stage, cs, now, planned)
+      }
     }
     // crash seam between the merge commit and every piece of index/card
     // maintenance below: the absent commit marker routes the next release
@@ -200,12 +216,14 @@ object CorpusOps {
     // boilerplate df most needs to start accreting, or the exemption
     // could never bootstrap
     def accreteTrainDf(): Unit = evalDir.foreach { _ =>
+      spark.sparkContext.setJobDescription("corpus: train-df accretion")
       val ctDir = s"$warehouse/eval_index"
       graft.operators.ContamIndex.recordTrainDf(
         curated.select("doc_id", "text"), ctDir)
       if (graft.operators.ContamIndex.maybeCompactTrainDf(spark, ctDir))
         System.err.println("eval index: compacted accretion segments " +
           "(train-df and/or offered registry passed the small-file bound)")
+      spark.sparkContext.setJobDescription(null)
     }
     val releasedOpt = store.readIfExists(cs.tableName)
     if (releasedOpt.isEmpty) {
@@ -234,7 +252,7 @@ object CorpusOps {
     // marker forever.
     if (ins + upd > 0 || !idxExists || !store.exists("corpus_card"))
       cardDelta match {
-        case Some(d) =>
+        case Some(d) => phase(spark, "card fold") {
           val merged = CorpusCardAcc.merge(accTable.get, d)
             .localCheckpoint()
           store.overwrite(CorpusCardAcc.AccTable, merged,
@@ -242,7 +260,8 @@ object CorpusOps {
           store.overwrite("corpus_card", CorpusCardAcc.cardFrom(merged),
             partitionBy = Seq.empty)
           merged.unpersist()
-        case None =>
+        }
+        case None => phase(spark, "card rebuild (exact)") {
           val corpusSlice =
             released.select("doc_id", "text", "lang", "source", "n_tokens")
           // the card is derived through the SAME accumulator → cardFrom
@@ -252,12 +271,13 @@ object CorpusOps {
           // representations across releases with no data change. The
           // rebuilt sketch still resets the HLL drift — it holds LIVE
           // content only.
-          val built = CorpusCardAcc.buildFrom(corpusSlice).localCheckpoint()
+          val built = CorpusCardAcc.buildFrom(corpusSlice)
           store.overwrite(CorpusCardAcc.AccTable, built,
             partitionBy = Seq.empty)
           store.overwrite("corpus_card", CorpusCardAcc.cardFrom(built),
             partitionBy = Seq.empty)
           built.unpersist()
+        }
       }
     cardDelta.foreach(_.unpersist())
     graft.core.Chaos.point("corpus.after-card")
@@ -268,18 +288,24 @@ object CorpusOps {
     // content registered as seen and double every re-released doc's
     // postings.
     if (existing.isDefined && idxExists) {
-      graft.operators.MinhashIndex.append(
-        kept.select("doc_id", "text"), idxDir)
+      phase(spark, "index append") {
+        graft.operators.MinhashIndex.append(
+          kept.select("doc_id", "text"), idxDir)
+      }
       // steady-state hygiene: every append adds files to the live
       // postings generation; fold it once small-file pressure passes the
       // policy bound (pointer-swap publish, in-flight probes keep the
       // superseded generation)
-      if (graft.operators.MinhashIndex.maybeCompact(spark, idxDir))
+      if (phase(spark, "index compact") {
+            graft.operators.MinhashIndex.maybeCompact(spark, idxDir)
+          })
         System.err.println("corpus index: compacted postings " +
           "generation (small-file bound reached)")
     } else
-      graft.operators.MinhashIndex.build(
-        released.select("doc_id", "text"), idxDir)
+      phase(spark, "index rebuild") {
+        graft.operators.MinhashIndex.build(
+          released.select("doc_id", "text"), idxDir)
+      }
     // accrete the OFFERED (post-dedup, PRE-decontamination) docs' gram
     // frequencies into the eval index's train-side df stats: future
     // probes cap on corpus-level boilerplate, not just their own
@@ -308,9 +334,11 @@ object CorpusOps {
     // that changed the table, so the sum IS the table's row count; a
     // legacy warehouse whose accumulators predate the table falls back
     // to the one count.
-    val corpusRows = store.readIfExists(CorpusCardAcc.AccTable)
-      .map(_.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
-      .getOrElse(released.count())
+    val corpusRows = phase(spark, "row count") {
+      store.readIfExists(CorpusCardAcc.AccTable)
+        .map(_.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
+        .getOrElse(released.count())
+    }
     // provenance pin LAST, over the fully-released state (merge + card +
     // index all committed above): the tag is what a training run records
     // as "the corpus I trained on", and TableStore.readSnapshot serves it
@@ -373,7 +401,7 @@ object CorpusOps {
     // card delta): their pure-negative contributions ARE a forget's card
     // delta — materialized now, the delete's vacuum may reclaim the dirs
     val cardDelta = cardOldSlice(store, cs.tableName, planned, existing, keys)
-      .map(v => CorpusCardAcc.delta(v.limit(0), Some(v)).localCheckpoint())
+      .map(v => CorpusCardAcc.delta(v.limit(0), Some(v)))
     val accTable = store.readIfExists(CorpusCardAcc.AccTable)
     val idxDir = s"$warehouse/corpus_index"
     val idxWasCommitted =
@@ -394,7 +422,6 @@ object CorpusOps {
         store.readIfExists(cs.tableName).foreach { rel =>
           val built = CorpusCardAcc.buildFrom(
             rel.select("doc_id", "text", "lang", "source", "n_tokens"))
-            .localCheckpoint()
           store.overwrite(CorpusCardAcc.AccTable, built,
             partitionBy = Seq.empty)
           store.overwrite("corpus_card", CorpusCardAcc.cardFrom(built),

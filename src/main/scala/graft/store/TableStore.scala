@@ -436,18 +436,20 @@ final class TableStore(spark: SparkSession, root: String,
     if (paths.isEmpty) 0L
     else {
       val slice = readUnioned(paths)
-      val cond = grain.map(g => slice(g) <=> k(g)).reduce(_ && _)
-      // persisted: the survivor frame feeds both the deleted count and
-      // the bucket rewrite — one anti-join over touched-bucket data
-      val kept = slice.join(k, cond, "left_anti").persist()
-      val deleted = slice.count() - kept.count()
-      if (deleted == 0L) kept.unpersist()
-      else {
-        commitBucketedVersion(name, kept, grain, n,
-          touchedCount = math.max(1, touched.size),
+      // the deleted count comes from a GRAIN-PRUNED semi-join probe —
+      // parquet reads only the key columns of the touched buckets (the
+      // CDC feed's column economics), so the full-width data is read
+      // exactly once, by the rewrite below. Row count, not key count:
+      // correct even if a legacy layout carries duplicate grains.
+      val sliceKeys = slice.select(grain.map(col): _*)
+      val probeCond = grain.map(g => sliceKeys(g) <=> k(g)).reduce(_ && _)
+      val deleted = sliceKeys.join(k, probeCond, "left_semi").count()
+      if (deleted > 0L) {
+        val cond = grain.map(g => slice(g) <=> k(g)).reduce(_ && _)
+        commitBucketedVersion(name, slice.join(k, cond, "left_anti"),
+          grain, n, touchedCount = math.max(1, touched.size),
           carried = man.buckets.filter { case (b, _) => !touched(b) },
           foldSegs = Nil)
-        kept.unpersist()
         bumpRowsGauge(name, -deleted, emptyBefore = false)
       }
       deleted

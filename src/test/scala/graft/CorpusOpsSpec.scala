@@ -1155,6 +1155,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("appended releases register near-dup protection: the index's own " +
+    "write path must not recache-poison the probe output it is given") {
+    // The regression this pins: MinhashIndex.append's FIRST write (the
+    // hashes file) triggers Spark's recacheByPath on every cached plan
+    // reading that path. The release hands append a CACHED frame derived
+    // from the probe — whose plan read that very path — so the frame
+    // recomputed to empty mid-append and the postings write landed
+    // NOTHING: every appended release lost its near-dup registrations
+    // while the exact-hash tier (written before the poison) stayed
+    // intact and masked it. novelDocs now checkpoints its result
+    // (lineage severed), making the handoff immune.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def text(tag: String) =
+      (1 to 30).map(i => s"${tag}tok$i").mkString(" ")
+    def doc(id: Long, tag: String) =
+      (id, text(tag), "en", "s1", 1L)
+    val wh = java.nio.file.Files.createTempDirectory("poison_wh").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      def release(docs: (Long, String, String, String, Long)*) =
+        graft.run.CorpusOps.release(spark, store, wh,
+          docs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"),
+          "rel", None)
+      release(doc(1L, "a"), doc(2L, "b"))          // build: aseq 0
+      val (i2, _, _) = release(doc(3L, "c"), doc(4L, "d")) // APPEND: aseq 1
+      assert(i2 === 2L)
+      // structural pin: the live postings generation registers EVERY
+      // corpus doc (the failure left only the build's docs in it)
+      val idx = s"$wh/corpus_index"
+      val ptr = new org.apache.hadoop.fs.Path(idx, "_POSTINGS")
+      val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gen = if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } else "postings"
+      assert(spark.read.parquet(s"$idx/$gen")
+        .select("doc_id").distinct().count() === 4L,
+        "appended docs must be registered in the live postings")
+      // behavioral pin: a NEAR (not exact — the hashes tier must not be
+      // the one catching it) variant of an APPENDED doc's content is
+      // dropped by the banded tier on the next release
+      val near = (99L, text("c").replace("ctok7", "ctokX"),
+        "en", "s1", 1L)
+      val (i3, u3, rows3) = release(near)
+      assert(i3 === 0L && u3 === 0L && rows3 === 4L,
+        "a near-dup of appended content must be dropped by the postings" +
+          " tier — if it re-entered, the append lost its registrations")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("corpus forget: takedown removes docs and subtracts the card " +
     "exactly; banned content stays excluded; scrub re-admits it") {
     import org.apache.spark.sql.functions._
@@ -1581,10 +1640,17 @@ class CorpusOpsSpec extends AnyFunSuite {
         spark, store, wh, upd, "r3", None)
       assert(updN > 0L, "the ciphered batch must land as updates")
       checkCard()
-      // replay: a no-op release leaves the card untouched (and cheap)
+      // replay: a no-op release leaves the card untouched (and cheap).
+      // The replayed batch is r3's — content that is CURRENT. Replaying
+      // the PRE-update r2 batch here would not be a no-op by design:
+      // r3's updates + the postings compaction GC'd the superseded
+      // content's registrations (the index dedups against LIVE corpus
+      // content — MinhashIndex.compact), so an r2 doc that was dropped
+      // as a near-dup of since-replaced content is genuinely novel vs
+      // the live corpus and is re-admitted (the cross-generation replay
+      // contract in CorpusOps.release's doc).
       val vBefore = store.readIfExists("corpus_card").get.collect().toSeq
-      graft.run.CorpusOps.release(spark, store, wh,
-        all.filter(col("doc_id") % 3 === 0), "r4", None)
+      graft.run.CorpusOps.release(spark, store, wh, upd, "r4", None)
       assert(store.readIfExists("corpus_card").get.collect().toSeq
         === vBefore)
     } finally {
