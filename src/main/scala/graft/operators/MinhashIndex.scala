@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   * `_POSTINGS` pointer, so a pointer swing switches everything
   * atomically):
   *
-  *   - `postings[_vN]/` — (band, doc_id, ids, aseq) PARTITIONED BY bp =
-  *     pmod(xxhash64(band), 64) and sorted by band within partitions:
-  *     a probe collects its batch's <= 64 bp values for partition pruning,
-  *     and the in-file band ordering gives parquet row-group min/max
-  *     pushdown on the band equi-filter — small batches read a sliver of
-  *     the corpus postings. The ids array rides in the posting row (8x
-  *     storage for zero join-backs — the classic LSH index trade; store a
-  *     doc-keyed sidecar instead when storage dominates).
+  *   - `postings[_vN]/` — NARROW (band, doc_id, aseq) rows PARTITIONED BY
+  *     bp = pmod(xxhash64(band), 64) and sorted by band within
+  *     partitions: a probe collects its batch's <= 64 bp values for
+  *     partition pruning, and the in-file band ordering gives parquet
+  *     row-group min/max pushdown on the band equi-filter — small batches
+  *     read a sliver of the corpus postings, and NO probe drags shingle
+  *     arrays through the band scan.
+  *   - `postings[_vN]/_ids/` — ONE (doc_id, ids, aseq) row per indexed
+  *     content version, partitioned by ip = pmod(xxhash64(doc_id), 64):
+  *     the Jaccard verify reads only the CANDIDATES' partitions, so
+  *     collisions — not the corpus — pay the array I/O. (The pre-split
+  *     layout rode the array on every band row, 8x array storage and a
+  *     full-array scan per probe; those generations stay readable and
+  *     appendable in their own schema until a rebuild/compaction
+  *     migrates them.)
   *   - `postings[_vN]/_hashes/` — (doc_id, h, aseq): md5 content hashes,
   *     the exact-dup tier, invisible to the bp scans (underscore dir).
   *     Indexes persisted before the generation-complete layout keep
@@ -129,6 +136,42 @@ object MinhashIndex {
         explode(graft.functions.TextFunctions.bandKeys(col("sig"), 8, 2))
           .as("band"))
       .withColumn("bp", bp(col("band")))
+
+  // ---- split postings layout: narrow band rows + `_ids` sidecar ---------
+  //
+  // The inline layout rode each doc's shingle-id array on EVERY band row —
+  // 8x array storage, and every probe dragged the arrays through the scan
+  // whether or not a band collided. The split layout stores (band, doc_id,
+  // aseq) postings (narrow — the probe's band join reads no arrays at all)
+  // plus ONE `_ids` row per (doc_id, aseq) in a doc-hash-partitioned
+  // sidecar: the Jaccard verify reads only the CANDIDATES' partitions.
+  // Pre-split generations remain readable and appendable (schema stays
+  // consistent within a generation); the next rebuild/compaction migrates.
+
+  /** `_ids` sidecar partition of a doc id — candidate-pruned probes
+    * collect their candidates' partitions (bounded small ints) and read
+    * only those.
+    */
+  private def idp(id: Column): Column =
+    pmod(xxhash64(id), lit(NumBandPartitions.toLong)).cast("int")
+
+  private def bandRowsNarrow(signedDocs: DataFrame): DataFrame =
+    signedDocs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.bandKeys(col("sig"), 8, 2))
+          .as("band"))
+      .withColumn("bp", bp(col("band")))
+
+  private def idsRows(signedDocs: DataFrame): DataFrame =
+    signedDocs.select(col("doc_id"), col("ids"))
+      .withColumn("ip", idp(col("doc_id")))
+
+  private def genIdsDir(live: String) = s"$live/_ids"
+
+  /** True when `live` stores the split layout (`_ids` sidecar present). */
+  private def isSplit(spark: SparkSession, live: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(genIdsDir(live))
+    fsFor(spark, p).exists(p)
+  }
 
   // ------------------------------------------------ append sequence counter
 
@@ -266,12 +309,16 @@ object MinhashIndex {
           "nothing is unreadable; build once the corpus has content")
     }
     // postings first (the overwrite clears $next), THEN the generation's
-    // hashes under it — nothing references $next until the swing
-    bandRows(s)
+    // sidecars under it — nothing references $next until the swing
+    bandRowsNarrow(s)
       .withColumn("aseq", lit(0L))
       .sortWithinPartitions("band")
       .write.mode("overwrite").partitionBy("bp")
       .parquet(s"$indexDir/$next")
+    idsRows(s)
+      .withColumn("aseq", lit(0L))
+      .write.mode("overwrite").partitionBy("ip")
+      .parquet(genIdsDir(s"$indexDir/$next"))
     s.select(col("doc_id"), col("h"))
       .withColumn("aseq", lit(0L))
       .write.mode("overwrite")
@@ -313,11 +360,32 @@ object MinhashIndex {
     // crash seam: hashes landed, postings not — the index is half-synced
     // and MUST read as uncommitted (CorpusOpsSpec kill-point matrix)
     graft.core.Chaos.point("minhash.mid-append")
-    bandRows(s)
-      .withColumn("aseq", lit(aseq))
-      .sortWithinPartitions("band")
-      .write.mode("append").partitionBy("bp")
-      .parquet(live)
+    // repartition by the layout key first: without it every append lands
+    // up-to-shuffle-partitions files in EVERY bp dir (32 x 64 tiny files
+    // per micro-batch), tripping the small-file compaction nearly every
+    // epoch — one shuffle of an O(batch) frame buys one file per
+    // partition per append and ~8x fewer folds
+    if (isSplit(spark, live)) {
+      bandRowsNarrow(s)
+        .withColumn("aseq", lit(aseq))
+        .repartition(col("bp"))
+        .sortWithinPartitions("band")
+        .write.mode("append").partitionBy("bp")
+        .parquet(live)
+      idsRows(s)
+        .withColumn("aseq", lit(aseq))
+        .repartition(col("ip"))
+        .write.mode("append").partitionBy("ip")
+        .parquet(genIdsDir(live))
+    } else
+      // pre-split generation: append in ITS schema (ids inline) — a
+      // generation stays layout-consistent; the next compaction migrates
+      bandRows(s)
+        .withColumn("aseq", lit(aseq))
+        .repartition(col("bp"))
+        .sortWithinPartitions("band")
+        .write.mode("append").partitionBy("bp")
+        .parquet(live)
     graft.core.Chaos.point("minhash.before-commit")
     markCommitted(spark, indexDir)
     s.unpersist()
@@ -384,13 +452,31 @@ object MinhashIndex {
       .select(col("doc_id"), col("k.aseq").as("aseq"),
         col("k.h").as("h"))
       .cache()
-    withAseq(spark.read.option("mergeSchema", "true").parquet(live))
-      .join(keep.select("doc_id", "aseq"), Seq("doc_id", "aseq"),
-        "left_semi")
+    val liveSplit = isSplit(spark, live)
+    val livePosts = withAseq(
+      spark.read.option("mergeSchema", "true").parquet(live))
+    val keepIds = keep.select("doc_id", "aseq")
+    // narrow postings out — an inline-layout source drops its ride-along
+    // arrays here: the fold IS the migration to the split layout
+    livePosts.select(col("doc_id"), col("band"), col("bp"), col("aseq"))
+      .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
       .repartition(col("bp"))
       .sortWithinPartitions("band")
       .write.mode("overwrite").partitionBy("bp")
       .parquet(s"$indexDir/$next")
+    // the `_ids` sidecar: from the live sidecar, or salvaged from the
+    // inline band rows on a migrating fold (the array is identical
+    // across a doc's band rows — one survives)
+    (if (liveSplit)
+       withAseq(spark.read.option("mergeSchema", "true")
+         .parquet(genIdsDir(live)))
+         .select("doc_id", "ids", "aseq")
+     else livePosts.select("doc_id", "ids", "aseq")
+       .dropDuplicates("doc_id", "aseq"))
+      .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
+      .withColumn("ip", idp(col("doc_id")))
+      .write.mode("overwrite").partitionBy("ip")
+      .parquet(genIdsDir(s"$indexDir/$next"))
     keep.select("doc_id", "h", "aseq")
       .write.mode("overwrite").parquet(s"$indexDir/$next/_hashes")
     // strict-replay registry: accrete the registrations this GC dropped
@@ -556,14 +642,48 @@ object MinhashIndex {
     val bBand = bandRows(afterExact)
     // bounded collect: at most NumBandPartitions distinct values
     val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(live)
-      .filter(col("bp").isin(bps: _*))
-      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
-      .filter(col("_bc") <= maxBand)
-      .select(col("band"), col("ids").as("ids_c"))
-    val losers = bBand.join(postings, Seq("band"))
-      .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
-      .select("doc_id").distinct()
+    val losers =
+      if (bps.isEmpty) afterExact.select("doc_id").limit(0)
+      else if (isSplit(spark, live)) {
+        // split layout: the band join scans NARROW postings (no arrays),
+        // and the Jaccard verify reads only the CANDIDATES' `_ids`
+        // partitions — collisions, not the corpus, pay the array I/O
+        val cand = spark.read.parquet(live)
+          .filter(col("bp").isin(bps: _*))
+          .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+          .filter(col("_bc") <= maxBand)
+          .select(col("band"), col("doc_id").as("cand_id"),
+            col("aseq").as("cand_aseq"))
+        // one verify per (batch doc, candidate content) — multi-band
+        // collisions collapse; materialized once for the partition probe
+        // and the verify join
+        val pairs = bBand.join(cand, Seq("band"))
+          .select(col("doc_id"), col("ids"), col("cand_id"),
+            col("cand_aseq"))
+          .dropDuplicates("doc_id", "cand_id", "cand_aseq")
+          .localCheckpoint()
+        val ips = pairs.select(idp(col("cand_id")).as("ip")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (ips.isEmpty) afterExact.select("doc_id").limit(0)
+        else pairs.join(
+            spark.read.parquet(genIdsDir(live))
+              .filter(col("ip").isin(ips: _*))
+              .select(col("doc_id").as("cand_id"),
+                col("aseq").as("cand_aseq"), col("ids").as("ids_c")),
+            Seq("cand_id", "cand_aseq"))
+          .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
+          .select("doc_id").distinct()
+      } else {
+        // pre-split generation: arrays ride in the posting rows
+        val postings = spark.read.parquet(live)
+          .filter(col("bp").isin(bps: _*))
+          .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+          .filter(col("_bc") <= maxBand)
+          .select(col("band"), col("ids").as("ids_c"))
+        bBand.join(postings, Seq("band"))
+          .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
+          .select("doc_id").distinct()
+      }
     // The RESULT is checkpointed too — this one is LOAD-BEARING for
     // correctness, not just cost. A lazy result's plan keeps the hashes
     // and postings SCANS in its lineage; callers cache it and hand it to

@@ -1155,6 +1155,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-split inline-ids generations stay probe-able and appendable; " +
+    "the next compaction migrates them to the split layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{minhashSig, shingleIds}
+    graft.functions.VectorFunctions.register(spark)
+    def text(tag: String) =
+      (1 to 30).map(i => s"${tag}tok$i").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("legacy_idx")
+    val idx = s"$root/idx"
+    try {
+      // fabricate the INLINE layout exactly as pre-split builds wrote it:
+      // (doc_id, ids, band, bp, aseq) postings + _hashes + marker
+      val docs = Seq((1L, text("a")), (2L, text("b"))).toDF("doc_id", "text")
+      val s = docs.select(col("doc_id"), md5(col("text")).as("h"),
+          shingleIds(col("text"), 2).as("ids"))
+        .withColumn("sig", minhashSig(col("ids"), 16))
+      s.select(col("doc_id"), col("ids"),
+          explode(graft.functions.TextFunctions
+            .bandKeys(col("sig"), 8, 2)).as("band"))
+        .withColumn("bp", pmod(xxhash64(col("band")), lit(64L)).cast("int"))
+        .withColumn("aseq", lit(0L))
+        .write.mode("overwrite").partitionBy("bp").parquet(s"$idx/postings")
+      s.select(col("doc_id"), col("h")).withColumn("aseq", lit(0L))
+        .write.mode("overwrite").parquet(s"$idx/postings/_hashes")
+      val fs0 = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val aout = fs0.create(new org.apache.hadoop.fs.Path(idx, "_ASEQ"), true)
+      aout.write("0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      aout.close()
+      graft.operators.MinhashIndex.recommit(spark, idx)
+
+      def novel(rows: (Long, String)*): Set[Long] =
+        graft.operators.MinhashIndex.novelDocs(spark,
+            rows.toSeq.toDF("doc_id", "text"), idx)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      // legacy probe path: a NEAR dup of inline-layout content drops
+      assert(novel(90L -> text("a").replace("atok7", "atokX")) === Set.empty)
+      // appends into the legacy generation keep its inline schema and
+      // protect their content too
+      graft.operators.MinhashIndex.append(
+        Seq((3L, text("c"))).toDF("doc_id", "text"), idx)
+      assert(novel(91L -> text("c").replace("ctok7", "ctokX")) === Set.empty)
+      // the compaction fold migrates to the split layout...
+      graft.operators.MinhashIndex.compact(spark, idx)
+      val live = graft.operators.MinhashIndex.livePostingsDir(spark, idx)
+      assert(live.endsWith("postings_v1"))
+      assert(fs0.exists(new org.apache.hadoop.fs.Path(s"$live/_ids")),
+        "migrating fold must write the `_ids` sidecar")
+      assert(!spark.read.parquet(live).columns.contains("ids"),
+        "migrated postings are narrow")
+      // ...and both pre- and post-migration content stay protected,
+      // while genuinely novel content passes
+      assert(novel(92L -> text("a").replace("atok3", "atokY")) === Set.empty)
+      assert(novel(93L -> text("c").replace("ctok3", "ctokY")) === Set.empty)
+      assert(novel(94L -> text("zz")) === Set(94L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("appended releases register near-dup protection: the index's own " +
     "write path must not recache-poison the probe output it is given") {
     // The regression this pins: MinhashIndex.append's FIRST write (the
