@@ -310,13 +310,19 @@ object MinhashIndex {
     }
     // postings first (the overwrite clears $next), THEN the generation's
     // sidecars under it — nothing references $next until the swing
+    // repartition by the layout key: one file per partition dir instead
+    // of one per (task x dir) — without it a build scatters up to
+    // shuffle-partitions x 64 tiny files per dataset (the append path's
+    // same rule)
     bandRowsNarrow(s)
       .withColumn("aseq", lit(0L))
+      .repartition(col("bp"))
       .sortWithinPartitions("band")
       .write.mode("overwrite").partitionBy("bp")
       .parquet(s"$indexDir/$next")
     idsRows(s)
       .withColumn("aseq", lit(0L))
+      .repartition(col("ip"))
       .write.mode("overwrite").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
     s.select(col("doc_id"), col("h"))
@@ -475,6 +481,7 @@ object MinhashIndex {
        .dropDuplicates("doc_id", "aseq"))
       .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
       .withColumn("ip", idp(col("doc_id")))
+      .repartition(col("ip"))
       .write.mode("overwrite").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
     keep.select("doc_id", "h", "aseq")
@@ -654,18 +661,21 @@ object MinhashIndex {
           .filter(col("_bc") <= maxBand)
           .select(col("band"), col("doc_id").as("cand_id"),
             col("aseq").as("cand_aseq"))
-        // one verify per (batch doc, candidate content) — multi-band
-        // collisions collapse; materialized once for the partition probe
-        // and the verify join
-        val pairs = bBand.join(cand, Seq("band"))
+        // candidate partitions from a bands-only join (no arrays on
+        // either side — the batch's ids column is projected away);
+        // bounded collect, at most NumBandPartitions values. The narrow
+        // band join is recomputed by the verify below instead of
+        // materialized: storing per-pair shingle arrays would cost more
+        // than re-scanning array-free postings
+        val ips = bBand.select("band").join(cand, Seq("band"))
+          .select(idp(col("cand_id")).as("ip")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (ips.isEmpty) afterExact.select("doc_id").limit(0)
+        else bBand.join(cand, Seq("band"))
           .select(col("doc_id"), col("ids"), col("cand_id"),
             col("cand_aseq"))
           .dropDuplicates("doc_id", "cand_id", "cand_aseq")
-          .localCheckpoint()
-        val ips = pairs.select(idp(col("cand_id")).as("ip")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        if (ips.isEmpty) afterExact.select("doc_id").limit(0)
-        else pairs.join(
+          .join(
             spark.read.parquet(genIdsDir(live))
               .filter(col("ip").isin(ips: _*))
               .select(col("doc_id").as("cand_id"),
