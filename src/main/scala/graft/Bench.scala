@@ -313,13 +313,20 @@ object Bench {
     // one long line gets truncated (rounds 1-7 lost the first ~8 query
     // entries every round). Persist the full JSON to a file truncation
     // can't reach, still print it for human eyes, and END with a SHORT
-    // line that always parses whole.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // line that always parses whole. The default path is UNTRACKED
+    // (bench_out.local.json, gitignored): scratch and driver runs
+    // repeatedly clobbered the committed reference artifact when this
+    // wrote to the tracked bench_out.json. SPARK_GRAFT_BENCH_OUT
+    // overrides for runs that should refresh the committed artifact
+    // deliberately.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.local.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // Print after spark.stop()'s shutdown logging so nothing interleaves.
     println(full)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"failed":$failed,"contended":$contended,"queries_file":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"failed":$failed,"contended":$contended,"queries_file":"$outPath"}""")
     System.out.flush()
   }
 }

@@ -381,13 +381,28 @@ object CorpusOps {
     *     the NEXT release rebuilds the index from the post-forget corpus,
     *     and the content becomes re-admittable.
     *
+    * Contamination-index semantics: the eval-gram evidence
+    * ([[graft.operators.ContamIndex]]) is NOT touched by a forget — a
+    * forgotten doc's grams stay accreted in the `offered/` and train-df
+    * registries, so df counts include erased content until an evidence
+    * rebuild (`ContamIndex.recordTrainDf` over the post-forget corpus, or
+    * the fail-closed rebuild a suite change forces). Like the kept dedup
+    * registrations these are non-reversible fingerprints, never text;
+    * an erasure run that must also scrub df evidence rebuilds the contam
+    * index alongside `scrubIndex = true`.
+    *
     * Crash contract: the marker drops BEFORE the delete, so a crash
     * anywhere in a forget routes the next release through the standard
     * self-heal (exact accumulator rebuild; index rebuilt from the live
     * corpus) — i.e. a crashed takedown degrades to ERASURE semantics,
-    * never to a double count or a stale card. Snapshots pinning the
-    * forgotten content keep serving it for their tags' lives by design;
-    * a legal-erasure run also drops those tags and vacuums.
+    * never to a double count or a stale card.
+    * [[TableStore.canDeleteRows]] is probed FIRST, so a pure
+    * precondition failure (no manifest, live segments) mutates nothing
+    * and costs nothing — no dropped marker, no self-heal, no delta read.
+    * Snapshots pinning the forgotten content keep serving it for their
+    * tags' lives by design; a legal-erasure run also drops those tags —
+    * via [[dropCorpusTag]], which drops the paired `corpus_card` pin
+    * with the `corpus_docs` one — and vacuums.
     */
   def forget(spark: SparkSession, store: TableStore, warehouse: String,
              docIds: DataFrame,
@@ -395,6 +410,14 @@ object CorpusOps {
     val cs = DemoSources.CorpusRelease
     val existing = store.readIfExists(cs.tableName)
     if (existing.isEmpty) return (0L, 0L)
+    // preconditions BEFORE any state is touched: deleteRows would throw
+    // the same error, but only after the trust marker was dropped and
+    // the card delta read — a no-op failure must not force the next
+    // release through the full index/card self-heal rebuild
+    require(store.canDeleteRows(cs.tableName),
+      s"forget: ${cs.tableName} is not bucket-manifested or carries " +
+        "live segments — publish through a release (mergeInPlace) and " +
+        "fold segments first; nothing was modified")
     val keys = docIds.select("doc_id").distinct().localCheckpoint()
     val planned = store.plannedBuckets(cs.tableName, cs.grain, keys)
     // the victims' rows BEFORE the delete (bucket-pruned like the release's
@@ -440,5 +463,21 @@ object CorpusOps {
       .getOrElse(store.readIfExists(cs.tableName)
         .map(_.count()).getOrElse(0L))
     (deleted, corpusRows)
+  }
+
+  /** Drop a corpus provenance tag — BOTH pins the release took under it:
+    * the `corpus_docs` content pin AND the companion `corpus_card`
+    * datasheet pin ([[release]] pins them together; a card derived from
+    * pinned content is provenance of the same lifetime). Dropping only
+    * the docs tag would leave the card tag pinning a datasheet derived
+    * from (possibly forgotten) content indefinitely — the legal-erasure
+    * flow is `dropCorpusTag(tag)` then `vacuum` on both tables. Returns
+    * true when either pin existed.
+    */
+  def dropCorpusTag(store: TableStore, tag: String): Boolean = {
+    val cs = DemoSources.CorpusRelease
+    val docsDropped = store.dropSnapshot(cs.tableName, tag)
+    val cardDropped = store.dropSnapshot("corpus_card", tag)
+    docsDropped || cardDropped
   }
 }

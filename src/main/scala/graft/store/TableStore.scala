@@ -414,6 +414,15 @@ final class TableStore(spark: SparkSession, root: String,
     * lives by design (they pin the old ownership): a legal-erasure
     * caller must also drop the tags pinning the content and [[vacuum]].
     */
+  /** True when [[deleteRows]]'s preconditions hold: bucket manifest live,
+    * no unfolded segments. Orchestrators ([[graft.run.CorpusOps.forget]])
+    * probe this FIRST, so a pure precondition failure — which mutates
+    * nothing — never costs them a dropped trust marker or a delta read.
+    */
+  def canDeleteRows(name: String): Boolean =
+    currentManifest(name).nonEmpty &&
+      segments(name).isEmpty && upsertSegments(name).isEmpty
+
   def deleteRows(name: String, keys: DataFrame,
                  grain: Seq[String]): Long = withTableLock(name) {
     val man = currentManifest(name).getOrElse(throw new IllegalStateException(
@@ -423,10 +432,25 @@ final class TableStore(spark: SparkSession, root: String,
       s"deleteRows($name): fold live segments first — segments are not " +
         "bucketed, so a pruned delete could miss rows in them")
     val n = man.numBuckets
+    // key columns CAST to the table's own grain types before hashing: the
+    // equi-joins below would match across an implicit cast (IntegerType
+    // keys against a LongType grain), but xxhash64 hashes the RAW type —
+    // mismatched keys would name the wrong buckets and a takedown would
+    // silently delete 0 rows, the worst failure mode for a
+    // legal-compliance primitive. Missing grain columns fail loud.
+    val tableSchema = readIfExists(name).getOrElse(
+      throw new IllegalStateException(
+        s"deleteRows($name): manifest present but table unreadable")).schema
+    val keyCols = grain.map { g =>
+      val f = tableSchema.find(_.name == g).getOrElse(
+        throw new IllegalArgumentException(
+          s"deleteRows($name): grain column '$g' not in table schema"))
+      col(g).cast(f.dataType).as(g)
+    }
     // materialized: consumed twice (bucket probe + anti-join), and a key
     // frame derived from THIS table's own read must not alias the slice
     // below into an ambiguous self-join
-    val k = keys.select(grain.map(col): _*).distinct().localCheckpoint()
+    val k = keys.select(keyCols: _*).distinct().localCheckpoint()
     val touched = k
       .select(pmod(xxhash64(grain.map(col): _*), lit(n.toLong)).as("_b"))
       .distinct().collect().map(_.getLong(0).toInt).toSet
@@ -489,7 +513,12 @@ final class TableStore(spark: SparkSession, root: String,
     val writer = if (partitionBy.isEmpty) df.write
                  else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(new Path(dir, version).toString)
-    swingAndRetire(name, version, priorSegs)
+    // the swing is a read-modify-write of the pointer's retired list —
+    // unserialized, it could drop the names a concurrent LOCKED fold
+    // (mergeInPlace/deleteRows) just retired, making folded segments
+    // visible again (double count). withTableLock is re-entrant
+    // (object monitor), so callers already holding it are fine.
+    withTableLock(name) { swingAndRetire(name, version, priorSegs) }
   }
 
   /** The fold commit: ONE pointer swing atomically publishes the new

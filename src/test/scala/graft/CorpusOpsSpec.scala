@@ -839,6 +839,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       val live = MinhashIndex.livePostingsDir(spark, idx)
       val p0 = spark.read.parquet(live).drop("aseq").localCheckpoint()
       val h0 = spark.read.parquet(s"$live/_hashes").drop("aseq")
+        .drop("hp") // r15 layout partition column — absent pre-r13
         .localCheckpoint()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -901,6 +902,67 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(MinhashIndex.maybeCompact(spark, idx, maxFilesPerPartition = 0))
       assert(MinhashIndex.postingsFileCount(spark, idx) < fGrown)
       assert(MinhashIndex.novelDocs(spark, d, idx).count() === before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
+  test("minhash_index: Bloom sidecar bounds the exact tier — an " +
+    "all-novel probe opens NO hash files; appends keep the " +
+    "no-false-negative invariant; compaction rebuilds the filter") {
+    import spark.implicits._
+    def mk(ids: Range, tag: String) = ids.map(i =>
+      (i.toLong, (1 to 25).map(j => s"${tag}u${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val MI = graft.operators.MinhashIndex
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_bloom").toString
+    try {
+      MI.build(mk(1 to 400, "corp"), idx)
+      val live = MI.livePostingsDir(spark, idx)
+      assert(new java.io.File(s"$live/_bloom").exists(),
+        "build writes the Bloom sidecar")
+      assert(new java.io.File(s"$live/_BLOOM_M").exists())
+      assert(new java.io.File(s"$live/_hashes").listFiles()
+        .exists(_.getName.startsWith("hp=")),
+        "build writes hp-partitioned hashes")
+      // THE structural pin of the O(batch + collisions) bound: hide the
+      // hash table entirely; an all-novel batch's probe must still
+      // succeed, because a flagged-empty Bloom verdict never constructs
+      // the hashes scan (not even schema inference). Pre-Bloom code read
+      // the FULL table here — O(corpus rows) per streaming micro-batch.
+      val hashesDir = new java.io.File(s"$live/_hashes")
+      val hidden = new java.io.File(s"$live/_hashes_hidden")
+      assert(hashesDir.renameTo(hidden))
+      val novelBatch = mk(1000 to 1049, "fresh")
+      assert(MI.novelDocs(spark, novelBatch, idx).count() === 50L,
+        "all-novel probe must read zero hash rows (no false negatives)")
+      assert(hidden.renameTo(hashesDir))
+      // dup replays still resolve through the Bloom gate (flagged docs
+      // anti-join hp-pruned hashes)
+      assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
+      // append keeps the invariant both ways: appended content flags on
+      // replay, and a fresh batch still probes hash-free afterwards
+      MI.append(novelBatch, idx)
+      assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L,
+        "appended content registers in Bloom + hashes")
+      assert(hashesDir.renameTo(hidden))
+      assert(MI.novelDocs(spark, mk(2000 to 2029, "fresh2"), idx)
+        .count() === 30L,
+        "post-append all-novel probe is still hash-free")
+      assert(hidden.renameTo(hashesDir))
+      // compaction rebuilds the filter in the new generation; no answer
+      // changes
+      MI.compact(spark, idx)
+      val live2 = MI.livePostingsDir(spark, idx)
+      assert(live2 !== live)
+      assert(new java.io.File(s"$live2/_bloom").exists(),
+        "compaction carries the Bloom into the new generation")
+      assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
+      assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -2479,6 +2541,74 @@ class CorpusOpsSpec extends AnyFunSuite {
         batch(4, 1 to 3), "r4", None)
       assert(u4 === 3L)
       assert(acc()._1 === 3L, "steady delta accretes churn")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("corpus forget: a forget-DOMINATED sequence trips the churn " +
+    "bound (deletions count as churn) and the next release's exact " +
+    "rebuild resets the gauge; precondition failures mutate nothing; " +
+    "dropCorpusTag drops both pins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def batch(r: Int, ids: Range) = ids.map(d =>
+      (d.toLong, (1 to 30).map(j => s"f${r}d${d}w$j").mkString(" "),
+        "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wh = java.nio.file.Files.createTempDirectory("forget_churn").toString
+    try {
+      val store = new graft.store.TableStore(spark, wh)
+      val idxDir = s"$wh/corpus_index"
+      def churn() = store.readIfExists(graft.run.CorpusCardAcc.AccTable)
+        .get.agg(coalesce(sum("churn"), lit(0L))).head().getLong(0)
+      graft.run.CorpusOps.release(spark, store, wh, batch(1, 1 to 40),
+        "r1", None, snapshotTag = Some("epoch1"))
+      assert(churn() === 0L)
+      // mass takedown WITHOUT updates: 20/40 deleted — pure-negative
+      // churn must trip the bound exactly like update churn does
+      val (d1, rows1) = graft.run.CorpusOps.forget(spark, store, wh,
+        (1 to 20).map(_.toLong).toDF("doc_id"))
+      assert(d1 === 20L && rows1 === 20L)
+      assert(churn() === 20L, "deletions count as churn")
+      assert(graft.run.CorpusCardAcc.churnExceeded(
+        store.readIfExists(graft.run.CorpusCardAcc.AccTable).get))
+      // the next release routes through the exact rebuild: gauge resets
+      // and the rebuilt sketch holds live content only
+      graft.run.CorpusOps.release(spark, store, wh, batch(2, 100 to 104),
+        "r2", None)
+      assert(churn() === 0L, "forget-tripped bound forces the exact " +
+        "rebuild on the next release")
+      val est = store.readIfExists(graft.run.CorpusCardAcc.AccTable).get
+        .agg(sum(hll_sketch_estimate(col("hll")))).head().getLong(0)
+      assert(est <= 27L, "rebuilt sketch holds live content only " +
+        "(25 live docs), not content ever released (60)")
+
+      // precondition probe: an unfolded segment blocks forget BEFORE any
+      // state is touched — index trust survives a no-op failure
+      assert(graft.operators.MinhashIndex.isCommitted(spark, idxDir))
+      store.append("corpus_docs", store.readIfExists("corpus_docs").get
+        .limit(1))
+      intercept[IllegalArgumentException] {
+        graft.run.CorpusOps.forget(spark, store, wh,
+          Seq(100L).toDF("doc_id"))
+      }
+      assert(graft.operators.MinhashIndex.isCommitted(spark, idxDir),
+        "a pure precondition failure must not drop the trust marker")
+
+      // paired tag drop: the release pinned corpus_docs AND corpus_card
+      // under epoch1; dropping the corpus tag drops both
+      assert(store.readSnapshot("corpus_docs", "epoch1").nonEmpty)
+      assert(store.readSnapshot("corpus_card", "epoch1").nonEmpty)
+      assert(graft.run.CorpusOps.dropCorpusTag(store, "epoch1"))
+      assert(store.readSnapshot("corpus_docs", "epoch1").isEmpty)
+      assert(store.readSnapshot("corpus_card", "epoch1").isEmpty,
+        "the companion datasheet pin must not outlive the content pin")
+      assert(!graft.run.CorpusOps.dropCorpusTag(store, "epoch1"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

@@ -547,6 +547,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readIfExists("bt").get.count() === 1L)
   }
 
+  test("deleteRows: key columns are cast to the table's grain types " +
+       "before bucket hashing — an IntegerType key frame on a LongType " +
+       "grain deletes instead of silently missing its buckets") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    store.mergeInPlace("bt2", stageDf((1L to 50L).map(i => i -> s"v$i"): _*),
+      btSource, new java.sql.Timestamp(1000L))
+    // keys arriving as INT (a takedown list parsed narrow): the equi-join
+    // matches via implicit cast either way, but the bucket hash of the
+    // RAW IntegerType named the wrong buckets — a 0-row "successful"
+    // takedown, the silent failure mode a compliance primitive can't have
+    val intKeys = Seq(3, 7).toDF("id")
+    assert(intKeys.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(store.deleteRows("bt2", intKeys, Seq("id")) === 2L)
+    val left = store.readIfExists("bt2").get.select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!left(3L) && !left(7L) && left.size === 48)
+    // a grain column absent from the table schema fails loud, pre-read
+    intercept[IllegalArgumentException] {
+      store.deleteRows("bt2", Seq(1L).toDF("nope"), Seq("nope"))
+    }
+  }
+
   test("a snapshot read resolved BEFORE a fold materializes exactly " +
        "AFTER it: pinned segment paths are stable across retirement") {
     val (store, _) = mkStore()
