@@ -2589,18 +2589,15 @@ object SparkEntry {
     "pipeline_snapshot" ->
       """WITH v AS (SELECT * FROM orders
         |  WHERE o_orderstatus IN ('O','F','P') AND o_totalprice > 0),
-        |d AS (SELECT * FROM v WHERE o_orderkey % 100 = 0),
-        |bad AS (SELECT * FROM d WHERE o_orderkey % 1000 = 0)
+        |d AS (SELECT * FROM v ORDER BY o_orderkey LIMIT 6)
         |SELECT (SELECT count(*) FROM v) AS snap_rows,
         | CAST(0 AS BIGINT) AS snap_hi_keys,
         | CAST(0 AS BIGINT) AS snap_repriced,
         | (SELECT count(*) FROM v) + (SELECT count(*) FROM d) AS cur_rows,
         | (SELECT count(*) FROM d) AS cur_hi_keys,
-        | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
-        |   AS cur_repriced,
+        | (SELECT count(*) FROM d) AS cur_repriced,
         | (SELECT count(*) FROM d) AS cdc_inserts,
-        | (SELECT count(*) FROM d) - (SELECT count(*) FROM bad)
-        |   AS cdc_updates,
+        | (SELECT count(*) FROM d) AS cdc_updates,
         | CAST(0 AS BIGINT) AS cdc_deletes""".stripMargin,
     // the takedown: current = valid minus the mod-97 victims with none
     // left behind, the pin still serves the full pre-delete state, and

@@ -4625,6 +4625,15 @@ object TrainingData {
     val docTok = docs(spark, dir)
       .select(col("doc_id"), explode(F.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
+    // DELIBERATELY tokenized twice (base + docTok): a shared cached
+    // token-array projection was paired-adjudicated in round 15
+    // (interleaved best-of-5 x3 sessions, v2/v1 median ratios 0.81 /
+    // 1.07 / 1.02 ≈ 1.0 — the three distributed ranks dominate, not the
+    // tokenize) and REJECTED: caching O(corpus tokens) arrays is the
+    // wrong trade at scale (spill pressure), while the recompute
+    // streams. The r13→r14 quiet movement on this entry (2.46→4.49 s)
+    // is data-regeneration + window noise — identical code swung
+    // 4.1–5.6 s within one adjudication session.
     val counts = docTok.groupBy("token").agg(sum("k").as("c"))
     val total = counts.agg(sum("c").cast(DoubleType).as("n"))
     val lp = docTok.join(counts, "token")
