@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * atomically):
   *
   *   - `postings[_vN]/` — NARROW (band, doc_id, aseq) rows PARTITIONED BY
-  *     bp = pmod(xxhash64(band), 64) and sorted by band within
-  *     partitions: a probe collects its batch's <= 64 bp values for
-  *     partition pruning, and the in-file band ordering gives parquet
-  *     row-group min/max pushdown on the band equi-filter — small batches
-  *     read a sliver of the corpus postings, and NO probe drags shingle
-  *     arrays through the band scan.
+  *     bp = pmod(xxhash64(band), 64), sorted by band within partitions,
+  *     written with per-row-group parquet BLOOM filters on `band`
+  *     ([[withKeyBloom]]): a probe prunes partitions by its <= 64 bp
+  *     values AND pushes its band set as native In literals, which the
+  *     row-group blooms turn into exact skipping — an all-novel batch
+  *     reads ~zero posting rows, a colliding one only its collisions'
+  *     row groups, and NO probe drags shingle arrays through the band
+  *     scan.
   *   - `postings[_vN]/_ids/` — ONE (doc_id, ids, aseq) row per indexed
   *     content version, partitioned by ip = pmod(xxhash64(doc_id), 64):
   *     the Jaccard verify reads only the CANDIDATES' partitions, so
@@ -84,12 +86,31 @@ object MinhashIndex {
     */
   val BloomMinBits: Long = 1L << 22
 
-  /** Parquet pushes an `In` filter down as OR'd equality only up to
-    * `spark.sql.parquet.pushDownInFilterThreshold` (default 10) values;
-    * past that the literal prune buys nothing, so the probe falls back to
-    * hp-partition pruning alone.
+  /** Driver-side cap on key literals collected for probe pushdown.
+    * Spark 4 pushes `In` into parquet NATIVELY at any size (measured:
+    * `PushedFilters: [In(band, [...])]` with 64k literals), and the
+    * row-group key blooms written by [[withKeyBloom]] turn that into
+    * exact row-group skipping — a probe whose literals are all absent
+    * reads ZERO rows (measured at 5k/16k/64k literals). The cap bounds
+    * driver memory (64k × 32-char md5 ≈ 2 MB) and footer-eval cost;
+    * past it the probe falls back to partition pruning alone (honest
+    * degradation — a batch that large is a bulk rebuild's job anyway).
     */
-  private val MaxHashLiterals = 10
+  private val MaxKeyLiterals = 65536
+
+  /** Write options for key-probed parquet files (band postings, content
+    * hashes, id sidecars): bounded row groups so collision reads stay
+    * fine-grained, plus a per-row-group parquet BLOOM on the probe key —
+    * the storage-native structure that lets a pushed `In` skip every row
+    * group holding none of the probe's literals. expected NDV sized to
+    * the ~4 MB row group's row count (an undersized bloom degrades to
+    * false positives only — extra reads, never wrong answers).
+    */
+  private def withKeyBloom[T](w: org.apache.spark.sql.DataFrameWriter[T],
+                              key: String) =
+    w.option("parquet.block.size", (4 << 20).toString)
+      .option(s"parquet.bloom.filter.enabled#$key", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$key", "131072")
 
   /** Commit marker written as the LAST step of [[build]]/[[append]]. Its
     * absence means a mutation crashed mid-flight (or the index predates
@@ -340,10 +361,10 @@ object MinhashIndex {
     */
   private def writeHashesPruned(df: DataFrame, dest: String,
                                 mode: String): Unit =
-    df.withColumn("hp", hp(col("h")))
+    withKeyBloom(df.withColumn("hp", hp(col("h")))
       .repartition(col("hp"))
       .sortWithinPartitions("h")
-      .write.mode(mode).partitionBy("hp")
+      .write.mode(mode), "h").partitionBy("hp")
       .parquet(dest)
 
   // ------------------------------------------------ append sequence counter
@@ -489,16 +510,16 @@ object MinhashIndex {
     // of one per (task x dir) — without it a build scatters up to
     // shuffle-partitions x 64 tiny files per dataset (the append path's
     // same rule)
-    bandRowsNarrow(s)
+    withKeyBloom(bandRowsNarrow(s)
       .withColumn("aseq", lit(0L))
       .repartition(col("bp"))
       .sortWithinPartitions("band")
-      .write.mode("overwrite").partitionBy("bp")
+      .write.mode("overwrite"), "band").partitionBy("bp")
       .parquet(s"$indexDir/$next")
-    idsRows(s)
+    withKeyBloom(idsRows(s)
       .withColumn("aseq", lit(0L))
       .repartition(col("ip"))
-      .write.mode("overwrite").partitionBy("ip")
+      .write.mode("overwrite"), "doc_id").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
     // Bloom BEFORE hashes (the append path's ordering rule — within a
     // build's unpublished generation the order is cosmetic, but keeping
@@ -569,25 +590,25 @@ object MinhashIndex {
     // epoch — one shuffle of an O(batch) frame buys one file per
     // partition per append and ~8x fewer folds
     if (isSplit(spark, live)) {
-      bandRowsNarrow(s)
+      withKeyBloom(bandRowsNarrow(s)
         .withColumn("aseq", lit(aseq))
         .repartition(col("bp"))
         .sortWithinPartitions("band")
-        .write.mode("append").partitionBy("bp")
+        .write.mode("append"), "band").partitionBy("bp")
         .parquet(live)
-      idsRows(s)
+      withKeyBloom(idsRows(s)
         .withColumn("aseq", lit(aseq))
         .repartition(col("ip"))
-        .write.mode("append").partitionBy("ip")
+        .write.mode("append"), "doc_id").partitionBy("ip")
         .parquet(genIdsDir(live))
     } else
       // pre-split generation: append in ITS schema (ids inline) — a
       // generation stays layout-consistent; the next compaction migrates
-      bandRows(s)
+      withKeyBloom(bandRows(s)
         .withColumn("aseq", lit(aseq))
         .repartition(col("bp"))
         .sortWithinPartitions("band")
-        .write.mode("append").partitionBy("bp")
+        .write.mode("append"), "band").partitionBy("bp")
         .parquet(live)
     graft.core.Chaos.point("minhash.before-commit")
     markCommitted(spark, indexDir)
@@ -661,11 +682,12 @@ object MinhashIndex {
     val keepIds = keep.select("doc_id", "aseq")
     // narrow postings out — an inline-layout source drops its ride-along
     // arrays here: the fold IS the migration to the split layout
-    livePosts.select(col("doc_id"), col("band"), col("bp"), col("aseq"))
+    withKeyBloom(livePosts
+      .select(col("doc_id"), col("band"), col("bp"), col("aseq"))
       .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
       .repartition(col("bp"))
       .sortWithinPartitions("band")
-      .write.mode("overwrite").partitionBy("bp")
+      .write.mode("overwrite"), "band").partitionBy("bp")
       .parquet(s"$indexDir/$next")
     // the `_ids` sidecar: from the live sidecar, or salvaged from the
     // inline band rows on a migrating fold (the array is identical
@@ -679,7 +701,7 @@ object MinhashIndex {
       .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
       .withColumn("ip", idp(col("doc_id")))
       .repartition(col("ip"))
-      .write.mode("overwrite").partitionBy("ip")
+      .write.partitionBy("ip").mode("overwrite")
       .parquet(genIdsDir(s"$indexDir/$next"))
     writeHashesPruned(keep.select("doc_id", "h", "aseq"),
       s"$indexDir/$next/_hashes", "overwrite")
@@ -701,7 +723,8 @@ object MinhashIndex {
       // data-less dir (the schema-inference poison class)
       val supCount = sup.count()
       if (supCount > 0L)
-        sup.sortWithinPartitions("h").write.mode("overwrite")
+        withKeyBloom(sup.sortWithinPartitions("h")
+          .write.mode("overwrite"), "h")
           .parquet(s"$indexDir/$next/_hashes_superseded")
       // Bloom rebuild over live ∪ superseded: ONE filter serves both
       // tiers (the default tier merely sees the superseded hashes as
@@ -868,13 +891,13 @@ object MinhashIndex {
             .filter(col("maybe")).select("doc_id", "h").localCheckpoint()
           if (flagged.isEmpty) sC.localCheckpoint()
           else {
-            // bounded collects: ≤ MaxHashLiterals+1 hash strings, ≤
+            // bounded collects: ≤ MaxKeyLiterals+1 hash strings, ≤
             // NumHashPartitions partition ids — O(1) driver state
             val hs = flagged.select("h").distinct()
-              .limit(MaxHashLiterals + 1)
+              .limit(MaxKeyLiterals + 1)
               .collect().map(_.getString(0)).toSeq
             val lim: DataFrame => DataFrame = df =>
-              if (hs.size <= MaxHashLiterals)
+              if (hs.size <= MaxKeyLiterals)
                 df.filter(col("h").isin(hs: _*))
               else df
             val hps = flagged.select(hp(col("h")).as("p")).distinct()
@@ -923,35 +946,63 @@ object MinhashIndex {
       else if (isSplit(spark, live)) {
         // split layout: the band join scans NARROW postings (no arrays),
         // and the Jaccard verify reads only the CANDIDATES' `_ids`
-        // partitions — collisions, not the corpus, pay the array I/O
-        val cand = spark.read.parquet(live)
+        // partitions — collisions, not the corpus, pay the array I/O.
+        // The batch's own band set rides into the scan as pushed In
+        // literals (bounded collect, O(8·batch) strings under the cap):
+        // the per-row-group band blooms ([[withKeyBloom]]) skip every
+        // row group holding NONE of them, so an all-novel batch reads
+        // ~ZERO posting rows — the term that otherwise saturates to a
+        // full postings read once a batch's bands touch all 64 bp
+        // partitions (O(corpus·8) rows per streaming micro-batch at the
+        // 20x drain). Cap overflow degrades to bp pruning alone.
+        val batchBands = bBand.select("band").distinct()
+          .limit(MaxKeyLiterals + 1).collect().map(_.getString(0)).toSeq
+        val scan0 = spark.read.parquet(live)
           .filter(col("bp").isin(bps: _*))
+        val scan = if (batchBands.size <= MaxKeyLiterals)
+          scan0.filter(col("band").isin(batchBands: _*)) else scan0
+        val cand = scan
           .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
           .filter(col("_bc") <= maxBand)
           .select(col("band"), col("doc_id").as("cand_id"),
             col("aseq").as("cand_aseq"))
-        // candidate partitions from a bands-only join (no arrays on
-        // either side — the batch's ids column is projected away);
-        // bounded collect, at most NumBandPartitions values. The narrow
-        // band join is recomputed by the verify below instead of
-        // materialized: storing per-pair shingle arrays would cost more
-        // than re-scanning array-free postings
-        val ips = bBand.select("band").join(cand, Seq("band"))
-          .select(idp(col("cand_id")).as("ip")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        // candidate ids AND their `_ids` partitions from one bands-only
+        // join (no arrays on either side — the batch's ids column is
+        // projected away); bounded collect. Under the cap the ids double
+        // as literals for the `_ids` read (row-group skip via its doc_id
+        // blooms); past it, partitions alone prune — recomputed WITHOUT
+        // the limit, since a truncated pair list would silently drop
+        // candidate partitions (false novelty). The narrow band join is
+        // recomputed by the verify below instead of materialized:
+        // storing per-pair shingle arrays would cost more than
+        // re-scanning array-free postings
+        val candKeys = bBand.select("band").join(cand, Seq("band"))
+          .select(idp(col("cand_id")).as("ip"), col("cand_id")).distinct()
+          .limit(MaxKeyLiterals + 1).collect()
+        val (ips, candIds) =
+          if (candKeys.length > MaxKeyLiterals)
+            (bBand.select("band").join(cand, Seq("band"))
+              .select(idp(col("cand_id")).as("ip")).distinct()
+              .collect().map(_.getInt(0)).toSeq, Seq.empty[Long])
+          else (candKeys.map(_.getInt(0)).distinct.toSeq,
+            candKeys.map(_.getLong(1)).toSeq)
         if (ips.isEmpty) afterExact.select("doc_id").limit(0)
-        else bBand.join(cand, Seq("band"))
-          .select(col("doc_id"), col("ids"), col("cand_id"),
-            col("cand_aseq"))
-          .dropDuplicates("doc_id", "cand_id", "cand_aseq")
-          .join(
-            spark.read.parquet(genIdsDir(live))
-              .filter(col("ip").isin(ips: _*))
-              .select(col("doc_id").as("cand_id"),
+        else {
+          val idsScan0 = spark.read.parquet(genIdsDir(live))
+            .filter(col("ip").isin(ips: _*))
+          val idsScan = if (candIds.nonEmpty)
+            idsScan0.filter(col("doc_id").isin(candIds: _*)) else idsScan0
+          bBand.join(cand, Seq("band"))
+            .select(col("doc_id"), col("ids"), col("cand_id"),
+              col("cand_aseq"))
+            .dropDuplicates("doc_id", "cand_id", "cand_aseq")
+            .join(
+              idsScan.select(col("doc_id").as("cand_id"),
                 col("aseq").as("cand_aseq"), col("ids").as("ids_c")),
-            Seq("cand_id", "cand_aseq"))
-          .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
-          .select("doc_id").distinct()
+              Seq("cand_id", "cand_aseq"))
+            .filter(jaccardIds(col("ids"), col("ids_c")) >= jaccardThreshold)
+            .select("doc_id").distinct()
+        }
       } else {
         // pre-split generation: arrays ride in the posting rows
         val postings = spark.read.parquet(live)

@@ -920,6 +920,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     val MI = graft.operators.MinhashIndex
     val idx = java.nio.file.Files
       .createTempDirectory("graft_mh_bloom").toString
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        Option(te.taskMetrics)
+          .foreach(m => rowsRead.addAndGet(m.inputMetrics.recordsRead))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     try {
       MI.build(mk(1 to 400, "corp"), idx)
       val live = MI.livePostingsDir(spark, idx)
@@ -938,8 +948,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       val hidden = new java.io.File(s"$live/_hashes_hidden")
       assert(hashesDir.renameTo(hidden))
       val novelBatch = mk(1000 to 1049, "fresh")
+      // rows-axis pin for BOTH tiers: an all-novel probe's total input
+      // rows must stay far below the postings table (the batch's band
+      // literals + per-row-group band blooms skip the band scan; the
+      // Bloom sidecar short-circuits the hash tier) — pre-r15 code read
+      // the postings AND hash tables in full here
+      val postingsRows = spark.read.parquet(live).count()
+      Thread.sleep(300)
+      rowsRead.set(0L)
       assert(MI.novelDocs(spark, novelBatch, idx).count() === 50L,
         "all-novel probe must read zero hash rows (no false negatives)")
+      Thread.sleep(300)
+      assert(rowsRead.get() < postingsRows / 2 + 1,
+        s"all-novel probe read ${rowsRead.get()} rows — must stay far " +
+          s"below the $postingsRows-row postings table (row-group skip)")
       assert(hidden.renameTo(hashesDir))
       // dup replays still resolve through the Bloom gate (flagged docs
       // anti-join hp-pruned hashes)
@@ -964,6 +986,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
       assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L)
     } finally {
+      spark.sparkContext.removeSparkListener(listener)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
