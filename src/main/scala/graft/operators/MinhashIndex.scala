@@ -38,18 +38,15 @@ import org.apache.spark.sql.functions._
   *     migrates them.)
   *   - `postings[_vN]/_hashes/` — (doc_id, h, aseq): md5 content hashes,
   *     the exact-dup tier, invisible to the bp scans (underscore dir).
-  *     PARTITIONED BY hp = pmod(xxhash64(h), 64) and h-sorted within
-  *     files, so the Bloom-positive residue of a probe prunes both at
-  *     the partition and the row-group level. Indexes persisted before
+  *     PARTITIONED BY hp = pmod(xxhash64(h), 64), h-sorted within
+  *     files, and carrying per-row-group `h` blooms: a probe pushes its
+  *     batch's content hashes as In literals and prunes at the
+  *     partition, file, and row-group level — a mostly-novel batch
+  *     reads ~zero hash rows. Indexes persisted before
   *     the generation-complete layout keep hashes at `<indexDir>/hashes`
   *     — read via fallback until the next rebuild/compaction migrates
   *     them (the legacy dir is retired only once no retained generation
   *     still reads it).
-  *   - `postings[_vN]/_bloom/` + `_BLOOM_M` — bitmap-packed Bloom filter
-  *     over the content hashes (live ∪ superseded), consulted FIRST by
-  *     every probe so a mostly-novel batch reads zero hash rows: the
-  *     bound that keeps the exact tier O(batch + collisions) instead of
-  *     O(corpus) per streaming micro-batch.
   *   - `_ASEQ` — the append sequence counter: every [[append]] stamps its
   *     rows with the next value, which is what lets [[compact]]
   *     garbage-collect superseded content (keep the NEWEST content per
@@ -65,26 +62,11 @@ object MinhashIndex {
   val NumBandPartitions = 64
 
   /** Partition count of the hp-partitioned `_hashes` layout (new-layout
-    * generations only): the exact tier's residual anti-join prunes to the
-    * Bloom-positive docs' hp values, so collisions — not the corpus — pay
-    * the hash I/O.
+    * generations only): probes prune their file listing to the batch's
+    * hp values, and the per-row-group `h` blooms bound what survives —
+    * collisions, not the corpus, pay the hash I/O.
     */
   val NumHashPartitions = 64
-
-  /** Bloom hash-function count (k). Positions are md5-derived
-    * ([[graft.queries.TrainingData]] h60 idiom) so the filter is
-    * deterministic and portable; it never changes RESULTS (no false
-    * negatives by construction), only which hash row groups a probe must
-    * open.
-    */
-  val BloomK = 3
-
-  /** Floor for the Bloom bit count m; [[bloomSize]] scales it with the
-    * content count at build/compact (32 bits/doc ⇒ fp ≈ 7e-4 at k=3), so
-    * a growing corpus re-sizes its filter at every fold instead of
-    * saturating.
-    */
-  val BloomMinBits: Long = 1L << 22
 
   /** Driver-side cap on key literals collected for probe pushdown.
     * Spark 4 pushes `In` into parquet NATIVELY at any size (measured:
@@ -231,126 +213,40 @@ object MinhashIndex {
     fsFor(spark, p).exists(p)
   }
 
-  // ---- Bloom sidecar over content hashes: the exact tier's scale bound --
+  // ---- exact tier's scale bound: literal pushdown + row-group blooms --
   //
-  // Without it the exact-dup tier anti-joined EVERY probe batch against
-  // the full `_hashes` table — O(corpus rows) read per streaming
-  // micro-batch, the last linear term in the steady-state release loop
-  // (the rows-axis instrument showed it at 678k of 823k rows/release at
-  // the 20x drain). The sidecar is a persisted Bloom filter over `h`,
-  // BITMAP-PACKED as (w, bits) words — one row per 64 bit positions, so
-  // the probe-side read PLATEAUS at m/64 rows no matter how large the
-  // corpus grows (positions-as-rows, the relational-Bloom shape of
-  // [[graft.queries.TrainingData.dedupBloom]], would keep growing at
-  // k rows per novel doc until m saturates). No false negatives by
-  // construction: every h written to `_hashes` (and every h the
-  // compaction GC moves to `_hashes_superseded`) has its k positions in
-  // the filter FIRST, so a Bloom-negative doc is definitely novel and a
-  // mostly-novel batch's exact tier reads ZERO hash rows; only the
-  // Bloom-positive residue (true dups + fp ~ 7e-4) anti-joins, against
-  // hp-pruned (and, under the parquet In-pushdown threshold,
-  // h-literal-pruned row-group-sorted) hashes — O(collisions), not
-  // O(corpus).
-  //
-  //   - `$live/_bloom/` — (w: long, bits: long) set words. Appends add
-  //     their batch's words beside existing rows (the probe ORs
-  //     per-word across rows); build/compact rewrite one row per word.
-  //   - `$live/_BLOOM_M` — the generation's bit count m: append-time
-  //     positions must hash against the SAME m the generation was built
-  //     with.
-  //
-  // Underscore-prefixed like `_hashes`, so band scans never see it.
-  // Pre-Bloom generations (no `_bloom/`) probe through the legacy
-  // full-hash-read path until a rebuild/compaction migrates them.
+  // The exact-dup tier once anti-joined EVERY probe batch against the
+  // full `_hashes` table — O(corpus rows) read per streaming micro-batch,
+  // the last linear term in the steady-state release loop (678k of 823k
+  // rows/release at the 20x drain). The bound is now STORAGE-NATIVE:
+  // `_hashes` files carry per-row-group parquet bloom filters on `h`
+  // ([[withKeyBloom]]), and the probe pushes its batch's content hashes
+  // as native In literals — a row group holding NONE of them is skipped
+  // without reading a row, so a mostly-novel batch's exact tier costs
+  // footer IO only, and a dup-heavy one reads just the row groups its
+  // duplicates live in. A custom bitmap-packed Bloom SIDECAR was built
+  // and measured first (round 15) and REJECTED by its own instrument:
+  // its read floor is min(m/64, k·n) rows per probe and per-append word
+  // fragments accrete until compaction (measured 181k rows/probe at the
+  // 20x drain vs ~0 for the storage-native path — the sidecar cost MORE
+  // than the hash table it was guarding).
 
-  /** Next power of two ≥ max(BloomMinBits, 32·n): ~32 bits per content
-    * hash keeps fp ≈ (1-e^(-3·n/m))^3 ≤ ~7e-4 at k=3.
+  /** `_hashes` partition of a content hash — probes collect their
+    * batch's hp values (bounded small ints) and list only those
+    * partitions' files.
     */
-  private def bloomSize(n: Long): Long = {
-    val target = math.max(BloomMinBits, 32L * math.max(n, 1L))
-    if (java.lang.Long.bitCount(target) == 1) target
-    else java.lang.Long.highestOneBit(target) << 1
-  }
-
-  /** Portable 60-bit hash (md5 prefix as BIGINT — the repo's
-    * oracle-checkable hashing idiom, [[graft.queries.TrainingData]] h60).
-    */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** The k Bloom bit positions of a content-hash column, as an array. */
-  private def bloomPositions(h: Column, m: Long): Column =
-    array((0 until BloomK).map(i =>
-      pmod(h60(concat(h, lit(s"#$i"))), lit(m))): _*)
-
-  /** `_hashes` partition of a content hash — probe-side residual lookups
-    * collect their flagged docs' hp values (bounded small ints) and read
-    * only those partitions.
-    */
-  private def hp(h: Column): Column =
+  private[graft] def hp(h: Column): Column =
     pmod(xxhash64(h), lit(NumHashPartitions.toLong)).cast("int")
 
-  private def genBloomDir(live: String) = s"$live/_bloom"
-
-  /** True when `live` carries the Bloom sidecar — which, by the write
-    * paths' invariant, also means its `_hashes` is hp-partitioned and
-    * h-sorted within files.
+  /** True when a hashes dir is hp-partitioned (new layout): appends must
+    * write in the generation's own layout, and probes may partition-prune.
     */
-  private def hasBloom(spark: SparkSession, live: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(genBloomDir(live))
-    fsFor(spark, p).exists(p)
-  }
-
-  private def readBloomM(spark: SparkSession, live: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(live, "_BLOOM_M")
-    val in = fsFor(spark, p).open(p)
-    try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
-  }
-
-  private def writeBloomM(spark: SparkSession, live: String,
-                          m: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(live, "_BLOOM_M")
-    val out = fsFor(spark, p).create(p, true)
-    try out.write(m.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** (w, bits) set-word rows of a one-column `h` frame: explode the k
-    * positions, pack 64 per word with a bit_or fold. Coalesced to one
-    * file — at the adaptive m this is ≤ m/64 longs (a few MB); a
-    * deployment sizing m for billions of docs shards the write instead.
-    */
-  private def bloomWordRows(hs: DataFrame, m: Long): DataFrame =
-    hs.select(explode(bloomPositions(col("h"), m)).as("pos"))
-      .select(expr("shiftright(pos, 6)").as("w"),
-        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
-      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
-
-  /** Per-(doc_id, h) Bloom verdict of a narrow batch projection: `maybe`
-    * is true iff ALL k positions are set (ORing across a word's rows, so
-    * un-folded append fragments read correctly). Bloom-false docs are
-    * DEFINITELY not in the indexed content set.
-    */
-  private def bloomMaybe(spark: SparkSession, narrow: DataFrame,
-                         live: String): DataFrame = {
-    val m = readBloomM(spark, live)
-    val bloom = spark.read.parquet(genBloomDir(live))
-    narrow
-      .select(col("doc_id"), col("h"),
-        posexplode(bloomPositions(col("h"), m)))
-      .toDF("doc_id", "h", "i", "pos")
-      .select(col("doc_id"), col("h"), col("i"),
-        expr("shiftright(pos, 6)").as("w"),
-        expr("cast(pos % 64 as int)").as("b"))
-      .join(bloom, Seq("w"), "left")
-      .withColumn("hit",
-        col("bits").isNotNull && expr("(shiftright(bits, b) & 1) = 1"))
-      .groupBy("doc_id", "h")
-      .agg((countDistinct(when(col("hit"), col("i"))) === BloomK)
-        .as("maybe"))
+  private def hashesPartitioned(spark: SparkSession,
+                                hashesDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(hashesDir)
+    val fs = fsFor(spark, p)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("hp="))
   }
 
   /** Write a generation's `_hashes` in the pruned layout: hp-partitioned
@@ -424,7 +320,7 @@ object MinhashIndex {
     * indexes keep hashes at `<indexDir>/hashes` until a rebuild or
     * compaction migrates them.
     */
-  private def genHashesDir(spark: SparkSession, indexDir: String,
+  private[graft] def genHashesDir(spark: SparkSession, indexDir: String,
                            genDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$genDir/_hashes")
     if (fsFor(spark, p).exists(p)) p.toString else s"$indexDir/hashes"
@@ -495,10 +391,8 @@ object MinhashIndex {
     // dir (no bp= dirs, no schema) that breaks every later read of the
     // index — fail loud instead of building poison (the
     // [[VectorIndex.buildIvf]] empty-sample rule); an index over nothing
-    // is a caller error, not a state. The count doubles as the Bloom
-    // sizing input (one pass over the already-cached frame).
-    val nDocs = s.count()
-    if (nDocs == 0L) {
+    // is a caller error, not a state
+    if (s.isEmpty) {
       s.unpersist()
       throw new IllegalArgumentException(
         "MinhashIndex.build: empty document frame — an index over " +
@@ -521,13 +415,6 @@ object MinhashIndex {
       .repartition(col("ip"))
       .write.mode("overwrite"), "doc_id").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
-    // Bloom BEFORE hashes (the append path's ordering rule — within a
-    // build's unpublished generation the order is cosmetic, but keeping
-    // one rule everywhere keeps the no-false-negative invariant auditable)
-    val m = bloomSize(nDocs)
-    bloomWordRows(s.select("h"), m).coalesce(1)
-      .write.mode("overwrite").parquet(genBloomDir(s"$indexDir/$next"))
-    writeBloomM(spark, s"$indexDir/$next", m)
     writeHashesPruned(
       s.select(col("doc_id"), col("h")).withColumn("aseq", lit(0L)),
       s"$indexDir/$next/_hashes", "overwrite")
@@ -561,26 +448,19 @@ object MinhashIndex {
     // absent commit marker routes the next release to a rebuild anyway
     writeAseq(spark, indexDir, aseq)
     val s = signedUnique(docs).cache()
-    // Bloom-carrying generation: append the batch's set words FIRST —
-    // under any crash or probe interleaving the filter stays a SUPERSET
-    // of the persisted hashes (extra positions are false positives, which
-    // only route a few docs to the anti-join; a missing position would be
-    // a false negative, a silently admitted duplicate). Then hashes in
-    // the generation's OWN layout: hp-partitioned for Bloom generations,
-    // flat for legacy ones (a generation stays layout-consistent; the
-    // next rebuild/compaction migrates).
-    val genHasBloom = hasBloom(spark, live)
-    if (genHasBloom) {
-      bloomWordRows(s.select("h"), readBloomM(spark, live)).coalesce(1)
-        .write.mode("append").parquet(genBloomDir(live))
+    // hashes in the generation's OWN layout: hp-partitioned for new
+    // generations, flat for legacy ones (a generation stays
+    // layout-consistent; the next rebuild/compaction migrates)
+    val hashesDir = genHashesDir(spark, indexDir, live)
+    if (hashesPartitioned(spark, hashesDir))
       writeHashesPruned(
         s.select(col("doc_id"), col("h")).withColumn("aseq", lit(aseq)),
-        genHashesDir(spark, indexDir, live), "append")
-    } else
+        hashesDir, "append")
+    else
       s.select(col("doc_id"), col("h"))
         .withColumn("aseq", lit(aseq))
         .write.mode("append")
-        .parquet(genHashesDir(spark, indexDir, live))
+        .parquet(hashesDir)
     // crash seam: hashes landed, postings not — the index is half-synced
     // and MUST read as uncommitted (CorpusOpsSpec kill-point matrix)
     graft.core.Chaos.point("minhash.mid-append")
@@ -721,21 +601,10 @@ object MinhashIndex {
     try {
       // zero superseded rows (pure-insert corpora): never write the
       // data-less dir (the schema-inference poison class)
-      val supCount = sup.count()
-      if (supCount > 0L)
+      if (!sup.isEmpty)
         withKeyBloom(sup.sortWithinPartitions("h")
           .write.mode("overwrite"), "h")
           .parquet(s"$indexDir/$next/_hashes_superseded")
-      // Bloom rebuild over live ∪ superseded: ONE filter serves both
-      // tiers (the default tier merely sees the superseded hashes as
-      // safe false positives), re-sized to the fold's content count so a
-      // growing corpus never saturates its filter. The fold IS the Bloom
-      // migration for pre-Bloom generations.
-      val m = bloomSize(keep.count() + supCount)
-      bloomWordRows(
-        keep.select("h").unionByName(sup.select("h")), m).coalesce(1)
-        .write.mode("overwrite").parquet(genBloomDir(s"$indexDir/$next"))
-      writeBloomM(spark, s"$indexDir/$next", m)
     } finally { sup.unpersist(); () }
     keep.unpersist()
     hashes.unpersist()
@@ -824,10 +693,10 @@ object MinhashIndex {
   }
 
   /** The batch documents NOT already in the indexed corpus: exact tier
-    * consults the generation's Bloom sidecar first (no false negatives —
-    * Bloom-miss docs are novel with ZERO hash rows read) and anti-joins
-    * only the flagged residue against hp-pruned, row-group-sorted
-    * content hashes; near-dup tier probes the postings — the batch's bp
+    * anti-joins the persisted content hashes with the batch's own h set
+    * pushed as In literals — the per-row-group `h` blooms skip every
+    * row group holding none of them, so a mostly-novel batch reads
+    * ~zero hash rows; near-dup tier probes the postings — the batch's bp
     * set prunes partitions, the band equi-join collides candidates, the
     * standard 1000-doc band cap bounds degenerate-band fan-out, and a
     * merge-scan Jaccard verifies. Returns the batch rows (original
@@ -862,82 +731,48 @@ object MinhashIndex {
     // (the band rows below and the survivor semi-join at the end), so
     // left lazy it would run twice per probe — measured at the 20x
     // rehearsal as a full extra corpus-sized read per release back when
-    // the tier scanned the whole hash table (ReleaseCost: probe =
-    // postings + 2x hashes before, + 1x after; the Bloom gate has since
-    // reduced the per-pass hash read to the flagged residue, but the
-    // one-materialization rule stands). localCheckpoint materializes the
-    // O(batch) survivor set once; the probe is already eager anyway (the
-    // bps collect below), so this adds no laziness surprise, and
-    // checkpoint blocks are freed with the frame when callers unpersist
-    // their derived caches.
+    // the tier scanned the whole hash table. localCheckpoint
+    // materializes the O(batch) survivor set once; the probe is already
+    // eager anyway (the literal collects below), so this adds no
+    // laziness surprise, and checkpoint blocks are freed with the frame
+    // when callers unpersist their derived caches.
     val s = signed(batch.select("doc_id", "text"))
     // ONE pointer resolution for hashes + postings (livePostingsDir note)
     val live = livePostingsDir(spark, indexDir)
-    val afterExact =
-      if (hasBloom(spark, live)) {
-        // Bloom-first exact tier: consult the m/64-row-bounded set-word
-        // sidecar, split the batch on the verdict, and anti-join ONLY the
-        // Bloom-positive residue (true dups + fp ~ 7e-4) against hashes
-        // pruned to the residue's hp partitions — and, when the residue
-        // fits the parquet In-pushdown threshold, to its h literals, so
-        // the h-sorted row groups skip too. A mostly-novel batch
-        // therefore reads ZERO hash rows (the hashes scan below is built
-        // lazily and never constructed when nothing flags — not even
-        // footer inference). Cached: three consumers (the Bloom verdict
-        // and the two split branches) share one shingle+sig computation.
-        val sC = s.cache()
-        try {
-          val flagged = bloomMaybe(spark, sC.select("doc_id", "h"), live)
-            .filter(col("maybe")).select("doc_id", "h").localCheckpoint()
-          if (flagged.isEmpty) sC.localCheckpoint()
-          else {
-            // bounded collects: ≤ MaxKeyLiterals+1 hash strings, ≤
-            // NumHashPartitions partition ids — O(1) driver state
-            val hs = flagged.select("h").distinct()
-              .limit(MaxKeyLiterals + 1)
-              .collect().map(_.getString(0)).toSeq
-            val lim: DataFrame => DataFrame = df =>
-              if (hs.size <= MaxKeyLiterals)
-                df.filter(col("h").isin(hs: _*))
-              else df
-            val hps = flagged.select(hp(col("h")).as("p")).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            val hashesP = lim(
-              spark.read.parquet(genHashesDir(spark, indexDir, live))
-                .filter(col("hp").isin(hps: _*)))
-            // strict tier: the Bloom covers live ∪ superseded (compact
-            // rebuilds it over both), so the same flagged residue bounds
-            // the registry lookup — literal-pruned when small (the
-            // registry is h-sorted), full otherwise
-            val seen =
-              if (strictReplay) supersededWithData(spark, live) match {
-                case Some(p) => hashesP.select("h").unionByName(
-                  lim(spark.read.parquet(p)).select("h"))
-                case None => hashesP.select("h")
-              }
-              else hashesP.select("h")
-            val checked = sC
-              .join(flagged.select("doc_id"), Seq("doc_id"), "left_semi")
-              .join(seen, Seq("h"), "left_anti")
-            sC.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
-              .unionByName(checked.select(sC.columns.map(col): _*))
-              .localCheckpoint()
-          }
-        } finally { sC.unpersist(); () }
-      } else {
-        // pre-Bloom generation: the legacy full-hash-table anti-join,
-        // until a rebuild/compaction migrates the layout
-        val hashes =
-          spark.read.parquet(genHashesDir(spark, indexDir, live))
-        val seen =
-          if (strictReplay) supersededWithData(spark, live) match {
-            case Some(p) => hashes.select("h")
-              .unionByName(spark.read.parquet(p).select("h"))
-            case None => hashes.select("h")
-          }
-          else hashes.select("h")
-        s.join(seen, Seq("h"), "left_anti").localCheckpoint()
+    // exact tier: anti-join against the persisted content hashes, with
+    // the batch's own h set pushed as native In literals — the per-row-
+    // group `h` blooms ([[withKeyBloom]]) skip every row group holding
+    // none of them, so a mostly-novel batch reads ~ZERO hash rows and a
+    // dup-heavy one only its duplicates' row groups. The batch's hp set
+    // (bounded, ≤ NumHashPartitions ints) additionally prunes the file
+    // listing when the generation is hp-partitioned. Restricting the
+    // anti-join's right side to the batch's own hashes is semantics-
+    // preserving (the join can only ever match those); cap overflow
+    // degrades to the unrestricted scan — correct, just unpruned. Files
+    // written before the bloom layout are never skipped (read in full),
+    // so mixed generations stay correct.
+    val hashesDir = genHashesDir(spark, indexDir, live)
+    val batchHs = s.select("h").distinct()
+      .limit(MaxKeyLiterals + 1).collect().map(_.getString(0)).toSeq
+    val lim: DataFrame => DataFrame = df =>
+      if (batchHs.size <= MaxKeyLiterals)
+        df.filter(col("h").isin(batchHs: _*))
+      else df
+    val hashes0 = spark.read.parquet(hashesDir)
+    val hashesP = lim(
+      if (hashesPartitioned(spark, hashesDir)) {
+        val hps = s.select(hp(col("h")).as("p")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        hashes0.filter(col("hp").isin(hps: _*))
+      } else hashes0)
+    val seen =
+      if (strictReplay) supersededWithData(spark, live) match {
+        case Some(p) => hashesP.select("h")
+          .unionByName(lim(spark.read.parquet(p)).select("h"))
+        case None => hashesP.select("h")
       }
+      else hashesP.select("h")
+    val afterExact = s.join(seen, Seq("h"), "left_anti").localCheckpoint()
     val bBand = bandRows(afterExact)
     // bounded collect: at most NumBandPartitions distinct values
     val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
@@ -966,23 +801,29 @@ object MinhashIndex {
           .filter(col("_bc") <= maxBand)
           .select(col("band"), col("doc_id").as("cand_id"),
             col("aseq").as("cand_aseq"))
-        // candidate ids AND their `_ids` partitions from one bands-only
-        // join (no arrays on either side — the batch's ids column is
-        // projected away); bounded collect. Under the cap the ids double
-        // as literals for the `_ids` read (row-group skip via its doc_id
-        // blooms); past it, partitions alone prune — recomputed WITHOUT
-        // the limit, since a truncated pair list would silently drop
-        // candidate partitions (false novelty). The narrow band join is
-        // recomputed by the verify below instead of materialized:
-        // storing per-pair shingle arrays would cost more than
-        // re-scanning array-free postings
-        val candKeys = bBand.select("band").join(cand, Seq("band"))
+        // the collision PAIR SET, materialized once from ONE postings
+        // scan (narrow — no arrays on either side, the batch's ids
+        // column is projected away): O(collisions) rows, consumed by
+        // both the bounded candidate-key collect and the Jaccard verify.
+        // Left lazy, those two consumers re-ran the postings scan —
+        // measured as a second full postings read per release whenever
+        // the band-literal cap overflowed.
+        val pairs = bBand.select("doc_id", "band").join(cand, Seq("band"))
+          .select(col("doc_id"), col("cand_id"), col("cand_aseq"))
+          .dropDuplicates("doc_id", "cand_id", "cand_aseq")
+          .localCheckpoint()
+        // candidate ids and their `_ids` partitions, off the
+        // materialized pairs. Under the cap the ids double as literals
+        // for the `_ids` read (row-group skip via its doc_id blooms);
+        // past it, partitions alone prune — recomputed WITHOUT the
+        // limit, since a truncated list would silently drop candidate
+        // partitions (false novelty)
+        val candKeys = pairs
           .select(idp(col("cand_id")).as("ip"), col("cand_id")).distinct()
           .limit(MaxKeyLiterals + 1).collect()
         val (ips, candIds) =
           if (candKeys.length > MaxKeyLiterals)
-            (bBand.select("band").join(cand, Seq("band"))
-              .select(idp(col("cand_id")).as("ip")).distinct()
+            (pairs.select(idp(col("cand_id")).as("ip")).distinct()
               .collect().map(_.getInt(0)).toSeq, Seq.empty[Long])
           else (candKeys.map(_.getInt(0)).distinct.toSeq,
             candKeys.map(_.getLong(1)).toSeq)
@@ -992,10 +833,12 @@ object MinhashIndex {
             .filter(col("ip").isin(ips: _*))
           val idsScan = if (candIds.nonEmpty)
             idsScan0.filter(col("doc_id").isin(candIds: _*)) else idsScan0
-          bBand.join(cand, Seq("band"))
-            .select(col("doc_id"), col("ids"), col("cand_id"),
-              col("cand_aseq"))
-            .dropDuplicates("doc_id", "cand_id", "cand_aseq")
+          pairs
+            // the batch side's shingle arrays re-join from the
+            // checkpointed exact-tier survivors (cheap narrow re-read);
+            // materializing them per PAIR would cost more than this join
+            .join(afterExact.select(col("doc_id"), col("ids")),
+              Seq("doc_id"))
             .join(
               idsScan.select(col("doc_id").as("cand_id"),
                 col("aseq").as("cand_aseq"), col("ids").as("ids_c")),

@@ -910,9 +910,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("minhash_index: Bloom sidecar bounds the exact tier — an " +
-    "all-novel probe opens NO hash files; appends keep the " +
-    "no-false-negative invariant; compaction rebuilds the filter") {
+  test("minhash_index: pushed key literals + row-group blooms bound " +
+    "the probe — an all-novel batch reads ~zero index rows; appends " +
+    "keep the invariant; compaction preserves it") {
     import spark.implicits._
     def mk(ids: Range, tag: String) = ids.map(i =>
       (i.toLong, (1 to 25).map(j => s"${tag}u${i}w$j").mkString(" ")))
@@ -933,56 +933,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     try {
       MI.build(mk(1 to 400, "corp"), idx)
       val live = MI.livePostingsDir(spark, idx)
-      assert(new java.io.File(s"$live/_bloom").exists(),
-        "build writes the Bloom sidecar")
-      assert(new java.io.File(s"$live/_BLOOM_M").exists())
       assert(new java.io.File(s"$live/_hashes").listFiles()
         .exists(_.getName.startsWith("hp=")),
         "build writes hp-partitioned hashes")
-      // THE structural pin of the O(batch + collisions) bound: hide the
-      // hash table entirely; an all-novel batch's probe must still
-      // succeed, because a flagged-empty Bloom verdict never constructs
-      // the hashes scan (not even schema inference). Pre-Bloom code read
-      // the FULL table here — O(corpus rows) per streaming micro-batch.
-      val hashesDir = new java.io.File(s"$live/_hashes")
-      val hidden = new java.io.File(s"$live/_hashes_hidden")
-      assert(hashesDir.renameTo(hidden))
-      val novelBatch = mk(1000 to 1049, "fresh")
-      // rows-axis pin for BOTH tiers: an all-novel probe's total input
-      // rows must stay far below the postings table (the batch's band
-      // literals + per-row-group band blooms skip the band scan; the
-      // Bloom sidecar short-circuits the hash tier) — pre-r15 code read
-      // the postings AND hash tables in full here
+      // THE rows-axis pin of the O(batch + collisions) bound: an
+      // all-novel batch probes BOTH tiers (hash anti-join + band scan)
+      // reading ~zero index rows — its pushed h/band literals miss every
+      // row group's bloom. Pre-r15 code read the postings AND hash
+      // tables in full here: O(corpus rows) per streaming micro-batch.
       val postingsRows = spark.read.parquet(live).count()
+      val novelBatch = mk(1000 to 1049, "fresh")
       Thread.sleep(300)
       rowsRead.set(0L)
-      assert(MI.novelDocs(spark, novelBatch, idx).count() === 50L,
-        "all-novel probe must read zero hash rows (no false negatives)")
+      assert(MI.novelDocs(spark, novelBatch, idx).count() === 50L)
       Thread.sleep(300)
-      assert(rowsRead.get() < postingsRows / 2 + 1,
+      assert(rowsRead.get() < postingsRows / 4 + 1,
         s"all-novel probe read ${rowsRead.get()} rows — must stay far " +
           s"below the $postingsRows-row postings table (row-group skip)")
-      assert(hidden.renameTo(hashesDir))
-      // dup replays still resolve through the Bloom gate (flagged docs
-      // anti-join hp-pruned hashes)
+      // dup replays still resolve (their literals HIT row groups)
       assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
-      // append keeps the invariant both ways: appended content flags on
-      // replay, and a fresh batch still probes hash-free afterwards
+      // append keeps the invariant both ways: appended content resolves
+      // as dup on replay, and a fresh batch still probes ~row-free
       MI.append(novelBatch, idx)
       assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L,
-        "appended content registers in Bloom + hashes")
-      assert(hashesDir.renameTo(hidden))
+        "appended content registers in the hp layout with key blooms")
+      Thread.sleep(300)
+      rowsRead.set(0L)
       assert(MI.novelDocs(spark, mk(2000 to 2029, "fresh2"), idx)
-        .count() === 30L,
-        "post-append all-novel probe is still hash-free")
-      assert(hidden.renameTo(hashesDir))
-      // compaction rebuilds the filter in the new generation; no answer
-      // changes
+        .count() === 30L)
+      Thread.sleep(300)
+      assert(rowsRead.get() < postingsRows / 4 + 1,
+        "post-append all-novel probe must stay row-group-pruned")
+      // compaction rewrites the pruned layout; no answer changes
       MI.compact(spark, idx)
       val live2 = MI.livePostingsDir(spark, idx)
       assert(live2 !== live)
-      assert(new java.io.File(s"$live2/_bloom").exists(),
-        "compaction carries the Bloom into the new generation")
+      assert(new java.io.File(s"$live2/_hashes").listFiles()
+        .exists(_.getName.startsWith("hp=")),
+        "compaction carries the pruned hash layout forward")
       assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
       assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L)
     } finally {
