@@ -801,23 +801,23 @@ object MinhashIndex {
           .filter(col("_bc") <= maxBand)
           .select(col("band"), col("doc_id").as("cand_id"),
             col("aseq").as("cand_aseq"))
-        // the collision PAIR SET, materialized once from ONE postings
-        // scan (narrow — no arrays on either side, the batch's ids
-        // column is projected away): O(collisions) rows, consumed by
-        // both the bounded candidate-key collect and the Jaccard verify.
-        // Left lazy, those two consumers re-ran the postings scan —
-        // measured as a second full postings read per release whenever
-        // the band-literal cap overflowed.
+        // the collision PAIR SET (narrow — no arrays on either side, the
+        // batch's ids column is projected away), consumed by the bounded
+        // candidate-key collect and the Jaccard verify. DELIBERATELY
+        // LAZY: under the band-literal cap both consumers recompute a
+        // ~zero-row pruned scan; past it (bulk batches) recomputing the
+        // full scan twice was measured CHEAPER on the rows axis than
+        // checkpointing — dup-dense bulk geometries produce pair sets
+        // comparable to the postings themselves, and the checkpoint's
+        // block re-reads (2x|pairs|) exceed the scan it saves.
         val pairs = bBand.select("doc_id", "band").join(cand, Seq("band"))
           .select(col("doc_id"), col("cand_id"), col("cand_aseq"))
           .dropDuplicates("doc_id", "cand_id", "cand_aseq")
-          .localCheckpoint()
-        // candidate ids and their `_ids` partitions, off the
-        // materialized pairs. Under the cap the ids double as literals
-        // for the `_ids` read (row-group skip via its doc_id blooms);
-        // past it, partitions alone prune — recomputed WITHOUT the
-        // limit, since a truncated list would silently drop candidate
-        // partitions (false novelty)
+        // candidate ids and their `_ids` partitions. Under the cap the
+        // ids double as literals for the `_ids` read (row-group skip via
+        // its doc_id blooms); past it, partitions alone prune —
+        // recomputed WITHOUT the limit, since a truncated list would
+        // silently drop candidate partitions (false novelty)
         val candKeys = pairs
           .select(idp(col("cand_id")).as("ip"), col("cand_id")).distinct()
           .limit(MaxKeyLiterals + 1).collect()
