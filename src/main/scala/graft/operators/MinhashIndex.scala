@@ -752,19 +752,26 @@ object MinhashIndex {
     // written before the bloom layout are never skipped (read in full),
     // so mixed generations stay correct.
     val hashesDir = genHashesDir(spark, indexDir, live)
-    val batchHs = s.select("h").distinct()
-      .limit(MaxKeyLiterals + 1).collect().map(_.getString(0)).toSeq
+    // ONE bounded collect serves both prunes: (h, hp) pairs — h literals
+    // for row-group skipping, hp values (≤ NumHashPartitions ints) for
+    // partition pruning. Cap overflow recomputes the tiny hp set alone.
+    val hKeys = s.select(col("h"), hp(col("h")).as("p")).distinct()
+      .limit(MaxKeyLiterals + 1).collect()
+    val batchHs = hKeys.map(_.getString(0)).toSeq
+    val hps =
+      if (hKeys.length > MaxKeyLiterals)
+        s.select(hp(col("h")).as("p")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      else hKeys.map(_.getInt(1)).distinct.toSeq
     val lim: DataFrame => DataFrame = df =>
       if (batchHs.size <= MaxKeyLiterals)
         df.filter(col("h").isin(batchHs: _*))
       else df
     val hashes0 = spark.read.parquet(hashesDir)
     val hashesP = lim(
-      if (hashesPartitioned(spark, hashesDir)) {
-        val hps = s.select(hp(col("h")).as("p")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+      if (hashesPartitioned(spark, hashesDir))
         hashes0.filter(col("hp").isin(hps: _*))
-      } else hashes0)
+      else hashes0)
     val seen =
       if (strictReplay) supersededWithData(spark, live) match {
         case Some(p) => hashesP.select("h")
@@ -774,8 +781,16 @@ object MinhashIndex {
       else hashesP.select("h")
     val afterExact = s.join(seen, Seq("h"), "left_anti").localCheckpoint()
     val bBand = bandRows(afterExact)
-    // bounded collect: at most NumBandPartitions distinct values
-    val bps = bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE bounded collect: (band, bp) pairs — band literals for
+    // row-group skipping, bp values (≤ NumBandPartitions ints) for
+    // partition pruning. Cap overflow recomputes the tiny bp set alone.
+    val bandKeyRows = bBand.select(col("band"), col("bp")).distinct()
+      .limit(MaxKeyLiterals + 1).collect()
+    val batchBands = bandKeyRows.map(_.getString(0)).toSeq
+    val bps =
+      if (bandKeyRows.length > MaxKeyLiterals)
+        bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
+      else bandKeyRows.map(_.getInt(1)).distinct.toSeq
     val losers =
       if (bps.isEmpty) afterExact.select("doc_id").limit(0)
       else if (isSplit(spark, live)) {
@@ -790,8 +805,6 @@ object MinhashIndex {
         // full postings read once a batch's bands touch all 64 bp
         // partitions (O(corpus·8) rows per streaming micro-batch at the
         // 20x drain). Cap overflow degrades to bp pruning alone.
-        val batchBands = bBand.select("band").distinct()
-          .limit(MaxKeyLiterals + 1).collect().map(_.getString(0)).toSeq
         val scan0 = spark.read.parquet(live)
           .filter(col("bp").isin(bps: _*))
         val scan = if (batchBands.size <= MaxKeyLiterals)
