@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * Layout under `indexDir`:
   *   - `grams/` — (id) distinct 31-bit gram ids of the eval docs (the
   *     contamination evidence), PARTITIONED BY gp = pmod(xxhash64(id),
-  *     64) and sorted by id within partitions: a probe collects its
-  *     batch's ≤64 gp values for partition pruning and gets row-group
-  *     min/max pushdown on the id equi-join — small batches read a
-  *     sliver of the evidence.
+  *     64), sorted by id within partitions, and written with
+  *     per-row-group id BLOOM filters ([[KeyProbe.withKeyBloom]]): a
+  *     probe collects its batch's ≤64 gp values for partition pruning
+  *     AND pushes its gram ids as native In literals (sorted chunked
+  *     slices past the single-In cap), which the blooms + range stats
+  *     turn into exact row-group skipping — an uncontaminated batch
+  *     reads ~zero evidence rows. Gram ids are hash-random ints, so
+  *     range stats ALONE cannot prune a wide-spread probe set (the same
+  *     failure mode hash keys had pre-r15) — the blooms are what bound
+  *     it.
   *
   * Gram basis is the md5-derived [[graft.functions.VectorFunctions
   * .shingleIds]] the contamination family already uses, so every count a
@@ -126,8 +132,12 @@ object ContamIndex {
           }
         }
       }
+      // written in the probe layout ([[KeyProbe.withKeyBloom]]): id-sorted
+      // row groups with per-row-group id blooms, so a probe's pushed
+      // gram-id literals skip every row group holding none of them
       if (!rows.isEmpty)
-        rows.write.mode(if (overwrite) "overwrite" else "append")
+        KeyProbe.withKeyBloom(
+          rows.write.mode(if (overwrite) "overwrite" else "append"), "id")
           .partitionBy("gp")
           .parquet(s"$indexDir/grams")
     } finally { rows.unpersist(); () }
@@ -257,14 +267,31 @@ object ContamIndex {
     val offeredDir = liveOfferedDir(spark, indexDir)
     val fresh0 =
       if (partitionedHasData(spark, offeredDir, "hp")) {
-        // bounded collect: at most NumGramPartitions distinct values
-        val hps = hashed.select(hp(col("h")).as("hp")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        if (hps.isEmpty) return // empty batch
-        hashed.join(
-          spark.read.parquet(offeredDir).filter(col("hp").isin(hps: _*))
-            .select("h"),
-          Seq("h"), "left_anti")
+        // ONE bounded collect serves both prunes: (h, hp) pairs — h
+        // literals for row-group skipping (sorted slices past the
+        // single-In cap), hp values (≤ NumGramPartitions ints) for
+        // partition pruning; past the chunk bound the tiny hp set alone
+        // is recomputed (the [[MinhashIndex.novelDocs]] exact-tier
+        // pattern). WITHOUT the literal pushdown this anti-join read the
+        // registry's batch-hp partitions in full — and the registry
+        // grows O(distinct content ever offered) = O(corpus), so the
+        // release loop's accretion step carried a per-micro-batch read
+        // term that grew with the corpus (measured in the bench notes).
+        val hKeys = hashed.select(col("h"), hp(col("h")).as("p"))
+          .distinct().limit(KeyProbe.chunkBound + 1).collect()
+        if (hKeys.isEmpty) return // empty batch
+        val hps =
+          if (hKeys.length > KeyProbe.chunkBound)
+            hashed.select(hp(col("h")).as("p")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+          else hKeys.map(_.getInt(1)).distinct.toSeq
+        val reg0 = spark.read.parquet(offeredDir)
+          .filter(col("hp").isin(hps: _*))
+        val reg =
+          if (hKeys.length > KeyProbe.chunkBound) reg0
+          else KeyProbe.inSlices(reg0, "h",
+            hKeys.map(_.getString(0)).sorted.toSeq)
+        hashed.join(reg.select("h"), Seq("h"), "left_anti")
       } else hashed
     // one row per distinct fresh content, consumed by the gram
     // aggregation, the emptiness probes, and the registry append.
@@ -281,33 +308,51 @@ object ContamIndex {
       val dfRows = fresh
         .select(explode(shingleIds(col("text"), gramN)).as("id"))
         .groupBy("id").agg(count(lit(1)).as("df"))
-      // bounded collect: at most NumGramPartitions distinct values
-      val gps = dfRows.select(gp(col("id")).as("gp")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      // ONE bounded collect: (id, gp) pairs — gram-id literals for
+      // row-group skipping on the evidence semi-join, gp values for
+      // partition pruning; past the chunk bound the tiny gp set alone
+      // is recomputed
+      val gKeys = dfRows.select(col("id"), gp(col("id")).as("p"))
+        .limit(KeyProbe.chunkBound + 1).collect()
+      val gps =
+        if (gKeys.length > KeyProbe.chunkBound)
+          dfRows.select(gp(col("id")).as("p")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+        else gKeys.map(_.getInt(1)).distinct.toSeq
       // zero grams (all docs under the gram width): nothing to accrete,
       // and an empty partitioned write would leave a data-less dir that
       // breaks schema inference on the next probe
       if (gps.nonEmpty) {
+        val evid0 = spark.read.parquet(grams.toString)
+          .filter(col("gp").isin(gps: _*))
+        val evid =
+          if (gKeys.length > KeyProbe.chunkBound) evid0
+          else KeyProbe.inSlices(evid0, "id",
+            gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq)
         // cached across the emptiness probe and the write — uncached,
         // each would recompute the explode + evidence semi-join
-        val out = dfRows.join(
-            spark.read.parquet(grams.toString)
-              .filter(col("gp").isin(gps: _*)).select("id"),
-            Seq("id"), "left_semi")
+        val out = dfRows.join(evid.select("id"), Seq("id"), "left_semi")
           .withColumn("gp", gp(col("id")))
-          .sortWithinPartitions("id")
           .cache()
         try {
           if (!out.isEmpty) // same data-less-dir guard
-            out.write.mode("append").partitionBy("gp")
+            KeyProbe.withKeyBloom(out.repartition(col("gp"))
+              .sortWithinPartitions("id")
+              .write.mode("append"), "id").partitionBy("gp")
               .parquet(liveTrainDfDir(spark, indexDir))
         } finally { out.unpersist(); () }
       }
       // registry append LAST: a crash between the gram accretion above
       // and this write re-accretes the batch ONCE on replay (a bounded
-      // advisory overcount); the reverse order would undercount forever
-      fresh.select(col("h")).withColumn("hp", hp(col("h")))
-        .write.mode("append").partitionBy("hp").parquet(offeredDir)
+      // advisory overcount); the reverse order would undercount forever.
+      // Written in the probe layout (h blooms + h-sorted row groups, one
+      // file per touched partition) so the anti-join above stays
+      // row-group-pruned as the registry grows
+      KeyProbe.withKeyBloom(fresh.select(col("h"))
+        .withColumn("hp", hp(col("h")))
+        .repartition(col("hp"))
+        .sortWithinPartitions("h")
+        .write.mode("append"), "h").partitionBy("hp").parquet(offeredDir)
     } finally { fresh.unpersist(); () }
   }
 
@@ -319,8 +364,8 @@ object ContamIndex {
     * older ones.
     */
   private def foldGeneration(spark: SparkSession, indexDir: String,
-      pointer: String, base: String, part: String, maxFiles: Int)
-      (fold: DataFrame => DataFrame): Boolean = {
+      pointer: String, base: String, part: String, key: String,
+      maxFiles: Int)(fold: DataFrame => DataFrame): Boolean = {
     val live = GenDirs.resolve(spark, indexDir, pointer, base)
     val livePath = new org.apache.hadoop.fs.Path(live)
     val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -337,8 +382,11 @@ object ContamIndex {
       if (liveName == base) 1
       else liveName.stripPrefix(s"${base}_v").toInt + 1
     val next = s"${base}_v$nextGen"
-    fold(spark.read.parquet(live))
-      .write.mode("overwrite").partitionBy(part)
+    // the fold rewrites the probe layout too ([[KeyProbe.withKeyBloom]]):
+    // a fold that dropped the key blooms would silently lose the probes'
+    // row-group skip right when the steady-state loop folds
+    KeyProbe.withKeyBloom(fold(spark.read.parquet(live))
+      .write.mode("overwrite"), key).partitionBy(part)
       .parquet(s"$indexDir/$next")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     GenDirs.swap(spark, indexDir, pointer, next)
@@ -358,13 +406,13 @@ object ContamIndex {
   def maybeCompactTrainDf(spark: SparkSession, indexDir: String,
                           maxFilesPerPartition: Int = 8): Boolean = {
     val dfFolded = foldGeneration(spark, indexDir, "_TRAINDF", "train_df",
-      "gp", maxFilesPerPartition) { df =>
+      "gp", "id", maxFilesPerPartition) { df =>
       df.groupBy("gp", "id").agg(sum("df").as("df"))
         .repartition(col("gp"))
         .sortWithinPartitions("id")
     }
     val offFolded = foldGeneration(spark, indexDir, "_OFFERED", "offered",
-      "hp", maxFilesPerPartition) { df =>
+      "hp", "h", maxFilesPerPartition) { df =>
       // crash-replay duplicates collapse; re-sorted for row-group
       // min/max pushdown on the h anti-join
       df.select("hp", "h").distinct()
@@ -398,25 +446,42 @@ object ContamIndex {
     // cannot release (the MinhashIndex.novelDocs convention)
     val bGrams = batch
       .select(col("doc_id"), explode(shingleIds(col("text"), gramN)).as("id"))
-    // bounded collect: at most NumGramPartitions distinct values
-    val gps = bGrams.select(gp(col("id")).as("gp")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE bounded collect: (id, gp) pairs — the batch's gram-id literals
+    // for row-group skipping on BOTH the evidence and the df reads
+    // (sorted slices past the single-In cap; the joins below can only
+    // ever match the batch's own grams, so the restriction is
+    // semantics-preserving), gp values for partition pruning; past the
+    // chunk bound the tiny gp set alone is recomputed and partitions
+    // prune by themselves — correct, just unpruned
+    val gKeys = bGrams.select(col("id"), gp(col("id")).as("p")).distinct()
+      .limit(KeyProbe.chunkBound + 1).collect()
+    val gps =
+      if (gKeys.length > KeyProbe.chunkBound)
+        bGrams.select(gp(col("id")).as("p")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+      else gKeys.map(_.getInt(1)).distinct.toSeq
+    val gLits: Option[Seq[Any]] =
+      if (gKeys.length > KeyProbe.chunkBound) None
+      else Some(gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq)
+    def pruned(dir: String): DataFrame = {
+      val base = spark.read.parquet(dir).filter(col("gp").isin(gps: _*))
+      gLits.fold(base)(l => KeyProbe.inSlices(base, "id", l))
+    }
     val batchDf = bGrams.groupBy("id").agg(count(lit(1)).as("bdf"))
     val liveDf = liveTrainDfDir(spark, indexDir)
     val dfExists = partitionedHasData(spark, liveDf, "gp")
-    // corpus df for the batch's grams only: partition-pruned read,
-    // summed across append segments; absent state = 0 (the inline shape)
+    // corpus df for the batch's grams only: partition- and
+    // row-group-pruned read, summed across append segments; absent
+    // state = 0 (the inline shape)
     val heavy = (if (dfExists)
         batchDf.join(
-          spark.read.parquet(liveDf).filter(col("gp").isin(gps: _*))
-            .groupBy("id").agg(sum("df").as("cdf")),
+          pruned(liveDf).groupBy("id").agg(sum("df").as("cdf")),
           Seq("id"), "left")
           .select(col("id"),
             (col("bdf") + coalesce(col("cdf"), lit(0L))).as("df"))
       else batchDf.select(col("id"), col("bdf").as("df")))
       .filter(col("df") > dfCap).select("id")
-    val evidence = spark.read.parquet(gramsDir)
-      .filter(col("gp").isin(gps: _*))
+    val evidence = pruned(gramsDir)
       .select("id")
       .join(heavy, Seq("id"), "left_anti")
     val dropped = bGrams.join(evidence, Seq("id"), "left_semi")

@@ -68,31 +68,12 @@ object MinhashIndex {
     */
   val NumHashPartitions = 64
 
-  /** Driver-side cap on key literals collected for probe pushdown.
-    * Spark 4 pushes `In` into parquet NATIVELY at any size (measured:
-    * `PushedFilters: [In(band, [...])]` with 64k literals), and the
-    * row-group key blooms written by [[withKeyBloom]] turn that into
-    * exact row-group skipping — a probe whose literals are all absent
-    * reads ZERO rows (measured at 5k/16k/64k literals). The cap bounds
-    * driver memory (64k × 32-char md5 ≈ 2 MB) and footer-eval cost;
-    * past it the probe falls back to partition pruning alone (honest
-    * degradation — a batch that large is a bulk rebuild's job anyway).
-    */
-  private val MaxKeyLiterals = 65536
-
-  /** Write options for key-probed parquet files (band postings, content
-    * hashes, id sidecars): bounded row groups so collision reads stay
-    * fine-grained, plus a per-row-group parquet BLOOM on the probe key —
-    * the storage-native structure that lets a pushed `In` skip every row
-    * group holding none of the probe's literals. expected NDV sized to
-    * the ~4 MB row group's row count (an undersized bloom degrades to
-    * false positives only — extra reads, never wrong answers).
-    */
-  private def withKeyBloom[T](w: org.apache.spark.sql.DataFrameWriter[T],
-                              key: String) =
-    w.option("parquet.block.size", (4 << 20).toString)
-      .option(s"parquet.bloom.filter.enabled#$key", "true")
-      .option(s"parquet.bloom.filter.expected.ndv#$key", "131072")
+  // The probe-pruning primitives — single-`In` cap, sorted-slice chunked
+  // probing past it, and the per-row-group key-bloom write options — live
+  // in [[KeyProbe]], shared with [[ContamIndex]]. Every cap/fallback note
+  // below refers to those bounds; `GRAFT_CHUNKED_PROBE=0` is the rows-axis
+  // A/B seam that disables slicing (answers never change, only pruning).
+  import KeyProbe.{chunkBound, inSlices, withKeyBloom}
 
   /** Commit marker written as the LAST step of [[build]]/[[append]]. Its
     * absence means a mutation crashed mid-flight (or the index predates
@@ -413,6 +394,7 @@ object MinhashIndex {
     withKeyBloom(idsRows(s)
       .withColumn("aseq", lit(0L))
       .repartition(col("ip"))
+      .sortWithinPartitions("doc_id")
       .write.mode("overwrite"), "doc_id").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
     writeHashesPruned(
@@ -479,6 +461,7 @@ object MinhashIndex {
       withKeyBloom(idsRows(s)
         .withColumn("aseq", lit(aseq))
         .repartition(col("ip"))
+        .sortWithinPartitions("doc_id")
         .write.mode("append"), "doc_id").partitionBy("ip")
         .parquet(genIdsDir(live))
     } else
@@ -572,16 +555,24 @@ object MinhashIndex {
     // the `_ids` sidecar: from the live sidecar, or salvaged from the
     // inline band rows on a migrating fold (the array is identical
     // across a doc's band rows — one survives)
-    (if (liveSplit)
-       withAseq(spark.read.option("mergeSchema", "true")
-         .parquet(genIdsDir(live)))
-         .select("doc_id", "ids", "aseq")
-     else livePosts.select("doc_id", "ids", "aseq")
-       .dropDuplicates("doc_id", "aseq"))
-      .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
-      .withColumn("ip", idp(col("doc_id")))
-      .repartition(col("ip"))
-      .write.partitionBy("ip").mode("overwrite")
+    // written in the probe layout like build/append ([[withKeyBloom]] on
+    // doc_id + doc_id-sorted row groups): without it, post-compaction
+    // generations would lose the candidate-id row-group skip that
+    // novelDocs' idsScan In-filter relies on — and the steady-state loop
+    // compacts, so production probes would mostly hit the un-bloomed
+    // layout
+    withKeyBloom(
+      (if (liveSplit)
+         withAseq(spark.read.option("mergeSchema", "true")
+           .parquet(genIdsDir(live)))
+           .select("doc_id", "ids", "aseq")
+       else livePosts.select("doc_id", "ids", "aseq")
+         .dropDuplicates("doc_id", "aseq"))
+        .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
+        .withColumn("ip", idp(col("doc_id")))
+        .repartition(col("ip"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite"), "doc_id").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
     writeHashesPruned(keep.select("doc_id", "h", "aseq"),
       s"$indexDir/$next/_hashes", "overwrite")
@@ -753,19 +744,19 @@ object MinhashIndex {
     // so mixed generations stay correct.
     val hashesDir = genHashesDir(spark, indexDir, live)
     // ONE bounded collect serves both prunes: (h, hp) pairs — h literals
-    // for row-group skipping, hp values (≤ NumHashPartitions ints) for
+    // for row-group skipping (in sorted ≤64k slices past the single-In
+    // cap, [[inSlices]]), hp values (≤ NumHashPartitions ints) for
     // partition pruning. Cap overflow recomputes the tiny hp set alone.
     val hKeys = s.select(col("h"), hp(col("h")).as("p")).distinct()
-      .limit(MaxKeyLiterals + 1).collect()
-    val batchHs = hKeys.map(_.getString(0)).toSeq
+      .limit(chunkBound + 1).collect()
+    val batchHs = hKeys.map(_.getString(0)).sorted.toSeq
     val hps =
-      if (hKeys.length > MaxKeyLiterals)
+      if (hKeys.length > chunkBound)
         s.select(hp(col("h")).as("p")).distinct()
           .collect().map(_.getInt(0)).toSeq
       else hKeys.map(_.getInt(1)).distinct.toSeq
     val lim: DataFrame => DataFrame = df =>
-      if (batchHs.size <= MaxKeyLiterals)
-        df.filter(col("h").isin(batchHs: _*))
+      if (batchHs.size <= chunkBound) inSlices(df, "h", batchHs)
       else df
     val hashes0 = spark.read.parquet(hashesDir)
     val hashesP = lim(
@@ -780,15 +771,23 @@ object MinhashIndex {
       }
       else hashesP.select("h")
     val afterExact = s.join(seen, Seq("h"), "left_anti").localCheckpoint()
-    val bBand = bandRows(afterExact)
+    // band rows carrying the content hash: the Jaccard verify re-joins
+    // the batch side's shingle arrays from afterExact by (doc_id, h) —
+    // doc_id alone would let a probe batch carrying one doc_id under two
+    // texts verify version A's band collision against version B's array
+    val bBand = afterExact.select(col("doc_id"), col("h"), col("ids"),
+        explode(graft.functions.TextFunctions.bandKeys(col("sig"), 8, 2))
+          .as("band"))
+      .withColumn("bp", bp(col("band")))
     // ONE bounded collect: (band, bp) pairs — band literals for
-    // row-group skipping, bp values (≤ NumBandPartitions ints) for
-    // partition pruning. Cap overflow recomputes the tiny bp set alone.
+    // row-group skipping (sorted slices past the single-In cap), bp
+    // values (≤ NumBandPartitions ints) for partition pruning. Cap
+    // overflow recomputes the tiny bp set alone.
     val bandKeyRows = bBand.select(col("band"), col("bp")).distinct()
-      .limit(MaxKeyLiterals + 1).collect()
-    val batchBands = bandKeyRows.map(_.getString(0)).toSeq
+      .limit(chunkBound + 1).collect()
+    val batchBands = bandKeyRows.map(_.getString(0)).sorted.toSeq
     val bps =
-      if (bandKeyRows.length > MaxKeyLiterals)
+      if (bandKeyRows.length > chunkBound)
         bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
       else bandKeyRows.map(_.getInt(1)).distinct.toSeq
     val losers =
@@ -807,8 +806,8 @@ object MinhashIndex {
         // 20x drain). Cap overflow degrades to bp pruning alone.
         val scan0 = spark.read.parquet(live)
           .filter(col("bp").isin(bps: _*))
-        val scan = if (batchBands.size <= MaxKeyLiterals)
-          scan0.filter(col("band").isin(batchBands: _*)) else scan0
+        val scan = if (batchBands.size <= chunkBound)
+          inSlices(scan0, "band", batchBands) else scan0
         val cand = scan
           .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
           .filter(col("_bc") <= maxBand)
@@ -823,35 +822,39 @@ object MinhashIndex {
         // checkpointing — dup-dense bulk geometries produce pair sets
         // comparable to the postings themselves, and the checkpoint's
         // block re-reads (2x|pairs|) exceed the scan it saves.
-        val pairs = bBand.select("doc_id", "band").join(cand, Seq("band"))
-          .select(col("doc_id"), col("cand_id"), col("cand_aseq"))
-          .dropDuplicates("doc_id", "cand_id", "cand_aseq")
-        // candidate ids and their `_ids` partitions. Under the cap the
-        // ids double as literals for the `_ids` read (row-group skip via
-        // its doc_id blooms); past it, partitions alone prune —
-        // recomputed WITHOUT the limit, since a truncated list would
-        // silently drop candidate partitions (false novelty)
+        val pairs = bBand.select("doc_id", "h", "band")
+          .join(cand, Seq("band"))
+          .select(col("doc_id"), col("h"), col("cand_id"), col("cand_aseq"))
+          .dropDuplicates("doc_id", "h", "cand_id", "cand_aseq")
+        // candidate ids and their `_ids` partitions. Under the chunk
+        // bound the ids double as literals for the `_ids` read
+        // (row-group skip via its doc_id blooms, sorted slices past the
+        // single-In cap); past it, partitions alone prune — recomputed
+        // WITHOUT the limit, since a truncated list would silently drop
+        // candidate partitions (false novelty)
         val candKeys = pairs
           .select(idp(col("cand_id")).as("ip"), col("cand_id")).distinct()
-          .limit(MaxKeyLiterals + 1).collect()
+          .limit(chunkBound + 1).collect()
         val (ips, candIds) =
-          if (candKeys.length > MaxKeyLiterals)
+          if (candKeys.length > chunkBound)
             (pairs.select(idp(col("cand_id")).as("ip")).distinct()
               .collect().map(_.getInt(0)).toSeq, Seq.empty[Long])
           else (candKeys.map(_.getInt(0)).distinct.toSeq,
-            candKeys.map(_.getLong(1)).toSeq)
+            candKeys.map(_.getLong(1)).sorted.toSeq)
         if (ips.isEmpty) afterExact.select("doc_id").limit(0)
         else {
           val idsScan0 = spark.read.parquet(genIdsDir(live))
             .filter(col("ip").isin(ips: _*))
           val idsScan = if (candIds.nonEmpty)
-            idsScan0.filter(col("doc_id").isin(candIds: _*)) else idsScan0
+            inSlices(idsScan0, "doc_id", candIds) else idsScan0
           pairs
             // the batch side's shingle arrays re-join from the
-            // checkpointed exact-tier survivors (cheap narrow re-read);
+            // checkpointed exact-tier survivors (cheap narrow re-read)
+            // keyed by (doc_id, h) — the content version that generated
+            // the collision, not whichever version shares the doc_id;
             // materializing them per PAIR would cost more than this join
-            .join(afterExact.select(col("doc_id"), col("ids")),
-              Seq("doc_id"))
+            .join(afterExact.select(col("doc_id"), col("h"), col("ids")),
+              Seq("doc_id", "h"))
             .join(
               idsScan.select(col("doc_id").as("cand_id"),
                 col("aseq").as("cand_aseq"), col("ids").as("ids_c")),

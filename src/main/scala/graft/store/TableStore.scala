@@ -441,8 +441,13 @@ final class TableStore(spark: SparkSession, root: String,
     val tableSchema = readIfExists(name).getOrElse(
       throw new IllegalStateException(
         s"deleteRows($name): manifest present but table unreadable")).schema
+    // resolved with the session's own resolver (case-insensitive unless
+    // spark.sql.caseSensitive): the equi-joins below resolve `col(g)`
+    // case-insensitively, so an exact-match lookup here would throw on a
+    // valid grain name in different case that previously deleted fine
+    val resolver = spark.sessionState.analyzer.resolver
     val keyCols = grain.map { g =>
-      val f = tableSchema.find(_.name == g).getOrElse(
+      val f = tableSchema.find(f => resolver(f.name, g)).getOrElse(
         throw new IllegalArgumentException(
           s"deleteRows($name): grain column '$g' not in table schema"))
       col(g).cast(f.dataType).as(g)

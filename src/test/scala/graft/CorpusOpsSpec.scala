@@ -920,16 +920,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     val MI = graft.operators.MinhashIndex
     val idx = java.nio.file.Files
       .createTempDirectory("graft_mh_bloom").toString
+    // rows-read attribution SCOPED by job group (the StreamScaleBench
+    // listener idiom): a process-global recordsRead sum would absorb any
+    // concurrent Spark jobs in the shared test session and flake the
+    // quarter-of-postings bound below
+    val group = "mh-bloom-pin"
     val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+    val scoped = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(js.properties).exists(p =>
+            p.getProperty("spark.jobGroup.id") == group))
+          js.stageIds.foreach { s => scoped.add(s); () }
+        ()
+      }
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        Option(te.taskMetrics)
-          .foreach(m => rowsRead.addAndGet(m.inputMetrics.recordsRead))
+        if (scoped.contains(te.stageId))
+          Option(te.taskMetrics)
+            .foreach(m => rowsRead.addAndGet(m.inputMetrics.recordsRead))
         ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // run `f` under the pin's job group and return its scoped rows-read
+    // count once the async listener bus stops moving the gauge
+    def measured(f: => Unit): Long = {
+      rowsRead.set(0L)
+      spark.sparkContext.setJobGroup(group, "rows-read pin")
+      try f finally spark.sparkContext.clearJobGroup()
+      var prev = -1L
+      var v = rowsRead.get()
+      var waited = 0
+      while (v != prev && waited < 5000) {
+        Thread.sleep(150); waited += 150; prev = v; v = rowsRead.get()
+      }
+      v
+    }
     try {
       MI.build(mk(1 to 400, "corp"), idx)
       val live = MI.livePostingsDir(spark, idx)
@@ -943,12 +971,11 @@ class CorpusOpsSpec extends AnyFunSuite {
       // tables in full here: O(corpus rows) per streaming micro-batch.
       val postingsRows = spark.read.parquet(live).count()
       val novelBatch = mk(1000 to 1049, "fresh")
-      Thread.sleep(300)
-      rowsRead.set(0L)
-      assert(MI.novelDocs(spark, novelBatch, idx).count() === 50L)
-      Thread.sleep(300)
-      assert(rowsRead.get() < postingsRows / 4 + 1,
-        s"all-novel probe read ${rowsRead.get()} rows — must stay far " +
+      var n = 0L
+      val r1 = measured { n = MI.novelDocs(spark, novelBatch, idx).count() }
+      assert(n === 50L)
+      assert(r1 < postingsRows / 4 + 1,
+        s"all-novel probe read $r1 rows — must stay far " +
           s"below the $postingsRows-row postings table (row-group skip)")
       // dup replays still resolve (their literals HIT row groups)
       assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
@@ -957,12 +984,11 @@ class CorpusOpsSpec extends AnyFunSuite {
       MI.append(novelBatch, idx)
       assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L,
         "appended content registers in the hp layout with key blooms")
-      Thread.sleep(300)
-      rowsRead.set(0L)
-      assert(MI.novelDocs(spark, mk(2000 to 2029, "fresh2"), idx)
-        .count() === 30L)
-      Thread.sleep(300)
-      assert(rowsRead.get() < postingsRows / 4 + 1,
+      val r2 = measured {
+        n = MI.novelDocs(spark, mk(2000 to 2029, "fresh2"), idx).count()
+      }
+      assert(n === 30L)
+      assert(r2 < postingsRows / 4 + 1,
         "post-append all-novel probe must stay row-group-pruned")
       // compaction rewrites the pruned layout; no answer changes
       MI.compact(spark, idx)
@@ -973,8 +999,73 @@ class CorpusOpsSpec extends AnyFunSuite {
         "compaction carries the pruned hash layout forward")
       assert(MI.novelDocs(spark, mk(1 to 60, "corp"), idx).count() === 0L)
       assert(MI.novelDocs(spark, novelBatch, idx).count() === 0L)
+      // the POST-COMPACTION layout keeps the probe invariant: an
+      // all-novel batch stays row-group-pruned against the folded
+      // generation (the fold rewrites every component — a fold that
+      // dropped the blooms or the key sort would fail this)
+      val r3 = measured {
+        n = MI.novelDocs(spark, mk(3000 to 3029, "fresh3"), idx).count()
+      }
+      assert(n === 30L)
+      assert(r3 < postingsRows / 4 + 1,
+        "post-compact all-novel probe must stay row-group-pruned")
+      // structural pin for the `_ids` sidecar (an all-novel probe never
+      // reads it): every compacted sidecar file must carry the doc_id
+      // bloom the candidate-pruned idsScan In-filter skips by
+      import scala.jdk.CollectionConverters._
+      def hasKeyBloom(dir: String, key: String): Boolean = {
+        val files = Option(new java.io.File(dir).listFiles).toSeq.flatten
+          .filter(_.isDirectory).flatMap(d => Option(d.listFiles).toSeq.flatten)
+          .filter(_.getName.endsWith(".parquet"))
+        files.nonEmpty && files.forall { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.forall(b =>
+            b.getColumns.asScala.exists(c =>
+              c.getPath.toDotString == key && c.getBloomFilterOffset >= 0))
+          finally r.close()
+        }
+      }
+      assert(hasKeyBloom(s"$live2/_ids", "doc_id"),
+        "compaction must write per-row-group doc_id blooms on _ids")
+      assert(hasKeyBloom(live2, "band"),
+        "compaction must write per-row-group band blooms on postings")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
+  test("minhash_index: a probe batch carrying one doc_id under two " +
+    "texts verifies each version's collisions against ITS OWN shingle " +
+    "array (the (doc_id, h) verify keying)") {
+    import spark.implicits._
+    val MI = graft.operators.MinhashIndex
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_dupid").toString
+    try {
+      val corpusText = (1 to 30).map(j => s"basew$j").mkString(" ")
+      MI.build(Seq((1L, corpusText)).toDF("doc_id", "text"), idx)
+      // version A: near-dup of the corpus doc (one word changed — band
+      // collision + Jaccard over threshold); version B: fully novel.
+      // Write paths dedupe doc_ids (signedUnique); probes do not — the
+      // verify must pair A's collision with A's ids, not B's.
+      val nearDup = (1 to 30).map(j =>
+        if (j == 30) "changedtail" else s"basew$j").mkString(" ")
+      val novel = (1 to 30).map(j => s"otherw$j").mkString(" ")
+      val batch = Seq((7L, nearDup), (7L, novel)).toDF("doc_id", "text")
+      // the near-dup version loses -> doc_id 7 is not novel (both rows
+      // drop: novelDocs decides per doc_id)
+      assert(MI.novelDocs(spark, batch, idx).count() === 0L)
+      // control: the novel version alone survives
+      assert(MI.novelDocs(spark,
+        Seq((8L, novel)).toDF("doc_id", "text"), idx).count() === 1L)
+    } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -571,6 +571,11 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       store.deleteRows("bt2", Seq(1L).toDF("nope"), Seq("nope"))
     }
+    // grain names resolve with the session's resolver (case-insensitive
+    // by default, like the equi-joins themselves): a valid grain in
+    // different case deletes — it must not throw where `col("ID")`
+    // would have resolved fine
+    assert(store.deleteRows("bt2", Seq(9L).toDF("ID"), Seq("ID")) === 1L)
   }
 
   test("a snapshot read resolved BEFORE a fold materializes exactly " +
