@@ -289,8 +289,8 @@ object ContamIndex {
           .filter(col("hp").isin(hps: _*))
         val reg =
           if (hKeys.length > KeyProbe.chunkBound) reg0
-          else KeyProbe.inSlices(reg0, "h",
-            hKeys.map(_.getString(0)).sorted.toSeq)
+          else KeyProbe.keyFiltered(reg0, "h",
+            hKeys.map(_.getString(0)).sorted.toSeq, offeredDir)
         hashed.join(reg.select("h"), Seq("h"), "left_anti")
       } else hashed
     // one row per distinct fresh content, consumed by the gram
@@ -327,8 +327,9 @@ object ContamIndex {
           .filter(col("gp").isin(gps: _*))
         val evid =
           if (gKeys.length > KeyProbe.chunkBound) evid0
-          else KeyProbe.inSlices(evid0, "id",
-            gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq)
+          else KeyProbe.keyFiltered(evid0, "id",
+            gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq,
+            grams.toString)
         // cached across the emptiness probe and the write — uncached,
         // each would recompute the explode + evidence semi-join
         val out = dfRows.join(evid.select("id"), Seq("id"), "left_semi")
@@ -465,7 +466,7 @@ object ContamIndex {
       else Some(gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq)
     def pruned(dir: String): DataFrame = {
       val base = spark.read.parquet(dir).filter(col("gp").isin(gps: _*))
-      gLits.fold(base)(l => KeyProbe.inSlices(base, "id", l))
+      gLits.fold(base)(l => KeyProbe.keyFiltered(base, "id", l, dir))
     }
     val batchDf = bGrams.groupBy("id").agg(count(lit(1)).as("bdf"))
     val liveDf = liveTrainDfDir(spark, indexDir)

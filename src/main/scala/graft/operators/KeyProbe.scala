@@ -45,6 +45,22 @@ private[operators] object KeyProbe {
     if (sys.env.get("GRAFT_CHUNKED_PROBE").contains("0")) MaxKeyLiterals
     else ChunkedKeyLiterals
 
+  /** Minimum scanned-table size for the sliced-In escalation. The slices
+    * trade a FIXED per-task cost (filter serialization — ~3 MB task
+    * binaries per 64k-literal slice — plus per-row-group bloom/InSet
+    * evaluation, paid once per slice branch) for an O(table) read term.
+    * Measured at the 20× rehearsal (99k novel band literals vs a 13 MB /
+    * 629k-row postings table): slicing read 4.1× fewer ROWS but 2× more
+    * WALL — below this bound a partition-pruned full scan is simply
+    * cheaper than the literal machinery, above it the skipped read
+    * dominates (and at production sizes it is the only bounded choice).
+    * 256 MB ≈ 20× the measured break-even's scale, chosen conservative:
+    * the fallback is merely a small flat cost at sizes under the gate,
+    * while a mis-gated full scan at production size is an O(corpus)
+    * regression.
+    */
+  private[operators] val ChunkedScanMinBytes: Long = 256L << 20
+
   /** `df` filtered to `key ∈ lits`, pushed as one `In` per sorted
     * ≤[[MaxKeyLiterals]] slice (unioned — slices partition the literal
     * set, so no row matches twice). Callers pass `lits` SORTED.
@@ -55,6 +71,32 @@ private[operators] object KeyProbe {
     else lits.grouped(MaxKeyLiterals)
       .map(s => df.filter(col(key).isin(s: _*)))
       .reduce(_ union _)
+
+  /** The probe-side literal filter, cost-gated: a single pushed `In` up
+    * to [[MaxKeyLiterals]]; past it, sorted ≤64k slices — but only when
+    * the scanned dir is at least [[ChunkedScanMinBytes]] (else the
+    * partition-pruned full scan the caller already applied is cheaper,
+    * see the gate's scaladoc). `GRAFT_CHUNKED_PROBE=force` bypasses the
+    * size gate (measurement seam); an unreadable dir size errs toward
+    * slicing (bounded reads beat a possibly-huge scan when in doubt).
+    * Pruning only — never changes answers.
+    */
+  private[operators] def keyFiltered(df: DataFrame, key: String,
+                                     lits: Seq[Any],
+                                     scannedDir: => String): DataFrame =
+    if (lits.size <= MaxKeyLiterals) df.filter(col(key).isin(lits: _*))
+    else if (sys.env.get("GRAFT_CHUNKED_PROBE").contains("force") ||
+        dirBytesAtLeast(df.sparkSession, scannedDir, ChunkedScanMinBytes))
+      inSlices(df, key, lits)
+    else df
+
+  private def dirBytesAtLeast(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, bound: Long): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength >= bound
+    } catch { case _: Throwable => true }
 
   /** Write options for key-probed parquet files: bounded row groups so
     * collision reads stay fine-grained, plus a per-row-group parquet

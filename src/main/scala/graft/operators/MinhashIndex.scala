@@ -73,7 +73,7 @@ object MinhashIndex {
   // in [[KeyProbe]], shared with [[ContamIndex]]. Every cap/fallback note
   // below refers to those bounds; `GRAFT_CHUNKED_PROBE=0` is the rows-axis
   // A/B seam that disables slicing (answers never change, only pruning).
-  import KeyProbe.{chunkBound, inSlices, withKeyBloom}
+  import KeyProbe.{chunkBound, keyFiltered, withKeyBloom}
 
   /** Commit marker written as the LAST step of [[build]]/[[append]]. Its
     * absence means a mutation crashed mid-flight (or the index predates
@@ -756,7 +756,8 @@ object MinhashIndex {
           .collect().map(_.getInt(0)).toSeq
       else hKeys.map(_.getInt(1)).distinct.toSeq
     val lim: DataFrame => DataFrame = df =>
-      if (batchHs.size <= chunkBound) inSlices(df, "h", batchHs)
+      if (batchHs.size <= chunkBound)
+        keyFiltered(df, "h", batchHs, hashesDir)
       else df
     val hashes0 = spark.read.parquet(hashesDir)
     val hashesP = lim(
@@ -807,7 +808,7 @@ object MinhashIndex {
         val scan0 = spark.read.parquet(live)
           .filter(col("bp").isin(bps: _*))
         val scan = if (batchBands.size <= chunkBound)
-          inSlices(scan0, "band", batchBands) else scan0
+          keyFiltered(scan0, "band", batchBands, live) else scan0
         val cand = scan
           .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
           .filter(col("_bc") <= maxBand)
@@ -846,7 +847,8 @@ object MinhashIndex {
           val idsScan0 = spark.read.parquet(genIdsDir(live))
             .filter(col("ip").isin(ips: _*))
           val idsScan = if (candIds.nonEmpty)
-            inSlices(idsScan0, "doc_id", candIds) else idsScan0
+            keyFiltered(idsScan0, "doc_id", candIds, genIdsDir(live))
+          else idsScan0
           pairs
             // the batch side's shingle arrays re-join from the
             // checkpointed exact-tier survivors (cheap narrow re-read)

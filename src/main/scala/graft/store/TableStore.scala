@@ -923,18 +923,30 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** A snapshot file pins the table state a tag was taken at: the version
     * directory, (for manifested tables) the bucket→version ownership map
-    * of that moment, and the append/upsert segment dirs live at the pin —
+    * of that moment, the append/upsert segment dirs live at the pin —
     * segments are MUTABLE table state (a later fold retires them from the
     * live layout via the pointer's retired list), but a pinned dir stays
     * at its live path, invisible to the live listers, until [[vacuum]]
-    * reclaims it after the last tag drops. Serialized like `_MANIFEST` with a
-    * leading version line (`-` on the numBuckets line for unmanifested
-    * tables); segment names follow the bucket lines (no tab — the parser
-    * distinguishes them structurally, so pre-segment pins read unchanged).
+    * reclaims it after the last tag drops — and, since round 16, the
+    * EXPLICIT per-pin FILE manifest of the base state (`F\t<relpath>`
+    * lines, the Delta/Iceberg-style file list): the single-writer
+    * protocol makes bucket/version dirs immutable, so dir-level pins are
+    * exact today, but a future concurrent writer landing files into a
+    * pinned dir would silently widen every dir-based snapshot read — the
+    * file list freezes the read set at pin time. Segments stay pinned by
+    * NAME: their dirs are immutable once committed, and their location
+    * can legally change (`_pinned/` legacy fallback, [[pinnedSegPath]]),
+    * so a file list would break exactly where the name-pin is safe.
+    * Serialized like `_MANIFEST` with a leading version line (`-` on the
+    * numBuckets line for unmanifested tables); segment names follow the
+    * bucket lines (no tab), file lines carry the `F\t` prefix — the
+    * parser distinguishes all three structurally, so pre-segment and
+    * pre-file-manifest pins read unchanged.
     */
   private final case class TableSnapshot(version: String,
                                          manifest: Option[BucketManifest],
-                                         segNames: Seq[String])
+                                         segNames: Seq[String],
+                                         baseFiles: Seq[String])
 
   private def readSnapshotMeta(name: String,
                                tag: String): Option[TableSnapshot] = {
@@ -946,14 +958,16 @@ final class TableStore(spark: SparkSession, root: String,
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
                  finally in.close()
       val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
-      val (bucketLines, segLines) = lines.drop(2).partition(_.contains('\t'))
+      val (fileLines, rest) = lines.drop(2).partition(_.startsWith("F\t"))
+      val (bucketLines, segLines) = rest.partition(_.contains('\t'))
       val man =
         if (lines(1) == "-") None
         else Some(BucketManifest(lines(1).toInt, bucketLines.map { l =>
           val sep = l.indexOf('\t')
           l.substring(0, sep).toInt -> l.substring(sep + 1)
         }.toMap))
-      Some(TableSnapshot(lines.head, man, segLines))
+      Some(TableSnapshot(lines.head, man, segLines,
+        fileLines.map(_.substring(2))))
     }
   }
 
@@ -1041,11 +1055,27 @@ final class TableStore(spark: SparkSession, root: String,
       val man = readManifest(name, cur)
       val segNames = segments(name).map(_.getName) ++
         upsertSegments(name).map(_._2.getName)
-      val lines = (cur +: (man match {
+      // the per-pin file manifest: every parquet data file of the base
+      // state at pin time, relative to the table dir. One listStatus per
+      // bucket (or version) dir — O(numBuckets) RPCs, the same class as
+      // the publish that created the state
+      val baseDirs = man match {
+        case Some(m) => m.buckets.toSeq.sortBy(_._1).map { case (b, v) =>
+          (bucketDir(name, v, b), s"$v/$BucketPrefix$b") }
+        case None => Seq((new Path(tableDir(name), cur), cur))
+      }
+      val baseFiles = baseDirs.flatMap { case (d, rel) =>
+        val df = fs(d)
+        if (!df.exists(d)) Seq.empty
+        else df.listStatus(d).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => s"F\t$rel/${st.getPath.getName}")
+      }
+      val lines = ((cur +: (man match {
         case Some(m) => m.numBuckets.toString +:
           m.buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b\t$v" }
         case None => Seq("-")
-      })) ++ segNames
+      })) ++ segNames) ++ baseFiles
       f.mkdirs(snapshotsDir(name))
       val tmp = new Path(snapshotsDir(name), s".$tag.tmp.${nextId()}")
       val out = f.create(tmp, true)
@@ -1090,11 +1120,18 @@ final class TableStore(spark: SparkSession, root: String,
     */
   def readSnapshot(name: String, tag: String): Option[DataFrame] =
     readSnapshotMeta(name, tag).map { s =>
-      val base = s.manifest match {
-        case Some(m) => m.buckets.toSeq.sortBy(_._1)
-          .map { case (b, v) => bucketDir(name, v, b).toString }
-        case None => Seq(new Path(tableDir(name), s.version).toString)
-      }
+      // pins carrying the per-pin file manifest read EXACTLY the files
+      // recorded at pin time (a concurrent writer landing files into a
+      // pinned dir cannot widen the read); pre-manifest pins fall back
+      // to the dir-level resolution they were written with
+      val base =
+        if (s.baseFiles.nonEmpty)
+          s.baseFiles.map(f => new Path(tableDir(name), f).toString)
+        else s.manifest match {
+          case Some(m) => m.buckets.toSeq.sortBy(_._1)
+            .map { case (b, v) => bucketDir(name, v, b).toString }
+          case None => Seq(new Path(tableDir(name), s.version).toString)
+        }
       val (usegNames, appendNames) = s.segNames.partition(_.startsWith(UsegPrefix))
       val paths = base ++ appendNames.sorted
         .map(n => pinnedSegPath(name, n).toString)

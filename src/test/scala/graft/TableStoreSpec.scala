@@ -389,6 +389,37 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readIfExists("bt").get.count() == 201)
   }
 
+  test("per-pin file manifest: a snapshot reads EXACTLY the files pinned " +
+       "at tag time — a foreign file landing in a pinned bucket dir " +
+       "later cannot widen the read") {
+    val root = Files.createTempDirectory("graft_store")
+    val store = new TableStore(spark, root.toString, publishBuckets = 8)
+    store.mergeInPlace("bt", stageDf((1L to 50L).map(i => i -> s"v$i"): _*),
+      btSource, new java.sql.Timestamp(1000L))
+    store.snapshot("bt", "pin")
+    // the pin carries the Delta/Iceberg-style file list (F\t lines)
+    val pinText = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("bt").resolve("_snapshots").resolve("pin")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(pinText.split('\n').count(_.startsWith("F\t")) > 0,
+      "pin must record its base files")
+    assert(store.readSnapshot("bt", "pin").get.count() === 50L)
+    // simulate a non-protocol writer: duplicate an existing bucket file
+    // under a new name inside a PINNED bucket dir (valid parquet, same
+    // schema — the worst case, indistinguishable to a dir-based read)
+    val bucketFile = Files.walk(root.resolve("bt")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(p => p.toString.contains("_bucket=") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(fail("no bucket parquet file found"))
+    Files.copy(bucketFile,
+      bucketFile.getParent.resolve("part-foreign.parquet"))
+    // the live (dir-based) read DOES see the foreign rows — proof the
+    // file is visible — while the pinned read stays frozen at pin time
+    assert(store.readIfExists("bt").get.count() > 50L)
+    assert(store.readSnapshot("bt", "pin").get.count() === 50L)
+  }
+
   test("snapshot of an overwrite table pins the old version through vacuum") {
     val (store, root) = mkStore()
     store.overwrite("t", df(1, 2))
