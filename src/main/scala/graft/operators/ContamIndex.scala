@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   *     64), sorted by id within partitions, and written with
   *     per-row-group id BLOOM filters ([[KeyProbe.withKeyBloom]]): a
   *     probe collects its batch's ≤64 gp values for partition pruning
-  *     AND pushes its gram ids as native In literals (sorted chunked
-  *     slices past the single-In cap), which the blooms + range stats
-  *     turn into exact row-group skipping — an uncontaminated batch
-  *     reads ~zero evidence rows. Gram ids are hash-random ints, so
-  *     range stats ALONE cannot prune a wide-spread probe set (the same
-  *     failure mode hash keys had pre-r15) — the blooms are what bound
-  *     it.
+  *     and, WHEN THE EVIDENCE STORE IS LARGE ENOUGH TO PAY FOR IT
+  *     ([[KeyProbe.literalsWorthIt]] — gram cardinality runs O(batch
+  *     tokens), so the literal collect itself costs multiples of a
+  *     small table's scan), pushes its gram ids as native In literals
+  *     (sorted chunked slices past the single-In cap), which the blooms
+  *     turn into exact row-group skipping. The evidence is O(eval
+  *     suites) — fixed size, not corpus-growing — so the ungated read
+  *     is bounded either way; gram ids are hash-random ints, so range
+  *     stats alone cannot prune a wide-spread probe set, and the blooms
+  *     are what bound a large store.
   *
   * Gram basis is the md5-derived [[graft.functions.VectorFunctions
   * .shingleIds]] the contamination family already uses, so every count a
@@ -308,14 +311,19 @@ object ContamIndex {
       val dfRows = fresh
         .select(explode(shingleIds(col("text"), gramN)).as("id"))
         .groupBy("id").agg(count(lit(1)).as("df"))
-      // ONE bounded collect: (id, gp) pairs — gram-id literals for
-      // row-group skipping on the evidence semi-join, gp values for
-      // partition pruning; past the chunk bound the tiny gp set alone
-      // is recomputed
-      val gKeys = dfRows.select(col("id"), gp(col("id")).as("p"))
-        .limit(KeyProbe.chunkBound + 1).collect()
+      // Gram-id literal pushdown for the evidence semi-join is
+      // size-gated BEFORE the collect, exactly like [[decontaminate]]'s
+      // probe (gram cardinality runs O(batch tokens) and the evidence is
+      // O(eval suites), fixed) — the gp partition collect always runs
+      val pushGramLits = KeyProbe.literalsWorthIt(spark, grams.toString)
+      val gKeys =
+        if (pushGramLits)
+          dfRows.select(col("id"), gp(col("id")).as("p"))
+            .limit(KeyProbe.chunkBound + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val overCap = !pushGramLits || gKeys.length > KeyProbe.chunkBound
       val gps =
-        if (gKeys.length > KeyProbe.chunkBound)
+        if (overCap)
           dfRows.select(gp(col("id")).as("p")).distinct()
             .collect().map(_.getInt(0)).toSeq
         else gKeys.map(_.getInt(1)).distinct.toSeq
@@ -326,7 +334,7 @@ object ContamIndex {
         val evid0 = spark.read.parquet(grams.toString)
           .filter(col("gp").isin(gps: _*))
         val evid =
-          if (gKeys.length > KeyProbe.chunkBound) evid0
+          if (overCap) evid0
           else KeyProbe.keyFiltered(evid0, "id",
             gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq,
             grams.toString)
@@ -447,25 +455,35 @@ object ContamIndex {
     // cannot release (the MinhashIndex.novelDocs convention)
     val bGrams = batch
       .select(col("doc_id"), explode(shingleIds(col("text"), gramN)).as("id"))
-    // ONE bounded collect: (id, gp) pairs — the batch's gram-id literals
-    // for row-group skipping on BOTH the evidence and the df reads
-    // (sorted slices past the single-In cap; the joins below can only
-    // ever match the batch's own grams, so the restriction is
-    // semantics-preserving), gp values for partition pruning; past the
-    // chunk bound the tiny gp set alone is recomputed and partitions
-    // prune by themselves — correct, just unpruned
-    val gKeys = bGrams.select(col("id"), gp(col("id")).as("p")).distinct()
-      .limit(KeyProbe.chunkBound + 1).collect()
+    // Gram-id literal pushdown is SIZE-GATED BEFORE THE COLLECT
+    // ([[KeyProbe.literalsWorthIt]]): gram cardinality runs O(batch
+    // tokens) — hundreds of thousands of ids for a small batch — so the
+    // driver-side distinct+collect itself costs multiples of a small
+    // evidence table's whole scan (measured +5.6 s against a 1.4 s
+    // unpruned probe at bench scale). The evidence and train_df are
+    // O(eval suites) — FIXED size, not corpus-growing — so the unpruned
+    // read is bounded anyway; only a genuinely large evidence store
+    // (many/huge suites) earns the literal machinery. The gp partition
+    // collect (≤64 ints) always runs.
+    val pushGramLits = KeyProbe.literalsWorthIt(spark, gramsDir)
+    val gKeys =
+      if (pushGramLits)
+        bGrams.select(col("id"), gp(col("id")).as("p")).distinct()
+          .limit(KeyProbe.chunkBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val overCap = !pushGramLits || gKeys.length > KeyProbe.chunkBound
     val gps =
-      if (gKeys.length > KeyProbe.chunkBound)
+      if (overCap)
         bGrams.select(gp(col("id")).as("p")).distinct()
           .collect().map(_.getInt(0)).toSeq
       else gKeys.map(_.getInt(1)).distinct.toSeq
     val gLits: Option[Seq[Any]] =
-      if (gKeys.length > KeyProbe.chunkBound) None
+      if (overCap) None
       else Some(gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq)
     def pruned(dir: String): DataFrame = {
       val base = spark.read.parquet(dir).filter(col("gp").isin(gps: _*))
+      // the joins below can only match the batch's own grams, so the
+      // literal restriction is semantics-preserving
       gLits.fold(base)(l => KeyProbe.keyFiltered(base, "id", l, dir))
     }
     val batchDf = bGrams.groupBy("id").agg(count(lit(1)).as("bdf"))

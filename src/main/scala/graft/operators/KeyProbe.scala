@@ -90,6 +90,20 @@ private[operators] object KeyProbe {
       inSlices(df, key, lits)
     else df
 
+  /** Whether a probe should even COLLECT literals for `dir`: true when
+    * the dir is at least [[ChunkedScanMinBytes]] (or the force seam is
+    * set). For keys whose cardinality scales with batch CONTENT rather
+    * than batch rows — gram ids run O(batch tokens), hundreds of
+    * thousands per small batch — the driver-side distinct+collect itself
+    * costs multiples of a small table's whole scan (measured: +5.6 s on
+    * a probe whose unpruned read was 1.4 s), so the size gate must run
+    * BEFORE the collect, not just before the filter.
+    */
+  private[operators] def literalsWorthIt(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    sys.env.get("GRAFT_CHUNKED_PROBE").contains("force") ||
+      dirBytesAtLeast(spark, dir, ChunkedScanMinBytes)
+
   private def dirBytesAtLeast(spark: org.apache.spark.sql.SparkSession,
                               dir: String, bound: Long): Boolean =
     try {
