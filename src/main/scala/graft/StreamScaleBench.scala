@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * in-loop demonstration that the probe is O(batch), where the main
   * drain's bulk epochs (each ~25% of the final corpus) exercise the
   * over-cap geometry instead.
+  *
+  * Since r17 every literal push is cost-gated on scanned-dir bytes
+  * ([[graft.operators.KeyProbe]]), so at this rehearsal's toy index
+  * sizes the flat-rows steady arm requires `GRAFT_CHUNKED_PROBE=force`
+  * (the production-scale gate answer); ungated, the steady arm measures
+  * the scan-side walls the committed bench pays instead.
   */
 object StreamScaleBench {
   def main(args: Array[String]): Unit = {
@@ -156,6 +162,17 @@ object StreamScaleBench {
     // and 6 subsequent appends stay under the maybeCompact bound.
     val nSteady = math.min(args.lift(3).map(_.toInt).getOrElse(6), 6)
     graft.operators.MinhashIndex.compact(spark, s"$wh/corpus_index")
+    // GRAFT_STEADY_BUCKETS=N: re-bucket the corpus to a PRODUCTION-LIKE
+    // bucket count before the steady arm (batch keys ≪ buckets — at the
+    // toy 64-bucket geometry every 1000-doc batch touches every bucket,
+    // so the oldslice+merge terms span the whole corpus and mask the
+    // O(touched-buckets) bound this arm exists to demonstrate). The
+    // rebucket is steady-state maintenance at the regime change, outside
+    // the per-epoch gauges like the fold above.
+    val steadyBuckets = sys.env.get("GRAFT_STEADY_BUCKETS").map(_.toInt)
+    steadyBuckets.foreach(n =>
+      store.rebucket("corpus_docs", Seq("doc_id"), target = Some(n)))
+    val corpusBuckets = store.bucketCount("corpus_docs").getOrElse(-1)
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def shifted(s: String, i: Int) = s.drop(i) + s.take(i)
@@ -203,6 +220,7 @@ object StreamScaleBench {
       f""""total_sec":$total%.1f,"replay_drain_sec":$replay%.1f,""" +
       f""""replay_input_krows":$replayKrows%.1f,"epochs":$epochsJson,""" +
       f""""steady_n_batches":$nSteady,"steady_batch_docs":1000,""" +
+      f""""steady_buckets":$corpusBuckets,""" +
       f""""steady_total_sec":$steadyTotal%.1f,""" +
       f""""steady_corpus_rows_after":$corpusRowsAfter,""" +
       f""""steady_epochs":$steadyJson}""")

@@ -151,8 +151,8 @@ object ContamIndex {
     * zero-gram write, reads as NO evidence — never as a schema-inference
     * crash.
     */
-  private def gramsWithData(spark: SparkSession,
-                            indexDir: String): Option[String] = {
+  private[operators] def gramsWithData(spark: SparkSession,
+                                       indexDir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(st =>

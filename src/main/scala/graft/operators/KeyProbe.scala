@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
@@ -14,6 +16,17 @@ import org.apache.spark.sql.functions.col
   * sidecar (rejected by its own rows-axis instrument: min(m/64, k·n)
   * floor per probe — more than the table it guarded); the storage-native
   * design measured 38× fewer probe rows at the 20× drain.
+  *
+  * EVERY literal push is cost-gated (round 17): the literal machinery
+  * has a FIXED wall cost (plan + per-row-group eval, ~10µs/literal,
+  * measured flat with table size in the bench ledger) that pays for
+  * itself only when the read it skips is larger — below the break-even
+  * a partition-pruned full scan is simply cheaper, and at toy index
+  * sizes the ungated push was the committed suite's single worst
+  * code-delta regression (`dedup_index_novel` 2.8→10.2 s, r16 verdict).
+  * The gate compares literal count against scanned-dir bytes
+  * ([[pushWorthIt]]); pruning-only, so a declined push can never change
+  * an answer — callers' partition pruning still applies either way.
   */
 private[operators] object KeyProbe {
 
@@ -41,9 +54,19 @@ private[operators] object KeyProbe {
     */
   private[operators] val ChunkedKeyLiterals = 8 * MaxKeyLiterals
 
+  /** The probe seams, readable from the environment (production /
+    * bench-tool runs) or a system property (in-JVM test toggling — env
+    * is immutable inside a forked test JVM). Values: `force` bypasses
+    * the cost gates (rows-axis pins exercise the pruned path at test
+    * scale), `0` forces the pre-chunking fallback past
+    * [[MaxKeyLiterals]].
+    */
+  private def seam: Option[String] =
+    sys.env.get("GRAFT_CHUNKED_PROBE")
+      .orElse(sys.props.get("graft.chunked.probe"))
+
   private[operators] def chunkBound: Int =
-    if (sys.env.get("GRAFT_CHUNKED_PROBE").contains("0")) MaxKeyLiterals
-    else ChunkedKeyLiterals
+    if (seam.contains("0")) MaxKeyLiterals else ChunkedKeyLiterals
 
   /** Minimum scanned-table size for the sliced-In escalation. The slices
     * trade a FIXED per-task cost (filter serialization — ~3 MB task
@@ -61,6 +84,32 @@ private[operators] object KeyProbe {
     */
   private[operators] val ChunkedScanMinBytes: Long = 256L << 20
 
+  /** Break-even scan bytes per pushed literal, the under-cap arm of the
+    * cost model: one literal costs ~10µs of plan + row-group eval
+    * (measured: ~0.1 s per 10k literals, FLAT with table size — bench
+    * ledger `bulk_probe_chunked_ab_r16` and the r16 probe-cost notes),
+    * while a local parquet scan returns ~200 MB/s — so a literal pays
+    * for itself once it can plausibly skip ~2 KB of read. A 60k-literal
+    * probe therefore needs a ≥120 MB table to be worth pushing; against
+    * the 3 MB toy index it was pure fixed cost (the r16 committed
+    * `dedup_index_novel` regression). Conservative in the right
+    * direction: mis-declining costs a small scan at small sizes,
+    * mis-pushing at production size would never happen (dir bytes only
+    * grow).
+    */
+  private[operators] val BytesPerLiteral = 2048L
+
+  /** The PURE push decision: is a literal set of size `n` worth pushing
+    * against a scanned dir of `bytes`? Under the single-`In` cap the
+    * break-even is `n × BytesPerLiteral`; past it the sliced escalation
+    * additionally carries per-slice task overhead, so the measured
+    * [[ChunkedScanMinBytes]] floor applies on top. Unit-testable without
+    * a filesystem ([[graft.operators.KeyProbeSpec]] pins the table).
+    */
+  private[operators] def pushWorthIt(n: Int, bytes: Long): Boolean =
+    if (n <= MaxKeyLiterals) bytes >= n.toLong * BytesPerLiteral
+    else bytes >= math.max(ChunkedScanMinBytes, n.toLong * BytesPerLiteral)
+
   /** `df` filtered to `key ∈ lits`, pushed as one `In` per sorted
     * ≤[[MaxKeyLiterals]] slice (unioned — slices partition the literal
     * set, so no row matches twice). Callers pass `lits` SORTED.
@@ -72,23 +121,33 @@ private[operators] object KeyProbe {
       .map(s => df.filter(col(key).isin(s: _*)))
       .reduce(_ union _)
 
-  /** The probe-side literal filter, cost-gated: a single pushed `In` up
-    * to [[MaxKeyLiterals]]; past it, sorted ≤64k slices — but only when
-    * the scanned dir is at least [[ChunkedScanMinBytes]] (else the
-    * partition-pruned full scan the caller already applied is cheaper,
-    * see the gate's scaladoc). `GRAFT_CHUNKED_PROBE=force` bypasses the
-    * size gate (measurement seam); an unreadable dir size errs toward
-    * slicing (bounded reads beat a possibly-huge scan when in doubt).
-    * Pruning only — never changes answers.
+  /** The probe-side literal filter, cost-gated BOTH ways (round 17): a
+    * push — single `In` up to [[MaxKeyLiterals]], sorted ≤64k slices
+    * past it — happens only when [[pushWorthIt]] says the scanned dir is
+    * big enough to repay the literal machinery's fixed cost; below the
+    * break-even the frame comes back UNFILTERED (the partition pruning
+    * the caller already applied stands, and the full scan is
+    * wall-cheaper at that size — the r16 committed regression was
+    * exactly the ungated under-cap push against a toy index).
+    * `GRAFT_CHUNKED_PROBE=force` (env or `graft.chunked.probe` sysprop)
+    * bypasses the gate so rows-axis pins exercise the pruned path at
+    * test scale; `=0` forces the pre-chunking fallback past the cap. An
+    * unreadable dir size errs toward pushing (bounded reads beat a
+    * possibly-huge scan when in doubt). Pruning only — never changes
+    * answers.
     */
   private[operators] def keyFiltered(df: DataFrame, key: String,
                                      lits: Seq[Any],
                                      scannedDir: => String): DataFrame =
-    if (lits.size <= MaxKeyLiterals) df.filter(col(key).isin(lits: _*))
-    else if (sys.env.get("GRAFT_CHUNKED_PROBE").contains("force") ||
-        dirBytesAtLeast(df.sparkSession, scannedDir, ChunkedScanMinBytes))
-      inSlices(df, key, lits)
-    else df
+    if (seam.contains("force")) inSlices(df, key, lits)
+    else if (lits.size > MaxKeyLiterals && seam.contains("0")) df
+    else dirBytes(df.sparkSession, scannedDir) match {
+      case Some(b) if pushWorthIt(lits.size, b) => inSlices(df, key, lits)
+      case Some(_) => df
+      // unknown size: err toward the bounded read — at worst a small
+      // flat cost, vs an O(corpus) scan if the dir turns out huge
+      case None => inSlices(df, key, lits)
+    }
 
   /** Whether a probe should even COLLECT literals for `dir`: true when
     * the dir is at least [[ChunkedScanMinBytes]] (or the force seam is
@@ -97,20 +156,54 @@ private[operators] object KeyProbe {
     * thousands per small batch — the driver-side distinct+collect itself
     * costs multiples of a small table's whole scan (measured: +5.6 s on
     * a probe whose unpruned read was 1.4 s), so the size gate must run
-    * BEFORE the collect, not just before the filter.
+    * BEFORE the collect, not just before the filter. An unreadable dir
+    * size errs toward FALSE here — the opposite of [[keyFiltered]]'s
+    * default, deliberately: declining merely keeps the cheap bounded
+    * fallback (partition pruning), while collecting O(batch-tokens)
+    * literals on a flaky metadata walk is the exact 5× regression this
+    * gate exists to prevent.
     */
   private[operators] def literalsWorthIt(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
-    sys.env.get("GRAFT_CHUNKED_PROBE").contains("force") ||
-      dirBytesAtLeast(spark, dir, ChunkedScanMinBytes)
+    seam.contains("force") ||
+      dirBytes(spark, dir).exists(_ >= ChunkedScanMinBytes)
 
-  private def dirBytesAtLeast(spark: org.apache.spark.sql.SparkSession,
-                              dir: String, bound: Long): Boolean =
-    try {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength >= bound
-    } catch { case _: Throwable => true }
+  /** Memoized dir size. `getContentSummary` is itself a recursive
+    * metadata walk (one RPC per subdir on object stores) and a probe
+    * consults the SAME index dirs every micro-batch, so raw per-call
+    * summaries would add a metadata round-trip per gate decision; a
+    * short TTL keeps the walk amortized while still observing growth —
+    * staleness is harmless (the gate is pruning-only, and dir sizes
+    * only cross the break-even in one direction under append-only
+    * layouts). NonFatal-only catch: an OOM or fatal JVM error must
+    * propagate, not turn into a pruning decision.
+    */
+  private val DirBytesTtlNanos: Long = 30L * 1000L * 1000L * 1000L
+  private val dirBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private[operators] def dirBytes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] = {
+    val now = System.nanoTime()
+    Option(dirBytesMemo.get(dir)).collect {
+      case (b, at) if now - at < DirBytesTtlNanos => b
+    }.orElse {
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val b = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        if (dirBytesMemo.size > 4096) dirBytesMemo.clear() // unbounded-dir-set guard
+        dirBytesMemo.put(dir, (b, now))
+        Some(b)
+      } catch { case NonFatal(_) => None }
+    }
+  }
+
+  /** Test seam: drop memoized dir sizes (a spec that grows a dir past a
+    * gate boundary must not read a pre-growth size).
+    */
+  private[operators] def clearDirBytesMemo(): Unit = dirBytesMemo.clear()
 
   /** Write options for key-probed parquet files: bounded row groups so
     * collision reads stay fine-grained, plus a per-row-group parquet

@@ -259,6 +259,12 @@ final class TableStore(spark: SparkSession, root: String,
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** The pinned bucket count of a merge-published target — None for
+    * un-manifested (legacy / overwrite-only) tables. Metadata read.
+    */
+  def bucketCount(name: String): Option[Int] =
+    currentManifest(name).map(_.numBuckets)
+
   private def currentManifest(name: String): Option[BucketManifest] =
     currentVersion(name).flatMap(v => readManifest(name, v))
 
@@ -833,10 +839,24 @@ final class TableStore(spark: SparkSession, root: String,
     * bucket count, or None when the table has never been written.
     */
   def rebucket(name: String, grain: Seq[String]): Option[Int] =
+    rebucket(name, grain, target = None)
+
+  /** [[rebucket]] to an EXPLICIT bucket count — the operator override
+    * for pre-sizing a table ahead of a known load burst (the automatic
+    * rule sizes from CURRENT rows, which is exactly wrong when the
+    * operator knows what is coming) and for geometry instruments (the
+    * bucket-count sweep behind the O(touched-buckets) release-term
+    * bound). Same one-full-publish cost and copy-on-write safety as the
+    * automatic resize; the count is manifest-pinned afterwards like any
+    * other.
+    */
+  def rebucket(name: String, grain: Seq[String],
+               target: Option[Int]): Option[Int] =
     withTableLock(name) {
+      target.foreach(t => require(t >= 1, s"bucket count $t must be >= 1"))
       readIfExists(name).map { df =>
         val rows = df.count()
-        val n = chooseBucketCount(rows)
+        val n = target.getOrElse(chooseBucketCount(rows))
         // fold upsert segments too: readIfExists already resolved them into
         // df, so the rewrite subsumes them (leaving them would be a
         // harmless-but-wasteful no-op replay on every later read)
@@ -959,7 +979,17 @@ final class TableStore(spark: SparkSession, root: String,
                  finally in.close()
       val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
       val (fileLines, rest) = lines.drop(2).partition(_.startsWith("F\t"))
-      val (bucketLines, segLines) = rest.partition(_.contains('\t'))
+      // structural parse, forward-compatible (r17): bucket lines are
+      // `<int>\t<version>`, segment lines carry no tab, and any FUTURE
+      // tab-prefixed line type (the `F\t` of r16 crashed r15 readers on
+      // "F".toInt after a rollback) is SKIPPED rather than force-parsed —
+      // an old reader over a newer pin degrades to the strongest
+      // semantics it knows instead of throwing NumberFormatException
+      val (tabLines, segLines) = rest.partition(_.contains('\t'))
+      val bucketLines = tabLines.filter { l =>
+        val p = l.substring(0, l.indexOf('\t'))
+        p.nonEmpty && p.forall(_.isDigit)
+      }
       val man =
         if (lines(1) == "-") None
         else Some(BucketManifest(lines(1).toInt, bucketLines.map { l =>
@@ -1064,12 +1094,30 @@ final class TableStore(spark: SparkSession, root: String,
           (bucketDir(name, v, b), s"$v/$BucketPrefix$b") }
         case None => Seq((new Path(tableDir(name), cur), cur))
       }
+      // RECURSIVE listing (r17): a hive-partitioned overwrite version
+      // nests its files under partition subdirs — the r16 flat listStatus
+      // produced an EMPTY file list there, silently downgrading
+      // partitioned tables to dir-level pin semantics (the foreign-file
+      // guarantee quietly didn't apply). Paths are recorded relative to
+      // the table dir, partition subdirs included, and [[readSnapshot]]
+      // reads nested manifests with a basePath so partition columns
+      // survive the file-level read.
       val baseFiles = baseDirs.flatMap { case (d, rel) =>
         val df = fs(d)
         if (!df.exists(d)) Seq.empty
-        else df.listStatus(d).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(st => s"F\t$rel/${st.getPath.getName}")
+        else {
+          val base = d.toUri.getPath
+          val it = df.listFiles(d, true)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (st.isFile && name.endsWith(".parquet") &&
+                !name.startsWith(".") && !name.startsWith("_"))
+              out += s"F\t$rel${st.getPath.toUri.getPath.stripPrefix(base)}"
+          }
+          out.sorted.toSeq
+        }
       }
       val lines = ((cur +: (man match {
         case Some(m) => m.numBuckets.toString +:
@@ -1124,26 +1172,45 @@ final class TableStore(spark: SparkSession, root: String,
       // recorded at pin time (a concurrent writer landing files into a
       // pinned dir cannot widen the read); pre-manifest pins fall back
       // to the dir-level resolution they were written with
-      val base =
-        if (s.baseFiles.nonEmpty)
-          s.baseFiles.map(f => new Path(tableDir(name), f).toString)
-        else s.manifest match {
-          case Some(m) => m.buckets.toSeq.sortBy(_._1)
-            .map { case (b, v) => bucketDir(name, v, b).toString }
-          case None => Seq(new Path(tableDir(name), s.version).toString)
-        }
       val (usegNames, appendNames) = s.segNames.partition(_.startsWith(UsegPrefix))
-      val paths = base ++ appendNames.sorted
+      val segPaths = appendNames.sorted
         .map(n => pinnedSegPath(name, n).toString)
-      if (usegNames.isEmpty) readUnioned(paths)
-      else {
-        val baseDf = if (paths.isEmpty) None
-                     else Some(readUnioned(paths))
-        Publish.morResolve(baseDf,
-          usegNames.map(n => n.stripPrefix(UsegPrefix).toLong ->
-            spark.read.parquet(pinnedSegPath(name, n).toString)).sortBy(_._1),
-          readGrain(name))
-      }
+      // a NESTED file manifest on an unmanifested table (path depth >
+      // version/file) is a hive-partitioned overwrite version: its
+      // file-level read needs a basePath anchored at the version dir or
+      // the partition columns vanish from the schema (r17; manifested
+      // `_bucket=` dirs stay on the plain file read — their bucket id is
+      // deliberately NOT a logical column, same as the dir-level read)
+      val nestedBase = s.manifest.isEmpty &&
+        s.baseFiles.exists(_.count(_ == '/') > 1)
+      val base: DataFrame =
+        if (nestedBase) {
+          val part = spark.read
+            .option("mergeSchema", "true")
+            .option("basePath", new Path(tableDir(name), s.version).toString)
+            .parquet(s.baseFiles
+              .map(f => new Path(tableDir(name), f).toString): _*)
+          // partition cols are DATA columns in segment files: unionByName
+          // with missing-column tolerance mirrors readUnioned's mergeSchema
+          if (segPaths.isEmpty) part
+          else part.unionByName(readUnioned(segPaths),
+            allowMissingColumns = true)
+        } else {
+          val basePaths =
+            if (s.baseFiles.nonEmpty)
+              s.baseFiles.map(f => new Path(tableDir(name), f).toString)
+            else s.manifest match {
+              case Some(m) => m.buckets.toSeq.sortBy(_._1)
+                .map { case (b, v) => bucketDir(name, v, b).toString }
+              case None => Seq(new Path(tableDir(name), s.version).toString)
+            }
+          readUnioned(basePaths ++ segPaths)
+        }
+      if (usegNames.isEmpty) base
+      else Publish.morResolve(Some(base),
+        usegNames.map(n => n.stripPrefix(UsegPrefix).toLong ->
+          spark.read.parquet(pinnedSegPath(name, n).toString)).sortBy(_._1),
+        readGrain(name))
     }
 
   /** Release `tag`'s pin; returns whether it existed. The pinned bucket

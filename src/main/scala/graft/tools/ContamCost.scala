@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   * read).
   *
   * Usage: `runMain graft.tools.ContamCost <srcSfDir> [rounds=6]
-  * [accreteDocs=5000] [probeDocs=1000]` — prints one JSON line.
-  * `GRAFT_CHUNKED_PROBE=0` measures the pre-chunking fallback arm.
+  * [accreteDocs=5000] [probeDocs=1000] [evalDocs=200]` — prints one
+  * JSON line. `evalDocs` sizes the eval-suite evidence: the gate reads
+  * saw-tooth O(evidence × segments-since-fold) between folds, so an
+  * evidence-scaling pair of runs (e.g. 200 vs 2000) bounds the
+  * saw-tooth's amplitude term directly (r16 carried item).
+  * `GRAFT_CHUNKED_PROBE=0` measures the pre-chunking fallback arm;
+  * `GRAFT_CHUNKED_PROBE=force` measures the pruned production-scale arm
+  * (since r17 every literal push is cost-gated on scanned-dir bytes, so
+  * a toy registry under the break-even correctly declines pushes and
+  * the default arm measures the scan side — the wall the committed
+  * bench pays). The JSON records the seam (`probe_seam`).
   */
 object ContamCost {
   def main(args: Array[String]): Unit = {
@@ -32,6 +41,7 @@ object ContamCost {
     val rounds = args.lift(1).map(_.toInt).getOrElse(6)
     val accrete = args.lift(2).map(_.toInt).getOrElse(5000)
     val probeN = args.lift(3).map(_.toInt).getOrElse(1000)
+    val evalDocs = args.lift(4).map(_.toInt).getOrElse(200)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,14 +80,16 @@ object ContamCost {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_contamcost").toString
 
-    // eval suite: 200 docs' 5-gram evidence (the fixed small corpus the
-    // index exists for)
-    CI.build(docs.orderBy("doc_id").limit(200)
+    // eval suite: evalDocs docs' 5-gram evidence (the fixed small corpus
+    // the index exists for; parameterized for the evidence-scaling arm)
+    CI.build(docs.orderBy("doc_id").limit(evalDocs)
       .select("doc_id", "text"), idx)
-    // fixed probe batch, disjoint doc range, per-doc suffix tokens so
-    // reruns and accretion rounds never alias its content
-    val probe = docs.orderBy("doc_id").limit(1200 + probeN)
-      .filter(col("doc_id") >= 1200).limit(probeN)
+    // fixed probe batch, disjoint doc range (offset rides ABOVE the eval
+    // slice so evidence-scaling arms never overlap it), per-doc suffix
+    // tokens so reruns and accretion rounds never alias its content
+    val probeFrom = evalDocs + 1000
+    val probe = docs.orderBy("doc_id").limit(probeFrom + probeN)
+      .filter(col("doc_id") >= probeFrom).limit(probeN)
       .select(col("doc_id"),
         concat(col("text"), lit(" probetok"),
           col("doc_id").cast("string")).as("text"))
@@ -114,9 +126,12 @@ object ContamCost {
     val evidenceRows = spark.read.parquet(s"$idx/grams").count()
     println(s"""{"metric":"contam_gate_cost","unit":"krows",""" +
       s""""src":"$src","rounds":$rounds,"accrete_docs":$accrete,""" +
-      s""""probe_docs":$probeN,"evidence_rows":$evidenceRows,""" +
+      s""""probe_docs":$probeN,"eval_docs":$evalDocs,""" +
+      s""""evidence_rows":$evidenceRows,""" +
       s""""chunked_probe":${!sys.env.get("GRAFT_CHUNKED_PROBE")
         .contains("0")},""" +
+      s""""probe_seam":"${sys.env.getOrElse("GRAFT_CHUNKED_PROBE",
+        "gated")}",""" +
       s""""rounds_detail":[${lines.mkString(",")}]}""")
 
     def rm(f: java.io.File): Unit = {

@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.tools.ProbeCost <indexDir> <srcSfDir>
   * [nDocs=15000]` — prints one JSON line; read-only against the index.
-  * Run once per arm: default (chunked) vs `GRAFT_CHUNKED_PROBE=0`
-  * (fallback).
+  * Run once per arm: `GRAFT_CHUNKED_PROBE=force` (the pruned /
+  * production-scale arm — since r17 EVERY literal push is cost-gated on
+  * scanned-dir bytes, so a toy index under the break-even correctly
+  * declines pushes and the default arm measures the SCAN side) vs
+  * `GRAFT_CHUNKED_PROBE=0` (pre-chunking fallback) vs unset (whatever
+  * the gate decides at this index's size — the wall the committed bench
+  * pays). The JSON records the seam so arms can't be confused.
   */
 object ProbeCost {
   def main(args: Array[String]): Unit = {
@@ -155,7 +160,9 @@ object ProbeCost {
       f""""novel":$novel,"probe_krows":$probeKrows%.1f,""" +
       f""""probe_sec":$wall%.1f,""" +
       f""""chunked_probe":${!sys.env.get("GRAFT_CHUNKED_PROBE")
-        .contains("0")}}""")
+        .contains("0")},""" +
+      f""""probe_seam":"${sys.env.getOrElse("GRAFT_CHUNKED_PROBE",
+        "gated")}"}""")
     spark.stop()
   }
 }

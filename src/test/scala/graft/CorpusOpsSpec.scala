@@ -944,6 +944,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // the literal pushes this pin measures are COST-GATED since round 17
+    // (a toy index is far under every break-even, so ungated probes would
+    // correctly decline the push and fail the rows bound); the force seam
+    // is exactly the production-scale arm — it makes the gate answer what
+    // it answers against a production-sized dir
+    sys.props("graft.chunked.probe") = "force"
     // run `f` under the pin's job group and return its scoped rows-read
     // count once the async listener bus stops moving the gauge
     def measured(f: => Unit): Long = {
@@ -1033,6 +1039,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(hasKeyBloom(live2, "band"),
         "compaction must write per-row-group band blooms on postings")
     } finally {
+      sys.props.remove("graft.chunked.probe")
       spark.sparkContext.removeSparkListener(listener)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

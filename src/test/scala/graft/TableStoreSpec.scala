@@ -250,6 +250,14 @@ class TableStoreSpec extends AnyFunSuite {
     val c = store.mergeInPlace("r", stageDf(1L -> "a2"), src,
       new java.sql.Timestamp(3000L))
     assert(c.contains((0L, 1L)))
+    // explicit-target rebucket: the operator override pins EXACTLY the
+    // requested geometry (pre-sizing / instrument seam), contents intact
+    assert(store.rebucket("r", Seq("id"), target = Some(128)).contains(128))
+    assert(bucketDirs() == 128)
+    assert(store.bucketCount("r").contains(128))
+    assert(store.readIfExists("r").get.count() == 70001)
+    assert(store.readIfExists("r").get
+      .filter(col("id") === 1L).head().getString(1) == "a2")
   }
 
   test("maybeRebucket upgrades an outgrown pinned layout automatically " +
@@ -418,6 +426,67 @@ class TableStoreSpec extends AnyFunSuite {
     // file is visible — while the pinned read stays frozen at pin time
     assert(store.readIfExists("bt").get.count() > 50L)
     assert(store.readSnapshot("bt", "pin").get.count() === 50L)
+  }
+
+  test("per-pin file manifest covers hive-partitioned overwrite " +
+       "versions: the listing is recursive, partition columns survive " +
+       "the file-level read, and a foreign file cannot widen the pin") {
+    val (store, root) = mkStore()
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("x", "src")
+    store.overwrite("pt", d, partitionBy = Seq("src"))
+    store.snapshot("pt", "pin")
+    // r16's flat listing produced an EMPTY F-list here (files nest under
+    // src= subdirs), silently downgrading the pin to dir-level semantics
+    val pinText = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("pt").resolve("_snapshots").resolve("pin")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val fLines = pinText.split('\n').filter(_.startsWith("F\t"))
+    assert(fLines.nonEmpty, "partitioned pin must record its base files")
+    assert(fLines.forall(_.contains("src=")),
+      "recorded paths must be partition-relative")
+    val snap = store.readSnapshot("pt", "pin").get
+    assert(snap.columns.sorted === Array("src", "x"),
+      "partition columns must survive the file-level pinned read")
+    assert(snap.collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("src")))
+      .sortBy(_._1).toSeq === Seq((1L, "a"), (2L, "a"), (3L, "b")))
+    // foreign file landing inside a PINNED partition dir after the pin:
+    // live read sees it, the pinned read stays frozen
+    val partFile = Files.walk(root.resolve("pt")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(p => p.toString.contains("src=") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(fail("no partitioned parquet file found"))
+    Files.copy(partFile,
+      partFile.getParent.resolve("part-foreign.parquet"))
+    assert(store.readIfExists("pt").get.count() > 3L)
+    assert(store.readSnapshot("pt", "pin").get.count() === 3L)
+    // a later overwrite doesn't disturb the pin either
+    store.overwrite("pt", Seq((9L, "z")).toDF("x", "src"),
+      partitionBy = Seq("src"))
+    assert(store.readSnapshot("pt", "pin").get.count() === 3L)
+  }
+
+  test("snapshot parser skips unknown tab-prefixed line types instead " +
+       "of force-parsing them as bucket lines (forward compatibility)") {
+    val (store, root) = mkStore()
+    store.overwrite("t", df(1, 2))
+    store.snapshot("t", "s")
+    val pin = root.resolve("t").resolve("_snapshots").resolve("s")
+    // a future pin-line type this reader has never heard of: the r16
+    // shape crashed older readers on "F".toInt — r17+ readers degrade to
+    // the semantics they know
+    java.nio.file.Files.write(pin,
+      "\nZ\tsome/future/metadata".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    // the raw append invalidates the local-FS checksum sidecar; a real
+    // future writer would go through the FS client — drop the stale crc
+    java.nio.file.Files.deleteIfExists(
+      pin.getParent.resolve(s".${pin.getFileName}.crc"))
+    assert(store.readSnapshot("t", "s").get.collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
   }
 
   test("snapshot of an overwrite table pins the old version through vacuum") {

@@ -3,47 +3,104 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins for [[KeyProbe.keyFiltered]]'s decision table: the probe-side
-  * literal filter must push a single In under the cap, must NOT escalate
-  * to sliced unions against a small table (the measured 1.8× wall
-  * regression at toy sizes — see `bulk_probe_chunked_ab_r16` in the
-  * bench ledger), and must never change answers either way.
+/** Pins for [[KeyProbe]]'s literal-push decision table: EVERY push —
+  * the ≤64k single `In` included, since round 17 — is cost-gated on
+  * scanned-dir bytes against the measured fixed cost of the literal
+  * machinery (`bulk_probe_chunked_ab_r16` + the r16 committed
+  * `dedup_index_novel` regression in the bench ledger), the force seam
+  * bypasses the gate for rows-axis pins, and neither direction can
+  * change answers (a declined push is a superset, an applied one is an
+  * exact filter).
   */
 class KeyProbeSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
 
-  test("keyFiltered: single In under the cap filters; over-cap against " +
-    "a small dir falls back to the unfiltered frame (cost gate)") {
+  test("pushWorthIt: the pure cost table — under-cap break-even is " +
+    "n×BytesPerLiteral, over-cap adds the sliced-scan floor") {
+    val bpl = KeyProbe.BytesPerLiteral
+    // a handful of literals pays for itself against anything non-tiny
+    assert(KeyProbe.pushWorthIt(3, 3 * bpl))
+    assert(!KeyProbe.pushWorthIt(3, 3 * bpl - 1))
+    // the r16 committed regression's shape: ~60k literals vs a 3 MB toy
+    // index — must DECLINE (the push was pure fixed cost there) ...
+    assert(!KeyProbe.pushWorthIt(60000, 3L << 20))
+    // ... and PUSH once the table is past the literals' break-even
+    assert(KeyProbe.pushWorthIt(60000, 60000L * bpl))
+    // over-cap: the measured slice break-even floor applies on top of
+    // the per-literal term (99k lits × 2KB ≈ 203 MB < the 256 MB floor)
+    val over = KeyProbe.MaxKeyLiterals + 1
+    assert(!KeyProbe.pushWorthIt(over, KeyProbe.ChunkedScanMinBytes - 1))
+    assert(KeyProbe.pushWorthIt(over, KeyProbe.ChunkedScanMinBytes))
+    // ... and past ~128k literals the per-literal term takes over
+    val big = 4 * KeyProbe.MaxKeyLiterals
+    assert(!KeyProbe.pushWorthIt(big, KeyProbe.ChunkedScanMinBytes))
+    assert(KeyProbe.pushWorthIt(big, big.toLong * bpl))
+  }
+
+  test("keyFiltered: gate declines a push against a small dir (superset " +
+    "comes back), the force seam applies it, and both answer the same") {
     val sp = spark
     import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kp").toString
     val df0 = (1 to 1000).map(i => s"k$i").toDF("k")
     df0.write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
-    // under the cap: the literals restrict the scan
-    val some = KeyProbe.keyFiltered(df, "k", Seq("k1", "k2", "kxx"), dir)
-    assert(some.count() === 2L)
-    // over the cap (> MaxKeyLiterals sorted literals) against a tiny
-    // table: the gate declines the sliced escalation — the frame comes
-    // back unfiltered (the caller's partition pruning still applies),
-    // which is correct (a superset) and wall-cheaper at this size
-    val big = (1 to KeyProbe.MaxKeyLiterals + 5)
-      .map(i => f"k$i%07d").sorted.map(_.asInstanceOf[Any])
-    val gated = KeyProbe.keyFiltered(df, "k", big, dir)
-    assert(gated.count() === 1000L,
-      "over-cap literals against a small dir must fall back to the " +
-        "unfiltered scan, not a sliced union")
-    // the sliced path itself (inSlices) is answer-preserving: slices
-    // partition the literal set, so no row matches twice and none is
-    // dropped — k1..k1000 zero-padded to 7 digits are all inside `big`
-    val sliced = KeyProbe.inSlices(df.select(
-      format_string("k%07d",
-        regexp_extract(col("k"), "\\d+", 0).cast("int")).as("k")),
-      "k", big)
-    assert(sliced.count() === 1000L)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    KeyProbe.clearDirBytesMemo()
+    try {
+      // a tiny parquet dir is far under any break-even: under-cap
+      // literals come back UNFILTERED (the caller's partition pruning
+      // still applies; the full scan is wall-cheaper at this size)
+      val some = KeyProbe.keyFiltered(df, "k", Seq("k1", "k2", "kxx"), dir)
+      assert(some.count() === 1000L,
+        "under-cap literals against a tiny dir must decline the push")
+      // over the cap against the same tiny dir: same decline
+      val big = (1 to KeyProbe.MaxKeyLiterals + 5)
+        .map(i => f"k$i%07d").sorted.map(_.asInstanceOf[Any])
+      assert(KeyProbe.keyFiltered(df, "k", big, dir).count() === 1000L)
+      // the force seam bypasses the gate: the push APPLIES and filters
+      sys.props("graft.chunked.probe") = "force"
+      try {
+        val forced =
+          KeyProbe.keyFiltered(df, "k", Seq("k1", "k2", "kxx"), dir)
+        assert(forced.count() === 2L)
+        // forced over-cap slices are answer-preserving too: slices
+        // partition the literal set, so no row matches twice or drops —
+        // k1..k1000 zero-padded to 7 digits are all inside `big`
+        val padded = df.select(format_string("k%07d",
+          regexp_extract(col("k"), "\\d+", 0).cast("int")).as("k"))
+        assert(KeyProbe.keyFiltered(padded, "k", big, dir).count() === 1000L)
+      } finally { sys.props.remove("graft.chunked.probe"); () }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
     }
-    rm(new java.io.File(dir))
+  }
+
+  test("keyFiltered: pushes once the dir is past the literals' break-even") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kp2").toString
+    try {
+      // ~1MB of high-entropy parquet vs 3 literals (6KB break-even):
+      // the gate must PUSH and the filter must apply
+      def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes).map("%02x".format(_)).mkString
+      (1 to 2000).map(i =>
+          (s"k$i", (1 to 20).map(j => hex(s"$i-$j")).mkString))
+        .toDF("k", "pad")
+        .write.mode("overwrite").parquet(dir)
+      KeyProbe.clearDirBytesMemo()
+      val df = spark.read.parquet(dir)
+      val some = KeyProbe.keyFiltered(df, "k", Seq("k1", "k2", "kxx"), dir)
+      assert(some.count() === 2L,
+        "3 literals against a ~1MB dir are past break-even: must push")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }
