@@ -268,8 +268,19 @@ object ContamIndex {
     // registry, and hp-pruned probes read only the batch's partitions.
     val hashed = docs.select(col("text"), md5(col("text")).as("h"))
     val offeredDir = liveOfferedDir(spark, indexDir)
+    // the registry anti-join's pruning apparatus (the (h, hp) collect +
+    // partition filter + literal push) is size-gated like every probe
+    // (r17): under the gate a small registry is scanned whole for the
+    // anti-join — cheaper than the collect's fixed driver-job cost —
+    // while a corpus-grown registry (the O(corpus) state this step must
+    // never re-read) gets the full hp + h-literal pruning. Answers
+    // identical either way.
+    val regHasData = partitionedHasData(spark, offeredDir, "hp")
     val fresh0 =
-      if (partitionedHasData(spark, offeredDir, "hp")) {
+      if (regHasData && !KeyProbe.literalsWorthIt(spark, offeredDir))
+        hashed.join(spark.read.parquet(offeredDir).select("h"),
+          Seq("h"), "left_anti")
+      else if (regHasData) {
         // ONE bounded collect serves both prunes: (h, hp) pairs — h
         // literals for row-group skipping (sorted slices past the
         // single-In cap), hp values (≤ NumGramPartitions ints) for
@@ -314,27 +325,34 @@ object ContamIndex {
       // Gram-id literal pushdown for the evidence semi-join is
       // size-gated BEFORE the collect, exactly like [[decontaminate]]'s
       // probe (gram cardinality runs O(batch tokens) and the evidence is
-      // O(eval suites), fixed) — the gp partition collect always runs
+      // O(eval suites), fixed) — and since r17 the gp partition collect
+      // rides under the same gate (distinct-ing the batch's grams for
+      // ≤64 ints is a shuffle job that costs more than a small evidence
+      // table's whole scan; the `!out.isEmpty` guard below still covers
+      // the zero-gram data-less-write case)
       val pushGramLits = KeyProbe.literalsWorthIt(spark, grams.toString)
       val gKeys =
         if (pushGramLits)
           dfRows.select(col("id"), gp(col("id")).as("p"))
             .limit(KeyProbe.chunkBound + 1).collect()
         else Array.empty[org.apache.spark.sql.Row]
-      val overCap = !pushGramLits || gKeys.length > KeyProbe.chunkBound
+      val overCap = gKeys.length > KeyProbe.chunkBound
       val gps =
-        if (overCap)
+        if (!pushGramLits) Seq.empty[Int]
+        else if (overCap)
           dfRows.select(gp(col("id")).as("p")).distinct()
             .collect().map(_.getInt(0)).toSeq
         else gKeys.map(_.getInt(1)).distinct.toSeq
       // zero grams (all docs under the gram width): nothing to accrete,
       // and an empty partitioned write would leave a data-less dir that
       // breaks schema inference on the next probe
-      if (gps.nonEmpty) {
-        val evid0 = spark.read.parquet(grams.toString)
-          .filter(col("gp").isin(gps: _*))
+      if (!pushGramLits || gps.nonEmpty) {
+        val evid1 = spark.read.parquet(grams.toString)
+        val evid0 =
+          if (pushGramLits) evid1.filter(col("gp").isin(gps: _*))
+          else evid1
         val evid =
-          if (overCap) evid0
+          if (!pushGramLits || overCap) evid0
           else KeyProbe.keyFiltered(evid0, "id",
             gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq,
             grams.toString)
@@ -464,24 +482,29 @@ object ContamIndex {
     // O(eval suites) — FIXED size, not corpus-growing — so the unpruned
     // read is bounded anyway; only a genuinely large evidence store
     // (many/huge suites) earns the literal machinery. The gp partition
-    // collect (≤64 ints) always runs.
+    // collect is gated with it (r17): distinct-ing the batch's exploded
+    // grams for ≤64 partition ints is a real shuffle job whose fixed
+    // cost exceeds a small evidence table's whole scan.
     val pushGramLits = KeyProbe.literalsWorthIt(spark, gramsDir)
     val gKeys =
       if (pushGramLits)
         bGrams.select(col("id"), gp(col("id")).as("p")).distinct()
           .limit(KeyProbe.chunkBound + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
-    val overCap = !pushGramLits || gKeys.length > KeyProbe.chunkBound
+    val overCap = gKeys.length > KeyProbe.chunkBound
     val gps =
-      if (overCap)
+      if (!pushGramLits) Seq.empty[Int]
+      else if (overCap)
         bGrams.select(gp(col("id")).as("p")).distinct()
           .collect().map(_.getInt(0)).toSeq
       else gKeys.map(_.getInt(1)).distinct.toSeq
     val gLits: Option[Seq[Any]] =
-      if (overCap) None
+      if (!pushGramLits || overCap) None
       else Some(gKeys.map(_.getLong(0)).sorted.map(_.asInstanceOf[Any]).toSeq)
     def pruned(dir: String): DataFrame = {
-      val base = spark.read.parquet(dir).filter(col("gp").isin(gps: _*))
+      val base0 = spark.read.parquet(dir)
+      val base = if (pushGramLits) base0.filter(col("gp").isin(gps: _*))
+                 else base0
       // the joins below can only match the batch's own grams, so the
       // literal restriction is semantics-preserving
       gLits.fold(base)(l => KeyProbe.keyFiltered(base, "id", l, dir))

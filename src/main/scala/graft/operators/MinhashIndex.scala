@@ -743,25 +743,40 @@ object MinhashIndex {
     // written before the bloom layout are never skipped (read in full),
     // so mixed generations stay correct.
     val hashesDir = genHashesDir(spark, indexDir, live)
+    // ONE size gate for the probe's whole pruning apparatus (r17): the
+    // literal and partition-list collects are O(batch) DATA but a fixed
+    // count of driver JOBS — and at small index sizes the job overhead
+    // is the probe's entire wall (attributed: ~23 jobs, none hot, ~6×
+    // the pre-pruning wall at bench scale, identical with and without
+    // the pushes themselves), while the full scans they'd avoid cost
+    // less than the collects. Past [[KeyProbe.ChunkedScanMinBytes]] the
+    // skipped reads dominate and every collect pays for itself many
+    // times over; `GRAFT_CHUNKED_PROBE=force` keeps the pruned path
+    // testable at toy scale. Pruning-only — both arms answer identically
+    // (spec-pinned).
+    val prune = graft.operators.KeyProbe.literalsWorthIt(spark, live)
     // ONE bounded collect serves both prunes: (h, hp) pairs — h literals
     // for row-group skipping (in sorted ≤64k slices past the single-In
     // cap, [[inSlices]]), hp values (≤ NumHashPartitions ints) for
     // partition pruning. Cap overflow recomputes the tiny hp set alone.
-    val hKeys = s.select(col("h"), hp(col("h")).as("p")).distinct()
-      .limit(chunkBound + 1).collect()
+    val hKeys =
+      if (prune) s.select(col("h"), hp(col("h")).as("p")).distinct()
+        .limit(chunkBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     val batchHs = hKeys.map(_.getString(0)).sorted.toSeq
     val hps =
-      if (hKeys.length > chunkBound)
+      if (!prune) Seq.empty[Int]
+      else if (hKeys.length > chunkBound)
         s.select(hp(col("h")).as("p")).distinct()
           .collect().map(_.getInt(0)).toSeq
       else hKeys.map(_.getInt(1)).distinct.toSeq
     val lim: DataFrame => DataFrame = df =>
-      if (batchHs.size <= chunkBound)
+      if (prune && hKeys.length <= chunkBound)
         keyFiltered(df, "h", batchHs, hashesDir)
       else df
     val hashes0 = spark.read.parquet(hashesDir)
     val hashesP = lim(
-      if (hashesPartitioned(spark, hashesDir))
+      if (prune && hashesPartitioned(spark, hashesDir))
         hashes0.filter(col("hp").isin(hps: _*))
       else hashes0)
     val seen =
@@ -783,16 +798,30 @@ object MinhashIndex {
     // ONE bounded collect: (band, bp) pairs — band literals for
     // row-group skipping (sorted slices past the single-In cap), bp
     // values (≤ NumBandPartitions ints) for partition pruning. Cap
-    // overflow recomputes the tiny bp set alone.
-    val bandKeyRows = bBand.select(col("band"), col("bp")).distinct()
-      .limit(chunkBound + 1).collect()
+    // overflow recomputes the tiny bp set alone. Under the size gate
+    // the collect is skipped entirely: a small postings table is read
+    // whole (the empty-batch shortcut goes with it — empty joins on an
+    // empty bBand cost nothing at that size).
+    val bandKeyRows =
+      if (prune) bBand.select(col("band"), col("bp")).distinct()
+        .limit(chunkBound + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     val batchBands = bandKeyRows.map(_.getString(0)).sorted.toSeq
     val bps =
-      if (bandKeyRows.length > chunkBound)
+      if (!prune) Seq.empty[Int]
+      else if (bandKeyRows.length > chunkBound)
         bBand.select("bp").distinct().collect().map(_.getInt(0)).toSeq
       else bandKeyRows.map(_.getInt(1)).distinct.toSeq
+    // the all-dup/zero-band shortcut: under the gate the bp list answers
+    // it for free; ungated, ONE take(1) on the checkpointed exact-tier
+    // survivors does (cheap — checkpoint blocks, no recompute). Besides
+    // skipping dead scans, the shortcut keeps a surgically-stripped
+    // legacy layout (narrow postings, no `_ids` sidecar) probe-able for
+    // replay batches — its band plan is unresolvable but also unreachable
     val losers =
-      if (bps.isEmpty) afterExact.select("doc_id").limit(0)
+      if (prune && bps.isEmpty) afterExact.select("doc_id").limit(0)
+      else if (!prune && afterExact.isEmpty)
+        afterExact.select("doc_id").limit(0)
       else if (isSplit(spark, live)) {
         // split layout: the band join scans NARROW postings (no arrays),
         // and the Jaccard verify reads only the CANDIDATES' `_ids`
@@ -805,9 +834,11 @@ object MinhashIndex {
         // full postings read once a batch's bands touch all 64 bp
         // partitions (O(corpus·8) rows per streaming micro-batch at the
         // 20x drain). Cap overflow degrades to bp pruning alone.
-        val scan0 = spark.read.parquet(live)
-          .filter(col("bp").isin(bps: _*))
-        val scan = if (batchBands.size <= chunkBound)
+        val scan0 =
+          if (prune) spark.read.parquet(live)
+            .filter(col("bp").isin(bps: _*))
+          else spark.read.parquet(live)
+        val scan = if (prune && bandKeyRows.length <= chunkBound)
           keyFiltered(scan0, "band", batchBands, live) else scan0
         val cand = scan
           .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
@@ -833,19 +864,24 @@ object MinhashIndex {
         // single-In cap); past it, partitions alone prune — recomputed
         // WITHOUT the limit, since a truncated list would silently drop
         // candidate partitions (false novelty)
-        val candKeys = pairs
-          .select(idp(col("cand_id")).as("ip"), col("cand_id")).distinct()
-          .limit(chunkBound + 1).collect()
+        val candKeys =
+          if (prune) pairs
+            .select(idp(col("cand_id")).as("ip"), col("cand_id")).distinct()
+            .limit(chunkBound + 1).collect()
+          else Array.empty[org.apache.spark.sql.Row]
         val (ips, candIds) =
-          if (candKeys.length > chunkBound)
+          if (!prune) (Seq.empty[Int], Seq.empty[Long])
+          else if (candKeys.length > chunkBound)
             (pairs.select(idp(col("cand_id")).as("ip")).distinct()
               .collect().map(_.getInt(0)).toSeq, Seq.empty[Long])
           else (candKeys.map(_.getInt(0)).distinct.toSeq,
             candKeys.map(_.getLong(1)).sorted.toSeq)
-        if (ips.isEmpty) afterExact.select("doc_id").limit(0)
+        if (prune && ips.isEmpty) afterExact.select("doc_id").limit(0)
         else {
-          val idsScan0 = spark.read.parquet(genIdsDir(live))
-            .filter(col("ip").isin(ips: _*))
+          val idsScan0 =
+            if (prune) spark.read.parquet(genIdsDir(live))
+              .filter(col("ip").isin(ips: _*))
+            else spark.read.parquet(genIdsDir(live))
           val idsScan = if (candIds.nonEmpty)
             keyFiltered(idsScan0, "doc_id", candIds, genIdsDir(live))
           else idsScan0
@@ -866,8 +902,9 @@ object MinhashIndex {
         }
       } else {
         // pre-split generation: arrays ride in the posting rows
-        val postings = spark.read.parquet(live)
-          .filter(col("bp").isin(bps: _*))
+        val postings0 = spark.read.parquet(live)
+        val postings = (if (prune) postings0.filter(col("bp").isin(bps: _*))
+                        else postings0)
           .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
           .filter(col("_bc") <= maxBand)
           .select(col("band"), col("ids").as("ids_c"))

@@ -110,6 +110,56 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("mhnovel")) {
+      // per-JOB wall attribution inside the persisted-index probe — the
+      // bench's dedup_index_novel geometry (80/20 split of the bench's
+      // doc slice), with every Spark job's duration + call site printed
+      // so probe cost is located, not guessed
+      val nDocs = args.lift(2).map(_.toInt).getOrElse(5000)
+      val jobT0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobT0.put(js.jobId, System.nanoTime())
+            jobSite.put(js.jobId, Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?"))
+            ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val w = Option(jobT0.get(je.jobId))
+              .map(t => (System.nanoTime() - t) / 1e9).getOrElse(-1.0)
+            if (w > 0.03)
+              println(f"  [job ${je.jobId}%3d] ${w}%6.2f s  " +
+                jobSite.getOrDefault(je.jobId, "?"))
+            ()
+          }
+        })
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .orderBy("doc_id").limit(nDocs)
+        .select(col("doc_id"), col("text"), (bucket < 80).as("is_corpus"))
+        .cache()
+      d.count()
+      val corpus = d.filter(col("is_corpus")).select("doc_id", "text")
+      val batch = d.filter(!col("is_corpus")).select("doc_id", "text")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_prof_mh").toString
+      time("build")(graft.operators.MinhashIndex.build(corpus, idx))
+      println("--- probe jobs ---")
+      val novel = time("probe: novelDocs call (lazy+checkpoints)")(
+        graft.operators.MinhashIndex.novelDocs(spark, batch, idx))
+      time("probe: count")(println(s"  novel=${novel.count()}"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idx))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("queries")) {
       // repeat-time individual queries (name list after the mode arg)
       val names = args.drop(2).toSeq match {
