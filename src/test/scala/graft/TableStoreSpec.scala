@@ -468,6 +468,29 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readSnapshot("pt", "pin").get.count() === 3L)
   }
 
+  test("partitioned pin WITH an append segment: the nested file manifest " +
+       "unions the segment (partition cols are data cols there) and the " +
+       "pin stays frozen through a later overwrite") {
+    val (store, root) = mkStore()
+    val sp = spark
+    import sp.implicits._
+    store.overwrite("ps", Seq((1L, "a"), (2L, "b")).toDF("x", "src"),
+      partitionBy = Seq("src"))
+    store.append("ps", Seq((3L, "c")).toDF("x", "src"))
+    store.snapshot("ps", "pin")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("x", "src").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val expected = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    assert(rows(store.readSnapshot("ps", "pin").get) === expected)
+    // the overwrite folds the segment into a fresh partitioned version;
+    // the pin keeps serving the recorded files + the name-pinned segment
+    store.overwrite("ps", Seq((9L, "z")).toDF("x", "src"),
+      partitionBy = Seq("src"))
+    assert(rows(store.readIfExists("ps").get) === Seq((9L, "z")))
+    assert(rows(store.readSnapshot("ps", "pin").get) === expected)
+  }
+
   test("snapshot parser skips unknown tab-prefixed line types instead " +
        "of force-parsing them as bucket lines (forward compatibility)") {
     val (store, root) = mkStore()
