@@ -48,12 +48,14 @@ object BucketSweep {
           ()
         }
       })
-    def measured[T](f: => T): (T, Double) = {
+    def measured[T](f: => T): (T, Double, Double) = {
       Thread.sleep(300)
       val r0 = rowsRead.get()
+      val t0 = System.nanoTime()
       val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // listener-bus settle, telemetry-grade
-      (r, (rowsRead.get() - r0) / 1e3)
+      (r, (rowsRead.get() - r0) / 1e3, wall)
     }
 
     val cs = graft.run.DemoSources.CorpusRelease
@@ -92,12 +94,12 @@ object BucketSweep {
       val touched = planned.map(_._2.size).getOrElse(-1)
       val existing = store.readIfExists(cs.tableName)
         .map(_.select("doc_id", "text", "lang", "source", "n_tokens"))
-      val (_, oldsliceKrows) = measured {
+      val (_, oldsliceKrows, oldsliceSec) = measured {
         graft.run.CorpusOps
           .cardOldSlice(store, cs.tableName, planned, existing, batch)
           .foreach(_.count())
       }
-      val (_, mergeKrows) = measured {
+      val (_, mergeKrows, mergeSec) = measured {
         store.mergeInPlace(cs.tableName, batch, cs,
           new java.sql.Timestamp(1L), planned)
       }
@@ -108,7 +110,8 @@ object BucketSweep {
       f"""{"buckets":$nBuckets,"corpus_rows":$corpusRows,""" +
         f""""batch_docs":$batchDocs,"touched":$touched,""" +
         f""""oldslice_krows":$oldsliceKrows%.1f,""" +
-        f""""merge_krows":$mergeKrows%.1f,""" +
+        f""""oldslice_sec":$oldsliceSec%.2f,""" +
+        f""""merge_krows":$mergeKrows%.1f,"merge_sec":$mergeSec%.2f,""" +
         f""""touched_rows_bound_krows":${touched *
           graft.store.TableStore.RowsPerBucket / 1e3}%.1f}"""
     }
