@@ -301,7 +301,17 @@ object Bench {
     val inflated = calibRatio > graft.tools.Calib.InflatedBound
     val contended = spreadP90 > SpreadBound ||
       loadStart > cores.toDouble / 2 || inflated
-    val envJson = s""""contended":$contended,"spread_p90":${fmt(spreadP90)},""" +
+    // the probe decision ledger (round 18): which pruning arm each
+    // persisted-index probe actually ran — seam, dir bytes, verdict,
+    // literal count — so a driver-environment wall discrepancy names its
+    // arm in the artifact itself instead of needing a rebuild-and-guess
+    // (the r16/r17 decontam_index_probe 58x gap was unadjudicable for
+    // two rounds for want of exactly this)
+    val probeJson = graft.operators.KeyProbe.decisions().toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val envJson = s""""probe_decisions":$probeJson,""" +
+      s""""contended":$contended,"spread_p90":${fmt(spreadP90)},""" +
       s""""inflated":$inflated,"calib_ratio":${fmt(calibRatio)},""" +
       s""""calib_start_1t":${fmt(calibStart._1)},"calib_start_nt":${fmt(calibStart._2)},""" +
       s""""calib_end_1t":${fmt(calibEnd._1)},"calib_end_nt":${fmt(calibEnd._2)},""" +

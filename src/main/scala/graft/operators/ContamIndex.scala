@@ -84,10 +84,18 @@ object ContamIndex {
   private def writeGrams(evalDocs: DataFrame, indexDir: String, gramN: Int,
                          overwrite: Boolean): Unit = {
     graft.functions.VectorFunctions.register(evalDocs.sparkSession)
+    // repartition by the layout key (the MinhashIndex build/append rule):
+    // without it every shuffle task writes a sliver into every gp dir —
+    // numShufflePartitions x 64 files per build (measured 2,049 files /
+    // 538 MB for a 2 MB evidence set at bench scale, each file padded by
+    // its own per-file bloom + footer), which both slows the write and
+    // feeds [[KeyProbe.literalsWorthIt]] a dir size that is all padding.
+    // One task per gp partition writes one file per dir.
     val rows = evalDocs
       .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .distinct()
       .withColumn("gp", gp(col("id")))
+      .repartition(col("gp"))
       .sortWithinPartitions("id")
       .cache()
     // a suite whose docs are all shorter than the gram width yields ZERO

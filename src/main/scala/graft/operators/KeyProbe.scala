@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions.col
   * ([[pushWorthIt]]); pruning-only, so a declined push can never change
   * an answer — callers' partition pruning still applies either way.
   */
-private[operators] object KeyProbe {
+private[graft] object KeyProbe {
 
   /** Driver-side cap on key literals pushed as ONE `In`. Spark 4 pushes
     * `In` into parquet natively at any size (measured:
@@ -139,14 +139,26 @@ private[operators] object KeyProbe {
   private[operators] def keyFiltered(df: DataFrame, key: String,
                                      lits: Seq[Any],
                                      scannedDir: => String): DataFrame =
-    if (seam.contains("force")) inSlices(df, key, lits)
-    else if (lits.size > MaxKeyLiterals && seam.contains("0")) df
+    if (seam.contains("force")) {
+      record(scannedDir, "keyFiltered", "force", None, lits.size)
+      inSlices(df, key, lits)
+    }
+    else if (lits.size > MaxKeyLiterals && seam.contains("0")) {
+      record(scannedDir, "keyFiltered", "seam0-fallback", None, lits.size)
+      df
+    }
     else dirBytes(df.sparkSession, scannedDir) match {
-      case Some(b) if pushWorthIt(lits.size, b) => inSlices(df, key, lits)
-      case Some(_) => df
+      case Some(b) if pushWorthIt(lits.size, b) =>
+        record(scannedDir, "keyFiltered", "push", Some(b), lits.size)
+        inSlices(df, key, lits)
+      case Some(b) =>
+        record(scannedDir, "keyFiltered", "decline", Some(b), lits.size)
+        df
       // unknown size: err toward the bounded read — at worst a small
       // flat cost, vs an O(corpus) scan if the dir turns out huge
-      case None => inSlices(df, key, lits)
+      case None =>
+        record(scannedDir, "keyFiltered", "push-unsized", None, lits.size)
+        inSlices(df, key, lits)
     }
 
   /** Whether a probe should even COLLECT literals for `dir`: true when
@@ -165,8 +177,52 @@ private[operators] object KeyProbe {
     */
   private[operators] def literalsWorthIt(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
-    seam.contains("force") ||
-      dirBytes(spark, dir).exists(_ >= ChunkedScanMinBytes)
+    if (seam.contains("force")) {
+      record(dir, "literalsWorthIt", "force", None, -1)
+      true
+    } else {
+      val b = dirBytes(spark, dir)
+      val verdict = b.exists(_ >= ChunkedScanMinBytes)
+      record(dir, "literalsWorthIt",
+        if (b.isEmpty) "decline-unsized"
+        else if (verdict) "collect" else "decline", b, -1)
+      verdict
+    }
+
+  /** The probe DECISION LEDGER (round 18): every gate verdict records
+    * which arm actually ran — seam value, dir bytes (or unsized), the
+    * verdict, and the literal count for pushes — keyed by the scanned
+    * dir's layout name (UUID scratch components stripped). The r16/r17
+    * driver benches spent 113 s / 71.9 s on an entry the committed
+    * artifact recorded at ~1.2 s, and NOTHING in either artifact said
+    * which pruning arm produced which wall — the scoreboard could not
+    * adjudicate itself. [[graft.Bench]] emits this ledger as a
+    * `probe_decisions` object in the bench JSON so the next discrepancy
+    * names its arm. Last-write-wins per key (a bench entry's reps all
+    * make the same decision); bounded by the handful of layout names.
+    */
+  private val decisionLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def record(dir: String, op: String, verdict: String,
+                     bytes: Option[Long], nLits: Int): Unit = {
+    // layout key: the dir's path tail with scratch-UUID components
+    // dropped — "grams", "hashes", "postings_v2", "train_df", "_ids" ...
+    val key = dir.split('/').filter(_.nonEmpty).takeRight(2)
+      .filterNot(s => s.contains("-") && s.length > 20)
+      .mkString("/")
+    val b = bytes.map(_.toString).getOrElse("unsized")
+    val lits = if (nLits >= 0) s",lits=$nLits" else ""
+    decisionLedger.put(s"$op:$key",
+      s"seam=${seam.getOrElse("unset")},bytes=$b,verdict=$verdict$lits")
+    ()
+  }
+
+  /** Snapshot of the decision ledger (bench reporting). */
+  def decisions(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    decisionLedger.asScala.toMap
+  }
 
   /** Memoized dir size. `getContentSummary` is itself a recursive
     * metadata walk (one RPC per subdir on object stores) and a probe
@@ -208,14 +264,27 @@ private[operators] object KeyProbe {
   /** Write options for key-probed parquet files: bounded row groups so
     * collision reads stay fine-grained, plus a per-row-group parquet
     * BLOOM on the probe key — the structure that lets a pushed `In` skip
-    * every row group holding none of the probe's literals. Expected NDV
-    * sized to the ~4 MB row group's row count (an undersized bloom
-    * degrades to false positives only — extra reads, never wrong
-    * answers). `GRAFT_KEYBLOOM=0` writes the same row-group geometry
-    * WITHOUT the bloom (measurement seam: the paired build-overhead A/B
-    * in the bench notes isolates the bloom-write cost alone; probes
-    * against bloomless files are correct, just unpruned at the row-group
-    * level).
+    * every row group holding none of the probe's literals.
+    *
+    * The bloom is ADAPTIVE (parquet-mr 1.16, PARQUET-2254): the writer
+    * sizes each row group's filter to the key NDV it actually saw,
+    * instead of a fixed expected-NDV. The fixed 131072-NDV sizing was
+    * the round-18 committed-suite regression's root cause: every file of
+    * a small index carried a ~262 KB bloom for a few thousand keys,
+    * inflating `ContamIndex`'s 2 MB evidence store to 538 MB on disk —
+    * past [[ChunkedScanMinBytes]], so [[literalsWorthIt]] read its OWN
+    * padding as "large table" and turned the literal machinery on
+    * against a toy store (the 58x decontam_index_probe wall the r16/r17
+    * driver benches recorded). Adaptive sizing keeps small row groups'
+    * blooms small (~65 KB smallest candidate) and large ones' right-
+    * sized up to the 1 MB parquet cap, so dir bytes track DATA — the
+    * quantity the cost gate's break-even is calibrated against. A
+    * mis-sized bloom only ever degrades to false positives — extra
+    * reads, never wrong answers. `GRAFT_KEYBLOOM=0` writes the same
+    * row-group geometry WITHOUT the bloom (measurement seam: the paired
+    * build-overhead A/B in the bench notes isolates the bloom-write cost
+    * alone; probes against bloomless files are correct, just unpruned at
+    * the row-group level).
     */
   private[operators] def withKeyBloom[T](
       w: org.apache.spark.sql.DataFrameWriter[T], key: String) = {
@@ -223,6 +292,6 @@ private[operators] object KeyProbe {
     if (sys.env.get("GRAFT_KEYBLOOM").contains("0")) sized
     else sized
       .option(s"parquet.bloom.filter.enabled#$key", "true")
-      .option(s"parquet.bloom.filter.expected.ndv#$key", "131072")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
   }
 }
