@@ -95,7 +95,7 @@ object ContamIndex {
       .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .distinct()
       .withColumn("gp", gp(col("id")))
-      .repartition(col("gp"))
+      .repartition(NumGramPartitions, col("gp"))
       .sortWithinPartitions("id")
       .cache()
     // a suite whose docs are all shorter than the gram width yields ZERO
@@ -371,7 +371,7 @@ object ContamIndex {
           .cache()
         try {
           if (!out.isEmpty) // same data-less-dir guard
-            KeyProbe.withKeyBloom(out.repartition(col("gp"))
+            KeyProbe.withKeyBloom(out.repartition(NumGramPartitions, col("gp"))
               .sortWithinPartitions("id")
               .write.mode("append"), "id").partitionBy("gp")
               .parquet(liveTrainDfDir(spark, indexDir))
@@ -385,7 +385,7 @@ object ContamIndex {
       // row-group-pruned as the registry grows
       KeyProbe.withKeyBloom(fresh.select(col("h"))
         .withColumn("hp", hp(col("h")))
-        .repartition(col("hp"))
+        .repartition(NumGramPartitions, col("hp"))
         .sortWithinPartitions("h")
         .write.mode("append"), "h").partitionBy("hp").parquet(offeredDir)
     } finally { fresh.unpersist(); () }
@@ -443,7 +443,7 @@ object ContamIndex {
     val dfFolded = foldGeneration(spark, indexDir, "_TRAINDF", "train_df",
       "gp", "id", maxFilesPerPartition) { df =>
       df.groupBy("gp", "id").agg(sum("df").as("df"))
-        .repartition(col("gp"))
+        .repartition(NumGramPartitions, col("gp"))
         .sortWithinPartitions("id")
     }
     val offFolded = foldGeneration(spark, indexDir, "_OFFERED", "offered",
@@ -451,7 +451,7 @@ object ContamIndex {
       // crash-replay duplicates collapse; re-sorted for row-group
       // min/max pushdown on the h anti-join
       df.select("hp", "h").distinct()
-        .repartition(col("hp"))
+        .repartition(NumGramPartitions, col("hp"))
         .sortWithinPartitions("h")
     }
     dfFolded || offFolded

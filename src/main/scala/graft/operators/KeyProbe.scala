@@ -139,7 +139,14 @@ private[graft] object KeyProbe {
   private[operators] def keyFiltered(df: DataFrame, key: String,
                                      lits: Seq[Any],
                                      scannedDir: => String): DataFrame =
-    if (seam.contains("force")) {
+    // empty literal set: the one input where a push would CHANGE the row
+    // set (filter-to-empty) rather than merely prune — current callers'
+    // downstream joins tolerate the superset either way, but the
+    // "pruning only, never changes answers" contract must hold without
+    // leaning on caller discipline, so an empty set always returns the
+    // frame unfiltered (and skips the gate's dir-size lookup entirely)
+    if (lits.isEmpty) df
+    else if (seam.contains("force")) {
       record(scannedDir, "keyFiltered", "force", None, lits.size)
       inSlices(df, key, lits)
     }
@@ -229,10 +236,11 @@ private[graft] object KeyProbe {
     * consults the SAME index dirs every micro-batch, so raw per-call
     * summaries would add a metadata round-trip per gate decision; a
     * short TTL keeps the walk amortized while still observing growth —
-    * staleness is harmless (the gate is pruning-only, and dir sizes
-    * only cross the break-even in one direction under append-only
-    * layouts). NonFatal-only catch: an OOM or fatal JVM error must
-    * propagate, not turn into a pruning decision.
+    * staleness is harmless because the gate is PRUNING-ONLY: a decision
+    * made on a stale size (folds, compaction, and vacuum can shrink or
+    * replace dirs; new generations get new paths) changes only which arm
+    * runs, never an answer. NonFatal-only catch: an OOM or fatal JVM
+    * error must propagate, not turn into a pruning decision.
     */
   private val DirBytesTtlNanos: Long = 30L * 1000L * 1000L * 1000L
   private val dirBytesMemo =

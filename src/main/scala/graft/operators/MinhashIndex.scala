@@ -186,6 +186,25 @@ object MinhashIndex {
     signedDocs.select(col("doc_id"), col("ids"))
       .withColumn("ip", idp(col("doc_id")))
 
+  /** Run two independent Spark write jobs concurrently (guide-§2.6
+    * back-fill; [[Audit.auditEc]]'s daemon pool). BOTH are awaited even
+    * when the first fails — a build/append must not return (and let a
+    * caller start deleting scratch dirs) while its sibling job is still
+    * writing. The first failure rethrows, in argument order.
+    */
+  private def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = Audit.auditEc
+    val fa = Future(a)
+    val fb = Future(b)
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get
+    rb.get
+    ()
+  }
+
   private def genIdsDir(live: String) = s"$live/_ids"
 
   /** True when `live` stores the split layout (`_ids` sidecar present). */
@@ -239,7 +258,7 @@ object MinhashIndex {
   private def writeHashesPruned(df: DataFrame, dest: String,
                                 mode: String): Unit =
     withKeyBloom(df.withColumn("hp", hp(col("h")))
-      .repartition(col("hp"))
+      .repartition(NumHashPartitions, col("hp"))
       .sortWithinPartitions("h")
       .write.mode(mode), "h").partitionBy("hp")
       .parquet(dest)
@@ -387,19 +406,25 @@ object MinhashIndex {
     // same rule)
     withKeyBloom(bandRowsNarrow(s)
       .withColumn("aseq", lit(0L))
-      .repartition(col("bp"))
+      .repartition(NumBandPartitions, col("bp"))
       .sortWithinPartitions("band")
       .write.mode("overwrite"), "band").partitionBy("bp")
       .parquet(s"$indexDir/$next")
-    withKeyBloom(idsRows(s)
-      .withColumn("aseq", lit(0L))
-      .repartition(col("ip"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite"), "doc_id").partitionBy("ip")
-      .parquet(genIdsDir(s"$indexDir/$next"))
-    writeHashesPruned(
-      s.select(col("doc_id"), col("h")).withColumn("aseq", lit(0L)),
-      s"$indexDir/$next/_hashes", "overwrite")
+    // the two sidecars are INDEPENDENT jobs over the same cached frame —
+    // submitted concurrently (guide §2.6 back-fill: each write's shuffle
+    // tail leaves most executors idle; the other write's tasks fill
+    // them). Crash-safe: nothing references $next until the pointer
+    // swing below, and the commit marker stays absent until after both.
+    inParallel(
+      withKeyBloom(idsRows(s)
+        .withColumn("aseq", lit(0L))
+        .repartition(NumBandPartitions, col("ip"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite"), "doc_id").partitionBy("ip")
+        .parquet(genIdsDir(s"$indexDir/$next")),
+      writeHashesPruned(
+        s.select(col("doc_id"), col("h")).withColumn("aseq", lit(0L)),
+        s"$indexDir/$next/_hashes", "overwrite"))
     writeAseq(spark, indexDir, 0L)
     if (next != "postings") swapPointer(spark, indexDir, next)
     oldGens.filterNot(g => g == next || liveBefore.contains(g)).foreach(g =>
@@ -452,24 +477,29 @@ object MinhashIndex {
     // epoch — one shuffle of an O(batch) frame buys one file per
     // partition per append and ~8x fewer folds
     if (isSplit(spark, live)) {
-      withKeyBloom(bandRowsNarrow(s)
-        .withColumn("aseq", lit(aseq))
-        .repartition(col("bp"))
-        .sortWithinPartitions("band")
-        .write.mode("append"), "band").partitionBy("bp")
-        .parquet(live)
-      withKeyBloom(idsRows(s)
-        .withColumn("aseq", lit(aseq))
-        .repartition(col("ip"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("append"), "doc_id").partitionBy("ip")
-        .parquet(genIdsDir(live))
+      // independent append jobs over the same cached frame, submitted
+      // concurrently (the build's sidecar rule): a crash between or
+      // during them leaves the index half-synced either way, and the
+      // absent commit marker routes the next release to a rebuild
+      inParallel(
+        withKeyBloom(bandRowsNarrow(s)
+          .withColumn("aseq", lit(aseq))
+          .repartition(NumBandPartitions, col("bp"))
+          .sortWithinPartitions("band")
+          .write.mode("append"), "band").partitionBy("bp")
+          .parquet(live),
+        withKeyBloom(idsRows(s)
+          .withColumn("aseq", lit(aseq))
+          .repartition(NumBandPartitions, col("ip"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("append"), "doc_id").partitionBy("ip")
+          .parquet(genIdsDir(live)))
     } else
       // pre-split generation: append in ITS schema (ids inline) — a
       // generation stays layout-consistent; the next compaction migrates
       withKeyBloom(bandRows(s)
         .withColumn("aseq", lit(aseq))
-        .repartition(col("bp"))
+        .repartition(NumBandPartitions, col("bp"))
         .sortWithinPartitions("band")
         .write.mode("append"), "band").partitionBy("bp")
         .parquet(live)
@@ -548,7 +578,7 @@ object MinhashIndex {
     withKeyBloom(livePosts
       .select(col("doc_id"), col("band"), col("bp"), col("aseq"))
       .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
-      .repartition(col("bp"))
+      .repartition(NumBandPartitions, col("bp"))
       .sortWithinPartitions("band")
       .write.mode("overwrite"), "band").partitionBy("bp")
       .parquet(s"$indexDir/$next")
@@ -570,7 +600,7 @@ object MinhashIndex {
          .dropDuplicates("doc_id", "aseq"))
         .join(keepIds, Seq("doc_id", "aseq"), "left_semi")
         .withColumn("ip", idp(col("doc_id")))
-        .repartition(col("ip"))
+        .repartition(NumBandPartitions, col("ip"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite"), "doc_id").partitionBy("ip")
       .parquet(genIdsDir(s"$indexDir/$next"))
