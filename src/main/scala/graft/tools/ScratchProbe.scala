@@ -1,0 +1,197 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+
+/** Scratch diagnostic: run decontam_index / dedup_index_novel with a
+  * per-job listener printing job wall + description + stage/task counts.
+  */
+object ScratchProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = args.lift(1).getOrElse("decontam_index")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        val cs = Option(js.properties)
+          .map(p => Option(p.getProperty("callSite.long"))
+            .getOrElse(p.getProperty("callSite.short", "")))
+          .getOrElse("").split('\n')
+          .filter(l => l.contains("graft") || l.contains("at "))
+          .take(4).mkString(" <- ")
+        jobStart.put(js.jobId, (System.nanoTime(), s"$desc | $cs"))
+        ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobStart.get(je.jobId)).foreach { case (t0, d) =>
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs > 0.05)
+            println(f"[job ${je.jobId}%4d] $secs%8.3f s  $d")
+        }
+        ()
+      }
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield (c - s) / 1e3).getOrElse(-1.0)
+        if (wall > 0.05) {
+          val m = si.taskMetrics
+          println(f"  [stage ${si.stageId}%4d] $wall%8.3f s " +
+            f"tasks=${si.numTasks}%5d run=${m.executorRunTime / 1e3}%8.1f " +
+            f"cpu=${m.executorCpuTime / 1e9}%8.1f " +
+            f"gc=${m.jvmGCTime / 1e3}%6.1f " +
+            f"deser=${m.executorDeserializeTime / 1e3}%6.1f " +
+            f"fetch=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%6.1f " +
+            f"inRec=${m.inputMetrics.recordsRead}%9d " +
+            f"shRead=${m.shuffleReadMetrics.recordsRead}%9d " +
+            f"shWrite=${m.shuffleWriteMetrics.recordsWritten}%9d  ${si.name}")
+        }
+        ()
+      }
+    })
+    graft.functions.VectorFunctions.register(spark)
+    // warmup
+    spark.range(1000).groupBy().count().collect()
+    if (which == "bloomtest") {
+      import org.apache.spark.sql.functions._
+      val df = spark.range(3000).select((col("id") * 7919L).as("id"))
+        .coalesce(1)
+      def size(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      val base = "/tmp/bloomtest"
+      df.write.mode("overwrite").parquet(s"$base/none")
+      println(s"no bloom: ${size(s"$base/none")}")
+      df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "131072")
+        .parquet(s"$base/ndv131072")
+      println(s"ndv=131072: ${size(s"$base/ndv131072")}")
+      df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .parquet(s"$base/adaptive")
+      println(s"adaptive: ${size(s"$base/adaptive")}")
+      df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .option("parquet.bloom.filter.candidates.number", "9")
+        .parquet(s"$base/adaptive9")
+      println(s"adaptive c9: ${size(s"$base/adaptive9")}")
+      df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .parquet(s"$base/plain")
+      println(s"bloom no-ndv: ${size(s"$base/plain")}")
+      // larger file: 500k rows
+      val big = spark.range(500000).select((col("id") * 7919L).as("id"))
+        .coalesce(1)
+      big.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .parquet(s"$base/adaptive_big")
+      println(s"adaptive big(500k): ${size(s"$base/adaptive_big")}")
+      big.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "131072")
+        .parquet(s"$base/ndv_big")
+      println(s"ndv=131072 big(500k): ${size(s"$base/ndv_big")}")
+      big.write.mode("overwrite").parquet(s"$base/none_big")
+      println(s"no bloom big(500k): ${size(s"$base/none_big")}")
+      spark.stop()
+      return
+    }
+    if (which == "snapshot_pieces") {
+      import java.nio.file.Files
+      val source = graft.queries.PipelineBench.OrdersSource
+      val work = Files.createTempDirectory("graft_snap_pieces")
+      val drop = Files.createDirectories(work.resolve("drop"))
+      Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
+        drop.resolve("orders_base.parquet"))
+      val store = new graft.store.TableStore(spark, work.resolve("tables").toString)
+      val files = new graft.run.FileOps(spark.sparkContext.hadoopConfiguration,
+        work.resolve("archive").toString, work.resolve("duplicates").toString)
+      val proc = new graft.run.Processor(spark,
+        new graft.core.SourceRegistry(Seq(source)), store, files,
+        new graft.run.CollectingNotifier, drop.toString)
+      def t[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      t("base publish") {
+        proc.processFile(drop.resolve("orders_base.parquet").toString).get }
+      (1 to 3).foreach { i =>
+        t(s"snapshot pin $i") {
+          store.snapshot(source.tableName, s"tag$i") }
+        t(s"readSnapshot count $i") {
+          store.readSnapshot(source.tableName, s"tag$i").get.count() }
+        t(s"snapshotDelta count $i") {
+          store.snapshotDelta(source.tableName, s"tag$i").get.count() }
+        t(s"changedBuckets $i") {
+          store.snapshotChangedBuckets(source.tableName, s"tag$i") }
+      }
+      spark.stop(); return
+    }
+    if (which == "decontam_pieces") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      def h60(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val split = when(h60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+        .otherwise("eval")
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), split.as("split"), col("text"))
+        .cache()
+      val idx = s"/tmp/graft_scratch_probe/ct_${java.util.UUID.randomUUID()}"
+      def t[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      t("build") { graft.operators.ContamIndex.build(
+        d.filter(col("split") === "eval").select("doc_id", "text"), idx) }
+      val gp = new org.apache.hadoop.fs.Path(s"$idx/grams")
+      val gfs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cs = gfs.getContentSummary(gp)
+      println(s"== grams contentSummary: length=${cs.getLength} " +
+        s"fileCount=${cs.getFileCount} dirCount=${cs.getDirectoryCount} " +
+        s"spaceConsumed=${cs.getSpaceConsumed}")
+      val train = d.filter(col("split") === "train")
+      val kept = graft.operators.ContamIndex.decontaminate(spark,
+        train.select("doc_id", "text"), idx)
+      kept.explain("formatted")
+      t("kept.count") { println("kept=" + kept.count()) }
+      t("kept.count2") { println("kept=" + kept.count()) }
+    } else if (which == "decontam_index" || which == "dedup_index_novel") {
+      val t0 = System.nanoTime()
+      val (df, b, p) =
+        if (which == "decontam_index")
+          graft.queries.TrainingData.decontamIndexTimed(spark, dir)
+        else graft.queries.TrainingData.dedupIndexNovelTimed(spark, dir)
+      df.count()
+      println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s build=$b%.2f probe=$p%.2f")
+    } else {
+      // any SparkEntry query by name, run twice (second run = steady state)
+      val fn = graft.SparkEntry.queries(which)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        println(f"TOTAL[$i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
