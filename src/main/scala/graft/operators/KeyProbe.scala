@@ -85,19 +85,24 @@ private[graft] object KeyProbe {
   private[operators] val ChunkedScanMinBytes: Long = 256L << 20
 
   /** Break-even scan bytes per pushed literal, the under-cap arm of the
-    * cost model: one literal costs ~10µs of plan + row-group eval
-    * (measured: ~0.1 s per 10k literals, FLAT with table size — bench
-    * ledger `bulk_probe_chunked_ab_r16` and the r16 probe-cost notes),
-    * while a local parquet scan returns ~200 MB/s — so a literal pays
-    * for itself once it can plausibly skip ~2 KB of read. A 60k-literal
-    * probe therefore needs a ≥120 MB table to be worth pushing; against
-    * the 3 MB toy index it was pure fixed cost (the r16 committed
-    * `dedup_index_novel` regression). Conservative in the right
-    * direction: mis-declining costs a small scan at small sizes,
-    * mis-pushing at production size would never happen (dir bytes only
-    * grow).
+    * cost model. RE-CALIBRATED in round 18 after the adaptive-bloom
+    * layout fix changed both sides of the trade: the 3-arm ProbeCost at
+    * a 28.8 MB / 520k-row index (`bulk_probe_gate_boundary_r18`)
+    * measured the forced literal arm reading 7× fewer rows (105 vs
+    * 740 krows) but costing +2.6 s wall over the declining gate — ~3 s
+    * of fixed plan + per-file footer/bloom eval for 49,422 band
+    * literals ≈ 60 µs/literal at that file geometry, vs a local parquet
+    * scan's ~200 MB/s. One literal therefore pays for itself once it
+    * can plausibly skip ~4 KB of read (the previous 2 KB figure came
+    * from the pre-fix layout's fewer-files-per-probe geometry and was
+    * ~2× optimistic). A 60k-literal probe needs a ≥240 MB table to be
+    * worth pushing; against a toy index the push is pure fixed cost
+    * (the r16 committed `dedup_index_novel` regression). Conservative
+    * in the right direction: mis-declining costs a small scan at small
+    * sizes, while the skipped read a push buys grows with the table and
+    * the literal cost does not.
     */
-  private[operators] val BytesPerLiteral = 2048L
+  private[operators] val BytesPerLiteral = 4096L
 
   /** The PURE push decision: is a literal set of size `n` worth pushing
     * against a scanned dir of `bytes`? Under the single-`In` cap the

@@ -115,6 +115,23 @@ object ScratchProbe {
       spark.stop()
       return
     }
+    if (which == "buildindex") {
+      // build a MinhashIndex over <dir>/documents.parquet into args(2) —
+      // the input generator for the gate-boundary ProbeCost arms
+      val out = args(2)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val t0 = System.nanoTime()
+      graft.operators.MinhashIndex.build(docs, out)
+      println(f"build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val p = new org.apache.hadoop.fs.Path(out)
+      val cs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(new org.apache.hadoop.fs.Path(
+          graft.operators.MinhashIndex.livePostingsDir(spark, out)))
+      println(s"postings bytes=${cs.getLength} files=${cs.getFileCount}")
+      spark.stop(); return
+    }
     if (which == "snapshot_pieces") {
       import java.nio.file.Files
       val source = graft.queries.PipelineBench.OrdersSource

@@ -26,12 +26,16 @@ class KeyProbeSpec extends AnyFunSuite {
     assert(!KeyProbe.pushWorthIt(60000, 3L << 20))
     // ... and PUSH once the table is past the literals' break-even
     assert(KeyProbe.pushWorthIt(60000, 60000L * bpl))
-    // over-cap: the measured slice break-even floor applies on top of
-    // the per-literal term (99k lits × 2KB ≈ 203 MB < the 256 MB floor)
+    // over-cap: the sliced-scan floor applies on top of the per-literal
+    // term. With the r18-recalibrated 4 KB/literal the per-literal term
+    // already exceeds the floor at the cap (64k × 4 KB = 256 MB), so
+    // the max() is governed by n×bpl throughout — the floor remains as
+    // defense-in-depth for a future smaller constant
     val over = KeyProbe.MaxKeyLiterals + 1
     assert(!KeyProbe.pushWorthIt(over, KeyProbe.ChunkedScanMinBytes - 1))
-    assert(KeyProbe.pushWorthIt(over, KeyProbe.ChunkedScanMinBytes))
-    // ... and past ~128k literals the per-literal term takes over
+    assert(!KeyProbe.pushWorthIt(over, over.toLong * bpl - 1))
+    assert(KeyProbe.pushWorthIt(over, over.toLong * bpl))
+    // ... and far past the cap the per-literal term keeps governing
     val big = 4 * KeyProbe.MaxKeyLiterals
     assert(!KeyProbe.pushWorthIt(big, KeyProbe.ChunkedScanMinBytes))
     assert(KeyProbe.pushWorthIt(big, big.toLong * bpl))
