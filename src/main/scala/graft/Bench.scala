@@ -307,8 +307,18 @@ object Bench {
     // arm in the artifact itself instead of needing a rebuild-and-guess
     // (the r16/r17 decontam_index_probe 58x gap was unadjudicable for
     // two rounds for want of exactly this)
+    // keys derive from filesystem paths and values embed the
+    // GRAFT_CHUNKED_PROBE env value verbatim — escape JSON string
+    // metacharacters so an unusual path or seam value can never yield an
+    // invalid bench artifact
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val probeJson = graft.operators.KeyProbe.decisions().toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val envJson = s""""probe_decisions":$probeJson,""" +
       s""""contended":$contended,"spread_p90":${fmt(spreadP90)},""" +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * measured scale band (index probes, `--corpus` releases, incremental
   * publishes) needs a bigger corpus with the SAME statistical shape.
   *
-  * Replica 0 is the source verbatim; replica i>0 applies a Caesar-shift-i
+  * Replica 0 is the source verbatim; replicas 1-25 apply a Caesar-shift-i
   * substitution over both alphabet cases to `text`. A full substitution
   * cipher maps every token to a token no other replica produces, so the
   * replicas' shingle sets are pairwise DISJOINT — each replica contributes
@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * structure are preserved exactly. doc_id / o_orderkey get per-replica
   * offsets so keys stay unique.
   *
+  * Replicas >= 26 (round 19): the 26 rotations are exhausted — cascading
+  * SynthScale over its own output collides (rotation i of rotation j IS
+  * rotation i+j mod 26), which capped the rehearsal corpus at 26× and
+  * left the probe gate's ABOVE-boundary arm unmeasured (r18 verdict №1).
+  * Each replica i >= 26 instead appends a fixed-width per-replica marker
+  * (`q` + two base-26 letters of i-26) to every whitespace token: the
+  * repo's one tokenizer is `split(trim(text), "\s+")`, so same-width
+  * distinct suffixes keep the suffixed replicas' token sets pairwise
+  * disjoint by construction, and disjoint from the rotation replicas up
+  * to the same rare accidental-word collisions rotations already accept.
+  * Token counts, per-doc shingle-set sizes, and the internal duplicate
+  * structure are preserved exactly; token LENGTH grows by 3 chars on
+  * suffixed replicas (and the `n_chars` column keeps the source value) —
+  * acceptable for the gate-geometry rehearsals this feeds, which key on
+  * postings-row counts and band-key distributions, not character counts.
+  * Cap 702 = 26 rotations + 26² markers.
+  *
   * Usage: `runMain graft.SynthScale <srcSfDir> <outDir> [mult]`
   * (writes `documents.parquet` and `orders.parquet`).
   */
@@ -23,7 +40,7 @@ object SynthScale {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1)
     val mult = args.lift(2).map(_.toInt).getOrElse(10)
-    require(mult >= 1 && mult <= 26, "mult must be in [1, 26]")
+    require(mult >= 1 && mult <= 702, "mult must be in [1, 702]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,8 +74,15 @@ object SynthScale {
     val docCopies = (0 until mult).map { i =>
       val t =
         if (i == 0) col("text")
-        else translate(col("text"), lower + upper,
+        else if (i < 26) translate(col("text"), lower + upper,
           shifted(lower, i) + shifted(upper, i))
+        else {
+          // fixed-width per-replica token marker (see scaladoc): "$1" is
+          // the whole whitespace token, the marker never contains '$'
+          val b = i - 26
+          val marker = s"q${lower(b / 26)}${lower(b % 26)}"
+          regexp_replace(col("text"), "(\\S+)", "$1" + marker)
+        }
       docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
         t.as("text"), col("lang"), col("source"), col("n_chars"))
     }

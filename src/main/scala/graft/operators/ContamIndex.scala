@@ -90,7 +90,10 @@ object ContamIndex {
     // 538 MB for a 2 MB evidence set at bench scale, each file padded by
     // its own per-file bloom + footer), which both slows the write and
     // feeds [[KeyProbe.literalsWorthIt]] a dir size that is all padding.
-    // One task per gp partition writes one file per dir.
+    // The explicit-N repartition hash-partitions gp (murmur3 % 64, not
+    // identity), so collisions can co-locate a few gp values per task —
+    // files stay BOUNDED (≤64 total, ~one per dir) rather than exactly
+    // one per dir; the bound is what the layout fix needed.
     val rows = evalDocs
       .select(explode(shingleIds(col("text"), gramN)).as("id"))
       .distinct()

@@ -216,16 +216,30 @@ private[graft] object KeyProbe {
   private val decisionLedger =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The ledger's layout key for a scanned dir (round 19, the r18
+    * verdict's item 6): take the last THREE path components, drop
+    * scratch-UUID components (they churn per run and would make the
+    * bench artifact's keys non-reproducible), and fold compaction
+    * generations (`postings_v7` → `postings`) so a long-lived process
+    * accrues ONE ledger row per logical layout instead of one per
+    * generation (the previous unbounded-growth leak). Three components
+    * (vs the previous two) is what disambiguates the nested layouts that
+    * could alias: `postings/_ids` vs `offered/_ids` now key as
+    * `corpus_index/postings/_ids` vs `eval_index/offered/_ids` — distinct
+    * logical dirs no longer collapse to one last-write-wins row. Unit-
+    * pinned by KeyProbeSpec.
+    */
+  private[operators] def layoutKey(dir: String): String =
+    dir.split('/').filter(_.nonEmpty).takeRight(3)
+      .filterNot(s => s.contains("-") && s.length > 20)
+      .map(_.replaceFirst("_v\\d+$", ""))
+      .mkString("/")
+
   private def record(dir: String, op: String, verdict: String,
                      bytes: Option[Long], nLits: Int): Unit = {
-    // layout key: the dir's path tail with scratch-UUID components
-    // dropped — "grams", "hashes", "postings_v2", "train_df", "_ids" ...
-    val key = dir.split('/').filter(_.nonEmpty).takeRight(2)
-      .filterNot(s => s.contains("-") && s.length > 20)
-      .mkString("/")
     val b = bytes.map(_.toString).getOrElse("unsized")
     val lits = if (nLits >= 0) s",lits=$nLits" else ""
-    decisionLedger.put(s"$op:$key",
+    decisionLedger.put(s"$op:${layoutKey(dir)}",
       s"seam=${seam.getOrElse("unset")},bytes=$b,verdict=$verdict$lits")
     ()
   }

@@ -191,13 +191,32 @@ object MinhashIndex {
     * when the first fails — a build/append must not return (and let a
     * caller start deleting scratch dirs) while its sibling job is still
     * writing. The first failure rethrows, in argument order.
+    *
+    * Each closure re-stamps the CALLER's job description/group onto its
+    * pool thread before running: Spark job properties are inheritable
+    * thread-locals captured when a pool thread is first created, so a
+    * reused cached-pool thread would otherwise label these writes with
+    * whatever description it inherited at birth — mislabeling the very
+    * per-job listener output ScratchProbe and the bench ledger read, and
+    * detaching the jobs from a caller-side cancelJobGroup.
     */
-  private def inParallel(a: => Unit, b: => Unit): Unit = {
+  private def inParallel(spark: SparkSession)(a: => Unit, b: => Unit): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec = Audit.auditEc
-    val fa = Future(a)
-    val fb = Future(b)
+    val sc = spark.sparkContext
+    val desc = sc.getLocalProperty("spark.job.description")
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    def stamped(f: => Unit): Unit = {
+      sc.setLocalProperty("spark.job.description", desc)
+      sc.setLocalProperty("spark.jobGroup.id", group)
+      try f finally {
+        sc.setLocalProperty("spark.job.description", null)
+        sc.setLocalProperty("spark.jobGroup.id", null)
+      }
+    }
+    val fa = Future(stamped(a))
+    val fb = Future(stamped(b))
     val ra = scala.util.Try(Await.result(fa, Duration.Inf))
     val rb = scala.util.Try(Await.result(fb, Duration.Inf))
     ra.get
@@ -415,7 +434,7 @@ object MinhashIndex {
     // tail leaves most executors idle; the other write's tasks fill
     // them). Crash-safe: nothing references $next until the pointer
     // swing below, and the commit marker stays absent until after both.
-    inParallel(
+    inParallel(spark)(
       withKeyBloom(idsRows(s)
         .withColumn("aseq", lit(0L))
         .repartition(NumBandPartitions, col("ip"))
@@ -481,7 +500,7 @@ object MinhashIndex {
       // concurrently (the build's sidecar rule): a crash between or
       // during them leaves the index half-synced either way, and the
       // absent commit marker routes the next release to a rebuild
-      inParallel(
+      inParallel(spark)(
         withKeyBloom(bandRowsNarrow(s)
           .withColumn("aseq", lit(aseq))
           .repartition(NumBandPartitions, col("bp"))

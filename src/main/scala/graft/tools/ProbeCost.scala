@@ -119,7 +119,10 @@ object ProbeCost {
       .select("doc_id", "text")
     val batch = perms.zipWithIndex.map { case (p, i) =>
       base.select(
-        (col("doc_id") + lit(6000000000L + i.toLong * 100000000L))
+        // 1e14 base offset: clear of every SynthScale replica stride
+        // (i*1e8, mult-capped 702 => < 1e11) — the old 6e9 base collided
+        // with replica 60+ id ranges once r19 raised the mult cap
+        (col("doc_id") + lit(100000000000000L + i.toLong * 100000000L))
           .as("doc_id"),
         translate(col("text"), lower + upper, p + p.toUpperCase).as("text"))
     }.reduce(_ unionByName _)

@@ -107,4 +107,24 @@ class KeyProbeSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("layoutKey: one stable row per logical layout dir — UUID scratch " +
+    "components dropped, compaction generations folded, nested layouts " +
+    "that previously aliased now distinct") {
+    val k = KeyProbe.layoutKey _
+    // scratch-UUID components (contain '-' and are long) never enter the
+    // key, so bench-artifact keys are reproducible across runs
+    assert(k("/tmp/wh/graft_scratch/ct_0a1b2c3d-4e5f-6071-8293-a4b5c6d7e8f9/grams")
+      === "graft_scratch/grams")
+    assert(k("/tmp/wh/graft_scratch/ct_ffffffff-0000-1111-2222-333333333333/grams")
+      === "graft_scratch/grams")
+    // compaction generations fold to ONE key per logical layout (the
+    // ledger stays bounded over a long-lived process's generations)
+    assert(k("/wh/corpus_index/postings_v7") === k("/wh/corpus_index/postings_v12"))
+    assert(k("/wh/corpus_index/postings_v7") === "wh/corpus_index/postings")
+    // nested layouts that the old 2-component tail aliased (last-write-
+    // wins) are now distinct: the parent index dir rides into the key
+    assert(k("/wh/corpus_index/postings_v3/_ids") === "corpus_index/postings/_ids")
+    assert(k("/wh/eval_index/offered") !== k("/wh2/corpus_index/offered"))
+  }
 }
