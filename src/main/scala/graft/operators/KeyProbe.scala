@@ -58,8 +58,12 @@ private[graft] object KeyProbe {
     * bench-tool runs) or a system property (in-JVM test toggling — env
     * is immutable inside a forked test JVM). Values: `force` bypasses
     * the cost gates (rows-axis pins exercise the pruned path at test
-    * scale), `0` forces the pre-chunking fallback past
-    * [[MaxKeyLiterals]].
+    * scale), `off` forces the gates to DECLINE (the round-19
+    * above-boundary measurement arm: wherever the gate would push,
+    * the decline side of the trade is otherwise unmeasurable — this
+    * seam produced the `bulk_probe_gate_above_r19` crossover data),
+    * `0` forces the pre-chunking fallback past [[MaxKeyLiterals]]. All
+    * three are pruning-only — answers never change, only which arm runs.
     */
   private def seam: Option[String] =
     sys.env.get("GRAFT_CHUNKED_PROBE")
@@ -85,24 +89,27 @@ private[graft] object KeyProbe {
   private[operators] val ChunkedScanMinBytes: Long = 256L << 20
 
   /** Break-even scan bytes per pushed literal, the under-cap arm of the
-    * cost model. RE-CALIBRATED in round 18 after the adaptive-bloom
-    * layout fix changed both sides of the trade: the 3-arm ProbeCost at
-    * a 28.8 MB / 520k-row index (`bulk_probe_gate_boundary_r18`)
-    * measured the forced literal arm reading 7× fewer rows (105 vs
-    * 740 krows) but costing +2.6 s wall over the declining gate — ~3 s
-    * of fixed plan + per-file footer/bloom eval for 49,422 band
-    * literals ≈ 60 µs/literal at that file geometry, vs a local parquet
-    * scan's ~200 MB/s. One literal therefore pays for itself once it
-    * can plausibly skip ~4 KB of read (the previous 2 KB figure came
-    * from the pre-fix layout's fewer-files-per-probe geometry and was
-    * ~2× optimistic). A 60k-literal probe needs a ≥240 MB table to be
-    * worth pushing; against a toy index the push is pure fixed cost
-    * (the r16 committed `dedup_index_novel` regression). Conservative
-    * in the right direction: mis-declining costs a small scan at small
-    * sizes, while the skipped read a push buys grows with the table and
-    * the literal cost does not.
+    * cost model. RE-CALIBRATED in round 19 from the first ABOVE-boundary
+    * measurement (`bulk_probe_gate_above_r19`, interleaved cold+warm
+    * best-of-N on a quiet box): against bulk-grade-bloom indexes of
+    * 315 MB and 953 MB, a 49,422-literal push read 6.8× / 2.45× fewer
+    * rows but its wall cost over the declining scan was ~FLAT at
+    * +8–9 s (~175 µs/literal — driver plan+serialization plus per-file
+    * bloom page reads, NOT per-row-group eval, which would have tripled
+    * with the 3× table). The decline arm's index-size term measured
+    * ~5.3 ms/MB, so the wall crossover on local NVMe sits near 1.6–2 GB
+    * for a cap-sized literal set: one literal pays for itself once it
+    * can skip ~32 KB of read. (Round 18's 4 KB figure extrapolated a
+    * below-boundary point — 60 µs/literal at a 28.8 MB index — to sizes
+    * where the bloom sidecar reads grow with file count.) Conservative
+    * in the right direction twice over: mis-declining in the
+    * hundreds-of-MB zone costs a bounded few-second scan, while at
+    * production sizes (dirs ≫ GB, remote I/O dearer per byte) n×32 KB
+    * is dwarfed by dir bytes and every real push proceeds — and the
+    * ROWS axis (the bounded-read guarantee the blooms exist for) is
+    * measured working at every size.
     */
-  private[operators] val BytesPerLiteral = 4096L
+  private[operators] val BytesPerLiteral = 32768L
 
   /** The PURE push decision: is a literal set of size `n` worth pushing
     * against a scanned dir of `bytes`? Under the single-`In` cap the
@@ -155,6 +162,10 @@ private[graft] object KeyProbe {
       record(scannedDir, "keyFiltered", "force", None, lits.size)
       inSlices(df, key, lits)
     }
+    else if (seam.contains("off")) {
+      record(scannedDir, "keyFiltered", "seam-off", None, lits.size)
+      df
+    }
     else if (lits.size > MaxKeyLiterals && seam.contains("0")) {
       record(scannedDir, "keyFiltered", "seam0-fallback", None, lits.size)
       df
@@ -192,6 +203,9 @@ private[graft] object KeyProbe {
     if (seam.contains("force")) {
       record(dir, "literalsWorthIt", "force", None, -1)
       true
+    } else if (seam.contains("off")) {
+      record(dir, "literalsWorthIt", "off", None, -1)
+      false
     } else {
       val b = dirBytes(spark, dir)
       val verdict = b.exists(_ >= ChunkedScanMinBytes)
@@ -307,7 +321,26 @@ private[graft] object KeyProbe {
     * sized up to the 1 MB parquet cap, so dir bytes track DATA — the
     * quantity the cost gate's break-even is calibrated against. A
     * mis-sized bloom only ever degrades to false positives — extra
-    * reads, never wrong answers. `GRAFT_KEYBLOOM=0` writes the same
+    * reads, never wrong answers.
+    *
+    * The FPP is sized for BULK probes (round 19): a probe pushes up to
+    * [[MaxKeyLiterals]] literals per `In`, and a row group is read when
+    * ANY literal false-positives — P(spurious read) = 1-(1-fpp)^L, so
+    * the parquet default fpp=0.01 saturates to 1 at L≈50k and skipping
+    * collapses exactly at the scale the gate pushes (measured on a
+    * 909 MB synthetic postings index: the pushed probe read 2.1× MORE
+    * rows than the declining full scan — `bulk_probe_gate_above_r19`).
+    * Small indexes never exposed this because their row groups stay
+    * fully dictionary-encoded (parquet then skips via exact dictionary
+    * filtering and writes no bloom at all); past ~1 MB of distinct keys
+    * per row group the dictionary falls back to plain and the bloom is
+    * the only novel-key skip mechanism. fpp=1e-6 ≈ 29 bits/key keeps
+    * P(spurious read) ≈ 6% at the 64k-literal cap; with the 4 MB block
+    * size a row group holds ≤~230k distinct ≥16-byte keys, inside the
+    * 1 MB adaptive cap's bulk-grade capacity (~290k), and adaptive
+    * sizing keeps small row groups at the 64 KB candidate floor — dir
+    * bytes still track data, the r18 invariant. `GRAFT_KEYBLOOM=0`
+    * writes the same
     * row-group geometry WITHOUT the bloom (measurement seam: the paired
     * build-overhead A/B in the bench notes isolates the bloom-write cost
     * alone; probes against bloomless files are correct, just unpruned at
@@ -320,5 +353,6 @@ private[graft] object KeyProbe {
     else sized
       .option(s"parquet.bloom.filter.enabled#$key", "true")
       .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .option(s"parquet.bloom.filter.fpp#$key", "0.000001")
   }
 }

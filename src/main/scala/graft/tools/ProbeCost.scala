@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * production-scale arm — since r17 EVERY literal push is cost-gated on
   * scanned-dir bytes, so a toy index under the break-even correctly
   * declines pushes and the default arm measures the SCAN side) vs
-  * `GRAFT_CHUNKED_PROBE=0` (pre-chunking fallback) vs unset (whatever
-  * the gate decides at this index's size — the wall the committed bench
-  * pays). The JSON records the seam so arms can't be confused.
+  * `GRAFT_CHUNKED_PROBE=off` (forced decline — the r19 seam that makes
+  * the scan side measurable ABOVE the boundary, where the gate always
+  * pushes) vs `GRAFT_CHUNKED_PROBE=0` (pre-chunking fallback) vs unset
+  * (whatever the gate decides at this index's size — the wall the
+  * committed bench pays). The JSON records the seam so arms can't be
+  * confused.
   */
 object ProbeCost {
   def main(args: Array[String]): Unit = {

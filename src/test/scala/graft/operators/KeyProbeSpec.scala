@@ -27,8 +27,8 @@ class KeyProbeSpec extends AnyFunSuite {
     // ... and PUSH once the table is past the literals' break-even
     assert(KeyProbe.pushWorthIt(60000, 60000L * bpl))
     // over-cap: the sliced-scan floor applies on top of the per-literal
-    // term. With the r18-recalibrated 4 KB/literal the per-literal term
-    // already exceeds the floor at the cap (64k × 4 KB = 256 MB), so
+    // term. With the r19-recalibrated 32 KB/literal the per-literal term
+    // exceeds the floor everywhere past the cap (64k × 32 KB = 2 GB), so
     // the max() is governed by n×bpl throughout — the floor remains as
     // defense-in-depth for a future smaller constant
     val over = KeyProbe.MaxKeyLiterals + 1
@@ -87,7 +87,7 @@ class KeyProbeSpec extends AnyFunSuite {
     import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kp2").toString
     try {
-      // ~1MB of high-entropy parquet vs 3 literals (6KB break-even):
+      // ~1MB of high-entropy parquet vs 3 literals (96KB break-even):
       // the gate must PUSH and the filter must apply
       def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes).map("%02x".format(_)).mkString
@@ -100,6 +100,17 @@ class KeyProbeSpec extends AnyFunSuite {
       val some = KeyProbe.keyFiltered(df, "k", Seq("k1", "k2", "kxx"), dir)
       assert(some.count() === 2L,
         "3 literals against a ~1MB dir are past break-even: must push")
+      // the off seam forces the DECLINE arm where the gate would push —
+      // the r19 above-boundary measurement seam. Pruning-only: the
+      // superset comes back, and literalsWorthIt stops the collect too.
+      sys.props("graft.chunked.probe") = "off"
+      try {
+        assert(KeyProbe.keyFiltered(df, "k", Seq("k1", "k2", "kxx"), dir)
+          .count() === 2000L,
+          "off seam must decline the push the gate would make")
+        assert(!KeyProbe.literalsWorthIt(spark, dir),
+          "off seam must decline the literal collect at any size")
+      } finally { sys.props.remove("graft.chunked.probe"); () }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
