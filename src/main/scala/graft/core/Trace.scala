@@ -80,4 +80,21 @@ object Trace {
       } catch { case _: Throwable => () }
     }
   }
+
+  /** Run `f` with a Spark job description so every job it submits is
+    * attributable in the UI and per-job listeners (the optimization
+    * guide's "label your jobs"; Spark 4 no longer carries call sites in
+    * job properties, so an unlabeled metadata job is anonymous). The
+    * property is thread-local; the caller's own label — e.g. the bench's
+    * per-entry description — is RESTORED afterward, not cleared, so
+    * nesting composes. Costs two local-property writes; no job control
+    * semantics change (job groups are untouched).
+    */
+  def withJobDesc[T](spark: org.apache.spark.sql.SparkSession,
+                     desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
 }

@@ -33,14 +33,52 @@ object Audit {
              source: SourceConfig, fileName: String): Unit =
     if (source.auditQuery.isEmpty) grainAudit(stage, source, fileName)
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec = auditEc
-      val g = Future(grainAudit(stage, source, fileName))
-      val c = Future(customAudit(spark, stage, source, fileName))
-      Await.result(g, Duration.Inf)
-      Await.result(c, Duration.Inf)
+      inParallel(spark)(
+        grainAudit(stage, source, fileName),
+        customAudit(spark, stage, source, fileName))
     }
+
+  /** Run two independent Spark actions concurrently on [[auditEc]] (the
+    * guide-§2.6 back-fill pattern: one action's straggler tail no longer
+    * serializes the other's scheduling). BOTH are awaited even when the
+    * first fails — a caller must not proceed (and e.g. start deleting
+    * scratch dirs) while its sibling job is still running; the first
+    * failure rethrows, in argument order. Each closure re-stamps the
+    * CALLER's job description/group onto its pool thread: Spark job
+    * properties are inheritable thread-locals captured when a pool
+    * thread is FIRST CREATED, so a reused cached-pool thread would
+    * otherwise label these jobs with whatever it inherited at birth —
+    * mislabeling per-job listener output (ScratchProbe, the bench
+    * ledger) and detaching the jobs from a caller-side cancelJobGroup.
+    *
+    * This is the pipeline's crash-isolation-preserving concurrency
+    * primitive: it overlaps INDEPENDENT jobs without merging their
+    * failure domains — each action keeps its own try/catch, lock scope,
+    * and commit marker semantics.
+    */
+  def inParallel(spark: SparkSession)(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = auditEc
+    val sc = spark.sparkContext
+    val desc = sc.getLocalProperty("spark.job.description")
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    def stamped(f: => Unit): Unit = {
+      sc.setLocalProperty("spark.job.description", desc)
+      sc.setLocalProperty("spark.jobGroup.id", group)
+      try f finally {
+        sc.setLocalProperty("spark.job.description", null)
+        sc.setLocalProperty("spark.jobGroup.id", null)
+      }
+    }
+    val fa = Future(stamped(a))
+    val fb = Future(stamped(b))
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get
+    rb.get
+    ()
+  }
 
   /** A1 grain-uniqueness + A2 top-5 duplicate examples in ONE aggregation:
     * `groupBy(grain).count HAVING count>1 LIMIT 5` answers both "is the grain

@@ -186,43 +186,12 @@ object MinhashIndex {
     signedDocs.select(col("doc_id"), col("ids"))
       .withColumn("ip", idp(col("doc_id")))
 
-  /** Run two independent Spark write jobs concurrently (guide-§2.6
-    * back-fill; [[Audit.auditEc]]'s daemon pool). BOTH are awaited even
-    * when the first fails — a build/append must not return (and let a
-    * caller start deleting scratch dirs) while its sibling job is still
-    * writing. The first failure rethrows, in argument order.
-    *
-    * Each closure re-stamps the CALLER's job description/group onto its
-    * pool thread before running: Spark job properties are inheritable
-    * thread-locals captured when a pool thread is first created, so a
-    * reused cached-pool thread would otherwise label these writes with
-    * whatever description it inherited at birth — mislabeling the very
-    * per-job listener output ScratchProbe and the bench ledger read, and
-    * detaching the jobs from a caller-side cancelJobGroup.
+  /** Two independent write jobs, concurrent, both awaited even on
+    * failure — now the shared [[Audit.inParallel]] primitive (round 19:
+    * the pipeline's metadata jobs adopt the same pattern).
     */
-  private def inParallel(spark: SparkSession)(a: => Unit, b: => Unit): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec = Audit.auditEc
-    val sc = spark.sparkContext
-    val desc = sc.getLocalProperty("spark.job.description")
-    val group = sc.getLocalProperty("spark.jobGroup.id")
-    def stamped(f: => Unit): Unit = {
-      sc.setLocalProperty("spark.job.description", desc)
-      sc.setLocalProperty("spark.jobGroup.id", group)
-      try f finally {
-        sc.setLocalProperty("spark.job.description", null)
-        sc.setLocalProperty("spark.jobGroup.id", null)
-      }
-    }
-    val fa = Future(stamped(a))
-    val fb = Future(stamped(b))
-    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
-    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
-    ra.get
-    rb.get
-    ()
-  }
+  private def inParallel(spark: SparkSession)(a: => Unit, b: => Unit): Unit =
+    Audit.inParallel(spark)(a, b)
 
   private def genIdsDir(live: String) = s"$live/_ids"
 

@@ -62,40 +62,47 @@ object RankOps {
     */
   private[graft] def bucketAssign(df: DataFrame, key: Column,
                                   minor: Option[Column],
-                                  buckets: Int): DataFrame = {
+                                  buckets: Int,
+                                  part: Option[Column] = None): DataFrame = {
+    val pd = part.getOrElse(lit(0L)).cast(DoubleType)
     val kd = key.cast(DoubleType)
     val md = minor.getOrElse(lit(0L)).cast(DoubleType)
     // deterministic uniform sample: top-S by hash compiles to
     // TakeOrderedAndProject (per-partition top-S + single merge — the
-    // q9/top-k shape, never a full sort); (k, m) tiebreaks make the
+    // q9/top-k shape, never a full sort); (p, k, m) tiebreaks make the
     // selection stable when hashes collide. 64x oversampling per bucket
     // bounds the per-bucket share error near 1/sqrt(64)
     val sampleN = buckets * 64
-    val s = df.select(kd.as("_rk_k"), md.as("_rk_m"))
-      .orderBy(xxhash64(col("_rk_k"), col("_rk_m")),
-        col("_rk_k"), col("_rk_m"))
+    val s = df.select(pd.as("_rk_p"), kd.as("_rk_k"), md.as("_rk_m"))
+      .orderBy(xxhash64(col("_rk_p"), col("_rk_k"), col("_rk_m")),
+        col("_rk_p"), col("_rk_k"), col("_rk_m"))
       .limit(sampleN)
     // one bounded row: sort the sample, slice every (size/buckets)-th
-    // element into the cut array (cut values are actual data pairs)
+    // element into the cut array (cut values are actual data triples;
+    // struct sort_array orders field-lexicographically — p, then k,
+    // then m — matching the strict comparison below)
     val cuts = s
-      .agg(sort_array(collect_list(struct(col("_rk_k"), col("_rk_m"))))
+      .agg(sort_array(collect_list(
+          struct(col("_rk_p"), col("_rk_k"), col("_rk_m"))))
         .as("_rk_s"))
       .select(when(size(col("_rk_s")) < lit(2),
-          array().cast("array<struct<_rk_k:double,_rk_m:double>>"))
+          array().cast(
+            "array<struct<_rk_p:double,_rk_k:double,_rk_m:double>>"))
         .otherwise(transform(sequence(lit(1), lit(buckets - 1)),
           i => element_at(col("_rk_s"),
             greatest(lit(1), floor(i * size(col("_rk_s")) / lit(buckets))
               .cast("int")))))
         .as("_rk_cuts"))
-    // strict lexicographic cut comparison: equal (key, minor) share a
-    // bucket; a null minor (or key) compares "not less" on that field,
+    // strict lexicographic cut comparison: equal (part, key, minor) share
+    // a bucket; a null minor (or key) compares "not less" on that field,
     // landing the row in its class's EARLIEST bucket — consistent with
     // the within-bucket sort's nulls-first ordering
     df.crossJoin(broadcast(cuts))
       .withColumn("_rk_b",
         coalesce(size(filter(col("_rk_cuts"),
-          c => c.getField("_rk_k") < kd ||
-            (c.getField("_rk_k") === kd && c.getField("_rk_m") < md))),
+          c => c.getField("_rk_p") < pd ||
+            (c.getField("_rk_p") === pd && (c.getField("_rk_k") < kd ||
+              (c.getField("_rk_k") === kd && c.getField("_rk_m") < md))))),
           lit(0)))
       .drop("_rk_cuts")
   }
@@ -104,6 +111,27 @@ object RankOps {
                      out: String, buckets: Int = 64,
                      minor: Option[Column] = None): DataFrame =
     ranked(df, key, ties, out, buckets, minor, nOut = None)
+
+  /** CONCATENATED per-group ranks in ONE distributed rank pass: rows are
+    * ordered (`part` asc, `key` asc, `ties` asc) and ranked gaplessly
+    * over that total order, so within each `part` group the ranks run
+    * (offset+1 .. offset+groupSize) in the group's own (key, ties)
+    * order — a caller whose groups are equal-sized recovers each group's
+    * LOCAL rank as `out - groupIndex × groupSize` arithmetically. One
+    * sample + one cut broadcast + one bucket window for ALL groups,
+    * where per-group [[withGlobalRank]] calls would each pay the full
+    * machinery and meet in a chain of joins (quality_metric_agreement
+    * ran three — the unpivoted single pass replaces that plan). `part`
+    * must be numeric and non-null; `minor` splits heavy (part, key) tie
+    * classes exactly as [[withGlobalRank]]'s does, with the same
+    * monotonicity contract against `ties.head`.
+    */
+  def withPartedRankAndCount(df: DataFrame, part: Column, key: Column,
+                             ties: Seq[Column], out: String, nOut: String,
+                             buckets: Int = 64,
+                             minor: Option[Column] = None): DataFrame =
+    ranked(df, key, ties, out, buckets, minor, nOut = Some(nOut),
+      part = Some(part))
 
   /** [[withGlobalRank]] plus the TOTAL row count as column `nOut`: the
     * rank's bucket-count aggregate already holds every bucket's size, so
@@ -118,7 +146,8 @@ object RankOps {
 
   private def ranked(df: DataFrame, key: Column, ties: Seq[Column],
                      out: String, buckets: Int, minor: Option[Column],
-                     nOut: Option[String]): DataFrame = {
+                     nOut: Option[String],
+                     part: Option[Column] = None): DataFrame = {
     // the bucket/offset internals and the requested output columns ride
     // through a join — a collision with an existing column would survive
     // analysis as a duplicate name and ambiguate the CALLER's next
@@ -127,7 +156,7 @@ object RankOps {
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"withGlobalRank: input already has column(s) ${clash.mkString(", ")}")
-    val bucketed = bucketAssign(df, key, minor, buckets)
+    val bucketed = bucketAssign(df, key, minor, buckets, part)
     // both windows run over the bounded per-bucket aggregate (≤ buckets
     // rows): the prefix-sum offsets, and optionally the all-bucket total
     val offs0 = bucketed.groupBy("_rk_b").agg(count(lit(1)).as("_rk_n"))
@@ -143,7 +172,8 @@ object RankOps {
     }
     bucketed.join(broadcast(offs), Seq("_rk_b"))
       .withColumn(out, (col("_rk_off") + row_number().over(
-        Window.partitionBy("_rk_b").orderBy(key +: ties: _*)))
+        Window.partitionBy("_rk_b")
+          .orderBy(part.toSeq ++ (key +: ties): _*)))
         .cast(LongType))
       .drop("_rk_b", "_rk_off")
   }

@@ -4641,25 +4641,38 @@ object TrainingData {
       .groupBy("doc_id")
       .agg(round(sum(col("k") * log10(col("c") / col("n"))) / sum("k"), 4)
         .as("avg_logprob"))
-    // three EXACT doc-table-sized ranks via the distributed two-pass rank
-    // (RankOps) — the previous global row_number windows each forced an
-    // Exchange SinglePartition over every document. Each rank runs
-    // INDEPENDENTLY over a narrow (doc_id, metric) projection of the
-    // cached join and the rank columns equi-join back on doc_id: nesting
-    // them (fold) would re-derive every earlier rank inside each later
-    // rank's cut-point aggregate
+    // three EXACT doc-table-sized ranks in ONE distributed rank pass
+    // (round 19): the r18 shape ran the RankOps machinery three times
+    // over per-metric projections and equi-joined the rank columns back
+    // on doc_id — a 118 KB / 189-Exchange physical plan whose
+    // planning+scheduling dominated the entry (7.6 s quiet, ~43 jobs).
+    // Unpivoting to (metric_idx, value, doc_id) and ranking the
+    // CONCATENATED total order (midx, v, doc_id) gives each metric block
+    // ranks (midx·n+1 .. (midx+1)·n) in its own (value, doc_id) order —
+    // the same gapless per-metric rank, recovered arithmetically as
+    // r − midx·n (every metric has exactly n rows: the inner join with
+    // lp keeps only docs with ≥1 token, where all three signals are
+    // non-null). One sample + one cut broadcast + one bucket window for
+    // all three metrics, and the two rank-column joins become one
+    // groupBy(doc_id) pivot. nt rides as double — exact for any token
+    // count below 2^53, and double ordering equals long ordering there.
+    // minor = doc_id splits the HEAVY (midx, v) tie classes (stop_ratio
+    // exactly 0 …) across buckets, as before.
     val joined = base.join(lp, Seq("doc_id")).cache()
-    val ranked = Seq(
-      ("nt", "r_len"), ("stop_ratio", "r_stop"), ("avg_logprob", "r_lp"))
-      .map { case (k, out) =>
-        // minor = doc_id (the tiebreak itself): rounded ratios and short
-        // token lengths form HEAVY tie classes (stop_ratio exactly 0 …)
-        // that would otherwise concentrate into one bucket's local sort
-        graft.operators.RankOps.withGlobalRank(
-          joined.select(col("doc_id"), col(k)), col(k),
-          Seq(col("doc_id")), out, minor = Some(col("doc_id")))
-          .select("doc_id", out)
-      }.reduce(_.join(_, Seq("doc_id")))
+    val unp = joined.selectExpr("doc_id",
+      "stack(3, 0L, cast(nt as double), 1L, stop_ratio, 2L, avg_logprob)" +
+        " AS (midx, v)")
+    val rk = graft.operators.RankOps.withPartedRankAndCount(unp,
+      col("midx"), col("v"), Seq(col("doc_id")), "r", "n3",
+      minor = Some(col("doc_id")))
+    val ranked = rk
+      // `div`, not `/`: SQL `/` on longs is DOUBLE division — the rank
+      // arithmetic must stay integer end-to-end (n3 = 3n exactly)
+      .withColumn("pr", col("r") - col("midx") * expr("n3 div 3"))
+      .groupBy("doc_id")
+      .agg(max(when(col("midx") === 0L, col("pr"))).as("r_len"),
+        max(when(col("midx") === 1L, col("pr"))).as("r_stop"),
+        max(when(col("midx") === 2L, col("pr"))).as("r_lp"))
     def d2(a: String, b: String) =
       sum((col(a) - col(b)) * (col(a) - col(b)))
     val s = ranked.agg(count(lit(1)).as("n"),

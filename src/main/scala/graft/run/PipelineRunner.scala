@@ -61,7 +61,9 @@ final class PipelineRunner(
     // finally deletes unconditionally, runner.py:270.)
     var safeToDelete = false
     try {
-      checkDuplicate(fileName, source)
+      graft.core.Trace.withJobDesc(spark, s"pipeline:dup-probe $fileName") {
+        checkDuplicate(fileName, source)
+      }
       files.archive(path) // copy-before-processing (runner.py:142-149)
       safeToDelete = true
       val result = runStages(path, fileName, source, logId)
@@ -115,7 +117,8 @@ final class PipelineRunner(
     val sidecar = s"${source.tableName}__filenames"
     val reader = ReaderFactory.readerFor(fileName)
     val raw = graft.core.Trace.span("read", "file" -> fileName)(
-      reader.read(spark, path, source))
+      graft.core.Trace.withJobDesc(spark, s"pipeline:read $fileName")(
+        reader.read(spark, path, source)))
     log(logId, fileName, Some(source.tableName), "read", success = Some(true))
 
     // Validate the UNNUMBERED frame first, without the DLQ JSON payload —
@@ -140,8 +143,10 @@ final class PipelineRunner(
       if (estTasks * 2 <= par) raw.df.repartition(par)
       else raw.df
     val vr = graft.core.Trace.span("validate", "file" -> fileName)(
-      Validator.validate(validationInput, source, fileName, logId,
-        excelDates = reader.isInstanceOf[ExcelReader], withRawRecord = false))
+      graft.core.Trace.withJobDesc(spark, s"pipeline:validate $fileName")(
+        Validator.validate(validationInput, source, fileName, logId,
+          excelDates = reader.isInstanceOf[ExcelReader],
+          withRawRecord = false)))
     var vrNumbered: Option[graft.operators.ValidationResult] = None
     try {
       // WRITE: DLQ rows always persist (even below-threshold successes keep
@@ -165,8 +170,10 @@ final class PipelineRunner(
         // locked: a concurrent DLQ-cleanup overwrite snapshots-and-deletes
         // segments — an unlocked append could land in that window and be
         // dropped
-        store.withTableLock(Schemas.DlqTable) {
-          store.append(Schemas.DlqTable, dlqRows)
+        graft.core.Trace.withJobDesc(spark, s"pipeline:dlq-write $fileName") {
+          store.withTableLock(Schemas.DlqTable) {
+            store.append(Schemas.DlqTable, dlqRows)
+          }
         }
         log(logId, fileName, Some(source.tableName), "write", success = Some(true),
           read = vr.totalCount, failed = vr.errorCount)
@@ -182,7 +189,9 @@ final class PipelineRunner(
       // AUDIT (A1/A2 grain, A3 custom) on staged rows — independent jobs,
       // submitted concurrently so the scheduler overlaps them
       graft.core.Trace.span("audit", "file" -> fileName) {
-        Audit.runAll(spark, stage, source, fileName)
+        graft.core.Trace.withJobDesc(spark, s"pipeline:audit $fileName") {
+          Audit.runAll(spark, stage, source, fileName)
+        }
       }
       log(logId, fileName, Some(source.tableName), "audit", success = Some(true))
 
@@ -195,6 +204,8 @@ final class PipelineRunner(
       val (mInserts, mUpdates) =
           graft.core.Trace.span("publish", "file" -> fileName,
             "table" -> source.tableName) {
+          graft.core.Trace.withJobDesc(spark,
+            s"pipeline:publish ${source.tableName}") {
         store.withTableLock(source.tableName) {
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         // one-time sidecar backfill for tables populated before the sidecar
@@ -205,53 +216,81 @@ final class PipelineRunner(
             .withColumn("file_load_log_id", lit(-1L))
             .withColumn("published_at", lit(now)))
         }
+        // record the filename in the probe sidecar (atomic segment append)
+        def appendSidecar(): Unit = {
+          val sp = spark
+          import sp.implicits._
+          graft.core.Trace.withJobDesc(spark,
+            s"pipeline:sidecar-append ${source.tableName}") {
+            store.append(sidecar, Seq((fileName, logId, now))
+              .toDF("source_filename", "file_load_log_id", "published_at"))
+          }
+        }
         // backends with a native MERGE (JDBC) publish O(delta) in place;
         // otherwise read -> Spark-side merge -> overwrite, with counts
         // observed during the overwrite's own write job (no separate cached
         // count pass) and first publishes skipping the merge join entirely
-        val cnt = sink.mergeInPlace(source.tableName, stage, source, now)
-          .getOrElse {
+        val cnt = sink.mergeInPlace(source.tableName, stage, source, now) match {
+          case Some(c) =>
+            appendSidecar()
+            c
+          case None =>
             val existing = sink.readIfExists(source.tableName)
             val target = existing.getOrElse(Publish.emptyTarget(spark, source))
             val m = Publish.mergePlan(stage, target, source, now,
               targetKnownEmpty = existing.isEmpty)
             sink.overwrite(source.tableName, m.merged, source.targetPartitionBy)
-            sink.vacuum(source.tableName) // bound disk: drop superseded versions
+            // post-write housekeeping: the vacuum (a driver-side FS
+            // metadata walk dropping superseded versions) and the sidecar
+            // append (one small Spark write job) are INDEPENDENT — overlap
+            // them (guide §2.6) instead of serializing two latency-bound
+            // steps. Crash domains unmerged: each keeps its own failure,
+            // both are awaited, and neither orders against the other —
+            // the version swap inside overwrite() remains the commit
+            // point, exactly as before.
+            graft.operators.Audit.inParallel(spark)(
+              sink.vacuum(source.tableName),
+              appendSidecar())
             m.counts()
-          }
-        // record the filename in the probe sidecar (atomic segment append)
-        val sp = spark
-        import sp.implicits._
-        store.append(sidecar, Seq((fileName, logId, now))
-          .toDF("source_filename", "file_load_log_id", "published_at"))
+        }
         cnt
-      } }
+      } } }
       log(logId, fileName, Some(source.tableName), "publish", success = Some(true),
         inserts = mInserts, updates = mUpdates)
-      // layout policy: a target pinned to a tiny first file's bucket count
-      // upgrades automatically once it outgrows the sizing rule 8x (one
-      // manifest read when nothing to do; mature targets skip the gauge)
-      sink.maybeRebucket(source.tableName, source.grain).foreach(n =>
-        System.err.println(
-          s"${source.tableName}: rebucketed outgrown layout to $n buckets"))
-
-      // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
-      // current run's rows survive (reference delete/base.py:36-41).
-      // Probe before rewriting: the common case — a clean file, or a file
-      // loaded for the first time — has nothing to delete, and the probe is
-      // one scan with the filename filter pushed to the parquet row groups,
-      // where the unconditional rewrite paid an O(DLQ) write on EVERY
-      // publish regardless.
-      store.withTableLock(Schemas.DlqTable) {
-        store.readIfExists(Schemas.DlqTable).foreach { dlq =>
-          val stale = col("source_filename") === fileName &&
-            col("file_load_log_id") < logId
-          if (!dlq.filter(stale).isEmpty) {
-            store.overwrite(Schemas.DlqTable, dlq.filter(!stale))
-            store.vacuum(Schemas.DlqTable)
+      // post-publish housekeeping, overlapped (guide §2.6): the layout
+      // gauge (a manifest read on the TARGET; upgrades a target pinned to
+      // a tiny first file's bucket count once it outgrows the sizing rule
+      // 8x) and the DLQ cleanup (a probe + conditional rewrite of the
+      // DLQ TABLE) touch different tables, hold different locks, and
+      // neither orders against the other — only their combined completion
+      // gates the file's result. Failure domains stay separate: each arm
+      // keeps its own lock scope and rethrows independently.
+      graft.operators.Audit.inParallel(spark)(
+        graft.core.Trace.withJobDesc(spark,
+          s"pipeline:rebucket-gauge ${source.tableName}") {
+          sink.maybeRebucket(source.tableName, source.grain).foreach(n =>
+            System.err.println(
+              s"${source.tableName}: rebucketed outgrown layout to $n buckets"))
+        },
+        // DLQ cleanup: drop THIS file's rows from EARLIER runs only; the
+        // current run's rows survive (reference delete/base.py:36-41).
+        // Probe before rewriting: the common case — a clean file, or a
+        // file loaded for the first time — has nothing to delete, and the
+        // probe is one scan with the filename filter pushed to the parquet
+        // row groups, where the unconditional rewrite paid an O(DLQ) write
+        // on EVERY publish regardless.
+        graft.core.Trace.withJobDesc(spark, s"pipeline:dlq-cleanup $fileName") {
+          store.withTableLock(Schemas.DlqTable) {
+            store.readIfExists(Schemas.DlqTable).foreach { dlq =>
+              val stale = col("source_filename") === fileName &&
+                col("file_load_log_id") < logId
+              if (!dlq.filter(stale).isEmpty) {
+                store.overwrite(Schemas.DlqTable, dlq.filter(!stale))
+                store.vacuum(Schemas.DlqTable)
+              }
+            }
           }
-        }
-      }
+        })
 
       FileResult(success = true, fileName, None, logId,
         recordsRead = vr.totalCount,
@@ -292,8 +331,10 @@ final class PipelineRunner(
     val rows = logBuffer.get()
     if (rows.nonEmpty) {
       import scala.jdk.CollectionConverters._
-      store.append(Schemas.LogTable,
-        spark.createDataFrame(rows.asJava, Schemas.LogSchema))
+      graft.core.Trace.withJobDesc(spark, "pipeline:log-append") {
+        store.append(Schemas.LogTable,
+          spark.createDataFrame(rows.asJava, Schemas.LogSchema))
+      }
       logBuffer.set(Vector.empty)
     }
   }

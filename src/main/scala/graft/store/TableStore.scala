@@ -329,34 +329,50 @@ final class TableStore(spark: SparkSession, root: String,
     * new column exists at all — would depend on file listing order. The
     * cost is one footer read per file, driver-side metadata at any scale.
     *
-    * The merged schema is MEMOIZED per exact path set (round 19): the
-    * store's dirs are immutable once visible — bucket/version dirs are
+    * The RESOLVED FRAME is MEMOIZED per exact path set (round 19; this
+    * round upgraded the schema-only memo to the full frame): the store's
+    * dirs are immutable once visible — bucket/version dirs are
     * copy-on-write (a publish writes a NEW version dir, never edits a
-    * published one) and segments commit by atomic rename — so the same
-    * path set always carries the same merged schema, while one pipeline
-    * scenario re-reads the same layout 4-7 times (publish + counters +
-    * snapshot + CDC), each read paying a full mergeSchema footer job
-    * (~0.2-0.5 s of driver metadata at 64 bucket dirs, r18/r19 job
-    * profiles). A hit re-reads the files under the KNOWN union schema
-    * (`spark.read.schema(s)` — by-name column mapping with typed nulls
-    * for absent columns, the same semantics mergeSchema inference
-    * produces) with a fresh plan and fresh attribute ids, so self-join
-    * hygiene is unchanged. Data is still read from parquet on every
-    * action — only the schema-inference metadata pass is skipped. Stale
-    * entries are only ever dead keys (vacuumed dirs are never re-requested
-    * — no live manifest references them); the map is cleared past a bound
-    * like [[graft.operators.KeyProbe]]'s dirBytes memo.
+    * published one) and append/upsert segments commit as NEW dirs by
+    * atomic rename (a changed path set is a different key) — so the same
+    * path set always resolves to the same relation, while one pipeline
+    * scenario re-reads the same layout 2-7 times (publish + counters +
+    * snapshot + CDC). A fresh `spark.read` per call paid BOTH the
+    * mergeSchema footer pass (~0.2-0.5 s at 64 bucket dirs) and a
+    * file-listing job (~0.15 s per 64-dir layout at local[32]; a listing
+    * RPC storm against cloud storage — the r19 forget profile showed six
+    * "Listing leaf files for 64 paths" jobs in ONE scenario). PLAN reuse
+    * only, NOT result caching: every action on the memoized frame still
+    * reads the parquet files; nothing is persisted or `.cache()`d.
+    * Handing back the same Dataset instance leaves self-joins to Spark's
+    * standard DeduplicateRelations path (the df.join(df) case) — current
+    * callers never join one path set with itself un-checkpointed, and
+    * the analyzer fails LOUDLY on ambiguity, never silently. Stale
+    * entries are only ever dead keys (vacuumed dirs are never
+    * re-requested — no live manifest references them); the maps are
+    * cleared past a bound like [[graft.operators.KeyProbe]]'s dirBytes
+    * memo.
     */
   private val mergedSchemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  private val unionedDfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def readUnioned(paths: Seq[String]): DataFrame = {
     val key = paths.sorted.mkString("\u0000")
-    Option(mergedSchemaMemo.get(key)) match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+    Option(unionedDfMemo.get(key)) match {
+      case Some(df) => df
       case None =>
-        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        if (mergedSchemaMemo.size > 1024) mergedSchemaMemo.clear()
+        val df = Option(mergedSchemaMemo.get(key)) match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None =>
+            spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
+        if (unionedDfMemo.size > 1024) {
+          unionedDfMemo.clear(); mergedSchemaMemo.clear()
+        }
+        unionedDfMemo.put(key, df)
         mergedSchemaMemo.put(key, df.schema)
         df
     }

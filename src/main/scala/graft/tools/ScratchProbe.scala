@@ -24,12 +24,16 @@ object ScratchProbe {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
           .map(_.getProperty("spark.job.description", "")).getOrElse("")
-        val cs = Option(js.properties)
-          .map(p => Option(p.getProperty("callSite.long"))
-            .getOrElse(p.getProperty("callSite.short", "")))
+        // callSite.short ALWAYS rides along (r19): metadata jobs submitted
+        // from deep library code carry no graft frame in callSite.long, so
+        // the old graft-frame filter printed blank attributions for exactly
+        // the driver-job-count profiles (pipeline family) that need them
+        val short = Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")
+        val cs = (short +: Option(js.properties)
+          .map(p => Option(p.getProperty("callSite.long")).getOrElse(""))
           .getOrElse("").split('\n')
-          .filter(l => l.contains("graft") || l.contains("at "))
-          .take(4).mkString(" <- ")
+          .filter(_.contains("graft")).take(3).toSeq).mkString(" <- ")
         jobStart.put(js.jobId, (System.nanoTime(), s"$desc | $cs"))
         ()
       }

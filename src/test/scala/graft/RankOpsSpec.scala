@@ -132,4 +132,35 @@ class RankOpsSpec extends AnyFunSuite {
       w.child.collectFirst { case a: Aggregate => a }.isDefined,
       "global window must sit on the per-bucket counts aggregate"))
   }
+
+  test("withPartedRankAndCount: concatenated ranks recover each part's " +
+    "window rank arithmetically, total count exact") {
+    // heavy-tie pool per part, uneven values across parts — the
+    // quality_metric_agreement shape (3 equal-sized metric blocks)
+    val pool = Array(-3.5d, 0.0d, 0.0d, 0.25d, 7.0d)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val n = 50 + rnd.nextInt(150)
+      val rows = for {
+        p <- 0L until 3L; i <- 0 until n
+      } yield (p, i.toLong, pool(rnd.nextInt(pool.length)) * (p + 1))
+      val df = rows.toDF("p", "id", "v")
+      val buckets = Seq(2, 7, 64)(trial % 3)
+      val got = RankOps.withPartedRankAndCount(df, col("p"), col("v"),
+          Seq(col("id")), "r", "n3", buckets, minor = Some(col("id")))
+        .select(col("p"), col("id"),
+          (col("r") - col("p") * expr("n3 div 3")).as("pr"), col("n3"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = df.withColumn("pr", row_number()
+          .over(Window.partitionBy("p").orderBy(col("v"), col("id")))
+          .cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      assert(got.view.mapValues(_._1).toMap === want,
+        s"trial $trial buckets=$buckets")
+      assert(got.values.forall(_._2 === 3L * n), "n3 must be the total")
+    }
+  }
 }
