@@ -3694,11 +3694,26 @@ object TrainingData {
         shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(bandKeys).as("band"))
+    // explicit-N pair spread (round 19): AQE's byte-based coalescing
+    // folded the survivor-distinct shuffle — tiny rows, ~0.1 ms of
+    // Levenshtein CPU each downstream — into ONE partition, and the
+    // whole broadcast-join + kernel + local-top-k tail ran as a single
+    // 3 s-CPU task (profiled). Pre-partitioning on exactly the distinct
+    // key satisfies the aggregate's distribution (no extra exchange)
+    // and REPARTITION_BY_NUM is exempt from coalescing, so the kernel
+    // stage keeps one partition per core — the right shape for a
+    // CPU-bound kernel at any survivor count (fixed cost per pair,
+    // ~450 B rows, pair-hash spreads without skew). A repartition
+    // placed directly under the top-k was optimizer-stripped; the
+    // distinct key is the stable anchor.
     val survivors = prunedBandPairs(banded, Seq("fp"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("hd"))
       .filter(col("hd") <= 8)
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+      .distinct()
     val pre = d.select(col("doc_id"), substring(col("text"), 1, 200).as("pre"))
     val maxLen = greatest(length(col("pre_a")), length(col("pre_b")))
     survivors
