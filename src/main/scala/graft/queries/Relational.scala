@@ -510,8 +510,13 @@ object Relational {
   def q23Ntile(spark: SparkSession, dir: String): DataFrame = {
     // exact ntile without the global window's single-partition sort:
     // distributed two-pass rank (RankOps scaladoc), then the tile is
-    // row-local arithmetic over (rank, total) — bit-identical output
-    val o = t(spark, dir, "orders")
+    // row-local arithmetic over (rank, total) — bit-identical output.
+    // fanOut first (round 19): the one-row-group bench file fed BOTH
+    // rank passes (sample + bucketed window) from a single scan task
+    // (2× ~1.6 s single-task stages in the r19 profile); the guard
+    // no-ops on production multi-row-group data.
+    val o = TrainingData.fanOut(t(spark, dir, "orders"),
+      s"$dir/orders.parquet")
     // rank and total count in ONE pass: the count(*) cross join this
     // replaced was a second full scan of orders
     val ranked = graft.operators.RankOps.withGlobalRankAndCount(
@@ -769,7 +774,14 @@ object Relational {
     * divergence, same note as the percentile operators).
     */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
-    val tbl = t(spark, dir, "orders")
+    // fan the under-partitioned scan out first (round 19): the bench SF's
+    // orders file is ONE row group, so the Expand (rows × profiled
+    // columns, the multi-distinct pass) ran inside a single 2.7 s scan
+    // task. Same guard as TrainingData.docs — only fires when the footer
+    // row-group estimate is far under the core count; production
+    // multi-row-group data keeps its native shuffle-free layout.
+    val tbl = TrainingData.fanOut(t(spark, dir, "orders"),
+      s"$dir/orders.parquet")
     val aggs = ProfileColumns.flatMap(c => Seq(
       count(col(c)).as(s"cnt_$c"),
       countDistinct(col(c)).as(s"nd_$c"),
@@ -901,7 +913,12 @@ object Relational {
     // recency desc = rank on the negated key, user_id tiebreak unchanged.
     // Each rank runs over its own narrow (user_id, key) projection and
     // joins back on user_id — chaining them would re-derive the first
-    // rank inside the second's cut-point aggregate
+    // rank inside the second's cut-point aggregate. (r19 NOTE: the
+    // unpivoted single-pass shape that won on quality_metric_agreement's
+    // THREE corpus-sized ranks was tried here and measured flat-to-worse
+    // — 1.47 -> 1.6-1.9 s paired — because the per-user frame is tiny
+    // and the pivot's extra shuffle outweighs the saved rank machinery;
+    // reverted, kept as a recorded negative.)
     import graft.operators.RankOps.{ntileFromRank, withGlobalRank,
       withGlobalRankAndCount}
     // minor = user_id (the tiebreak itself): recency_days and freq are

@@ -33,7 +33,7 @@ object TrainingData {
     * the core count; production multi-row-group data keeps its native
     * (shuffle-free) layout.
     */
-  private def fanOut(df: DataFrame, path: String): DataFrame = {
+  private[queries] def fanOut(df: DataFrame, path: String): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val estTasks =
